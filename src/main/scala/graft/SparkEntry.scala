@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.market.{Level3Source, MarketOps}
+import graft.relational.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a thin binding of a library operator to
+  * the driver's testdata directory; [[Oracles]] holds the equivalent
+  * DuckDB SQL (differential oracle). Column names and row order are
+  * aligned pairwise.
+  */
 object SparkEntry {
+
+  private def level3(spark: SparkSession, dir: String): DataFrame =
+    Level3Source.level3(Tables.load(spark, dir, "events"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("mkt_spread")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => CoreQueries.pricingSummary(s, d)),
+    "q02_revenue_by_nation" -> ((s, d) => CoreQueries.revenueByNation(s, d)),
+    "q03_sessionize" -> ((s, d) => CoreQueries.sessionize(s, d)),
+    "q04_top_orders" -> ((s, d) => CoreQueries.topOrdersPerSegment(s, d)),
+    "q05_asof_enrich" -> ((s, d) => CoreQueries.asofEnrich(s, d)),
+    "mkt_spread" -> ((s, d) =>
+      MarketOps.spread(level3(s, d), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
+        .orderBy("pair_id", "ts")),
+    "mkt_order_book" -> ((s, d) =>
+      MarketOps.orderBookQuery(level3(s, d), Oracles.SnapshotMicros)
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("price"), col("amount"), col("order_id"),
+          col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
+        .orderBy("pair_id", "side", "lvl", "order_id")),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Oracles.q01PricingSummary,
+    "q02_revenue_by_nation" -> Oracles.q02RevenueByNation,
+    "q03_sessionize" -> Oracles.q03Sessionize,
+    "q04_top_orders" -> Oracles.q04TopOrders,
+    "q05_asof_enrich" -> Oracles.q05AsofEnrich,
+    "mkt_spread" -> Oracles.mktSpread,
+    "mkt_order_book" -> Oracles.mktOrderBook,
+  )
 }

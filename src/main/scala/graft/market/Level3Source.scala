@@ -1,0 +1,143 @@
+package graft.market
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.tsMicros
+
+/** Deterministic adapter: the driver's `events` table → a canonical
+  * level-3 order-event log (one row per limit-order event, with a
+  * per-row temporal validity interval), mirroring the reference data
+  * model `obanalytics.level3` (reference:
+  * `db/obanalytics_schema.sql:128-153`) and the level3 *builder*
+  * window-pass (reference: `db/bitfinex_schema.sql:279-468` — event_no
+  * via row_number, fill via lag(amount), forward pointer via
+  * lead(timestamp), price chains via cumulative sum of price-change
+  * flags, order reincarnation after deletion).
+  *
+  * Mapping (pure, stable, oracle-expressible):
+  *   - order stream key  = user_id; a row with event_type='error' deletes
+  *     the current order; later rows of the same user reincarnate it as a
+  *     fresh order_id (user_id*1000 + incarnation_no).
+  *   - side   = 'b' for even user_id else 's'
+  *   - price  = value (already 2-decimal in the data; never re-rounded)
+  *   - amount = event_id % 20 + 1 (exact in Double arithmetic)
+  *   - pair_id = user_id % 3 + 1 (three instruments → replay partitions)
+  *
+  * ±infinity sentinels of the reference become: `next_microtimestamp =
+  * ALIVE_MICROS` for "order still alive" and an `is_deleted` flag (with
+  * an empty validity interval) for "-infinity" (SURVEY §7.4).
+  *
+  * All timestamps are carried as epoch **microseconds** (LongType) —
+  * the reference's native resolution — so the replay kernels never touch
+  * timezone-dependent types.
+  */
+object Level3Source {
+
+  /** Sentinel for "order alive to the end of data" (2100-01-01 UTC, µs). */
+  val AliveMicros: Long = 4102444800000000L
+
+  /** Era gap threshold: a silence of > 2h on a pair starts a new era
+    * (reference uses 2 s on µs-spaced feeds, `db/bitfinex_schema.sql:279`;
+    * scaled to this dataset's event spacing). */
+  val EraGapMicros: Long = 2L * 3600 * 1000000
+
+  /** events DataFrame (event_id, ts, user_id, event_type, value, props)
+    * → level3 DataFrame with columns:
+    * microtimestamp(Long µs), order_id, event_no, side, price, amount,
+    * fill, next_microtimestamp(Long µs), is_deleted, price_microtimestamp,
+    * price_event_no, pair_id, exchange_id, event_id.
+    */
+  def level3(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_id"),
+      tsMicros(col("ts")).as("microtimestamp"),
+      col("user_id"),
+      ((col("user_id") % 3) + 1).cast("int").as("pair_id"),
+      when(col("user_id") % 2 === 0, "b").otherwise("s").as("side"),
+      col("value").as("price"),
+      ((col("event_id") % 20) + 1).cast("double").as("amount"),
+      when(col("event_type") === "error", 1).otherwise(0).as("del_flag"))
+
+    val wUser = Window.partitionBy("user_id")
+      .orderBy("microtimestamp", "event_id")
+    val withOrder = base.withColumn(
+      "order_id",
+      col("user_id") * 1000 + coalesce(
+        sum("del_flag").over(wUser.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+
+    val wOrd = Window.partitionBy("order_id")
+      .orderBy("microtimestamp", "event_id")
+    val evt = withOrder
+      .withColumn("event_no", row_number().over(wOrd))
+      .withColumn("prev_amount", lag("amount", 1).over(wOrd))
+      .withColumn("lead_ts", lead("microtimestamp", 1).over(wOrd))
+      .withColumn("prev_price", lag("price", 1).over(wOrd))
+      .withColumn("price_chg",
+        when(col("prev_price").isNull || col("price") =!= col("prev_price"), 1)
+          .otherwise(0))
+      .withColumn("price_group",
+        sum("price_chg").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+
+    val wChain = Window.partitionBy("order_id", "price_group")
+    evt.select(
+      col("microtimestamp"),
+      col("order_id"),
+      col("event_no"),
+      col("side"),
+      col("price"),
+      col("amount"),
+      when(col("prev_amount") > col("amount"),
+        col("prev_amount") - col("amount")).as("fill"),
+      when(col("del_flag") === 1, col("microtimestamp"))
+        .otherwise(coalesce(col("lead_ts"), lit(AliveMicros)))
+        .as("next_microtimestamp"),
+      (col("del_flag") === 1).as("is_deleted"),
+      min("microtimestamp").over(wChain).as("price_microtimestamp"),
+      min("event_no").over(wChain).as("price_event_no"),
+      col("pair_id"),
+      lit(1).as("exchange_id"),
+      col("event_id"))
+  }
+
+  /** Era detection per pair: gaps-and-islands over the event stream
+    * (reference: new era when feed gap exceeds a threshold,
+    * `db/bitfinex_schema.sql:332-361`). Returns
+    * (pair_id, era, level3) with era = first µs of the era and
+    * level3 = last µs (high-watermark, cf. `obanalytics.level3_eras`). */
+  def eras(level3Df: DataFrame): DataFrame = {
+    val wPair = Window.partitionBy("pair_id").orderBy("microtimestamp")
+    level3Df
+      .select("pair_id", "microtimestamp")
+      .withColumn("prev_ts", lag("microtimestamp", 1).over(wPair))
+      .withColumn("new_era",
+        when(col("prev_ts").isNull ||
+          col("microtimestamp") - col("prev_ts") > EraGapMicros, 1)
+          .otherwise(0))
+      .withColumn("era_no",
+        sum("new_era").over(wPair.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("pair_id", "era_no")
+      .agg(
+        min("microtimestamp").as("era"),
+        max("microtimestamp").as("level3"))
+      .select("pair_id", "era_no", "era", "level3")
+  }
+
+  /** level3 rows annotated with the era they fall into (adds era_no, era). */
+  def level3WithEras(level3Df: DataFrame): DataFrame = {
+    val wPair = Window.partitionBy("pair_id").orderBy("microtimestamp", "event_id")
+    level3Df
+      .withColumn("prev_ts", lag("microtimestamp", 1)
+        .over(Window.partitionBy("pair_id").orderBy("microtimestamp")))
+      .withColumn("new_era",
+        when(col("prev_ts").isNull ||
+          col("microtimestamp") - col("prev_ts") > EraGapMicros, 1)
+          .otherwise(0))
+      .withColumn("era_no",
+        sum("new_era").over(wPair.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("era", min("microtimestamp")
+        .over(Window.partitionBy("pair_id", "era_no")))
+      .drop("prev_ts", "new_era")
+  }
+}

@@ -1,0 +1,141 @@
+package graft.market
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-facing market-data operators over a level3 DataFrame (as
+  * produced by [[Level3Source.level3]]).
+  *
+  * Two implementation styles, mirroring the reference's fast/slow twins
+  * (C engine vs SQL, `db/obanalytics_schema.sql:1225-1267`):
+  *   - *kernel* ops: `groupByKey(pair).flatMapSortedGroups` streaming the
+  *     sorted event iterator through [[Replay]] — scales as one
+  *     sequential pass per pair per executor core, state O(book);
+  *   - *expression* ops: pure Catalyst (windows/joins) where the
+  *     validity-interval encoding makes the answer declarative.
+  */
+object MarketOps {
+
+  private def bookEvents(level3: DataFrame, spark: SparkSession)
+      : Dataset[BookEvent] = {
+    import spark.implicits._
+    level3.select(
+      col("pair_id").as("pairId"),
+      col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"),
+      col("side"),
+      col("price"),
+      col("amount"),
+      col("is_deleted").as("isDeleted"),
+      col("event_id")) // extra sort key for deterministic within-ts order
+      .as[BookEvent]
+  }
+
+  /** Level-1 spread stream: (pair_id, ts, bid/ask price+qty), one row per
+    * episode where the quote changed (reference: `spread_by_episode_fast`,
+    * `db/c/obadiah_db/obadiah_db.cpp:270-363`). */
+  def spread(level3: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    bookEvents(level3, spark)
+      .groupByKey(_.pairId)
+      .flatMapSortedGroups($"ts", $"event_id")((pair, it) => Replay.l1(pair, it))
+      .toDF()
+  }
+
+  /** Level-2 depth-change stream (reference:
+    * `depth_change_by_episode_fast`, `db/c/obadiah_db/obadiah_db.cpp:171-268`). */
+  def depthChanges(level3: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    bookEvents(level3, spark)
+      .groupByKey(_.pairId)
+      .flatMapSortedGroups($"ts", $"event_id")((pair, it) => Replay.l2(pair, it))
+      .toDF()
+  }
+
+  /** Declarative depth-change twin: unpivot each level3 row into a
+    * (+amount at start, −amount at end) pair and take a running sum per
+    * (pair, side, price) — the validity-interval formulation of the same
+    * quantity, all stock Catalyst (used for differential testing and as
+    * the shuffle-friendly path when only a few price levels matter). */
+  def depthChangesSql(level3: DataFrame): DataFrame = {
+    // A deleted event's empty interval contributes +a and −a at the same
+    // (price, ts) and cancels in the per-ts grouping below.
+    val start = level3
+      .select(col("pair_id"), col("microtimestamp").as("ts"), col("side"),
+        col("price"), col("amount").as("delta"))
+    val end = level3
+      .select(col("pair_id"), col("next_microtimestamp").as("ts"), col("side"),
+        col("price"), (-col("amount")).as("delta"))
+      .filter(col("ts") < Level3Source.AliveMicros)
+    val deltas = start.unionByName(end)
+      .filter(col("delta") =!= 0)
+      .groupBy("pair_id", "side", "price", "ts")
+      .agg(sum("delta").as("delta"))
+      .filter(col("delta") =!= 0)
+    val w = Window.partitionBy("pair_id", "side", "price").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("volume", sum("delta").over(w))
+      .select("pair_id", "ts", "side", "price", "volume")
+  }
+
+  /** Order-book snapshot at time `ts` (µs): all orders whose validity
+    * interval covers ts (reference: `obanalytics.order_book`,
+    * `db/obanalytics_schema.sql:2035-2075`). Pure filter — Catalyst
+    * pushes `microtimestamp <= ts` into the parquet scan. */
+  def orderBookAt(level3: DataFrame, tsMicros: Long): DataFrame =
+    level3
+      .filter(col("microtimestamp") <= tsMicros &&
+        col("next_microtimestamp") > tsMicros)
+      .withColumn("is_maker", makerFlag)
+      .withColumn("is_crossed", crossedFlag)
+
+  /** is_maker: the order's price does not cross the best opposite price
+    * among orders priced earlier (running conditional extremes over
+    * price-time order — reference `db/obanalytics_schema.sql:2043-2053`). */
+  private def makerFlag = {
+    val w = Window.partitionBy("pair_id")
+      .orderBy("price_microtimestamp", "microtimestamp", "order_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val minAsk = min(when(col("side") === "s", col("price"))).over(w)
+    val maxBid = max(when(col("side") === "b", col("price"))).over(w)
+    when(col("side") === "b", col("price") < coalesce(minAsk, lit(Double.MaxValue)))
+      .otherwise(col("price") > coalesce(maxBid, lit(Double.MinValue)))
+  }
+
+  private def crossedFlag = {
+    val w = Window.partitionBy("pair_id")
+      .orderBy(col("price_microtimestamp").desc, col("microtimestamp").desc,
+        col("order_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val minAsk = min(when(col("side") === "s", col("price"))).over(w)
+    val maxBid = max(when(col("side") === "b", col("price"))).over(w)
+    when(col("side") === "b", col("price") >= coalesce(minAsk, lit(Double.MaxValue)))
+      .otherwise(col("price") <= coalesce(maxBid, lit(Double.MinValue)))
+  }
+
+  /** API-level snapshot (reference `get.order_book`,
+    * `db/get_schema.sql:561-603`): per-side cumulative liquidity, bps
+    * distance from best, dense-ranked price levels. */
+  def orderBookQuery(level3: DataFrame, tsMicros: Long,
+      maxLevels: Option[Int] = None): DataFrame = {
+    val snap = level3
+      .filter(col("microtimestamp") <= tsMicros &&
+        col("next_microtimestamp") > tsMicros)
+    val sideOrd = when(col("side") === "b", -col("price")).otherwise(col("price"))
+    val wCum = Window.partitionBy("pair_id", "side")
+      .orderBy(sideOrd, col("microtimestamp"), col("order_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLvl = Window.partitionBy("pair_id", "side").orderBy(sideOrd)
+    val wBest = Window.partitionBy("pair_id", "side")
+    val best = when(col("side") === "b", max(col("price")).over(wBest))
+      .otherwise(min(col("price")).over(wBest))
+    val out = snap
+      .withColumn("liquidity", sum("amount").over(wCum))
+      .withColumn("lvl", dense_rank().over(wLvl))
+      .withColumn("bps",
+        abs(col("price") - best) / best * 10000.0)
+    maxLevels.fold(out)(n => out.filter(col("lvl") <= n))
+  }
+}

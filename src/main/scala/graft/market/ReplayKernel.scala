@@ -1,0 +1,144 @@
+package graft.market
+
+import scala.collection.mutable
+
+/** Input row for the order-book replay kernel (timestamps in epoch µs). */
+case class BookEvent(
+    pairId: Int,
+    ts: Long,
+    orderId: Long,
+    side: String, // "b" | "s"
+    price: Double,
+    amount: Double,
+    isDeleted: Boolean)
+
+/** Level-1 tick: best bid/ask after an episode (None = empty side). */
+case class L1Tick(
+    pair_id: Int,
+    ts: Long,
+    bid_price: Option[Double],
+    bid_qty: Option[Double],
+    ask_price: Option[Double],
+    ask_qty: Option[Double])
+
+/** Level-2 delta: the new total volume at a touched price level. */
+case class L2Change(
+    pair_id: Int,
+    ts: Long,
+    side: String,
+    price: Double,
+    volume: Double)
+
+/** In-memory limit order book, the direct analogue of the reference's C
+  * replay engine state (reference: `db/c/obadiah_db/order_book.cpp:22-47`
+  * — `map[order_id]` + per-side `map[price -> volume]`). State is O(live
+  * orders), independent of history length, which is what makes replay of
+  * an unbounded event stream safe on one executor core per group.
+  */
+final class OrderBook {
+  // orderId -> (isBid, price, amount)
+  private val orders = mutable.LongMap.empty[(Boolean, Double, Double)]
+  private val bids = mutable.TreeMap.empty[Double, Double]
+  private val asks = mutable.TreeMap.empty[Double, Double]
+
+  private def levelAdd(isBid: Boolean, price: Double, delta: Double): Unit = {
+    val m = if (isBid) bids else asks
+    val nv = m.getOrElse(price, 0.0) + delta
+    // amounts are exact in Double here; drop empty levels
+    if (nv <= 0.0) m.remove(price) else m.update(price, nv)
+  }
+
+  /** Apply one event: replace the order's previous state; a deletion
+    * removes it (reference semantics: '-infinity' forward pointer,
+    * `db/obanalytics_schema.sql:149-150`). Returns touched (isBid, price)
+    * levels for L2 emission. */
+  def apply(e: BookEvent): List[(Boolean, Double)] = {
+    var touched: List[(Boolean, Double)] = Nil
+    orders.get(e.orderId).foreach { case (ob, op, oa) =>
+      levelAdd(ob, op, -oa)
+      touched = (ob, op) :: touched
+      orders.remove(e.orderId)
+    }
+    if (!e.isDeleted) {
+      val isBid = e.side == "b"
+      levelAdd(isBid, e.price, e.amount)
+      orders.update(e.orderId, (isBid, e.price, e.amount))
+      touched = (isBid, e.price) :: touched
+    }
+    touched
+  }
+
+  def bestBid: Option[(Double, Double)] = bids.lastOption
+  def bestAsk: Option[(Double, Double)] = asks.headOption
+  def volumeAt(isBid: Boolean, price: Double): Double =
+    (if (isBid) bids else asks).getOrElse(price, 0.0)
+  /** Iterate depth (price -> volume); bids descending, asks ascending. */
+  def depth(isBid: Boolean): Iterator[(Double, Double)] =
+    if (isBid) bids.iterator.toSeq.reverseIterator else asks.iterator
+  def bidLevels: Int = bids.size
+  def askLevels: Int = asks.size
+}
+
+/** Episode-at-a-time replay over a time-sorted event iterator. An
+  * *episode* is the group of events sharing one microtimestamp; emitters
+  * observe the book only at episode boundaries (reference:
+  * `db/c/obadiah_db/episode.cpp:106-159`, SURVEY §7.4). The iterator is
+  * fully streaming: O(book) memory, single pass.
+  */
+object Replay {
+
+  /** Generic fold: applies episodes in order, calling `emit` with
+    * (episodeTs, book, touchedLevels) after each episode. */
+  def episodes[T](
+      events: Iterator[BookEvent],
+      emit: (Long, OrderBook, List[(Boolean, Double)]) => IterableOnce[T])
+      : Iterator[T] = {
+    val buf = events.buffered
+    val book = new OrderBook
+    new Iterator[Iterator[T]] {
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): Iterator[T] = {
+        val ts = buf.head.ts
+        var touched: List[(Boolean, Double)] = Nil
+        while (buf.hasNext && buf.head.ts == ts)
+          touched = book.apply(buf.next()) reverse_::: touched
+        emit(ts, book, touched).iterator
+      }
+    }.flatten
+  }
+
+  /** L1 ticks, deduplicated (emit only when the quote changes —
+    * reference: `db/c/obadiah_db/depth.cpp:20-75`). */
+  def l1(pairId: Int, events: Iterator[BookEvent]): Iterator[L1Tick] = {
+    var last: L1Tick = null
+    episodes(events, (ts, book, _) => {
+      val t = L1Tick(pairId, ts,
+        book.bestBid.map(_._1), book.bestBid.map(_._2),
+        book.bestAsk.map(_._1), book.bestAsk.map(_._2))
+      if (last == null ||
+          t.bid_price != last.bid_price || t.bid_qty != last.bid_qty ||
+          t.ask_price != last.ask_price || t.ask_qty != last.ask_qty) {
+        last = t; Some(t)
+      } else None
+    })
+  }
+
+  /** L2 depth changes: new total volume at every touched price level
+    * whose total actually changed (reference:
+    * `db/c/obadiah_db/order_book.cpp:59-173`). */
+  def l2(pairId: Int, events: Iterator[BookEvent]): Iterator[L2Change] = {
+    // previous volume per (isBid, price) — only for touched levels
+    val prev = mutable.HashMap.empty[(Boolean, Double), Double]
+    episodes(events, (ts, book, touched) => {
+      touched.distinct.flatMap { case (isBid, price) =>
+        val now = book.volumeAt(isBid, price)
+        val before = prev.getOrElse((isBid, price), 0.0)
+        if (now != before) {
+          if (now == 0.0) prev.remove((isBid, price))
+          else prev.update((isBid, price), now)
+          Some(L2Change(pairId, ts, if (isBid) "b" else "s", price, now))
+        } else None
+      }
+    })
+  }
+}
