@@ -180,6 +180,273 @@ object Oracles {
   /** Snapshot instant for the order-book query: 2024-01-15 00:00:00 UTC. */
   val SnapshotMicros: Long = 1705276800000000L
 
+  /** Analysis window for windowed queries: 2024-01-10 .. 2024-01-20 UTC. */
+  val T0: Long = 1704844800000000L
+  val T1: Long = 1705708800000000L
+
+  /** Unpivoted validity intervals → per-(price,ts) net deltas → running
+    * depth (the declarative twin of the replay kernel's L2 stream). */
+  private val DepthRunCte: String =
+    """, starts AS (
+      |  SELECT pair_id, microtimestamp AS ts, side, price, amount AS delta
+      |  FROM level3
+      |), ends AS (
+      |  SELECT pair_id, next_microtimestamp AS ts, side, price, -amount AS delta
+      |  FROM level3 WHERE next_microtimestamp < 4102444800000000
+      |), deltas AS (
+      |  SELECT pair_id, side, price, ts, SUM(delta) AS delta
+      |  FROM (SELECT * FROM starts UNION ALL SELECT * FROM ends) u
+      |  GROUP BY pair_id, side, price, ts
+      |  HAVING SUM(delta) <> 0
+      |), run AS (
+      |  SELECT pair_id, ts, side, price,
+      |    SUM(delta) OVER (PARTITION BY pair_id, side, price ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume
+      |  FROM deltas
+      |)""".stripMargin
+
+  val mktDepth: String = Level3Cte + DepthRunCte +
+    """
+      |SELECT pair_id, ts, side, price, volume FROM run
+      |ORDER BY pair_id, ts, side, price""".stripMargin
+
+  val mktDepthApi: String = Level3Cte + DepthRunCte +
+    s""", snap AS (
+      |  SELECT pair_id, side, price, SUM(amount) AS volume, $T0 AS ts
+      |  FROM level3 WHERE microtimestamp <= $T0 AND next_microtimestamp > $T0
+      |  GROUP BY pair_id, side, price
+      |), chg AS (
+      |  SELECT pair_id, side, price, volume, ts FROM run
+      |  WHERE ts > $T0 AND ts <= $T1
+      |)
+      |SELECT pair_id, ts,
+      |  CASE side WHEN 'b' THEN 'bid' ELSE 'ask' END AS side, price, volume
+      |FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg) u
+      |ORDER BY pair_id, ts, side, price""".stripMargin
+
+  /** Per-event-timestamp quotes via the interval join (undeduplicated). */
+  private val QuoteCte: String =
+    """, etimes AS (SELECT DISTINCT pair_id, microtimestamp AS ts FROM level3)
+      |, live AS (
+      |  SELECT e.pair_id, e.ts, l.side, l.price, l.amount
+      |  FROM etimes e JOIN level3 l
+      |    ON l.pair_id = e.pair_id AND l.microtimestamp <= e.ts
+      |   AND l.next_microtimestamp > e.ts
+      |), lvl AS (
+      |  SELECT pair_id, ts, side, price, SUM(amount) AS qty
+      |  FROM live GROUP BY pair_id, ts, side, price
+      |), bests AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, ts, side
+      |    ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS rn
+      |  FROM lvl
+      |), quote AS (
+      |  SELECT e.pair_id, e.ts,
+      |    MAX(CASE WHEN b.side = 'b' THEN b.price END) AS bid_price,
+      |    MAX(CASE WHEN b.side = 'b' THEN b.qty END) AS bid_qty,
+      |    MAX(CASE WHEN b.side = 's' THEN b.price END) AS ask_price,
+      |    MAX(CASE WHEN b.side = 's' THEN b.qty END) AS ask_qty
+      |  FROM etimes e LEFT JOIN bests b
+      |    ON b.pair_id = e.pair_id AND b.ts = e.ts AND b.rn = 1
+      |  GROUP BY e.pair_id, e.ts
+      |)""".stripMargin
+
+  val mktEvents: String = Level3Cte + QuoteCte +
+    s""", quote_cf AS (
+      |  SELECT pair_id, ts,
+      |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
+      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_cf,
+      |    LAST_VALUE(ask_price IGNORE NULLS) OVER (PARTITION BY pair_id
+      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ask_cf
+      |  FROM quote
+      |), spread_before AS (
+      |  SELECT pair_id, LEAD(ts) OVER (PARTITION BY pair_id ORDER BY ts) AS ts,
+      |    bid_cf AS bb, ask_cf AS ba
+      |  FROM quote_cf
+      |), active AS (
+      |  SELECT *, FALSE AS is_initial FROM level3
+      |  WHERE microtimestamp > $T0 AND microtimestamp <= $T1
+      |  UNION ALL
+      |  SELECT *, TRUE FROM level3
+      |  WHERE microtimestamp <= $T0 AND next_microtimestamp > $T0
+      |), base AS (
+      |  SELECT a.*,
+      |    CASE WHEN a.is_initial THEN NULL ELSE s.bb END AS best_bid_price,
+      |    CASE WHEN a.is_initial THEN NULL ELSE s.ba END AS best_ask_price
+      |  FROM active a LEFT JOIN spread_before s
+      |    ON s.pair_id = a.pair_id AND s.ts = a.microtimestamp
+      |), flg AS (
+      |  SELECT *, CASE WHEN side = 's'
+      |      THEN price <= COALESCE(best_bid_price, price - 1)
+      |      ELSE price >= COALESCE(best_ask_price, price + 1) END AS is_aggressor
+      |  FROM base
+      |), flg2 AS (
+      |  SELECT *,
+      |    MAX(price) OVER o <> MIN(price) OVER o AS is_price_ever_changed,
+      |    BOOL_OR(NOT is_aggressor) OVER o AS is_ever_resting,
+      |    BOOL_OR(is_aggressor) OVER o AS is_ever_aggressor,
+      |    BOOL_OR(COALESCE(fill, 0) > 0) OVER o AS is_ever_filled,
+      |    BOOL_OR(is_deleted) OVER o AS ord_is_deleted,
+      |    BOOL_OR(event_no = 1 AND NOT is_deleted) OVER o AS is_created
+      |  FROM flg
+      |  WINDOW o AS (PARTITION BY pair_id, order_id)
+      |)
+      |SELECT
+      |  md5(concat_ws('#', microtimestamp, order_id, event_no, pair_id,
+      |    exchange_id)) AS event_id,
+      |  order_id AS id,
+      |  microtimestamp AS ts_us,
+      |  price_microtimestamp AS exchange_timestamp,
+      |  price,
+      |  amount AS volume,
+      |  CASE WHEN event_no = 1 AND NOT is_deleted THEN 'created'
+      |       WHEN event_no > 1 AND NOT is_deleted THEN 'changed'
+      |       ELSE 'deleted' END AS action,
+      |  CASE side WHEN 'b' THEN 'bid' ELSE 'ask' END AS direction,
+      |  CASE WHEN fill > 0 THEN fill ELSE 0.0 END AS fill,
+      |  CASE WHEN is_price_ever_changed THEN 'pacman'
+      |       WHEN is_ever_resting AND NOT is_ever_aggressor
+      |         AND NOT is_ever_filled AND ord_is_deleted THEN 'flashed-limit'
+      |       WHEN is_ever_resting AND NOT is_ever_aggressor
+      |         AND NOT is_ever_filled AND NOT ord_is_deleted THEN 'resting-limit'
+      |       WHEN is_ever_resting AND NOT is_ever_aggressor
+      |         AND is_ever_filled THEN 'resting-limit'
+      |       WHEN NOT is_ever_resting AND is_ever_aggressor
+      |         AND ord_is_deleted AND is_ever_filled THEN 'market'
+      |       WHEN NOT is_ever_resting AND is_ever_aggressor
+      |         AND ord_is_deleted AND NOT is_ever_filled THEN 'flashed-limit'
+      |       WHEN (is_ever_resting OR NOT ord_is_deleted)
+      |         AND is_ever_aggressor THEN 'market-limit'
+      |       ELSE 'unknown' END AS type,
+      |  CASE WHEN side = 's'
+      |    THEN ROUND((best_ask_price - price) / best_ask_price * 10000)
+      |    ELSE ROUND((price - best_bid_price) / best_bid_price * 10000)
+      |  END AS aggressiveness_bps,
+      |  event_no,
+      |  is_aggressor,
+      |  is_created,
+      |  is_ever_resting,
+      |  is_ever_aggressor,
+      |  is_ever_filled,
+      |  ord_is_deleted AS is_deleted,
+      |  is_price_ever_changed,
+      |  best_bid_price,
+      |  best_ask_price,
+      |  pair_id
+      |FROM flg2
+      |ORDER BY ts_us, id, event_no""".stripMargin
+
+  val mktTrades: String = Level3Cte +
+    """, fills AS (
+      |  SELECT pair_id, microtimestamp, order_id, event_no, side, price,
+      |    fill, price_microtimestamp
+      |  FROM level3 WHERE fill > 0
+      |), cand AS (
+      |  SELECT b.pair_id,
+      |    b.microtimestamp AS b_ts, b.order_id AS b_oid, b.event_no AS b_eno,
+      |    b.price AS b_price, b.price_microtimestamp AS b_pts,
+      |    s.microtimestamp AS s_ts, s.order_id AS s_oid, s.event_no AS s_eno,
+      |    s.price AS s_price, s.price_microtimestamp AS s_pts,
+      |    b.fill AS fill,
+      |    ABS(b.microtimestamp - s.microtimestamp) AS dist
+      |  FROM fills b JOIN fills s
+      |    ON b.side = 'b' AND s.side = 's' AND b.pair_id = s.pair_id
+      |   AND b.fill = s.fill
+      |   AND ABS(b.microtimestamp - s.microtimestamp) <= 3600000000
+      |), ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY pair_id, b_oid, b_eno
+      |      ORDER BY dist, s_ts, s_oid, s_eno) AS rn_b,
+      |    ROW_NUMBER() OVER (PARTITION BY pair_id, s_oid, s_eno
+      |      ORDER BY dist, b_ts, b_oid, b_eno) AS rn_s
+      |  FROM cand
+      |), m AS (
+      |  SELECT *, (b_pts < s_pts OR (b_pts = s_pts AND (b_ts < s_ts
+      |    OR (b_ts = s_ts AND b_oid < s_oid)))) AS maker_is_buy
+      |  FROM ranked WHERE rn_b = 1 AND rn_s = 1
+      |)
+      |SELECT GREATEST(b_ts, s_ts) AS ts,
+      |  CASE WHEN maker_is_buy THEN b_price ELSE s_price END AS price,
+      |  fill AS volume,
+      |  CASE WHEN maker_is_buy THEN 'sell' ELSE 'buy' END AS direction,
+      |  CASE WHEN maker_is_buy
+      |    THEN md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
+      |    ELSE md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1))
+      |  END AS maker_event_id,
+      |  CASE WHEN maker_is_buy
+      |    THEN md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1))
+      |    ELSE md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
+      |  END AS taker_event_id,
+      |  CASE WHEN maker_is_buy THEN b_oid ELSE s_oid END AS maker,
+      |  CASE WHEN maker_is_buy THEN s_oid ELSE b_oid END AS taker,
+      |  pair_id
+      |FROM m ORDER BY ts, maker, taker""".stripMargin
+
+  /** level3 + era columns (gaps-and-islands, 2 h threshold). */
+  private val ErasCte: String =
+    """, l3g AS (
+      |  SELECT *, CASE WHEN LAG(microtimestamp) OVER wp IS NULL
+      |    OR microtimestamp - LAG(microtimestamp) OVER wp > 7200000000
+      |    THEN 1 ELSE 0 END AS new_era
+      |  FROM level3
+      |  WINDOW wp AS (PARTITION BY pair_id ORDER BY microtimestamp)
+      |), l3e AS (
+      |  SELECT *, SUM(new_era) OVER (PARTITION BY pair_id
+      |    ORDER BY microtimestamp, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era_no
+      |  FROM l3g
+      |), l3ee AS (
+      |  SELECT *, MIN(microtimestamp) OVER (PARTITION BY pair_id, era_no)
+      |    AS era
+      |  FROM l3e
+      |), eras AS (
+      |  SELECT pair_id, era_no, MIN(microtimestamp) AS era,
+      |    MAX(microtimestamp) AS level3_ts
+      |  FROM l3e GROUP BY pair_id, era_no
+      |)""".stripMargin
+
+  val mktSummary: String = Level3Cte + ErasCte +
+    """
+      |SELECT pair_id, era,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT order_id) AS n_orders,
+      |  COUNT(CASE WHEN event_no = 1 AND NOT is_deleted THEN 1 END) AS n_created,
+      |  COUNT(CASE WHEN is_deleted THEN 1 END) AS n_deleted,
+      |  COUNT(CASE WHEN fill > 0 THEN 1 END) AS n_fills,
+      |  MIN(microtimestamp) AS first_event,
+      |  MAX(microtimestamp) AS last_event,
+      |  CASE WHEN MAX(microtimestamp) > MIN(microtimestamp)
+      |    THEN COUNT(*) / ((MAX(microtimestamp) - MIN(microtimestamp)) / 1000000.0)
+      |  END AS e_per_sec
+      |FROM l3ee GROUP BY pair_id, era ORDER BY pair_id, era""".stripMargin
+
+  val mktIntervals: String = Level3Cte + ErasCte +
+    """, nxt AS (
+      |  SELECT *, LEAD(era) OVER (PARTITION BY pair_id ORDER BY era)
+      |    AS next_era
+      |  FROM eras
+      |)
+      |SELECT pair_id, era AS interval_start, level3_ts AS interval_end,
+      |  'G' AS kind
+      |FROM nxt
+      |UNION ALL
+      |SELECT pair_id, level3_ts, next_era, 'R' FROM nxt
+      |WHERE next_era IS NOT NULL
+      |ORDER BY pair_id, interval_start, kind""".stripMargin
+
+  val mktExport: String = Level3Cte +
+    """
+      |SELECT event_id AS id,
+      |  microtimestamp // 1000 AS timestamp_ms,
+      |  price_microtimestamp // 1000 AS exchange_timestamp_ms,
+      |  price,
+      |  amount AS volume,
+      |  CASE WHEN event_no = 1 AND NOT is_deleted THEN 'created'
+      |       WHEN event_no > 1 AND NOT is_deleted THEN 'changed'
+      |       ELSE 'deleted' END AS action,
+      |  CASE side WHEN 'b' THEN 'bid' ELSE 'ask' END AS direction,
+      |  pair_id
+      |FROM level3 ORDER BY id""".stripMargin
+
   val mktOrderBook: String = Level3Cte +
     s""", snap AS (
       |  SELECT * FROM level3

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.market.{Level3Source, MarketOps}
+import graft.market.{Analytics, EventsQuery, Level3Source, MarketOps, TradeMatching}
 import graft.relational.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +39,45 @@ object SparkEntry {
           col("price"), col("amount"), col("order_id"),
           col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
         .orderBy("pair_id", "side", "lvl", "order_id")),
+    "mkt_depth" -> ((s, d) =>
+      MarketOps.depthChanges(level3(s, d), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("price"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "price")),
+    "mkt_depth_api" -> ((s, d) => {
+      val l3 = level3(s, d)
+      Analytics.depth(l3, MarketOps.depthChanges(l3, s), Oracles.T0, Oracles.T1)
+        .orderBy("pair_id", "ts", "side", "price")
+    }),
+    "mkt_events" -> ((s, d) => {
+      val l3 = level3(s, d)
+      EventsQuery.events(l3, MarketOps.spread(l3, s), Oracles.T0, Oracles.T1)
+        .orderBy("ts_us", "id", "event_no")
+    }),
+    "mkt_trades" -> ((s, d) =>
+      TradeMatching.trades(TradeMatching.inferredMatches(level3(s, d)))
+        .select(col("ts"), col("price"), col("volume"), col("direction"),
+          col("maker_event_id"), col("taker_event_id"), col("maker"),
+          col("taker"), col("pair_id").cast("long").as("pair_id"))
+        .orderBy("ts", "maker", "taker")),
+    "mkt_summary" -> ((s, d) =>
+      Analytics.summary(Level3Source.level3WithEras(level3(s, d)))
+        .select(col("pair_id").cast("long").as("pair_id"), col("era"),
+          col("n_events"), col("n_orders"), col("n_created"),
+          col("n_deleted"), col("n_fills"), col("first_event"),
+          col("last_event"), col("e_per_sec"))
+        .orderBy("pair_id", "era")),
+    "mkt_intervals" -> ((s, d) =>
+      Analytics.intervals(Level3Source.eras(level3(s, d)))
+        .select(col("pair_id").cast("long").as("pair_id"),
+          col("interval_start"), col("interval_end"), col("kind"))
+        .orderBy("pair_id", "interval_start", "kind")),
+    "mkt_export" -> ((s, d) =>
+      Analytics.export(level3(s, d))
+        .select(col("id"), col("timestamp_ms"), col("exchange_timestamp_ms"),
+          col("price"), col("volume"), col("action"), col("direction"),
+          col("pair_id").cast("long").as("pair_id"))
+        .orderBy("id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +90,12 @@ object SparkEntry {
     "q05_asof_enrich" -> Oracles.q05AsofEnrich,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
+    "mkt_depth" -> Oracles.mktDepth,
+    "mkt_depth_api" -> Oracles.mktDepthApi,
+    "mkt_events" -> Oracles.mktEvents,
+    "mkt_trades" -> Oracles.mktTrades,
+    "mkt_summary" -> Oracles.mktSummary,
+    "mkt_intervals" -> Oracles.mktIntervals,
+    "mkt_export" -> Oracles.mktExport,
   )
 }

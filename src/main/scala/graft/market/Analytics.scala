@@ -1,0 +1,81 @@
+package graft.market
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** API-level analytics over the level3 log: per-era summary, data
+  * availability intervals, CSV export projection, and the windowed
+  * depth (starting depth ∪ changes) — reference `obanalytics.summary`
+  * (`db/obanalytics_schema.sql:2510-2583`), `get.events_intervals`
+  * (`db/get_schema.sql:462-503`), `get.export` (`db/get_schema.sql:520-552`),
+  * `get.depth` (`db/get_schema.sql:239-269`).
+  */
+object Analytics {
+
+  /** Per-(pair, era) feed statistics: filtered counts + event rate. */
+  def summary(level3WithEras: DataFrame): DataFrame =
+    level3WithEras
+      .groupBy(col("pair_id"), col("era"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("order_id")).as("n_orders"),
+        count(when(col("event_no") === 1 && !col("is_deleted"), 1))
+          .as("n_created"),
+        count(when(col("is_deleted"), 1)).as("n_deleted"),
+        count(when(col("fill") > 0, 1)).as("n_fills"),
+        min("microtimestamp").as("first_event"),
+        max("microtimestamp").as("last_event"))
+      .withColumn("e_per_sec",
+        when(col("last_event") > col("first_event"),
+          col("n_events") / ((col("last_event") - col("first_event")) / lit(1000000.0))))
+
+  /** Green (data) / red (gap) intervals from the eras table:
+    * greens = [era, level3]; reds = (level3, next era). */
+  def intervals(eras: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pair_id").orderBy("era")
+    val withNext = eras.withColumn("next_era", lead("era", 1).over(w))
+    val greens = withNext.select(col("pair_id"),
+      col("era").as("interval_start"), col("level3").as("interval_end"),
+      lit("G").as("kind"))
+    val reds = withNext.filter(col("next_era").isNotNull)
+      .select(col("pair_id"), col("level3").as("interval_start"),
+        col("next_era").as("interval_end"), lit("R").as("kind"))
+    greens.unionByName(reds)
+  }
+
+  /** Flat export projection (CSV-shaped): millisecond timestamps,
+    * action / direction labels. */
+  def export(level3: DataFrame): DataFrame =
+    level3.select(
+      col("event_id").as("id"),
+      expr("microtimestamp div 1000").as("timestamp_ms"),
+      expr("price_microtimestamp div 1000").as("exchange_timestamp_ms"),
+      col("price"),
+      col("amount").as("volume"),
+      when(col("event_no") === 1 && !col("is_deleted"), "created")
+        .when(col("event_no") > 1 && !col("is_deleted"), "changed")
+        .otherwise("deleted").as("action"),
+      when(col("side") === "b", "bid").otherwise("ask").as("direction"),
+      col("pair_id"))
+
+  /** `get.depth`: full depth standing at t0 (labeled at t0) ∪ depth
+    * changes in (t0, t1]; side mapped to bid/ask. `depthStream` is the
+    * kernel's L2 output (pair_id, ts, side, price, volume). */
+  def depth(level3: DataFrame, depthStream: DataFrame,
+      t0: Long, t1: Long): DataFrame = {
+    val starting = level3
+      .filter(col("microtimestamp") <= t0 && col("next_microtimestamp") > t0)
+      .groupBy(col("pair_id").cast("long").as("pair_id"), col("side"), col("price"))
+      .agg(sum("amount").as("volume"))
+      .withColumn("ts", lit(t0))
+    val changes = depthStream
+      .filter(col("ts") > t0 && col("ts") <= t1)
+      .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+        col("price"), col("volume"), col("ts"))
+    starting.unionByName(changes)
+      .select(col("pair_id"), col("ts"),
+        when(col("side") === "b", "bid").otherwise("ask").as("side"),
+        col("price"), col("volume"))
+  }
+}

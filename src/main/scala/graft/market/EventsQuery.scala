@@ -1,0 +1,141 @@
+package graft.market
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TradeMatching.eventUuid
+
+/** The flagship event-classification query — reference `get.events`
+  * (`db/get_schema.sql:304-456`): every order event in a window,
+  * enriched with the prevailing spread (as-of), per-order lifetime
+  * flags, an order-type state machine, aggressiveness in bps, and the
+  * uuid of the matching event of its trade.
+  *
+  * Pure Catalyst: window functions (`last(_, ignoreNulls)` as-of over a
+  * unioned stream, `bool_or` per order), a `when` chain for the state
+  * machine, `md5` uuids. One deliberate divergence from the reference:
+  * `aggressiveness_bps` uses the side-correct denominator (the
+  * reference divides by best_ask for both sides,
+  * `db/get_schema.sql:435-438`).
+  */
+object EventsQuery {
+
+  /** @param spreadTicks undeduplicated or deduplicated L1 stream
+    *   (pair_id, ts, bid_price, ask_price, …) — as-of carry-forward is
+    *   insensitive to dedupe. */
+  def events(level3: DataFrame, spreadTicks: DataFrame,
+      t0: Long, t1: Long): DataFrame = {
+
+    // active events: in-window rows ∪ the book standing at t0 (kept with
+    // their original timestamps, as the reference does via order_book()).
+    val inWindow = level3
+      .filter(col("microtimestamp") > t0 && col("microtimestamp") <= t1)
+      .withColumn("is_initial", lit(false))
+    val initialBook = level3
+      .filter(col("microtimestamp") <= t0 && col("next_microtimestamp") > t0)
+      .withColumn("is_initial", lit(true))
+    val active = inWindow.unionByName(initialBook)
+
+    // prevailing spread: last L1 tick strictly before the event (ticks at
+    // the event's own timestamp already include the event's episode).
+    // Union events (kind 0) + ticks (kind 1): ordering by (ts, kind) puts
+    // same-ts ticks after the event, so last() sees only earlier ticks.
+    val evSide = active.select(
+      col("pair_id").cast("long").as("pair_id"), col("microtimestamp").as("ts"), lit(0).as("kind"),
+      col("microtimestamp"), col("order_id"), col("event_no"), col("side"),
+      col("price"), col("amount"), col("fill"), col("is_deleted"),
+      col("price_microtimestamp"), col("exchange_id"), col("is_initial"),
+      lit(null).cast("double").as("tick_bid"),
+      lit(null).cast("double").as("tick_ask"))
+    val tickSide = spreadTicks.select(
+      col("pair_id").cast("long").as("pair_id"), col("ts"), lit(1).as("kind"),
+      lit(null).cast("long").as("microtimestamp"),
+      lit(null).cast("long").as("order_id"),
+      lit(null).cast("int").as("event_no"),
+      lit(null).cast("string").as("side"),
+      lit(null).cast("double").as("price"),
+      lit(null).cast("double").as("amount"),
+      lit(null).cast("double").as("fill"),
+      lit(null).cast("boolean").as("is_deleted"),
+      lit(null).cast("long").as("price_microtimestamp"),
+      lit(null).cast("long").as("exchange_id"),
+      lit(null).cast("boolean").as("is_initial"),
+      col("bid_price").as("tick_bid"),
+      col("ask_price").as("tick_ask"))
+
+    val wAsof = Window.partitionBy("pair_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val enriched = evSide.unionByName(tickSide)
+      .withColumn("bb", last("tick_bid", ignoreNulls = true).over(wAsof))
+      .withColumn("ba", last("tick_ask", ignoreNulls = true).over(wAsof))
+      .filter(col("kind") === 0)
+      // initial-book rows predate the window: no prevailing spread
+      .withColumn("best_bid_price", when(col("is_initial"), lit(null)).otherwise(col("bb")))
+      .withColumn("best_ask_price", when(col("is_initial"), lit(null)).otherwise(col("ba")))
+
+    val isAggressor = when(col("side") === "s",
+      col("price") <= coalesce(col("best_bid_price"), col("price") - 1))
+      .otherwise(col("price") >= coalesce(col("best_ask_price"), col("price") + 1))
+
+    val wOrd = Window.partitionBy("pair_id", "order_id")
+    val flagged = enriched
+      .withColumn("is_aggressor", isAggressor)
+      .withColumn("is_price_ever_changed",
+        max("price").over(wOrd) =!= min("price").over(wOrd))
+      .withColumn("is_ever_resting", max(when(!col("is_aggressor"), 1).otherwise(0)).over(wOrd) === 1)
+      .withColumn("is_ever_aggressor", max(when(col("is_aggressor"), 1).otherwise(0)).over(wOrd) === 1)
+      .withColumn("is_ever_filled",
+        max(when(coalesce(col("fill"), lit(0.0)) > 0.0, 1).otherwise(0)).over(wOrd) === 1)
+      .withColumn("ord_is_deleted", max(when(col("is_deleted"), 1).otherwise(0)).over(wOrd) === 1)
+      .withColumn("is_created",
+        max(when(col("event_no") === 1 && !col("is_deleted"), 1).otherwise(0)).over(wOrd) === 1)
+
+    // order-type state machine (reference `db/get_schema.sql:423-434`)
+    val orderType = when(col("is_price_ever_changed"), "pacman")
+      .when(col("is_ever_resting") && !col("is_ever_aggressor") &&
+        !col("is_ever_filled") && col("ord_is_deleted"), "flashed-limit")
+      .when(col("is_ever_resting") && !col("is_ever_aggressor") &&
+        !col("is_ever_filled") && !col("ord_is_deleted"), "resting-limit")
+      .when(col("is_ever_resting") && !col("is_ever_aggressor") &&
+        col("is_ever_filled"), "resting-limit")
+      .when(!col("is_ever_resting") && col("is_ever_aggressor") &&
+        col("ord_is_deleted") && col("is_ever_filled"), "market")
+      .when(!col("is_ever_resting") && col("is_ever_aggressor") &&
+        col("ord_is_deleted") && !col("is_ever_filled"), "flashed-limit")
+      .when((col("is_ever_resting") || !col("ord_is_deleted")) &&
+        col("is_ever_aggressor"), "market-limit")
+      .otherwise("unknown")
+
+    val aggressiveness = when(col("side") === "s",
+      round((col("best_ask_price") - col("price")) / col("best_ask_price") * 10000))
+      .otherwise(
+        round((col("price") - col("best_bid_price")) / col("best_bid_price") * 10000))
+
+    flagged.select(
+      eventUuid(col("microtimestamp"), col("order_id"), col("event_no"),
+        col("pair_id"), col("exchange_id")).as("event_id"),
+      col("order_id").as("id"),
+      col("microtimestamp").as("ts_us"),
+      col("price_microtimestamp").as("exchange_timestamp"),
+      col("price"),
+      col("amount").as("volume"),
+      when(col("event_no") === 1 && !col("is_deleted"), "created")
+        .when(col("event_no") > 1 && !col("is_deleted"), "changed")
+        .otherwise("deleted").as("action"),
+      when(col("side") === "b", "bid").otherwise("ask").as("direction"),
+      when(col("fill") > 0.0, col("fill")).otherwise(lit(0.0)).as("fill"),
+      orderType.as("type"),
+      aggressiveness.as("aggressiveness_bps"),
+      col("event_no").cast("long").as("event_no"),
+      col("is_aggressor"),
+      col("is_created"),
+      col("is_ever_resting"),
+      col("is_ever_aggressor"),
+      col("is_ever_filled"),
+      col("ord_is_deleted").as("is_deleted"),
+      col("is_price_ever_changed"),
+      col("best_bid_price"),
+      col("best_ask_price"),
+      col("pair_id"))
+  }
+}

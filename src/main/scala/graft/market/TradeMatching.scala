@@ -1,0 +1,114 @@
+package graft.market
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trade inference & matching.
+  *
+  * The reference infers trades its feed never reported by pairing buy
+  * and sell order events with equal fill within a time band, taking the
+  * *maker* to be the side whose price chain started earlier and the
+  * trade price from the maker (reference: `bitstamp.inferred_trades`,
+  * `db/bitstamp_schema.sql:834-984`; dedupe-by-row_number pattern from
+  * `bitfinex.match_price_and_fill_exact`, `db/bitfinex_schema.sql:501-568`).
+  *
+  * The join is an equi-join on (pair_id, fill) with a time-band
+  * predicate — Catalyst plans a shuffled sort-merge join on the equi
+  * keys with the band as a residual filter, so it scales with the
+  * number of equal-fill collisions, not |fills|². Mutual-best
+  * (row_number = 1 on both sides) keeps the pairing deterministic.
+  */
+object TradeMatching {
+
+  val DefaultToleranceMicros: Long = 3600L * 1000000 // 1 h band
+
+  /** Event uuid — md5 of the natural key, as in the reference
+    * (`obanalytics._level3_uuid`, `db/obanalytics_schema.sql:909-911`). */
+  def eventUuid(ts: Column, orderId: Column, eventNo: Column,
+      pairId: Column, exchangeId: Column): Column =
+    md5(concat_ws("#", ts, orderId, eventNo, pairId, exchangeId))
+
+  /** Inferred matches table: one row per (buy event, sell event) pair.
+    * Columns: microtimestamp, price, amount, side (taker side),
+    * buy_order_id/buy_event_no, sell_order_id/sell_event_no, pair_id,
+    * exchange_id. */
+  def inferredMatches(level3: DataFrame,
+      toleranceMicros: Long = DefaultToleranceMicros): DataFrame = {
+    val fills = level3.filter(col("fill") > 0)
+      .select(col("pair_id"), col("microtimestamp"), col("order_id"),
+        col("event_no"), col("side"), col("price"), col("fill"),
+        col("price_microtimestamp"))
+    val b = fills.filter(col("side") === "b").columns
+      .foldLeft(fills.filter(col("side") === "b")) {
+        (d, c) => d.withColumnRenamed(c, "b_" + c) }
+    val s = fills.filter(col("side") === "s").columns
+      .foldLeft(fills.filter(col("side") === "s")) {
+        (d, c) => d.withColumnRenamed(c, "s_" + c) }
+    val cand = b.join(s,
+      col("b_pair_id") === col("s_pair_id") &&
+        col("b_fill") === col("s_fill") &&
+        abs(col("b_microtimestamp") - col("s_microtimestamp")) <= toleranceMicros)
+      .withColumn("dist", abs(col("b_microtimestamp") - col("s_microtimestamp")))
+    val wb = Window.partitionBy("b_pair_id", "b_order_id", "b_event_no")
+      .orderBy(col("dist"), col("s_microtimestamp"), col("s_order_id"),
+        col("s_event_no"))
+    val ws = Window.partitionBy("s_pair_id", "s_order_id", "s_event_no")
+      .orderBy(col("dist"), col("b_microtimestamp"), col("b_order_id"),
+        col("b_event_no"))
+    val mutual = cand
+      .withColumn("rn_b", row_number().over(wb))
+      .withColumn("rn_s", row_number().over(ws))
+      .filter(col("rn_b") === 1 && col("rn_s") === 1)
+    val makerIsBuy = col("b_price_microtimestamp") < col("s_price_microtimestamp") ||
+      (col("b_price_microtimestamp") === col("s_price_microtimestamp") &&
+        (col("b_microtimestamp") < col("s_microtimestamp") ||
+          (col("b_microtimestamp") === col("s_microtimestamp") &&
+            col("b_order_id") < col("s_order_id"))))
+    mutual.select(
+      greatest(col("b_microtimestamp"), col("s_microtimestamp"))
+        .as("microtimestamp"),
+      when(makerIsBuy, col("b_price")).otherwise(col("s_price")).as("price"),
+      col("b_fill").as("amount"),
+      // taker side: the opposite of the maker
+      when(makerIsBuy, lit("s")).otherwise(lit("b")).as("side"),
+      col("b_microtimestamp").as("buy_microtimestamp"),
+      col("b_order_id").as("buy_order_id"),
+      col("b_event_no").as("buy_event_no"),
+      col("s_microtimestamp").as("sell_microtimestamp"),
+      col("s_order_id").as("sell_order_id"),
+      col("s_event_no").as("sell_event_no"),
+      col("b_pair_id").as("pair_id"),
+      lit(1L).as("exchange_id"))
+  }
+
+  /** `get.trades` projection (reference `db/get_schema.sql:688-723`):
+    * maker/taker resolved by trade side, event uuids attached. */
+  def trades(matches: DataFrame): DataFrame = {
+    val makerIsBuy = col("side") === "s" // taker sells => maker was the buy
+    matches.select(
+      col("microtimestamp").as("ts"),
+      col("price"),
+      col("amount").as("volume"),
+      when(col("side") === "b", "buy").otherwise("sell").as("direction"),
+      when(makerIsBuy,
+        eventUuid(col("buy_microtimestamp"), col("buy_order_id"),
+          col("buy_event_no"), col("pair_id"), col("exchange_id")))
+        .otherwise(
+          eventUuid(col("sell_microtimestamp"), col("sell_order_id"),
+            col("sell_event_no"), col("pair_id"), col("exchange_id")))
+        .as("maker_event_id"),
+      when(makerIsBuy,
+        eventUuid(col("sell_microtimestamp"), col("sell_order_id"),
+          col("sell_event_no"), col("pair_id"), col("exchange_id")))
+        .otherwise(
+          eventUuid(col("buy_microtimestamp"), col("buy_order_id"),
+            col("buy_event_no"), col("pair_id"), col("exchange_id")))
+        .as("taker_event_id"),
+      when(makerIsBuy, col("buy_order_id")).otherwise(col("sell_order_id"))
+        .as("maker"),
+      when(makerIsBuy, col("sell_order_id")).otherwise(col("buy_order_id"))
+        .as("taker"),
+      col("pair_id"))
+  }
+}
