@@ -18,12 +18,13 @@ package graft
 object Oracles {
 
   /** Mirror of Level3Source.level3 (see its scaladoc for the mapping). */
-  val Level3Cte: String =
+  def Level3Cte: String =
     """WITH l3_base AS (
       |  SELECT event_id, epoch_us(ts) AS microtimestamp, user_id,
       |         CAST(user_id % 3 + 1 AS BIGINT) AS pair_id,
       |         CASE WHEN user_id % 2 = 0 THEN 'b' ELSE 's' END AS side,
-      |         value AS price,
+      |         CASE WHEN user_id % 2 = 0 THEN value ELSE value + 80.0 END
+      |           AS price,
       |         CAST(event_id % 20 + 1 AS DOUBLE) AS amount,
       |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del_flag
       |  FROM events
@@ -61,7 +62,7 @@ object Oracles {
       |  FROM l3_pg
       |)""".stripMargin
 
-  val q01PricingSummary: String =
+  def q01PricingSummary: String =
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
@@ -74,7 +75,7 @@ object Oracles {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  val q02RevenueByNation: String =
+  def q02RevenueByNation: String =
     """SELECT r_name, n_name,
       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
       |  COUNT(DISTINCT o_orderkey) AS n_orders,
@@ -87,7 +88,7 @@ object Oracles {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
-  val q03Sessionize: String =
+  def q03Sessionize: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
       |), flagged AS (
@@ -110,7 +111,7 @@ object Oracles {
       |  CAST(SUM(duration_us) AS BIGINT) / 1000000.0 AS total_duration_sec
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  val q04TopOrders: String =
+  def q04TopOrders: String =
     """WITH ranked AS (
       |  SELECT c_mktsegment, o_orderkey, o_totalprice, c_custkey,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
@@ -121,7 +122,7 @@ object Oracles {
       |FROM ranked WHERE rnk <= 5
       |ORDER BY c_mktsegment, rnk""".stripMargin
 
-  val q05AsofEnrich: String =
+  def q05AsofEnrich: String =
     """WITH u AS (
       |  SELECT user_id AS key, epoch_us(ts) AS t, event_id,
       |         CAST(NULL AS DOUBLE) AS o_price, 1 AS is_event
@@ -140,41 +141,26 @@ object Oracles {
       |FROM enriched WHERE is_event = 1
       |ORDER BY user_id, ts, event_id""".stripMargin
 
-  val mktSpread: String = Level3Cte +
-    """, etimes AS (SELECT DISTINCT pair_id, microtimestamp AS ts FROM level3)
-      |, live AS (
-      |  SELECT e.pair_id, e.ts, l.side, l.price, l.amount
-      |  FROM etimes e JOIN level3 l
-      |    ON l.pair_id = e.pair_id AND l.microtimestamp <= e.ts
-      |   AND l.next_microtimestamp > e.ts
-      |), lvl AS (
-      |  SELECT pair_id, ts, side, price, SUM(amount) AS qty
-      |  FROM live GROUP BY pair_id, ts, side, price
-      |), best AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, ts, side
-      |    ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS rn
-      |  FROM lvl
-      |), quote AS (
-      |  SELECT e.pair_id, e.ts,
-      |    MAX(CASE WHEN b.side = 'b' THEN b.price END) AS bid_price,
-      |    MAX(CASE WHEN b.side = 'b' THEN b.qty END) AS bid_qty,
-      |    MAX(CASE WHEN b.side = 's' THEN b.price END) AS ask_price,
-      |    MAX(CASE WHEN b.side = 's' THEN b.qty END) AS ask_qty
-      |  FROM etimes e LEFT JOIN best b
-      |    ON b.pair_id = e.pair_id AND b.ts = e.ts AND b.rn = 1
-      |  GROUP BY e.pair_id, e.ts
-      |), dedup AS (
+  /** Deduplicated L1 stream (`spread_ticks`) on top of [[QuoteCte]]. */
+  private def DedupSpreadCte: String =
+    """, dedup AS (
       |  SELECT *, ROW_NUMBER() OVER w AS rn,
       |    LAG(bid_price) OVER w AS pb, LAG(bid_qty) OVER w AS pbq,
       |    LAG(ask_price) OVER w AS pa, LAG(ask_qty) OVER w AS paq
       |  FROM quote WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
-      |)
+      |), spread_ticks AS (
+      |  SELECT pair_id, ts, bid_price, bid_qty, ask_price, ask_qty
+      |  FROM dedup
+      |  WHERE rn = 1 OR NOT (bid_price IS NOT DISTINCT FROM pb
+      |    AND bid_qty IS NOT DISTINCT FROM pbq
+      |    AND ask_price IS NOT DISTINCT FROM pa
+      |    AND ask_qty IS NOT DISTINCT FROM paq)
+      |)""".stripMargin
+
+  def mktSpread: String = Level3Cte + QuoteCte + DedupSpreadCte +
+    """
       |SELECT pair_id, ts, bid_price, bid_qty, ask_price, ask_qty
-      |FROM dedup
-      |WHERE rn = 1 OR NOT (bid_price IS NOT DISTINCT FROM pb
-      |  AND bid_qty IS NOT DISTINCT FROM pbq
-      |  AND ask_price IS NOT DISTINCT FROM pa
-      |  AND ask_qty IS NOT DISTINCT FROM paq)
+      |FROM spread_ticks
       |ORDER BY pair_id, ts""".stripMargin
 
   /** Snapshot instant for the order-book query: 2024-01-15 00:00:00 UTC. */
@@ -186,7 +172,7 @@ object Oracles {
 
   /** Unpivoted validity intervals → per-(price,ts) net deltas → running
     * depth (the declarative twin of the replay kernel's L2 stream). */
-  private val DepthRunCte: String =
+  private def DepthRunCte: String =
     """, starts AS (
       |  SELECT pair_id, microtimestamp AS ts, side, price, amount AS delta
       |  FROM level3
@@ -205,12 +191,12 @@ object Oracles {
       |  FROM deltas
       |)""".stripMargin
 
-  val mktDepth: String = Level3Cte + DepthRunCte +
+  def mktDepth: String = Level3Cte + DepthRunCte +
     """
       |SELECT pair_id, ts, side, price, volume FROM run
       |ORDER BY pair_id, ts, side, price""".stripMargin
 
-  val mktDepthApi: String = Level3Cte + DepthRunCte +
+  def mktDepthApi: String = Level3Cte + DepthRunCte +
     s""", snap AS (
       |  SELECT pair_id, side, price, SUM(amount) AS volume, $T0 AS ts
       |  FROM level3 WHERE microtimestamp <= $T0 AND next_microtimestamp > $T0
@@ -225,7 +211,7 @@ object Oracles {
       |ORDER BY pair_id, ts, side, price""".stripMargin
 
   /** Per-event-timestamp quotes via the interval join (undeduplicated). */
-  private val QuoteCte: String =
+  private def QuoteCte: String =
     """, etimes AS (SELECT DISTINCT pair_id, microtimestamp AS ts FROM level3)
       |, live AS (
       |  SELECT e.pair_id, e.ts, l.side, l.price, l.amount
@@ -250,7 +236,7 @@ object Oracles {
       |  GROUP BY e.pair_id, e.ts
       |)""".stripMargin
 
-  val mktEvents: String = Level3Cte + QuoteCte +
+  def mktEvents: String = Level3Cte + QuoteCte +
     s""", quote_cf AS (
       |  SELECT pair_id, ts,
       |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
@@ -335,7 +321,7 @@ object Oracles {
       |FROM flg2
       |ORDER BY ts_us, id, event_no""".stripMargin
 
-  val mktTrades: String = Level3Cte +
+  def mktTrades: String = Level3Cte +
     """, fills AS (
       |  SELECT pair_id, microtimestamp, order_id, event_no, side, price,
       |    fill, price_microtimestamp
@@ -382,7 +368,7 @@ object Oracles {
       |FROM m ORDER BY ts, maker, taker""".stripMargin
 
   /** level3 + era columns (gaps-and-islands, 2 h threshold). */
-  private val ErasCte: String =
+  private def ErasCte: String =
     """, l3g AS (
       |  SELECT *, CASE WHEN LAG(microtimestamp) OVER wp IS NULL
       |    OR microtimestamp - LAG(microtimestamp) OVER wp > 7200000000
@@ -404,7 +390,7 @@ object Oracles {
       |  FROM l3e GROUP BY pair_id, era_no
       |)""".stripMargin
 
-  val mktSummary: String = Level3Cte + ErasCte +
+  def mktSummary: String = Level3Cte + ErasCte +
     """
       |SELECT pair_id, era,
       |  COUNT(*) AS n_events,
@@ -419,7 +405,7 @@ object Oracles {
       |  END AS e_per_sec
       |FROM l3ee GROUP BY pair_id, era ORDER BY pair_id, era""".stripMargin
 
-  val mktIntervals: String = Level3Cte + ErasCte +
+  def mktIntervals: String = Level3Cte + ErasCte +
     """, nxt AS (
       |  SELECT *, LEAD(era) OVER (PARTITION BY pair_id ORDER BY era)
       |    AS next_era
@@ -433,7 +419,7 @@ object Oracles {
       |WHERE next_era IS NOT NULL
       |ORDER BY pair_id, interval_start, kind""".stripMargin
 
-  val mktExport: String = Level3Cte +
+  def mktExport: String = Level3Cte +
     """
       |SELECT event_id AS id,
       |  microtimestamp // 1000 AS timestamp_ms,
@@ -447,7 +433,7 @@ object Oracles {
       |  pair_id
       |FROM level3 ORDER BY id""".stripMargin
 
-  val mktOrderBook: String = Level3Cte +
+  def mktOrderBook: String = Level3Cte +
     s""", snap AS (
       |  SELECT * FROM level3
       |  WHERE microtimestamp <= $SnapshotMicros
@@ -471,4 +457,134 @@ object Oracles {
       |  ABS(price - best) / best * 10000.0 AS bps
       |FROM agg
       |ORDER BY pair_id, side, lvl, order_id""".stripMargin
+
+  /** Daily grid instants over [T0, T1]. */
+  def GridInstants: Seq[Long] = (0 to 10).map(k => T0 + k * 86400000000L)
+
+  private def GridSnapCte: String =
+    s""", grid AS (
+      |  SELECT range AS g FROM range($T0, ${T1 + 1}, 86400000000)
+      |), snap2 AS (
+      |  SELECT l.*, g.g FROM level3 l JOIN grid g
+      |    ON l.microtimestamp <= g.g AND l.next_microtimestamp > g.g
+      |), wb AS (
+      |  SELECT *, CASE WHEN side = 'b'
+      |    THEN MAX(price) OVER (PARTITION BY pair_id, g, side)
+      |    ELSE MIN(price) OVER (PARTITION BY pair_id, g, side) END AS best
+      |  FROM snap2
+      |)""".stripMargin
+
+  def mktLevel3: String = Level3Cte +
+    """
+      |SELECT microtimestamp, order_id, event_no, side, price, amount, fill,
+      |  next_microtimestamp, is_deleted, price_microtimestamp,
+      |  price_event_no, pair_id, exchange_id, event_id
+      |FROM level3 ORDER BY event_id""".stripMargin
+
+  def mktTradingPeriod: String = Level3Cte + QuoteCte +
+    """, walk AS (
+      |  SELECT pair_id, ts, side, price, qty,
+      |    SUM(qty) OVER (PARTITION BY pair_id, ts, side
+      |      ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM lvl
+      |), pp AS (
+      |  SELECT pair_id, ts, side,
+      |    SUM(CASE WHEN cum - qty < 50
+      |      THEN LEAST(qty, 50 - (cum - qty)) * CAST(ROUND(price * 100) AS BIGINT)
+      |      END) AS cost_cents,
+      |    MAX(cum) AS total
+      |  FROM walk GROUP BY pair_id, ts, side
+      |), tp AS (
+      |  SELECT e.pair_id, e.ts,
+      |    MAX(CASE WHEN p.side = 's' AND p.total >= 50 THEN p.cost_cents END)
+      |      / 5000.0 AS buy_vwap,
+      |    MAX(CASE WHEN p.side = 'b' AND p.total >= 50 THEN p.cost_cents END)
+      |      / 5000.0 AS sell_vwap
+      |  FROM etimes e LEFT JOIN pp p
+      |    ON p.pair_id = e.pair_id AND p.ts = e.ts
+      |  GROUP BY e.pair_id, e.ts
+      |), tpd AS (
+      |  SELECT *, ROW_NUMBER() OVER w AS rn,
+      |    LAG(buy_vwap) OVER w AS pbv, LAG(sell_vwap) OVER w AS psv
+      |  FROM tp WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
+      |)
+      |SELECT pair_id, ts, buy_vwap, sell_vwap FROM tpd
+      |WHERE rn = 1 OR NOT (buy_vwap IS NOT DISTINCT FROM pbv
+      |  AND sell_vwap IS NOT DISTINCT FROM psv)
+      |ORDER BY pair_id, ts""".stripMargin
+
+  def mktDepthSummary: String = Level3Cte + GridSnapCte +
+    """, bk AS (
+      |  SELECT *, CAST(CEIL(ABS(price - best) / best * 10000 / 25) AS BIGINT) * 25
+      |    AS bps_level
+      |  FROM wb
+      |)
+      |SELECT pair_id, g AS ts, side, bps_level, SUM(amount) AS volume,
+      |  CASE WHEN side = 'b' THEN best * (1.0 - bps_level / 10000.0)
+      |       ELSE best * (1.0 + bps_level / 10000.0) END AS bps_price
+      |FROM bk WHERE bps_level <= 500
+      |GROUP BY pair_id, g, side, bps_level, best
+      |ORDER BY pair_id, ts, side, bps_level""".stripMargin
+
+  def mktQueues: String = Level3Cte + GridSnapCte +
+    """, tk AS (
+      |  SELECT *, CAST(FLOOR(CASE WHEN side = 'b' THEN (best - price) / 5.0
+      |    ELSE (price - best) / 5.0 END) AS BIGINT) AS tick
+      |  FROM wb
+      |)
+      |SELECT pair_id, g AS ts, side, tick, SUM(amount) AS volume
+      |FROM tk WHERE tick >= 0 AND tick < 10
+      |GROUP BY pair_id, g, side, tick
+      |ORDER BY pair_id, ts, side, tick""".stripMargin
+
+  def mktResample: String = Level3Cte + GridSnapCte +
+    """
+      |SELECT pair_id, g AS ts, side,
+      |  CAST(FLOOR(price / 5.0) AS BIGINT) * 5.0 AS price_bucket,
+      |  SUM(amount) AS volume
+      |FROM snap2
+      |GROUP BY pair_id, g, side, price_bucket
+      |ORDER BY pair_id, ts, side, price_bucket""".stripMargin
+
+  def mktCrossed: String = Level3Cte + QuoteCte + DedupSpreadCte +
+    """, flg AS (
+      |  SELECT pair_id, ts, CASE WHEN bid_price IS NOT NULL
+      |    AND ask_price IS NOT NULL AND bid_price >= ask_price
+      |    THEN 1 ELSE 0 END AS c
+      |  FROM spread_ticks
+      |), chgd AS (
+      |  SELECT *, CASE WHEN LAG(c) OVER w IS NULL OR c <> LAG(c) OVER w
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM flg WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
+      |), grpd AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY pair_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM chgd
+      |)
+      |SELECT pair_id, MIN(ts) AS period_start, MAX(ts) AS period_end,
+      |  COUNT(*) AS n_ticks
+      |FROM grpd WHERE c = 1 GROUP BY pair_id, grp
+      |ORDER BY pair_id, period_start""".stripMargin
+
+  def mktDq: String = Level3Cte +
+    """, dq_base AS (
+      |  SELECT pair_id, COUNT(*) AS n_events,
+      |    COUNT(CASE WHEN amount < 0 THEN 1 END) AS n_negative_amount,
+      |    COUNT(CASE WHEN fill < 0 THEN 1 END) AS n_negative_fill,
+      |    COUNT(CASE WHEN next_microtimestamp < microtimestamp THEN 1 END)
+      |      AS n_time_travel
+      |  FROM level3 GROUP BY pair_id
+      |), dq_chains AS (
+      |  SELECT pair_id, CAST(SUM(bad) AS BIGINT) AS n_broken_chains,
+      |    COUNT(*) AS n_orders
+      |  FROM (SELECT pair_id, order_id,
+      |          CASE WHEN MAX(event_no) <> COUNT(*) THEN 1 ELSE 0 END AS bad
+      |        FROM level3 GROUP BY pair_id, order_id) t
+      |  GROUP BY pair_id
+      |)
+      |SELECT b.pair_id AS pair_id, n_events, n_negative_amount,
+      |  n_negative_fill, n_time_travel, n_broken_chains, n_orders
+      |FROM dq_base b JOIN dq_chains c ON b.pair_id = c.pair_id
+      |ORDER BY b.pair_id""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.market.{Analytics, EventsQuery, Level3Source, MarketOps, TradeMatching}
+import graft.market.{Analytics, EventsQuery, GridOps, Level3Source, MarketOps, TradeMatching}
 import graft.relational.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,6 +78,59 @@ object SparkEntry {
           col("price"), col("volume"), col("action"), col("direction"),
           col("pair_id").cast("long").as("pair_id"))
         .orderBy("id")),
+    "mkt_level3" -> ((s, d) =>
+      level3(s, d)
+        .select(col("microtimestamp"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("side"),
+          col("price"), col("amount"), col("fill"),
+          col("next_microtimestamp"), col("is_deleted"),
+          col("price_microtimestamp"),
+          col("price_event_no").cast("long").as("price_event_no"),
+          col("pair_id").cast("long").as("pair_id"),
+          col("exchange_id").cast("long").as("exchange_id"), col("event_id"))
+        .orderBy("event_id")),
+    "mkt_trading_period" -> ((s, d) =>
+      MarketOps.tradingPeriod(level3(s, d), s, 50)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("buy_vwap"), col("sell_vwap"))
+        .orderBy("pair_id", "ts")),
+    "mkt_depth_summary" -> ((s, d) =>
+      GridOps.depthSummary(level3(s, d), Oracles.GridInstants)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("bps_level"), col("volume"), col("bps_price"))
+        .orderBy("pair_id", "ts", "side", "bps_level")),
+    "mkt_queues" -> ((s, d) =>
+      GridOps.queues(level3(s, d), Oracles.GridInstants)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("tick"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "tick")),
+    "mkt_resample" -> ((s, d) =>
+      GridOps.depthResample(level3(s, d), Oracles.GridInstants)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("price_bucket"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "price_bucket")),
+    "mkt_crossed" -> ((s, d) =>
+      GridOps.crossedBooks(MarketOps.spread(level3(s, d), s))
+        .select(col("pair_id").cast("long").as("pair_id"),
+          col("period_start"), col("period_end"), col("n_ticks"))
+        .orderBy("pair_id", "period_start")),
+    "mkt_dq" -> ((s, d) =>
+      GridOps.dqReport(level3(s, d))
+        .select(col("pair_id").cast("long").as("pair_id"), col("n_events"),
+          col("n_negative_amount"), col("n_negative_fill"),
+          col("n_time_travel"), col("n_broken_chains"), col("n_orders"))
+        .orderBy("pair_id")),
+    "mkt_strategy" -> ((s, d) =>
+      MarketOps.tradingStrategy(level3(s, d), s, phi = 0.5, rho = 1e-6)
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("opened_at"), col("open_price"), col("closed_at"),
+          col("close_price"))
+        .orderBy("pair_id", "opened_at", "closed_at")),
+    "mkt_eps_draws" -> ((s, d) =>
+      MarketOps.epsilonDraws(level3(s, d), s, epsilon = 2.0)
+        .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
+          col("start_price"), col("end_ts"), col("end_price"), col("kind"))
+        .orderBy("pair_id", "start_ts", "end_ts")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +150,14 @@ object SparkEntry {
     "mkt_summary" -> Oracles.mktSummary,
     "mkt_intervals" -> Oracles.mktIntervals,
     "mkt_export" -> Oracles.mktExport,
+    "mkt_level3" -> Oracles.mktLevel3,
+    "mkt_trading_period" -> Oracles.mktTradingPeriod,
+    "mkt_depth_summary" -> Oracles.mktDepthSummary,
+    "mkt_queues" -> Oracles.mktQueues,
+    "mkt_resample" -> Oracles.mktResample,
+    "mkt_crossed" -> Oracles.mktCrossed,
+    "mkt_dq" -> Oracles.mktDq,
+    // mkt_strategy / mkt_eps_draws are sequential state machines with no
+    // SQL-expressible oracle -> rows-only check (driver contract allows it)
   )
 }

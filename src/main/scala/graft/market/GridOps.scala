@@ -1,0 +1,118 @@
+package graft.market
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot-grid operators: analytics evaluated at a fixed time grid by
+  * joining the (tiny, broadcast) grid against level3 validity intervals —
+  * the declarative counterpart of replaying to each instant (reference
+  * frequency parameters, `db/get_schema.sql:60-87`,
+  * `db/c/obadiah_db/episode.cpp:92-95`). The broadcast-nested-loop join
+  * is O(|level3| × |grid|) with |grid| ≤ a few dozen — each scan row is
+  * tested against the broadcast list, no shuffle.
+  */
+object GridOps {
+
+  /** Book snapshots at each grid instant (adds column `g`). */
+  def snapshots(level3: DataFrame, instants: Seq[Long]): DataFrame = {
+    val spark = level3.sparkSession
+    import spark.implicits._
+    val grid = broadcast(instants.toDF("g"))
+    level3.join(grid,
+      col("microtimestamp") <= col("g") && col("next_microtimestamp") > col("g"))
+  }
+
+  /** Depth summary by bps ladder (reference `get.depth_summary`,
+    * `db/obanalytics_schema.sql:567-728`): bucket each level by its bps
+    * distance from the side's best, sum amounts per bucket, reprice the
+    * bucket at best·(1∓bps/1e4). */
+  def depthSummary(level3: DataFrame, instants: Seq[Long],
+      bpsStep: Int = 25, maxBps: Int = 500): DataFrame = {
+    val wBest = Window.partitionBy("pair_id", "g", "side")
+    val best = when(col("side") === "b", max("price").over(wBest))
+      .otherwise(min("price").over(wBest))
+    snapshots(level3, instants)
+      .withColumn("best", best)
+      .withColumn("bps_level",
+        ceil(abs(col("price") - col("best")) / col("best") * 10000 / bpsStep) * bpsStep)
+      .filter(col("bps_level") <= maxBps)
+      .groupBy(col("pair_id"), col("g").as("ts"), col("side"),
+        col("bps_level"), col("best"))
+      .agg(sum("amount").as("volume"))
+      .withColumn("bps_price",
+        when(col("side") === "b",
+          col("best") * (lit(1.0) - col("bps_level") / 10000.0))
+          .otherwise(col("best") * (lit(1.0) + col("bps_level") / 10000.0)))
+      .drop("best")
+  }
+
+  /** Order-book queues (reference `get.queues`,
+    * `db/c/obadiah_db/obadiah_db.cpp:633-731`): per instant, volumes in
+    * `nTicks` fixed price buckets of width `tickSize` anchored at the
+    * side's best price. */
+  def queues(level3: DataFrame, instants: Seq[Long],
+      tickSize: Double = 5.0, nTicks: Int = 10): DataFrame = {
+    val wBest = Window.partitionBy("pair_id", "g", "side")
+    val best = when(col("side") === "b", max("price").over(wBest))
+      .otherwise(min("price").over(wBest))
+    snapshots(level3, instants)
+      .withColumn("best", best)
+      .withColumn("tick",
+        when(col("side") === "b",
+          floor((col("best") - col("price")) / tickSize))
+          .otherwise(floor((col("price") - col("best")) / tickSize)))
+      .filter(col("tick") >= 0 && col("tick") < nTicks)
+      .groupBy(col("pair_id"), col("g").as("ts"), col("side"), col("tick"))
+      .agg(sum("amount").as("volume"))
+  }
+
+  /** Depth resample (reference `depth.resample`,
+    * `src/order_book_investigation.h:357-466`): depth re-gridded to
+    * coarser price ticks at each time-grid instant. */
+  def depthResample(level3: DataFrame, instants: Seq[Long],
+      tickSize: Double = 5.0): DataFrame =
+    snapshots(level3, instants)
+      .withColumn("price_bucket", floor(col("price") / tickSize) * tickSize)
+      .groupBy(col("pair_id"), col("g").as("ts"), col("side"),
+        col("price_bucket"))
+      .agg(sum("amount").as("volume"))
+
+  /** Crossed-book periods (reference `obanalytics.crossed_books`,
+    * `db/obanalytics_schema.sql:1183-1216`): gaps-and-islands over the
+    * L1 stream where best_bid ≥ best_ask. */
+  def crossedBooks(spread: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pair_id").orderBy("ts")
+    val crossed = (col("bid_price").isNotNull && col("ask_price").isNotNull &&
+      col("bid_price") >= col("ask_price")).cast("int")
+    spread
+      .withColumn("c", crossed)
+      .withColumn("chg",
+        when(lag("c", 1).over(w).isNull || col("c") =!= lag("c", 1).over(w), 1)
+          .otherwise(0))
+      .withColumn("grp", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("c") === 1)
+      .groupBy("pair_id", "grp")
+      .agg(min("ts").as("period_start"), max("ts").as("period_end"),
+        count(lit(1)).as("n_ticks"))
+      .drop("grp")
+  }
+
+  /** Data-quality report (reference `qty_level3_*` checks,
+    * `db/obanalytics_schema.sql:2157-2429`, and the table constraints
+    * `:146-151`): invariant-violation counts per pair. */
+  def dqReport(level3: DataFrame): DataFrame = {
+    val base = level3.groupBy("pair_id").agg(
+      count(lit(1)).as("n_events"),
+      count(when(col("amount") < 0, 1)).as("n_negative_amount"),
+      count(when(col("fill") < 0, 1)).as("n_negative_fill"),
+      count(when(col("next_microtimestamp") < col("microtimestamp"), 1))
+        .as("n_time_travel"))
+    val chains = level3.groupBy("pair_id", "order_id")
+      .agg((max("event_no") =!= count(lit(1))).cast("int").as("bad"))
+      .groupBy("pair_id")
+      .agg(sum("bad").as("n_broken_chains"),
+        count(lit(1)).as("n_orders"))
+    base.join(chains, Seq("pair_id"))
+  }
+}

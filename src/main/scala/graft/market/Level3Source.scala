@@ -55,7 +55,10 @@ object Level3Source {
       col("user_id"),
       ((col("user_id") % 3) + 1).cast("int").as("pair_id"),
       when(col("user_id") % 2 === 0, "b").otherwise("s").as("side"),
-      col("value").as("price"),
+      // asks priced +80 above the bid range: the two sides overlap in
+      // [80, ~200] so crossed books occur but are not the norm
+      when(col("user_id") % 2 === 0, col("value"))
+        .otherwise(col("value") + 80.0).as("price"),
       ((col("event_id") % 20) + 1).cast("double").as("amount"),
       when(col("event_type") === "error", 1).otherwise(0).as("del_flag"))
 

@@ -53,6 +53,51 @@ object MarketOps {
       .toDF()
   }
 
+  /** Effective-price (trading period) stream for a fixed volume —
+    * kernel walk per episode (reference `get.trading_period`). */
+  def tradingPeriod(level3: DataFrame, spark: SparkSession,
+      volumeUnits: Long): DataFrame = {
+    import spark.implicits._
+    bookEvents(level3, spark)
+      .groupByKey(_.pairId)
+      .flatMapSortedGroups($"ts", $"event_id")((pair, it) =>
+        Replay.tradingPeriod(pair, it, volumeUnits))
+      .toDF()
+  }
+
+  /** Optimal-strategy positions over the L1 stream (reference
+    * `get.trading_strategy` / `src/position_discovery.cpp`). */
+  def tradingStrategy(level3: DataFrame, spark: SparkSession,
+      phi: Double, rho: Double): DataFrame = {
+    import spark.implicits._
+    spread(level3, spark)
+      .select(col("pair_id"), col("ts"),
+        col("bid_price").as("bid"), col("ask_price").as("ask"))
+      .as[graft.sequential.Quote]
+      .groupByKey(_.pair_id)
+      .flatMapSortedGroups($"ts")((pair, it) =>
+        graft.sequential.TradingStrategyOp.positions(pair, it, phi, rho))
+      .toDF()
+  }
+
+  /** ε-drawup/drawdown segmentation of the mid-price path (reference
+    * `src/epsilon_drawupdowns.cpp`). One-sided and crossed quotes are
+    * skipped before segmentation. */
+  def epsilonDraws(level3: DataFrame, spark: SparkSession,
+      epsilon: Double): DataFrame = {
+    import spark.implicits._
+    spread(level3, spark)
+      .filter(col("bid_price").isNotNull && col("ask_price").isNotNull &&
+        col("bid_price") <= col("ask_price"))
+      .select(col("pair_id"), col("ts"),
+        ((col("bid_price") + col("ask_price")) / 2.0).as("mid"))
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts")((pair, it) =>
+        graft.sequential.EpsilonDrawsOp.draws(pair, it.map(r => (r._2, r._3)), epsilon))
+      .toDF()
+  }
+
   /** Declarative depth-change twin: unpivot each level3 row into a
     * (+amount at start, −amount at end) pair and take a running sum per
     * (pair, side, price) — the validity-interval formulation of the same

@@ -21,6 +21,13 @@ case class L1Tick(
     ask_price: Option[Double],
     ask_qty: Option[Double])
 
+/** Effective buy/sell price for a fixed volume after an episode. */
+case class TpTick(
+    pair_id: Int,
+    ts: Long,
+    buy_vwap: Option[Double],
+    sell_vwap: Option[Double])
+
 /** Level-2 delta: the new total volume at a touched price level. */
 case class L2Change(
     pair_id: Int,
@@ -118,6 +125,38 @@ object Replay {
       if (last == null ||
           t.bid_price != last.bid_price || t.bid_qty != last.bid_qty ||
           t.ask_price != last.ask_price || t.ask_qty != last.ask_qty) {
+        last = t; Some(t)
+      } else None
+    })
+  }
+
+  /** Effective-price stream (reference `get.trading_period`,
+    * `db/c/obadiah_db/obadiah_db.cpp:495-594`; walk kernel
+    * `src/base.h:288-349`): per episode, the VWAP of buying/selling
+    * `volumeUnits` by walking the book; None when depth is insufficient.
+    * Cost accumulates in integer cents (price quantized to 1e-2) so the
+    * result is exact and engine-independent; the final division is one
+    * deterministic double op. Emits on change only. */
+  def tradingPeriod(pairId: Int, events: Iterator[BookEvent],
+      volumeUnits: Long): Iterator[TpTick] = {
+    def walk(book: OrderBook, isBid: Boolean): Option[Double] = {
+      var remaining = volumeUnits
+      var costCents = 0L
+      val it = book.depth(isBid)
+      while (remaining > 0 && it.hasNext) {
+        val (price, qty) = it.next()
+        val take = math.min(qty.toLong, remaining)
+        costCents += take * math.round(price * 100)
+        remaining -= take
+      }
+      if (remaining > 0) None
+      else Some(costCents.toDouble / (100.0 * volumeUnits))
+    }
+    var last: TpTick = null
+    episodes(events, (ts, book, _) => {
+      val t = TpTick(pairId, ts, walk(book, isBid = false), walk(book, isBid = true))
+      if (last == null || t.buy_vwap != last.buy_vwap ||
+          t.sell_vwap != last.sell_vwap) {
         last = t; Some(t)
       } else None
     })
