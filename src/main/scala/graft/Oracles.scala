@@ -587,4 +587,227 @@ object Oracles {
       |  n_negative_fill, n_time_travel, n_broken_chains, n_orders
       |FROM dq_base b JOIN dq_chains c ON b.pair_id = c.pair_id
       |ORDER BY b.pair_id""".stripMargin
+
+  /** Shared CTEs for the text-pipeline oracles. */
+  private def DocShinglesCte: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(words)-1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |  FROM w
+      |)""".stripMargin
+
+  def pipeDedupExact: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def pipeMinhash: String = DocShinglesCte +
+    """, hh AS (
+      |  SELECT doc_id, j, MIN(md5(j || '#' || shingle)) AS mh
+      |  FROM sh, range(1, 10) t(j) GROUP BY doc_id, j
+      |), bnd AS (
+      |  SELECT doc_id, (j-1) // 3 AS band,
+      |    string_agg(mh, '#' ORDER BY j) AS key
+      |  FROM hh GROUP BY doc_id, (j-1) // 3
+      |)
+      |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |FROM bnd a JOIN bnd c
+      |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def pipeNgramJaccard: String = DocShinglesCte +
+    """, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+      |)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def pipeSimhash: String =
+    """WITH wd AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), bitsum AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN ascii(substr(md5(j || '#' || word), 1, 1)) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM wd, range(0, 16) t(j) GROUP BY doc_id, j
+      |), sg AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+      |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bitsum GROUP BY doc_id
+      |), blocks AS (
+      |  SELECT doc_id, sig, b,
+      |    (sig // CAST(POW(2, 4*b) AS BIGINT)) % 16 AS bv
+      |  FROM sg, range(0, 4) t(b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |    a.sig AS sig_a, c.sig AS sig_b
+      |  FROM blocks a JOIN blocks c
+      |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Quantized embeddings: exact integer dot products and norms. */
+  private def QuantEmbCte: String =
+    """WITH ev AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), nrm AS (
+      |  SELECT vec_id, SUM(q*q) AS nq FROM ev GROUP BY vec_id
+      |)""".stripMargin
+
+  def pipeEmbedNearDup: String = QuantEmbCte +
+    """, d AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id
+      |), c AS (
+      |  SELECT va, vb, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM d JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, va, vb)
+      |    AS BIGINT) AS rnk
+      |  FROM c
+      |)
+      |SELECT va, vb, cos, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin
+
+  def pipeAnnTopK: String = QuantEmbCte +
+    """, qd AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot
+      |  FROM ev q JOIN ev c
+      |    ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, c.vec_id
+      |), cc AS (
+      |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd.vec_id
+      |), rr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cc
+      |)
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  def pipeAnnLsh: String = QuantEmbCte +
+    """, proj AS (
+      |  SELECT e.vec_id, j,
+      |    SUM((CASE WHEN ascii(substr(md5(j || '#' || e.i), 1, 1)) % 2 = 1
+      |      THEN 1 ELSE -1 END) * e.q) AS proj
+      |  FROM ev e, range(0, 6) t(j) GROUP BY e.vec_id, j
+      |), bkt AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN proj > 0
+      |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id
+      |), cand AS (
+      |  SELECT qa.vec_id AS query_id, cb.vec_id AS vec_id
+      |  FROM bkt qa JOIN bkt cb
+      |    ON qa.bucket = cb.bucket AND qa.vec_id < 5 AND cb.vec_id <> qa.vec_id
+      |), qd AS (
+      |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
+      |  FROM cand
+      |  JOIN ev a ON a.vec_id = query_id
+      |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = a.i
+      |  GROUP BY query_id, cand.vec_id
+      |), cc AS (
+      |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd.vec_id
+      |), rr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cc
+      |)
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  def pipeLangId: String =
+    """WITH wd AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), sc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN word IN ('the','and','of','to','a','in','is','it','for','on') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+      |    CAST(SUM(CASE WHEN word IN ('der','die','das','und','ist','nicht','mit','ein','zu','den') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+      |    CAST(SUM(CASE WHEN word IN ('el','la','de','que','y','en','un','por','con','los') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+      |    CAST(SUM(CASE WHEN word IN ('le','la','de','et','un','en','est','que','pour','dans') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+      |    COUNT(*) AS n_words
+      |  FROM wd GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+      |  CAST(GREATEST(s_en, s_de, s_es, s_fr) AS DOUBLE) / n_words AS score,
+      |  n_words, s_en, s_de, s_es, s_fr
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  def pipeQuality: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+      |    AS BIGINT) AS n_stop,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |    AS BIGINT) AS n_digits,
+      |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS mean_word_len,
+      |  CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500 THEN 4 ELSE 0 END
+      |   + CASE WHEN len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the','and','of','to','a','in','is','it','for','on'))) * 5
+      |       >= len(string_split(text, ' ')) THEN 3 ELSE 0 END
+      |   + CASE WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10
+      |       <= length(text) THEN 2 ELSE 0 END
+      |   + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+      |   AS DOUBLE) / 10 AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def pipeTokens: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+      |  (CAST(length(text) AS BIGINT) * 10 + 37) // 38 AS n_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def pipeFingerprint: String = DocShinglesCte +
+    """, mins AS (
+      |  SELECT doc_id, MIN(md5(shingle)) AS min_shingle_hash
+      |  FROM sh GROUP BY doc_id
+      |)
+      |SELECT d.doc_id AS doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+      |    ' ')) AS bag_fingerprint,
+      |  m.min_shingle_hash
+      |FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  def pipeMultimodal: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+      |  (CAST(strlen(text) AS BIGINT) * 31 + ascii(substr(text, 1, 1))) % 1000
+      |    AS stub_feature,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.market.{Analytics, EventsQuery, GridOps, Level3Source, MarketOps, TradeMatching}
+import graft.pipeline.{TextPipeline, VectorOps}
 import graft.relational.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -131,6 +132,48 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
           col("start_price"), col("end_ts"), col("end_price"), col("kind"))
         .orderBy("pair_id", "start_ts", "end_ts")),
+    "pipe_dedup_exact" -> ((s, d) =>
+      TextPipeline.exactDedup(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_minhash" -> ((s, d) =>
+      TextPipeline.minhashCandidates(Tables.load(s, d, "documents"))
+        .orderBy("doc_a", "doc_b")),
+    "pipe_ngram_jaccard" -> ((s, d) =>
+      TextPipeline.ngramJaccard(Tables.load(s, d, "documents"))
+        .orderBy("doc_a", "doc_b")),
+    "pipe_simhash" -> ((s, d) =>
+      TextPipeline.simhashPairs(Tables.load(s, d, "documents"))
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+    "pipe_embed_neardup" -> ((s, d) =>
+      VectorOps.nearDupPairs(Tables.load(s, d, "embeddings"))
+        .orderBy("rnk")),
+    "pipe_ann_topk" -> ((s, d) =>
+      VectorOps.annTopK(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    "pipe_ann_lsh" -> ((s, d) =>
+      VectorOps.annLsh(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    "pipe_langid" -> ((s, d) =>
+      TextPipeline.langId(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_quality" -> ((s, d) =>
+      TextPipeline.qualityScore(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_tokens" -> ((s, d) =>
+      TextPipeline.tokenCounts(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_alpha_tokens"),
+          col("n_bpe_est").cast("long").as("n_bpe_est"))
+        .orderBy("doc_id")),
+    "pipe_fingerprint" -> ((s, d) =>
+      TextPipeline.fingerprints(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_multimodal" -> ((s, d) =>
+      pipeline.Multimodal.extractFeatures(Tables.load(s, d, "documents"), s)
+        .select(col("doc_id"), col("n_bytes"), col("first_byte"),
+          col("stub_feature"), col("content_md5"))
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,6 +200,18 @@ object SparkEntry {
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_dq" -> Oracles.mktDq,
+    "pipe_dedup_exact" -> Oracles.pipeDedupExact,
+    "pipe_minhash" -> Oracles.pipeMinhash,
+    "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,
+    "pipe_simhash" -> Oracles.pipeSimhash,
+    "pipe_embed_neardup" -> Oracles.pipeEmbedNearDup,
+    "pipe_ann_topk" -> Oracles.pipeAnnTopK,
+    "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
+    "pipe_langid" -> Oracles.pipeLangId,
+    "pipe_quality" -> Oracles.pipeQuality,
+    "pipe_tokens" -> Oracles.pipeTokens,
+    "pipe_fingerprint" -> Oracles.pipeFingerprint,
+    "pipe_multimodal" -> Oracles.pipeMultimodal,
     // mkt_strategy / mkt_eps_draws are sequential state machines with no
     // SQL-expressible oracle -> rows-only check (driver contract allows it)
   )

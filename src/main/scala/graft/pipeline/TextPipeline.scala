@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), language ID, quality scoring, token
+  * counting, document fingerprinting — all pure Catalyst (split /
+  * explode / md5 / windowed aggregation), designed so every shuffle key
+  * is a content hash (uniform, skew-free) and no step materializes the
+  * O(n²) pair space: candidate pairs come only from LSH-bucket or
+  * shared-shingle joins.
+  */
+object TextPipeline {
+
+  private val wordsCol = split(col("text"), " ")
+
+  /** Word trigram shingles (empty for docs under 3 words). */
+  private def shingles(c: Column): Column =
+    when(size(c) >= 3,
+      expr("transform(sequence(1, size(words)-2), i -> " +
+        "concat_ws(' ', element_at(words,i), element_at(words,i+1), " +
+        "element_at(words,i+2)))"))
+      .otherwise(array())
+
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), explode(shingles(col("words"))).as("shingle"))
+      .distinct()
+
+  /** Exact deduplication by content hash: every doc mapped to the
+    * minimal doc_id of its hash group. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("keep_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** MinHash + LSH near-duplicate candidates: k hash functions in
+    * bands of r rows; docs sharing a full band collide. The signature
+    * is built with portable primitives (min of keyed md5 per shingle)
+    * so any engine reproduces it bit-for-bit. */
+  def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame = {
+    val sh = shingled(docs)
+    val sig = sh
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("h", md5(concat_ws("#", col("j"), col("shingle"))))
+      .groupBy("doc_id", "j")
+      .agg(min("h").as("mh"))
+    val bands = sig
+      .withColumn("band", expr(s"(j-1) div $r"))
+      .groupBy("doc_id", "band")
+      .agg(expr("concat_ws('#', transform(sort_array(collect_list(" +
+        "struct(j, mh))), x -> x.mh))").as("key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing at least
+    * `minCommon` trigrams (shared-shingle join — the posting lists are
+    * short because trigrams are near-unique, so no quadratic blowup). */
+  def ngramJaccard(docs: DataFrame, minCommon: Int = 2): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** 16-bit SimHash over the document's distinct words; bit j is the
+    * sign of Σ_tokens ±1 keyed by md5(j#token) parity. */
+  def simhashSignatures(docs: DataFrame, bits: Int = 16): DataFrame =
+    docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
+      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("contrib",
+        when(ascii(substring(md5(concat_ws("#", col("j"), col("word"))), 1, 1)) % 2 === 1, 1)
+          .otherwise(-1))
+      .groupBy("doc_id", "j")
+      .agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)"))
+        .otherwise(0L)).as("sig"))
+
+  /** SimHash near-duplicates with Hamming distance ≤ `maxHamming`,
+    * found via pigeonhole banding (4 blocks of 4 bits: ≤3 differing
+    * bits ⇒ at least one identical block) — the O(n²) scan never
+    * happens, pairs come from equi-joins on (block_no, block_value). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val blocks = sigs
+      .withColumn("blk", explode(sequence(lit(0), lit(3))))
+      .withColumn("blk_val",
+        expr("(sig div CAST(pow(2, 4*blk) AS BIGINT)) % 16"))
+    val a = blocks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("blk"), col("blk_val"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("blk"), col("blk_val"))
+    a.join(b, Seq("blk", "blk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"))
+
+  /** Stopword-profile language ID (n-gram/stopword heuristic — the
+    * portable core of fastText-style langid). */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), col("words"),
+        size(col("words")).cast("long").as("n_words"))
+    val scored = stopwords.keys.toSeq.sorted.foldLeft(w) { (d, l) =>
+      val lst = stopwords(l).map(s => s"'$s'").mkString(", ")
+      d.withColumn(s"s_$l",
+        expr(s"size(filter(words, x -> x IN ($lst)))").cast("long"))
+    }
+    scored.withColumn("pred_lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+      .withColumn("score",
+        greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+          .cast("double") / col("n_words"))
+      .select("doc_id", "pred_lang", "score", "n_words",
+        "s_en", "s_de", "s_es", "s_fr")
+  }
+
+  /** Heuristic quality scoring: length band, stopword density, digit
+    * density, mean word length (cf. C4/Gopher-style filters). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val enList = stopwords("en").map(s => s"'$s'").mkString(", ")
+    docs.withColumn("words", wordsCol)
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(words, x -> x IN ($enList)))").cast("long"))
+      .withColumn("n_digits",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      .withColumn("mean_word_len",
+        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("quality_score", // integer tenths -> one exact division
+        (when(col("n_words") >= 20 && col("n_words") <= 500, 4L).otherwise(0L)
+          + when(col("n_stop") * 5 >= col("n_words"), 3L).otherwise(0L)
+          + when(col("n_digits") * 10 <= col("n_chars_m"), 2L).otherwise(0L)
+          + when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0, 1L)
+          .otherwise(0L)).cast("double") / 10)
+      .select("doc_id", "n_chars_m", "n_words", "n_stop", "n_digits",
+        "mean_word_len", "quality_score")
+  }
+
+  /** Token counting: whitespace tokens, alpha tokens (regex), and a
+    * BPE-style estimate (~3.8 chars/token, in exact integer math). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_alpha_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long"))
+      .withColumn("n_bpe_est",
+        expr("(length(text) * 10 + 37) div 38"))
+      .select("doc_id", "n_ws_tokens", "n_alpha_tokens", "n_bpe_est")
+
+  /** Document fingerprints: order-insensitive bag-of-words md5 (catches
+    * shuffled duplicates) + winnowing-style minimum shingle hash. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs).groupBy("doc_id").agg(min(md5(col("shingle"))).as("min_shingle_hash"))
+    docs.withColumn("words", wordsCol)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("words")))))
+          .as("bag_fingerprint"))
+      .join(sh, Seq("doc_id"), "left")
+  }
+}
