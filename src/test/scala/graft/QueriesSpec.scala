@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration spec: every declared query runs on the sf0.001 testdata
+  * and returns a sane, deterministic result. (Exact value parity with
+  * DuckDB is the driver's t2 gate; `tools/verify.sh` replicates it.)
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every query runs and returns rows (except known-sparse ones)") {
+    // sparse at sf0.001 only: the trade-matching band finds no pairs
+    val mayBeEmpty = Set("mkt_trades", "mkt_crossed", "pipe_minhash",
+      "pipe_simhash")
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).count()
+    }
+    counts.foreach { case (name, n) =>
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("spread invariants: ticks change, prices positive") {
+    val df = SparkEntry.queries("mkt_spread")(spark, dir)
+    import org.apache.spark.sql.functions._
+    val bad = df.filter(col("bid_price") <= 0 || col("ask_price") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("level3 invariants: validity intervals are well-formed") {
+    import org.apache.spark.sql.functions._
+    val l3 = SparkEntry.queries("mkt_level3")(spark, dir)
+    assert(l3.filter(col("next_microtimestamp") < col("microtimestamp"))
+      .count() == 0)
+    assert(l3.filter(col("amount") < 0).count() == 0)
+    // chains are dense: max(event_no) == count(*) per order
+    val broken = l3.groupBy("order_id")
+      .agg(max("event_no").as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c")).count()
+    assert(broken == 0)
+  }
+}
