@@ -635,15 +635,12 @@ object Oracles {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  def pipeSimhash: String =
-    """WITH wd AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-      |  FROM documents
-      |), bitsum AS (
+  def pipeSimhash: String = DocShinglesCte +
+    """, bitsum AS (
       |  SELECT doc_id, j,
-      |    SUM(CASE WHEN ascii(substr(md5(j || '#' || word), 1, 1)) % 2 = 1
+      |    SUM(CASE WHEN ascii(substr(md5(j || '#' || shingle), 1, 1)) % 2 = 1
       |      THEN 1 ELSE -1 END) AS s
-      |  FROM wd, range(0, 16) t(j) GROUP BY doc_id, j
+      |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j
       |), sg AS (
       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
       |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig

@@ -45,11 +45,9 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
-    "mkt_depth_api" -> ((s, d) => {
-      val l3 = level3(s, d)
-      Analytics.depth(l3, MarketOps.depthChanges(l3, s), Oracles.T0, Oracles.T1)
-        .orderBy("pair_id", "ts", "side", "price")
-    }),
+    "mkt_depth_api" -> ((s, d) =>
+      MarketOps.depthWindow(level3(s, d), s, Oracles.T0, Oracles.T1)
+        .orderBy("pair_id", "ts", "side", "price")),
     "mkt_events" -> ((s, d) => {
       val l3 = level3(s, d)
       EventsQuery.events(l3, MarketOps.spread(l3, s), Oracles.T0, Oracles.T1)

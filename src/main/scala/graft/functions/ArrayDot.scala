@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd dot product of two BIGINT arrays.
+  *
+  * The built-in route (`aggregate(zip_with(a, b, (x,y) -> x*y), ...)`)
+  * is a higher-order function: Catalyst evaluates the lambda
+  * *interpreted*, per element, with boxing — it dominates the runtime
+  * of brute-force similarity search. This expression stays inside
+  * whole-stage codegen as one tight primitive loop (preference order
+  * per SURVEY §7.3: compose built-ins, then custom Expression, before
+  * anything else).
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"long_array_dot expects ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long s = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  s += $a.getLong(i) * $b.getLong(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column wrapper for [[LongArrayDot]] (Spark 4 classic-mode bridge). */
+  def longArrayDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -62,13 +62,18 @@ object Analytics {
   /** `get.depth`: full depth standing at t0 (labeled at t0) ∪ depth
     * changes in (t0, t1]; side mapped to bid/ask. `depthStream` is the
     * kernel's L2 output (pair_id, ts, side, price, volume). */
-  def depth(level3: DataFrame, depthStream: DataFrame,
-      t0: Long, t1: Long): DataFrame = {
-    val starting = level3
-      .filter(col("microtimestamp") <= t0 && col("next_microtimestamp") > t0)
-      .groupBy(col("pair_id").cast("long").as("pair_id"), col("side"), col("price"))
-      .agg(sum("amount").as("volume"))
-      .withColumn("ts", lit(t0))
+  def depth(depthStream: DataFrame, t0: Long, t1: Long): DataFrame = {
+    // Starting depth = the last depth-change value per level at t0 (the
+    // stream is total-volume-valued, so no snapshot re-scan is needed —
+    // one kernel pass feeds both the boundary state and the changes).
+    val w = Window.partitionBy("pair_id", "side", "price")
+      .orderBy(col("ts").desc)
+    val starting = depthStream
+      .filter(col("ts") <= t0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("volume") > 0)
+      .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+        col("price"), col("volume"), lit(t0).as("ts"))
     val changes = depthStream
       .filter(col("ts") > t0 && col("ts") <= t1)
       .select(col("pair_id").cast("long").as("pair_id"), col("side"),

@@ -98,6 +98,21 @@ object MarketOps {
       .toDF()
   }
 
+  /** Windowed depth API in one kernel pass: starting book at t0 +
+    * changes in (t0, t1] (reference `get.depth` / `level2_continuous`). */
+  def depthWindow(level3: DataFrame, spark: SparkSession,
+      t0: Long, t1: Long): DataFrame = {
+    import spark.implicits._
+    bookEvents(level3, spark)
+      .groupByKey(_.pairId)
+      .flatMapSortedGroups($"ts", $"event_id")((pair, it) =>
+        Replay.depthWindow(pair, it, t0, t1))
+      .toDF()
+      .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+        when(col("side") === "b", "bid").otherwise("ask").as("side"),
+        col("price"), col("volume"))
+  }
+
   /** Declarative depth-change twin: unpivot each level3 row into a
     * (+amount at start, −amount at end) pair and take a running sum per
     * (pair, side, price) — the validity-interval formulation of the same

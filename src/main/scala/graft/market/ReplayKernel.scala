@@ -165,19 +165,52 @@ object Replay {
   /** L2 depth changes: new total volume at every touched price level
     * whose total actually changed (reference:
     * `db/c/obadiah_db/order_book.cpp:59-173`). */
-  def l2(pairId: Int, events: Iterator[BookEvent]): Iterator[L2Change] = {
-    // previous volume per (isBid, price) — only for touched levels
-    val prev = mutable.HashMap.empty[(Boolean, Double), Double]
-    episodes(events, (ts, book, touched) => {
-      touched.distinct.flatMap { case (isBid, price) =>
-        val now = book.volumeAt(isBid, price)
-        val before = prev.getOrElse((isBid, price), 0.0)
-        if (now != before) {
-          if (now == 0.0) prev.remove((isBid, price))
-          else prev.update((isBid, price), now)
-          Some(L2Change(pairId, ts, if (isBid) "b" else "s", price, now))
-        } else None
+  def l2(pairId: Int, events: Iterator[BookEvent]): Iterator[L2Change] =
+    l2From(pairId, new OrderBook,
+      mutable.HashMap.empty[(Boolean, Double), Double], events)
+
+  private def l2From(pairId: Int, book: OrderBook,
+      prev: mutable.HashMap[(Boolean, Double), Double],
+      events: Iterator[BookEvent]): Iterator[L2Change] = {
+    val buf = events.buffered
+    new Iterator[Iterator[L2Change]] {
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): Iterator[L2Change] = {
+        val ts = buf.head.ts
+        var touched: List[(Boolean, Double)] = Nil
+        while (buf.hasNext && buf.head.ts == ts)
+          touched = book.apply(buf.next()) reverse_::: touched
+        touched.distinct.flatMap { case (isBid, price) =>
+          val now = book.volumeAt(isBid, price)
+          val before = prev.getOrElse((isBid, price), 0.0)
+          if (now != before) {
+            if (now == 0.0) prev.remove((isBid, price))
+            else prev.update((isBid, price), now)
+            Some(L2Change(pairId, ts, if (isBid) "b" else "s", price, now))
+          } else None
+        }.iterator
       }
-    })
+    }.flatten
+  }
+
+  /** Windowed depth in one pass (reference `level2_continuous`,
+    * `db/obanalytics_schema.sql:1627-1661`): silently replay to t0,
+    * emit the standing book as a synthetic starting depth at t0, then
+    * stream the changes in (t0, t1] — no second replay for the
+    * boundary state. */
+  def depthWindow(pairId: Int, events: Iterator[BookEvent],
+      t0: Long, t1: Long): Iterator[L2Change] = {
+    val buf = events.buffered
+    val book = new OrderBook
+    while (buf.hasNext && buf.head.ts <= t0) book.apply(buf.next())
+    val prev = mutable.HashMap.empty[(Boolean, Double), Double]
+    val starting = Seq(true, false).iterator.flatMap { isBid =>
+      book.depth(isBid).map { case (price, vol) =>
+        prev.update((isBid, price), vol)
+        L2Change(pairId, t0, if (isBid) "b" else "s", price, vol)
+      }
+    }.toList // materialize: prev must be seeded before changes stream
+    starting.iterator ++
+      l2From(pairId, book, prev, buf.takeWhile(_.ts <= t1))
   }
 }

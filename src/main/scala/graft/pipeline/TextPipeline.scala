@@ -50,6 +50,9 @@ object TextPipeline {
       .withColumn("h", md5(concat_ws("#", col("j"), col("shingle"))))
       .groupBy("doc_id", "j")
       .agg(min("h").as("mh"))
+    // NOTE: the band table feeds both join sides; at production scale it
+    // would be written out once as the signature table of the dedup
+    // pipeline — at bench scale recomputing beats cache serialization
     val bands = sig
       .withColumn("band", expr(s"(j-1) div $r"))
       .groupBy("doc_id", "band")
@@ -81,14 +84,15 @@ object TextPipeline {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** 16-bit SimHash over the document's distinct words; bit j is the
-    * sign of Σ_tokens ±1 keyed by md5(j#token) parity. */
+  /** 16-bit SimHash over the document's trigram shingles (word-level
+    * tokens are degenerate on small vocabularies: every doc contains
+    * nearly every word, making all signatures collide); bit j is the
+    * sign of Σ_shingles ±1 keyed by md5(j#shingle) parity. */
   def simhashSignatures(docs: DataFrame, bits: Int = 16): DataFrame =
-    docs.withColumn("words", wordsCol)
-      .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
+    shingled(docs)
       .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
       .withColumn("contrib",
-        when(ascii(substring(md5(concat_ws("#", col("j"), col("word"))), 1, 1)) % 2 === 1, 1)
+        when(ascii(substring(md5(concat_ws("#", col("j"), col("shingle"))), 1, 1)) % 2 === 1, 1)
           .otherwise(-1))
       .groupBy("doc_id", "j")
       .agg(sum("contrib").as("s"))
@@ -106,13 +110,18 @@ object TextPipeline {
       .withColumn("blk", explode(sequence(lit(0), lit(3))))
       .withColumn("blk_val",
         expr("(sig div CAST(pow(2, 4*blk) AS BIGINT)) % 16"))
-    val a = blocks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("blk"), col("blk_val"))
-    val b = blocks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("blk"), col("blk_val"))
+      .select("doc_id", "blk", "blk_val")
+    val a = blocks.select(col("doc_id").as("doc_a"), col("blk"), col("blk_val"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("blk"), col("blk_val"))
+    // dedupe candidate ids first (narrow rows), then broadcast-join the
+    // small signature table back for the hamming computation
     a.join(b, Seq("blk", "blk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"))), Seq("doc_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"))), Seq("doc_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.longArrayDot
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -20,11 +21,10 @@ object VectorOps {
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("q"))
-      .withColumn("nq",
-        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nq", longArrayDot(col("q"), col("q")))
 
   private def cosine = {
-    val dot = expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    val dot = longArrayDot(col("qa"), col("qb"))
     dot.cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
   }
 
@@ -34,12 +34,15 @@ object VectorOps {
     val q = quantized(emb)
     val a = q.select(col("vec_id").as("va"), col("q").as("qa"), col("nq").as("na"))
     val b = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
-    val w = Window.orderBy(col("cos").desc, col("va"), col("vb"))
-    a.join(b, col("va") < col("vb"))
+    // distributed top-k (TakeOrderedAndProject), then rank the tiny result —
+    // never a single-partition window over the full O(n²) pair space
+    val top = a.join(b, col("va") < col("vb"))
       .withColumn("cos", cosine)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topN)
-      .select(col("va"), col("vb"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .select("va", "vb", "cos")
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+      .limit(topN)
+    val w = Window.orderBy(col("cos").desc, col("va"), col("vb"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
   /** Brute-force cosine top-k for each query vector (vec_id < nQueries):
@@ -65,20 +68,23 @@ object VectorOps {
     * on a uniform key), queries probe only their own bucket. */
   def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame = {
     val q = quantized(emb)
-    q.select(col("vec_id"), col("nq"), col("q"), posexplode(col("q")))
-      .select(col("vec_id"), col("nq"), col("q"),
-        (col("pos") + 1).as("i"), col("col").as("x"))
-      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("wsign",
-        when(ascii(substring(md5(concat_ws("#", col("j"), col("i"))), 1, 1)) % 2 === 1, 1L)
-          .otherwise(-1L))
-      .groupBy("vec_id", "j")
-      .agg(sum(col("wsign") * col("x")).as("proj"),
-        first("nq").as("nq"), first("q").as("q"))
+    // all `bits` projections in one aggregation pass over the unnested
+    // rows (no per-hyperplane row explosion, one shuffle on vec_id);
+    // the vector payload is joined back once at the end
+    def wsign(j: Int) =
+      when(ascii(substring(md5(concat_ws("#", lit(j), col("i"))), 1, 1)) % 2 === 1,
+        col("x")).otherwise(-col("x"))
+    val projCols = (0 until bits).map(j => sum(wsign(j)).as(s"p$j"))
+    val bucket = (0 until bits)
+      .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val buckets = q
+      .select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
       .groupBy("vec_id")
-      .agg(sum(when(col("proj") > 0, expr("CAST(pow(2, j) AS BIGINT)"))
-        .otherwise(0L)).as("bucket"),
-        first("nq").as("nq"), first("q").as("q"))
+      .agg(projCols.head, projCols.tail: _*)
+      .select(col("vec_id"), bucket.as("bucket"))
+    buckets.join(q, Seq("vec_id"))
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's
