@@ -75,6 +75,7 @@ final class OrderBook {
     touched
   }
 
+  def liveOrders: Iterator[(Long, (Boolean, Double, Double))] = orders.iterator
   def bestBid: Option[(Double, Double)] = bids.lastOption
   def bestAsk: Option[(Double, Double)] = asks.headOption
   def volumeAt(isBid: Boolean, price: Double): Double =

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.market.{BookEvent, Level3Source, MarketOps}
+import graft.streaming.StreamingOps
+
+/** Differential test: the incremental (Structured Streaming) L1 stream
+  * must produce exactly the batch kernel's L1 ticks when fed the same
+  * events — the streaming twin of the reference's fast/slow redundancy.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming L1 equals batch L1 on the same event log") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    val events = l3.select(
+      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("side"), col("price"),
+      col("amount"), col("is_deleted").as("isDeleted"))
+
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+      .toString
+    events.write.mode("overwrite").parquet(stage)
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .parquet(stage)
+      .as[BookEvent]
+    val q = StreamingOps.l1Stream(streamIn, spark)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("l1_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("l1_out")
+      .orderBy("pair_id", "ts")
+      .collect().map(_.toSeq).toList
+    val batch = MarketOps.spread(l3, spark)
+      .orderBy("pair_id", "ts")
+      .collect().map(_.toSeq).toList
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
