@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.market._
+
+/** The user-facing API surface — one function per entry point of the
+  * reference's R client (`R/obanalytics.R`: depth, spread, trades,
+  * events, order_book, queues, depth_summary, trading.period,
+  * trading.strategy, epsilon.drawupdowns, intervals, export, summary),
+  * expressed over a level3 DataFrame instead of a DB connection. A user
+  * of the reference can switch by loading their level3 lake and calling
+  * the same-named operations.
+  *
+  * All timestamps are epoch microseconds (µs) — the reference's native
+  * resolution; frequency resampling follows its right-closed convention
+  * (`R/obanalytics.R:249-253`) via the grid operators.
+  */
+class GraftApi(spark: SparkSession, level3: DataFrame) {
+
+  private lazy val l3e = Level3Source.level3WithEras(level3)
+
+  /** `obadiah::depth` — starting depth at `start` ∪ depth changes in
+    * (start, end]. */
+  def depth(start: Long, end: Long): DataFrame =
+    MarketOps.depthWindow(level3, spark, start, end)
+
+  /** `obadiah::spread` — L1 best bid/ask stream (deduplicated). */
+  def spread(): DataFrame = MarketOps.spread(level3, spark)
+
+  /** `obadiah::order.book` — snapshot with liquidity / bps / levels. */
+  def orderBook(atMicros: Long, maxLevels: Option[Int] = None): DataFrame =
+    MarketOps.orderBookQuery(level3, atMicros, maxLevels)
+
+  /** `obadiah::events` — classified order events in a window. */
+  def events(start: Long, end: Long): DataFrame =
+    EventsQuery.events(level3, MarketOps.spread(level3, spark), start, end)
+
+  /** `obadiah::trades` — inferred/matched trades. */
+  def trades(): DataFrame =
+    TradeMatching.trades(TradeMatching.inferredMatches(level3))
+
+  /** `obadiah::depth.summary` — bps-ladder depth at grid instants. */
+  def depthSummary(instants: Seq[Long], bpsStep: Int = 25,
+      maxBps: Int = 500): DataFrame =
+    GridOps.depthSummary(level3, instants, bpsStep, maxBps)
+
+  /** `obadiah::queues` — bucketed book queues at grid instants. */
+  def queues(instants: Seq[Long], tickSize: Double = 5.0,
+      nTicks: Int = 10): DataFrame =
+    GridOps.queues(level3, instants, tickSize, nTicks)
+
+  /** `obadiah::depth.resample` — depth on a coarser price/time grid. */
+  def depthResample(instants: Seq[Long], tickSize: Double = 5.0): DataFrame =
+    GridOps.depthResample(level3, instants, tickSize)
+
+  /** `obadiah::trading.period` — effective buy/sell price for a volume. */
+  def tradingPeriod(volumeUnits: Long): DataFrame =
+    MarketOps.tradingPeriod(level3, spark, volumeUnits)
+
+  /** `obadiah::trading.strategy` — optimal positions under commission
+    * `phi` and per-second interest `rho`. */
+  def tradingStrategy(phi: Double, rho: Double): DataFrame =
+    MarketOps.tradingStrategy(level3, spark, phi, rho)
+
+  /** `obadiah::epsilon.drawupdowns` — ε-draw segmentation of mid-price. */
+  def epsilonDrawUpDowns(epsilon: Double): DataFrame =
+    MarketOps.epsilonDraws(level3, spark, epsilon)
+
+  /** `obadiah::intervals` — green/red data-availability intervals. */
+  def intervals(): DataFrame =
+    Analytics.intervals(Level3Source.eras(level3))
+
+  /** `obadiah::export` — flat CSV-shaped event projection. */
+  def export(): DataFrame = Analytics.export(level3)
+
+  /** `obanalytics.summary()` — per-era feed statistics. */
+  def summary(): DataFrame = Analytics.summary(l3e)
+
+  /** Crossed-book periods (data-quality view). */
+  def crossedBooks(): DataFrame = GridOps.crossedBooks(spread())
+
+  /** Invariant-violation report (`qty_level3_*` analogue). */
+  def dataQuality(): DataFrame = GridOps.dqReport(level3)
+}
+
+object GraftApi {
+  /** Build the canonical level3 log from a raw order-event feed and wrap
+    * it in the API (the ETL entry point — reference
+    * `bitfinex.capture_transient_raw_book_events`). */
+  def fromEvents(spark: SparkSession, events: DataFrame): GraftApi =
+    new GraftApi(spark, Level3Source.level3(events))
+
+  /** Wrap an existing level3 log (e.g. read from the parquet lake). */
+  def apply(spark: SparkSession, level3: DataFrame): GraftApi =
+    new GraftApi(spark, level3)
+}
