@@ -376,9 +376,10 @@ object Oracles {
       |  FROM level3
       |  WINDOW wp AS (PARTITION BY pair_id ORDER BY microtimestamp)
       |), l3e AS (
-      |  SELECT *, SUM(new_era) OVER (PARTITION BY pair_id
+      |  SELECT *, CAST(SUM(new_era) OVER (PARTITION BY pair_id
       |    ORDER BY microtimestamp, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era_no
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS era_no
       |  FROM l3g
       |), l3ee AS (
       |  SELECT *, MIN(microtimestamp) OVER (PARTITION BY pair_id, era_no)
@@ -807,4 +808,106 @@ object Oracles {
       |    AS stub_feature,
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def mktSpread1h: String = Level3Cte + QuoteCte + DedupSpreadCte +
+    """, bucketed AS (
+      |  SELECT *,
+      |    ((ts + 3599999999) // 3600000000) * 3600000000 AS bucket_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY pair_id,
+      |      ((ts + 3599999999) // 3600000000) * 3600000000
+      |      ORDER BY ts DESC) AS rnb
+      |  FROM spread_ticks
+      |)
+      |SELECT pair_id, bucket_ts AS ts, bid_price, bid_qty, ask_price,
+      |  ask_qty
+      |FROM bucketed WHERE rnb = 1 ORDER BY pair_id, ts""".stripMargin
+
+  def mktSpreadEra: String = Level3Cte + ErasCte +
+    """, etimes_e AS (
+      |  SELECT DISTINCT pair_id, era_no, microtimestamp AS ts FROM l3ee
+      |), live_e AS (
+      |  SELECT e.pair_id, e.era_no, e.ts, l.side, l.price, l.amount
+      |  FROM etimes_e e JOIN l3ee l
+      |    ON l.pair_id = e.pair_id AND l.era_no = e.era_no
+      |   AND l.microtimestamp <= e.ts AND l.next_microtimestamp > e.ts
+      |), lvl_e AS (
+      |  SELECT pair_id, era_no, ts, side, price, SUM(amount) AS qty
+      |  FROM live_e GROUP BY pair_id, era_no, ts, side, price
+      |), best_e AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, era_no, ts, side
+      |    ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS rn
+      |  FROM lvl_e
+      |), quote_e AS (
+      |  SELECT e.pair_id, e.era_no, e.ts,
+      |    MAX(CASE WHEN b.side = 'b' THEN b.price END) AS bid_price,
+      |    MAX(CASE WHEN b.side = 'b' THEN b.qty END) AS bid_qty,
+      |    MAX(CASE WHEN b.side = 's' THEN b.price END) AS ask_price,
+      |    MAX(CASE WHEN b.side = 's' THEN b.qty END) AS ask_qty
+      |  FROM etimes_e e LEFT JOIN best_e b
+      |    ON b.pair_id = e.pair_id AND b.era_no = e.era_no
+      |   AND b.ts = e.ts AND b.rn = 1
+      |  GROUP BY e.pair_id, e.era_no, e.ts
+      |), dedup_e AS (
+      |  SELECT *, ROW_NUMBER() OVER w AS rn,
+      |    LAG(bid_price) OVER w AS pb, LAG(bid_qty) OVER w AS pbq,
+      |    LAG(ask_price) OVER w AS pa, LAG(ask_qty) OVER w AS paq
+      |  FROM quote_e WINDOW w AS (PARTITION BY pair_id, era_no ORDER BY ts)
+      |)
+      |SELECT pair_id, era_no, ts, bid_price, bid_qty, ask_price, ask_qty
+      |FROM dedup_e
+      |WHERE rn = 1 OR NOT (bid_price IS NOT DISTINCT FROM pb
+      |  AND bid_qty IS NOT DISTINCT FROM pbq
+      |  AND ask_price IS NOT DISTINCT FROM pa
+      |  AND ask_qty IS NOT DISTINCT FROM paq)
+      |ORDER BY pair_id, era_no, ts""".stripMargin
+
+  def mktQueuesLog: String = Level3Cte + GridSnapCte +
+    """, tkl AS (
+      |  SELECT *, CAST(FLOOR(CASE WHEN side = 'b'
+      |    THEN (ln(best) - ln(price)) / 0.05
+      |    ELSE (ln(price) - ln(best)) / 0.05 END) AS BIGINT) AS tick
+      |  FROM wb
+      |)
+      |SELECT pair_id, g AS ts, side, tick, SUM(amount) AS volume
+      |FROM tkl WHERE tick >= 0 AND tick < 10
+      |GROUP BY pair_id, g, side, tick
+      |ORDER BY pair_id, ts, side, tick""".stripMargin
+
+  def mktMatchSum2: String = Level3Cte +
+    """, fl AS (
+      |  SELECT pair_id, microtimestamp AS ts, order_id AS oid,
+      |    event_no AS eno, side, fill
+      |  FROM level3 WHERE fill > 0
+      |), sp AS (
+      |  SELECT s1.pair_id,
+      |    s1.ts AS s1_ts, s1.oid AS s1_oid, s1.eno AS s1_eno,
+      |    s1.fill AS s1_fill,
+      |    s2.ts AS s2_ts, s2.oid AS s2_oid, s2.eno AS s2_eno,
+      |    s2.fill AS s2_fill,
+      |    s1.fill + s2.fill AS sum_fill
+      |  FROM fl s1 JOIN fl s2
+      |    ON s1.side = 's' AND s2.side = 's'
+      |   AND s1.pair_id = s2.pair_id
+      |   AND ABS(s1.ts - s2.ts) <= 3600000000
+      |   AND (s1.ts < s2.ts OR (s1.ts = s2.ts AND (s1.oid < s2.oid
+      |     OR (s1.oid = s2.oid AND s1.eno < s2.eno))))
+      |), cand AS (
+      |  SELECT b.pair_id, b.ts AS b_ts, b.oid AS b_oid, b.eno AS b_eno,
+      |    b.fill AS fill, sp.*,
+      |    ABS(b.ts - sp.s1_ts) + ABS(b.ts - sp.s2_ts) AS dist
+      |  FROM fl b JOIN sp
+      |    ON b.side = 'b' AND b.pair_id = sp.pair_id
+      |   AND b.fill = sp.sum_fill
+      |   AND ABS(b.ts - sp.s1_ts) <= 3600000000
+      |   AND ABS(b.ts - sp.s2_ts) <= 3600000000
+      |), ranked2 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, b_oid, b_eno
+      |    ORDER BY dist, s1_ts, s1_oid, s1_eno, s2_ts, s2_oid, s2_eno)
+      |    AS rn
+      |  FROM cand
+      |)
+      |SELECT pair_id, b_ts, b_oid, b_eno, fill,
+      |  s1_ts, s1_oid, s1_eno, s1_fill, s2_ts, s2_oid, s2_eno, s2_fill
+      |FROM ranked2 WHERE rn = 1
+      |ORDER BY pair_id, b_ts, b_oid, b_eno""".stripMargin
 }

@@ -130,6 +130,29 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
           col("start_price"), col("end_ts"), col("end_price"), col("kind"))
         .orderBy("pair_id", "start_ts", "end_ts")),
+    "mkt_spread_1h" -> ((s, d) =>
+      market.Resampling.spreadResampled(level3(s, d), s, 3600000000L)
+        .orderBy("pair_id", "ts")),
+    "mkt_spread_era" -> ((s, d) =>
+      market.Resampling.spreadByEra(level3(s, d), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("era_no"),
+          col("ts"), col("bid_price"), col("bid_qty"), col("ask_price"),
+          col("ask_qty"))
+        .orderBy("pair_id", "era_no", "ts")),
+    "mkt_queues_log" -> ((s, d) =>
+      GridOps.queuesLogRelative(level3(s, d), Oracles.GridInstants)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("tick"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "tick")),
+    "mkt_match_sum2" -> ((s, d) =>
+      TradeMatching.matchSumOfTwo(level3(s, d))
+        .select(col("pair_id").cast("long").as("pair_id"), col("b_ts"),
+          col("b_oid"), col("b_eno").cast("long").as("b_eno"), col("fill"),
+          col("s1_ts"), col("s1_oid"),
+          col("s1_eno").cast("long").as("s1_eno"), col("s1_fill"),
+          col("s2_ts"), col("s2_oid"),
+          col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"))
+        .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
     "pipe_dedup_exact" -> ((s, d) =>
       TextPipeline.exactDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -198,6 +221,10 @@ object SparkEntry {
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_dq" -> Oracles.mktDq,
+    "mkt_spread_1h" -> Oracles.mktSpread1h,
+    "mkt_spread_era" -> Oracles.mktSpreadEra,
+    "mkt_queues_log" -> Oracles.mktQueuesLog,
+    "mkt_match_sum2" -> Oracles.mktMatchSum2,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_minhash" -> Oracles.pipeMinhash,
     "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,

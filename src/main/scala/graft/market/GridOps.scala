@@ -67,6 +67,26 @@ object GridOps {
       .agg(sum("amount").as("volume"))
   }
 
+  /** Log-relative order-book queues (reference `get.queues` with
+    * `'LOGRELATIVE'` ticks, `src/order_book_investigation.h:33-225`):
+    * bucket k = ⌊(ln(price) − ln(best))/tick⌋ away from the side's
+    * best. */
+  def queuesLogRelative(level3: DataFrame, instants: Seq[Long],
+      logTick: Double = 0.05, nTicks: Int = 10): DataFrame = {
+    val wBest = Window.partitionBy("pair_id", "g", "side")
+    val best = when(col("side") === "b", max("price").over(wBest))
+      .otherwise(min("price").over(wBest))
+    snapshots(level3, instants)
+      .withColumn("best", best)
+      .withColumn("tick",
+        when(col("side") === "b",
+          floor((log(col("best")) - log(col("price"))) / logTick))
+          .otherwise(floor((log(col("price")) - log(col("best"))) / logTick)))
+      .filter(col("tick") >= 0 && col("tick") < nTicks)
+      .groupBy(col("pair_id"), col("g").as("ts"), col("side"), col("tick"))
+      .agg(sum("amount").as("volume"))
+  }
+
   /** Depth resample (reference `depth.resample`,
     * `src/order_book_investigation.h:357-466`): depth re-gridded to
     * coarser price ticks at each time-grid instant. */

@@ -82,6 +82,51 @@ object TradeMatching {
       lit(1L).as("exchange_id"))
   }
 
+  /** Subset-sum trade matching (reference
+    * `bitfinex.match_price_and_sum_of_fill_exact`,
+    * `db/bitfinex_schema.sql:577-646`, restricted to 2-subsets): a buy
+    * fill matched against the *sum* of two sell fills inside the time
+    * band. Sell pairs are built per pair_id with a band predicate (the
+    * pair space is band-bounded, not quadratic), then equi-joined on
+    * (pair_id, fill-sum); best candidate per buy event wins. */
+  def matchSumOfTwo(level3: DataFrame,
+      toleranceMicros: Long = DefaultToleranceMicros): DataFrame = {
+    val fills = level3.filter(col("fill") > 0)
+      .select(col("pair_id"), col("microtimestamp").as("ts"),
+        col("order_id").as("oid"), col("event_no").as("eno"),
+        col("side"), col("fill"))
+    def pref(p: String, d: DataFrame) =
+      d.columns.foldLeft(d)((x, c) => x.withColumnRenamed(c, p + c))
+    val s1 = pref("s1_", fills.filter(col("side") === "s"))
+    val s2 = pref("s2_", fills.filter(col("side") === "s"))
+    val sellPairs = s1.join(s2,
+      col("s1_pair_id") === col("s2_pair_id") &&
+        abs(col("s1_ts") - col("s2_ts")) <= toleranceMicros &&
+        (col("s1_ts") < col("s2_ts") ||
+          (col("s1_ts") === col("s2_ts") &&
+            (col("s1_oid") < col("s2_oid") ||
+              (col("s1_oid") === col("s2_oid") &&
+                col("s1_eno") < col("s2_eno"))))))
+      .withColumn("sum_fill", col("s1_fill") + col("s2_fill"))
+    val b = pref("b_", fills.filter(col("side") === "b"))
+    val cand = b.join(sellPairs,
+      col("b_pair_id") === col("s1_pair_id") &&
+        col("b_fill") === col("sum_fill") &&
+        abs(col("b_ts") - col("s1_ts")) <= toleranceMicros &&
+        abs(col("b_ts") - col("s2_ts")) <= toleranceMicros)
+      .withColumn("dist",
+        abs(col("b_ts") - col("s1_ts")) + abs(col("b_ts") - col("s2_ts")))
+    val w = Window.partitionBy("b_pair_id", "b_oid", "b_eno")
+      .orderBy(col("dist"), col("s1_ts"), col("s1_oid"), col("s1_eno"),
+        col("s2_ts"), col("s2_oid"), col("s2_eno"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("b_pair_id").as("pair_id"),
+        col("b_ts"), col("b_oid"), col("b_eno"), col("b_fill").as("fill"),
+        col("s1_ts"), col("s1_oid"), col("s1_eno"), col("s1_fill"),
+        col("s2_ts"), col("s2_oid"), col("s2_eno"), col("s2_fill"))
+  }
+
   /** `get.trades` projection (reference `db/get_schema.sql:688-723`):
     * maker/taker resolved by trade side, event uuids attached. */
   def trades(matches: DataFrame): DataFrame = {
