@@ -910,4 +910,28 @@ object Oracles {
       |  s1_ts, s1_oid, s1_eno, s1_fill, s2_ts, s2_oid, s2_eno, s2_fill
       |FROM ranked2 WHERE rn = 1
       |ORDER BY pair_id, b_ts, b_oid, b_eno""".stripMargin
+
+  def mktBookDiff: String = Level3Cte +
+    s""", snap_a AS (
+      |  SELECT pair_id, order_id, side, price, amount FROM level3
+      |  WHERE microtimestamp <= $T0 AND next_microtimestamp > $T0
+      |), snap_b AS (
+      |  SELECT pair_id, order_id, side, price, amount FROM level3
+      |  WHERE microtimestamp <= $T1 AND next_microtimestamp > $T1
+      |), diffd AS (
+      |  SELECT COALESCE(a.pair_id, b.pair_id) AS pair_id,
+      |    COALESCE(a.order_id, b.order_id) AS order_id,
+      |    COALESCE(b.side, a.side) AS side,
+      |    a.price AS a_price, a.amount AS a_amount,
+      |    b.price AS b_price, b.amount AS b_amount,
+      |    CASE WHEN a.order_id IS NULL THEN 'created'
+      |         WHEN b.order_id IS NULL THEN 'deleted'
+      |         WHEN a.price <> b.price OR a.amount <> b.amount
+      |           THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM snap_a a FULL OUTER JOIN snap_b b
+      |    ON a.pair_id = b.pair_id AND a.order_id = b.order_id
+      |)
+      |SELECT * FROM diffd WHERE change <> 'unchanged'
+      |ORDER BY pair_id, order_id""".stripMargin
 }

@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("mkt_spread")(spark, "/root/testdata/sf0.001")
+    queries("mkt_events")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,6 +130,12 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
           col("start_price"), col("end_ts"), col("end_price"), col("kind"))
         .orderBy("pair_id", "start_ts", "end_ts")),
+    "mkt_book_diff" -> ((s, d) =>
+      MarketOps.bookDiff(level3(s, d), Oracles.T0, Oracles.T1)
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("side"), col("a_price"), col("a_amount"), col("b_price"),
+          col("b_amount"), col("change"))
+        .orderBy("pair_id", "order_id")),
     "mkt_spread_1h" -> ((s, d) =>
       market.Resampling.spreadResampled(level3(s, d), s, 3600000000L)
         .orderBy("pair_id", "ts")),
@@ -221,6 +227,7 @@ object SparkEntry {
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_dq" -> Oracles.mktDq,
+    "mkt_book_diff" -> Oracles.mktBookDiff,
     "mkt_spread_1h" -> Oracles.mktSpread1h,
     "mkt_spread_era" -> Oracles.mktSpreadEra,
     "mkt_queues_log" -> Oracles.mktQueuesLog,

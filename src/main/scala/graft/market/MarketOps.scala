@@ -140,6 +140,34 @@ object MarketOps {
       .select("pair_id", "ts", "side", "price", "volume")
   }
 
+  /** Diff of the books standing at two instants: synthetic
+    * created/deleted/changed rows per order (reference
+    * `bitfinex._diff_order_books` — channel-reconnect reconciliation,
+    * `db/bitfinex_schema.sql:83-125`). A full-outer join on
+    * (pair, order_id) of the two snapshots. */
+  def bookDiff(level3: DataFrame, ts1: Long, ts2: Long): DataFrame = {
+    def snap(t: Long, p: String) = level3
+      .filter(col("microtimestamp") <= t && col("next_microtimestamp") > t)
+      .select(col("pair_id").as(p + "pair_id"),
+        col("order_id").as(p + "order_id"), col("side").as(p + "side"),
+        col("price").as(p + "price"), col("amount").as(p + "amount"))
+    val a = snap(ts1, "a_")
+    val b = snap(ts2, "b_")
+    a.join(b, col("a_pair_id") === col("b_pair_id") &&
+        col("a_order_id") === col("b_order_id"), "full_outer")
+      .select(
+        coalesce(col("a_pair_id"), col("b_pair_id")).as("pair_id"),
+        coalesce(col("a_order_id"), col("b_order_id")).as("order_id"),
+        coalesce(col("b_side"), col("a_side")).as("side"),
+        col("a_price"), col("a_amount"), col("b_price"), col("b_amount"),
+        when(col("a_order_id").isNull, "created")
+          .when(col("b_order_id").isNull, "deleted")
+          .when(col("a_price") =!= col("b_price") ||
+            col("a_amount") =!= col("b_amount"), "changed")
+          .otherwise("unchanged").as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** Order-book snapshot at time `ts` (µs): all orders whose validity
     * interval covers ts (reference: `obanalytics.order_book`,
     * `db/obanalytics_schema.sql:2035-2075`). Pure filter — Catalyst

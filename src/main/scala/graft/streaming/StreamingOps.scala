@@ -72,6 +72,57 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Incremental L2 depth-change stream. The persisted state is just
+    * the live orders: the previous per-level totals are exactly the
+    * totals of the rebuilt book, so no separate level map is stored. */
+  def l2Stream(events: Dataset[BookEvent], spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.market.L2Change
+
+    def update(pairId: Int, batch: Iterator[BookEvent],
+        state: GroupState[List[(Long, String, Double, Double)]])
+        : Iterator[L2Change] = {
+      val book = new OrderBook
+      state.getOption.getOrElse(Nil).foreach {
+        case (oid, side, price, amount) =>
+          book.apply(BookEvent(pairId, 0L, oid, side, price, amount,
+            isDeleted = false))
+      }
+      val prev = scala.collection.mutable.HashMap.empty[(Boolean, Double), Double]
+      Seq(true, false).foreach(isBid => book.depth(isBid).foreach {
+        case (price, vol) => prev.update((isBid, price), vol) })
+      val out = scala.collection.mutable.ListBuffer.empty[L2Change]
+      batch.toSeq.sortBy(e => (e.ts, e.orderId))
+        .groupBy(_.ts).toSeq.sortBy(_._1).foreach { case (ts, episode) =>
+          var touched: List[(Boolean, Double)] = Nil
+          episode.foreach(e => touched = book.apply(e) ::: touched)
+          touched.distinct.foreach { case (isBid, price) =>
+            val now = book.volumeAt(isBid, price)
+            if (now != prev.getOrElse((isBid, price), 0.0)) {
+              if (now == 0.0) prev.remove((isBid, price))
+              else prev.update((isBid, price), now)
+              out += L2Change(pairId, ts, if (isBid) "b" else "s", price, now)
+            }
+          }
+        }
+      val live = book.liveOrders.map { case (oid, (isBid, price, amount)) =>
+        (oid, if (isBid) "b" else "s", price, amount)
+      }.toList
+      state.update(live)
+      out.iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "2 minutes")
+      .as[BookEvent]
+      .groupByKey(_.pairId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   /** Tumbling-window event-rate aggregation with watermarking — the
     * streaming twin of `obanalytics.summary`'s per-era rates. */
   def eventRates(raw: DataFrame, windowSec: Int = 3600): DataFrame =
