@@ -796,6 +796,9 @@ object Oracles {
       |SELECT d.doc_id AS doc_id,
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
       |    ' ')) AS bag_fingerprint,
+      |  list_reduce(list_prepend(7, [CAST(ascii(x) AS BIGINT)
+      |      for x in string_split(text, '')]),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash,
       |  m.min_shingle_hash
       |FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
       |ORDER BY doc_id""".stripMargin

@@ -193,13 +193,18 @@ object TextPipeline {
       .select("doc_id", "n_ws_tokens", "n_alpha_tokens", "n_bpe_est")
 
   /** Document fingerprints: order-insensitive bag-of-words md5 (catches
-    * shuffled duplicates) + winnowing-style minimum shingle hash. */
+    * shuffled duplicates), winnowing-style minimum shingle hash, and a
+    * polynomial rolling hash of the byte stream (base 31 mod 1e9+7,
+    * seeded 7 — order-sensitive, exact integer math). */
   def fingerprints(docs: DataFrame): DataFrame = {
     val sh = shingled(docs).groupBy("doc_id").agg(min(md5(col("shingle"))).as("min_shingle_hash"))
     docs.withColumn("words", wordsCol)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(col("words")))))
-          .as("bag_fingerprint"))
+          .as("bag_fingerprint"),
+        expr("aggregate(split(text, ''), 7L, " +
+          "(acc, x) -> (acc * 31 + ascii(x)) % 1000000007)")
+          .as("rolling_hash"))
       .join(sh, Seq("doc_id"), "left")
   }
 }

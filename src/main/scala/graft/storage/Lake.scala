@@ -1,0 +1,42 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-lake layout for the canonical tables (SURVEY §1.3): the
+  * Spark translation of the reference's four-level declarative
+  * partitioning (`PARTITION BY LIST(exchange) → pair → side → month`,
+  * `db/obanalytics_schema.sql:153,325-448`).
+  *
+  * level3 is written partitioned by `(exchange_id, pair_id, month)`
+  * and sorted within files by `(microtimestamp, order_id, event_no)` —
+  * partition pruning replaces the LIST levels and parquet min/max
+  * row-group stats replace the b-tree (`side` stays a column: min/max
+  * skipping handles it). Readers then get:
+  *   - snapshot queries: pruned to one (exchange, pair) subtree, with
+  *     `microtimestamp <= t` row-group skipping;
+  *   - replay: sequential sorted scans, one shuffle to group by pair.
+  */
+object Lake {
+
+  val PartitionCols: Seq[String] = Seq("exchange_id", "pair_id", "month")
+
+  /** Write the level3 log in lake layout. */
+  def writeLevel3(level3: DataFrame, path: String): Unit =
+    level3
+      .withColumn("month",
+        date_format(timestamp_micros(col("microtimestamp")), "yyyy-MM"))
+      .repartition(col("exchange_id"), col("pair_id"), col("month"))
+      .sortWithinPartitions("microtimestamp", "order_id", "event_no")
+      .write
+      .partitionBy(PartitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read the lake back (partition columns restored to their types). */
+  def readLevel3(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("exchange_id", col("exchange_id").cast("int"))
+      .withColumn("pair_id", col("pair_id").cast("int"))
+      .drop("month")
+}

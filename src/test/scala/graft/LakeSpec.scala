@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.market.{Level3Source, MarketOps}
+import graft.storage.Lake
+
+/** The lake round-trip must preserve the level3 log exactly, and
+  * snapshot filters over the lake must hit partition pruning. */
+class LakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lake")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("level3 lake round-trip preserves content; spread matches") {
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    val path = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    Lake.writeLevel3(l3, path)
+    val back = Lake.readLevel3(spark, path)
+
+    assert(back.count() == l3.count())
+    def spreadRows(df: org.apache.spark.sql.DataFrame) =
+      MarketOps.spread(df, spark)
+        .orderBy("pair_id", "ts").collect().map(_.toSeq).toList
+    assert(spreadRows(back) == spreadRows(l3))
+  }
+
+  test("pair filter prunes lake partitions") {
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    val path = java.nio.file.Files.createTempDirectory("graft-lake2").toString
+    Lake.writeLevel3(l3, path)
+    val plan = spark.read.parquet(path)
+      .filter(col("pair_id") === 1)
+      .queryExecution.executedPlan.toString
+    // partition filter must appear as a pruning predicate, not a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("pair_id"))
+  }
+}
