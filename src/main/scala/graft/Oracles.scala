@@ -937,4 +937,15 @@ object Oracles {
       |)
       |SELECT * FROM diffd WHERE change <> 'unchanged'
       |ORDER BY pair_id, order_id""".stripMargin
+
+  def q06JsonProps: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_null
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 }

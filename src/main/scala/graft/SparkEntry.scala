@@ -29,6 +29,7 @@ object SparkEntry {
     "q03_sessionize" -> ((s, d) => CoreQueries.sessionize(s, d)),
     "q04_top_orders" -> ((s, d) => CoreQueries.topOrdersPerSegment(s, d)),
     "q05_asof_enrich" -> ((s, d) => CoreQueries.asofEnrich(s, d)),
+    "q06_json_props" -> ((s, d) => CoreQueries.jsonProps(s, d)),
     "mkt_spread" -> ((s, d) =>
       MarketOps.spread(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q03_sessionize" -> Oracles.q03Sessionize,
     "q04_top_orders" -> Oracles.q04TopOrders,
     "q05_asof_enrich" -> Oracles.q05AsofEnrich,
+    "q06_json_props" -> Oracles.q06JsonProps,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,

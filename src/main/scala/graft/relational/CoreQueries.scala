@@ -109,6 +109,21 @@ object CoreQueries {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** Semi-structured extraction: parse the JSON `props` payload and
+    * aggregate the extracted field per event type (JSON is the lake's
+    * schema-on-read escape hatch; `get_json_object` is codegen'd). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_null"))
+      .orderBy("event_type")
+
   /** As-of enrichment: each event annotated with the most recent prior
     * order of the same user-as-customer — the `last(value, ignoreNulls)`
     * over a unioned stream pattern the reference uses for prevailing
