@@ -948,4 +948,33 @@ object Oracles {
       |  MIN(k) AS min_k, MAX(k) AS max_k,
       |  COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_null
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def mktOverview: String = Level3Cte +
+    """
+      |SELECT pair_id, MIN(microtimestamp) AS first_event,
+      |  MAX(microtimestamp) AS last_event, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT order_id) AS n_orders,
+      |  COUNT(DISTINCT price) AS n_price_levels
+      |FROM level3 GROUP BY pair_id ORDER BY pair_id""".stripMargin
+
+  def mktObLadders: String = Level3Cte +
+    s""", snapl AS (
+      |  SELECT pair_id, side, price, SUM(amount) AS volume
+      |  FROM level3
+      |  WHERE microtimestamp <= $SnapshotMicros
+      |    AND next_microtimestamp > $SnapshotMicros
+      |  GROUP BY pair_id, side, price
+      |), lvls AS (
+      |  SELECT pair_id, side,
+      |    CAST(ROUND(price * 100) AS BIGINT) AS cents,
+      |    CAST(ROUND(price * 100) AS BIGINT) || 'x' ||
+      |      CAST(volume AS BIGINT) AS level_str
+      |  FROM snapl
+      |)
+      |SELECT pair_id, side, COUNT(*) AS n_levels,
+      |  string_agg(level_str, ','
+      |    ORDER BY CASE WHEN side = 'b' THEN -cents ELSE cents END)
+      |    AS ladder
+      |FROM lvls GROUP BY pair_id, side
+      |ORDER BY pair_id, side""".stripMargin
 }

@@ -131,6 +131,17 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
           col("start_price"), col("end_ts"), col("end_price"), col("kind"))
         .orderBy("pair_id", "start_ts", "end_ts")),
+    "mkt_overview" -> ((s, d) =>
+      Analytics.dataOverview(level3(s, d))
+        .select(col("pair_id").cast("long").as("pair_id"),
+          col("first_event"), col("last_event"), col("n_events"),
+          col("n_orders"), col("n_price_levels"))
+        .orderBy("pair_id")),
+    "mkt_ob_ladders" -> ((s, d) =>
+      Analytics.orderBookLadders(level3(s, d), Oracles.SnapshotMicros)
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("n_levels"), col("ladder"))
+        .orderBy("pair_id", "side")),
     "mkt_book_diff" -> ((s, d) =>
       MarketOps.bookDiff(level3(s, d), Oracles.T0, Oracles.T1)
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
@@ -229,6 +240,8 @@ object SparkEntry {
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_dq" -> Oracles.mktDq,
+    "mkt_overview" -> Oracles.mktOverview,
+    "mkt_ob_ladders" -> Oracles.mktObLadders,
     "mkt_book_diff" -> Oracles.mktBookDiff,
     "mkt_spread_1h" -> Oracles.mktSpread1h,
     "mkt_spread_era" -> Oracles.mktSpreadEra,

@@ -30,6 +30,41 @@ object Analytics {
         when(col("last_event") > col("first_event"),
           col("n_events") / ((col("last_event") - col("first_event")) / lit(1000000.0))))
 
+  /** Catalog overview (reference `get.data_overview` /
+    * `available_pairs/period`, `db/get_schema.sql:168-233`): per pair,
+    * the covered period and basic counts. */
+  def dataOverview(level3: DataFrame): DataFrame =
+    level3.groupBy("pair_id")
+      .agg(
+        min("microtimestamp").as("first_event"),
+        max("microtimestamp").as("last_event"),
+        count(lit(1)).as("n_events"),
+        countDistinct("order_id").as("n_orders"),
+        countDistinct("price").as("n_price_levels"))
+
+  /** Nested per-side book ladders at an instant — the shape of the R
+    * client's `order_book()` result (`{timestamp, asks, bids}`,
+    * `R/obanalytics.R:1004-1008`): one row per (pair, side) with the
+    * price ladder as an ordered array. The ladder is also serialized
+    * as integer cents for engine-portable comparison. */
+  def orderBookLadders(level3: DataFrame, tsMicros: Long): DataFrame = {
+    val snap = level3
+      .filter(col("microtimestamp") <= tsMicros &&
+        col("next_microtimestamp") > tsMicros)
+      .groupBy("pair_id", "side", "price")
+      .agg(sum("amount").as("volume"))
+    snap
+      .withColumn("cents", expr("CAST(ROUND(price * 100) AS BIGINT)"))
+      .withColumn("level_str",
+        concat_ws("x", col("cents"), col("volume").cast("long")))
+      .groupBy("pair_id", "side")
+      .agg(
+        count(lit(1)).as("n_levels"),
+        expr("concat_ws(',', transform(sort_array(collect_list(" +
+          "struct(CASE WHEN side = 'b' THEN -cents ELSE cents END AS k, " +
+          "level_str))), x -> x.level_str))").as("ladder"))
+  }
+
   /** Green (data) / red (gap) intervals from the eras table:
     * greens = [era, level3]; reds = (level3, next era). */
   def intervals(eras: DataFrame): DataFrame = {
