@@ -639,7 +639,7 @@ object Oracles {
   def pipeSimhash: String = DocShinglesCte +
     """, bitsum AS (
       |  SELECT doc_id, j,
-      |    SUM(CASE WHEN ascii(substr(md5(j || '#' || shingle), 1, 1)) % 2 = 1
+      |    SUM(CASE WHEN ascii(substr(md5(shingle), j + 1, 1)) % 2 = 1
       |      THEN 1 ELSE -1 END) AS s
       |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j
       |), sg AS (

@@ -146,22 +146,30 @@ object MarketOps {
     * `db/bitfinex_schema.sql:83-125`). A full-outer join on
     * (pair, order_id) of the two snapshots. */
   def bookDiff(level3: DataFrame, ts1: Long, ts2: Long): DataFrame = {
-    def snap(t: Long, p: String) = level3
-      .filter(col("microtimestamp") <= t && col("next_microtimestamp") > t)
-      .select(col("pair_id").as(p + "pair_id"),
-        col("order_id").as(p + "order_id"), col("side").as(p + "side"),
-        col("price").as(p + "price"), col("amount").as(p + "amount"))
-    val a = snap(ts1, "a_")
-    val b = snap(ts2, "b_")
-    a.join(b, col("a_pair_id") === col("b_pair_id") &&
-        col("a_order_id") === col("b_order_id"), "full_outer")
-      .select(
-        coalesce(col("a_pair_id"), col("b_pair_id")).as("pair_id"),
-        coalesce(col("a_order_id"), col("b_order_id")).as("order_id"),
+    // One scan, no join: an order's validity intervals are disjoint, so
+    // at most one row is live at each instant — conditional aggregation
+    // per order reconstructs both snapshot states (the semantic
+    // equivalent of the reference's full-outer snapshot join, at half
+    // the scan cost and zero join shuffle width).
+    val live1 = col("microtimestamp") <= ts1 && col("next_microtimestamp") > ts1
+    val live2 = col("microtimestamp") <= ts2 && col("next_microtimestamp") > ts2
+    level3
+      .filter(live1 || live2)
+      .select(col("pair_id"), col("order_id"), col("side"), col("price"),
+        col("amount"), live1.as("l1"), live2.as("l2"))
+      .groupBy("pair_id", "order_id")
+      .agg(
+        max(when(col("l1"), col("side"))).as("a_side"),
+        max(when(col("l1"), col("price"))).as("a_price"),
+        max(when(col("l1"), col("amount"))).as("a_amount"),
+        max(when(col("l2"), col("side"))).as("b_side"),
+        max(when(col("l2"), col("price"))).as("b_price"),
+        max(when(col("l2"), col("amount"))).as("b_amount"))
+      .select(col("pair_id"), col("order_id"),
         coalesce(col("b_side"), col("a_side")).as("side"),
         col("a_price"), col("a_amount"), col("b_price"), col("b_amount"),
-        when(col("a_order_id").isNull, "created")
-          .when(col("b_order_id").isNull, "deleted")
+        when(col("a_side").isNull, "created")
+          .when(col("b_side").isNull, "deleted")
           .when(col("a_price") =!= col("b_price") ||
             col("a_amount") =!= col("b_amount"), "changed")
           .otherwise("unchanged").as("change"))

@@ -44,20 +44,20 @@ object TextPipeline {
     * is built with portable primitives (min of keyed md5 per shingle)
     * so any engine reproduces it bit-for-bit. */
   def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame = {
+    // all k signature mins in ONE aggregation over the shingles (no k×
+    // row explosion), band keys assembled from the signature columns
     val sh = shingled(docs)
-    val sig = sh
-      .withColumn("j", explode(sequence(lit(1), lit(k))))
-      .withColumn("h", md5(concat_ws("#", col("j"), col("shingle"))))
-      .groupBy("doc_id", "j")
-      .agg(min("h").as("mh"))
-    // NOTE: the band table feeds both join sides; at production scale it
-    // would be written out once as the signature table of the dedup
-    // pipeline — at bench scale recomputing beats cache serialization
-    val bands = sig
-      .withColumn("band", expr(s"(j-1) div $r"))
-      .groupBy("doc_id", "band")
-      .agg(expr("concat_ws('#', transform(sort_array(collect_list(" +
-        "struct(j, mh))), x -> x.mh))").as("key"))
+    val sigCols = (1 to k).map(j =>
+      min(md5(concat_ws("#", lit(j), col("shingle")))).as(s"mh$j"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until k / r).map { band =>
+      val key = concat_ws("#",
+        (1 to r).map(i => col(s"mh${band * r + i}")): _*)
+      struct(lit(band).as("band"), key.as("key"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -87,18 +87,25 @@ object TextPipeline {
   /** 16-bit SimHash over the document's trigram shingles (word-level
     * tokens are degenerate on small vocabularies: every doc contains
     * nearly every word, making all signatures collide); bit j is the
-    * sign of Σ_shingles ±1 keyed by md5(j#shingle) parity. */
-  def simhashSignatures(docs: DataFrame, bits: Int = 16): DataFrame =
+    * sign of Σ_shingles ±1 from the parity of hex digit j of the
+    * shingle's single md5 digest. */
+  def simhashSignatures(docs: DataFrame, bits: Int = 16): DataFrame = {
+    // ONE md5 per shingle; bit j comes from the parity of hex digit j
+    // of the digest (16 independent bits from one hash), all bit sums
+    // in one aggregation — no per-bit hashing or row explosion
+    def contrib(j: Int) =
+      when(ascii(substring(col("dig"), j + 1, 1)) % 2 === 1, 1)
+        .otherwise(-1)
+    val sumCols = (0 until bits).map(j => sum(contrib(j)).as(s"s$j"))
+    val sig = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
     shingled(docs)
-      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("contrib",
-        when(ascii(substring(md5(concat_ws("#", col("j"), col("shingle"))), 1, 1)) % 2 === 1, 1)
-          .otherwise(-1))
-      .groupBy("doc_id", "j")
-      .agg(sum("contrib").as("s"))
+      .withColumn("dig", md5(col("shingle")))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)"))
-        .otherwise(0L)).as("sig"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
 
   /** SimHash near-duplicates with Hamming distance ≤ `maxHamming`,
     * found via pigeonhole banding (4 blocks of 4 bits: ≤3 differing
