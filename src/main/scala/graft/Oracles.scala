@@ -977,4 +977,72 @@ object Oracles {
       |    AS ladder
       |FROM lvls GROUP BY pair_id, side
       |ORDER BY pair_id, side""".stripMargin
+
+  def mktObFlags: String = Level3Cte +
+    s""", snapf AS (
+      |  SELECT * FROM level3
+      |  WHERE microtimestamp <= $SnapshotMicros
+      |    AND next_microtimestamp > $SnapshotMicros
+      |), flagged_ob AS (
+      |  SELECT pair_id, order_id, side, price, amount,
+      |    MIN(CASE WHEN side = 's' THEN price END) OVER wf AS min_ask_b,
+      |    MAX(CASE WHEN side = 'b' THEN price END) OVER wf AS max_bid_b,
+      |    MIN(CASE WHEN side = 's' THEN price END) OVER wr AS min_ask_a,
+      |    MAX(CASE WHEN side = 'b' THEN price END) OVER wr AS max_bid_a
+      |  FROM snapf
+      |  WINDOW wf AS (PARTITION BY pair_id
+      |      ORDER BY price_microtimestamp, microtimestamp, order_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wr AS (PARTITION BY pair_id
+      |      ORDER BY price_microtimestamp DESC, microtimestamp DESC,
+      |        order_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT pair_id, order_id, side, price, amount,
+      |  CASE side WHEN 'b' THEN price < COALESCE(min_ask_b, 1e308)
+      |       ELSE price > COALESCE(max_bid_b, -1e308) END AS is_maker,
+      |  CASE side WHEN 'b' THEN price >= COALESCE(min_ask_a, 1e308)
+      |       ELSE price <= COALESCE(max_bid_a, -1e308) END AS is_crossed
+      |FROM flagged_ob ORDER BY pair_id, order_id""".stripMargin
+
+  def pipeDecontaminate: String = DocShinglesCte +
+    """, bench AS (
+      |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+      |), corpus AS (
+      |  SELECT * FROM sh WHERE doc_id >= 10
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+      |), overl AS (
+      |  SELECT doc_id, COUNT(*) AS n_overlap FROM corpus
+      |  WHERE shingle IN (SELECT shingle FROM bench)
+      |  GROUP BY doc_id
+      |)
+      |SELECT s.doc_id AS doc_id, n_shingles,
+      |  COALESCE(n_overlap, 0) AS n_overlap,
+      |  COALESCE(n_overlap, 0) * 10 >= n_shingles AS is_contaminated
+      |FROM sizes s LEFT JOIN overl o ON o.doc_id = s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  def pipeSplit: String =
+    """SELECT doc_id,
+      |  CAST((ascii(substr(md5(text), 1, 1)) * 256 +
+      |    ascii(substr(md5(text), 2, 1))) % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN (ascii(substr(md5(text), 1, 1)) * 256 +
+      |      ascii(substr(md5(text), 2, 1))) % 100 < 80 THEN 'train'
+      |    WHEN (ascii(substr(md5(text), 1, 1)) * 256 +
+      |      ascii(substr(md5(text), 2, 1))) % 100 < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def pipeVocab: String =
+    """WITH wv AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |), counts AS (
+      |  SELECT word, COUNT(*) AS n FROM wv GROUP BY word
+      |), rankedv AS (
+      |  SELECT word, n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk
+      |  FROM counts
+      |)
+      |SELECT word, n, rnk FROM rankedv WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 }

@@ -171,6 +171,21 @@ object SparkEntry {
           col("s2_ts"), col("s2_oid"),
           col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"))
         .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
+    "mkt_ob_flags" -> ((s, d) =>
+      MarketOps.orderBookAt(level3(s, d), Oracles.SnapshotMicros)
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("side"), col("price"), col("amount"), col("is_maker"),
+          col("is_crossed"))
+        .orderBy("pair_id", "order_id")),
+    "pipe_decontaminate" -> ((s, d) =>
+      TextPipeline.decontaminate(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_split" -> ((s, d) =>
+      TextPipeline.splitAssign(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_vocab" -> ((s, d) =>
+      TextPipeline.vocabTop(Tables.load(s, d, "documents"))
+        .orderBy("rnk")),
     "pipe_dedup_exact" -> ((s, d) =>
       TextPipeline.exactDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -247,6 +262,10 @@ object SparkEntry {
     "mkt_spread_era" -> Oracles.mktSpreadEra,
     "mkt_queues_log" -> Oracles.mktQueuesLog,
     "mkt_match_sum2" -> Oracles.mktMatchSum2,
+    "mkt_ob_flags" -> Oracles.mktObFlags,
+    "pipe_decontaminate" -> Oracles.pipeDecontaminate,
+    "pipe_split" -> Oracles.pipeSplit,
+    "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_minhash" -> Oracles.pipeMinhash,
     "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,

@@ -134,6 +134,47 @@ object TextPipeline {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥10% of
+    * their trigrams with a benchmark set (here: doc_id < benchMax) —
+    * the n-gram-overlap decontamination step of training-data
+    * pipelines. */
+  def decontaminate(docs: DataFrame, benchMax: Long = 10): DataFrame = {
+    val sh = shingled(docs)
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select("shingle").distinct()
+    val corpus = sh.filter(col("doc_id") >= benchMax)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpus.join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("is_contaminated",
+        col("n_overlap") * 10 >= col("n_shingles"))
+  }
+
+  /** Deterministic content-hash train/val/test split (80/10/10): the
+    * bucket comes from md5 so the assignment is stable under
+    * re-partitioning, re-ordering and re-runs. */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      ((ascii(substring(md5(col("text")), 1, 1)) * 256 +
+        ascii(substring(md5(col("text")), 2, 1))) % 100).cast("long")
+        .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Corpus vocabulary: top-N words by occurrence count. */
+  def vocabTop(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("word"))
+    docs.withColumn("words", wordsCol)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topN)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
