@@ -1045,4 +1045,30 @@ object Oracles {
       |  FROM counts
       |)
       |SELECT word, n, rnk FROM rankedv WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  def mktFixCrossed: String = Level3Cte + QuoteCte +
+    """, quote_cf2 AS (
+      |  SELECT pair_id, ts,
+      |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
+      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_cf,
+      |    LAST_VALUE(ask_price IGNORE NULLS) OVER (PARTITION BY pair_id
+      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ask_cf
+      |  FROM quote
+      |), spread_before2 AS (
+      |  SELECT pair_id, LEAD(ts) OVER (PARTITION BY pair_id ORDER BY ts) AS ts,
+      |    bid_cf AS bb, ask_cf AS ba
+      |  FROM quote_cf2
+      |), eternal AS (
+      |  SELECT * FROM level3
+      |  WHERE next_microtimestamp = 4102444800000000
+      |)
+      |SELECT e.pair_id AS pair_id, e.order_id, e.side, e.price, e.amount,
+      |  e.microtimestamp AS entered_at,
+      |  'crossed-eternal-taker' AS reason
+      |FROM eternal e LEFT JOIN spread_before2 s
+      |  ON s.pair_id = e.pair_id AND s.ts = e.microtimestamp
+      |WHERE CASE WHEN e.side = 'b'
+      |  THEN e.price >= COALESCE(s.ba, e.price + 1)
+      |  ELSE e.price <= COALESCE(s.bb, e.price - 1) END
+      |ORDER BY pair_id, order_id""".stripMargin
 }

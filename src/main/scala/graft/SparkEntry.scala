@@ -114,6 +114,11 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"),
           col("period_start"), col("period_end"), col("n_ticks"))
         .orderBy("pair_id", "period_start")),
+    "mkt_fix_crossed" -> ((s, d) => {
+      val l3 = level3(s, d)
+      GridOps.fixCrossedBooks(l3, MarketOps.spread(l3, s))
+        .orderBy("pair_id", "order_id")
+    }),
     "mkt_dq" -> ((s, d) =>
       GridOps.dqReport(level3(s, d))
         .select(col("pair_id").cast("long").as("pair_id"), col("n_events"),
@@ -254,6 +259,7 @@ object SparkEntry {
     "mkt_queues" -> Oracles.mktQueues,
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,
+    "mkt_fix_crossed" -> Oracles.mktFixCrossed,
     "mkt_dq" -> Oracles.mktDq,
     "mkt_overview" -> Oracles.mktOverview,
     "mkt_ob_ladders" -> Oracles.mktObLadders,

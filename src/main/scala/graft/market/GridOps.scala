@@ -118,6 +118,43 @@ object GridOps {
       .drop("grp")
   }
 
+  /** Crossed-book repair (reference `obanalytics.fix_crossed_books`,
+    * `db/obanalytics_schema.sql:1301-1417`): find "eternal takers" —
+    * orders whose final event rests forever (next = ALIVE sentinel) but
+    * whose price crossed the prevailing opposite best when it arrived —
+    * and emit the synthetic deletion events that would repair the book.
+    * Immutable-lake form of the reference's targeted rewrite: the
+    * output is a correction stream to union with level3. */
+  def fixCrossedBooks(level3: DataFrame, spreadTicks: DataFrame): DataFrame = {
+    val eternal = level3
+      .filter(col("next_microtimestamp") === Level3Source.AliveMicros)
+      .select(col("pair_id").cast("long").as("pair_id"),
+        col("microtimestamp").as("ts"), lit(0).as("kind"),
+        col("order_id"), col("side"), col("price"), col("amount"))
+    val tickCols = spreadTicks.select(
+      col("pair_id").cast("long").as("pair_id"), col("ts"), lit(1).as("kind"),
+      lit(null).cast("long").as("order_id"),
+      lit(null).cast("string").as("side"),
+      lit(null).cast("double").as("price"),
+      lit(null).cast("double").as("amount"),
+      col("bid_price").as("tick_bid"), col("ask_price").as("tick_ask"))
+    val wAsof = Window.partitionBy("pair_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    eternal
+      .withColumn("tick_bid", lit(null).cast("double"))
+      .withColumn("tick_ask", lit(null).cast("double"))
+      .unionByName(tickCols)
+      .withColumn("bb", last("tick_bid", ignoreNulls = true).over(wAsof))
+      .withColumn("ba", last("tick_ask", ignoreNulls = true).over(wAsof))
+      .filter(col("kind") === 0)
+      .filter(
+        when(col("side") === "b", col("price") >= coalesce(col("ba"), col("price") + 1))
+          .otherwise(col("price") <= coalesce(col("bb"), col("price") - 1)))
+      .select(col("pair_id"), col("order_id"), col("side"), col("price"),
+        col("amount"), col("ts").as("entered_at"),
+        lit("crossed-eternal-taker").as("reason"))
+  }
+
   /** Data-quality report (reference `qty_level3_*` checks,
     * `db/obanalytics_schema.sql:2157-2429`, and the table constraints
     * `:146-151`): invariant-violation counts per pair. */
