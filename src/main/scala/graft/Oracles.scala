@@ -641,14 +641,14 @@ object Oracles {
       |  SELECT doc_id, j,
       |    SUM(CASE WHEN ascii(substr(md5(shingle), j + 1, 1)) % 2 = 1
       |      THEN 1 ELSE -1 END) AS s
-      |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j
+      |  FROM sh, range(0, 32) t(j) GROUP BY doc_id, j
       |), sg AS (
       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
       |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
       |  FROM bitsum GROUP BY doc_id
       |), blocks AS (
       |  SELECT doc_id, sig, b,
-      |    (sig // CAST(POW(2, 4*b) AS BIGINT)) % 16 AS bv
+      |    (sig // CAST(POW(2, 8*b) AS BIGINT)) % 256 AS bv
       |  FROM sg, range(0, 4) t(b)
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,

@@ -84,15 +84,16 @@ object TextPipeline {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** 16-bit SimHash over the document's trigram shingles (word-level
+  /** 32-bit SimHash over the document's trigram shingles (word-level
     * tokens are degenerate on small vocabularies: every doc contains
     * nearly every word, making all signatures collide); bit j is the
     * sign of Σ_shingles ±1 from the parity of hex digit j of the
     * shingle's single md5 digest. */
-  def simhashSignatures(docs: DataFrame, bits: Int = 16): DataFrame = {
+  def simhashSignatures(docs: DataFrame, bits: Int = 32): DataFrame = {
     // ONE md5 per shingle; bit j comes from the parity of hex digit j
-    // of the digest (16 independent bits from one hash), all bit sums
-    // in one aggregation — no per-bit hashing or row explosion
+    // of the digest (the 32 digest digits give 32 independent bits),
+    // all bit sums in one aggregation — no per-bit hashing or row
+    // explosion
     def contrib(j: Int) =
       when(ascii(substring(col("dig"), j + 1, 1)) % 2 === 1, 1)
         .otherwise(-1)
@@ -108,15 +109,16 @@ object TextPipeline {
   }
 
   /** SimHash near-duplicates with Hamming distance ≤ `maxHamming`,
-    * found via pigeonhole banding (4 blocks of 4 bits: ≤3 differing
-    * bits ⇒ at least one identical block) — the O(n²) scan never
-    * happens, pairs come from equi-joins on (block_no, block_value). */
+    * found via pigeonhole banding (4 blocks of 8 bits: ≤3 differing
+    * bits ⇒ at least one identical block; 256-value blocks keep the
+    * collision buckets small) — the O(n²) scan never happens, pairs
+    * come from equi-joins on (block_no, block_value). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs)
     val blocks = sigs
       .withColumn("blk", explode(sequence(lit(0), lit(3))))
       .withColumn("blk_val",
-        expr("(sig div CAST(pow(2, 4*blk) AS BIGINT)) % 16"))
+        expr("(sig div CAST(pow(2, 8*blk) AS BIGINT)) % 256"))
       .select("doc_id", "blk", "blk_val")
     val a = blocks.select(col("doc_id").as("doc_a"), col("blk"), col("blk_val"))
     val b = blocks.select(col("doc_id").as("doc_b"), col("blk"), col("blk_val"))
