@@ -125,15 +125,16 @@ object Oracles {
   def q05AsofEnrich: String =
     """WITH u AS (
       |  SELECT user_id AS key, epoch_us(ts) AS t, event_id,
-      |         CAST(NULL AS DOUBLE) AS o_price, 1 AS is_event
+      |         CAST(NULL AS DOUBLE) AS o_price, 1 AS is_event,
+      |         event_id AS tie
       |  FROM events
       |  UNION ALL
       |  SELECT o_custkey % 1500, epoch_us(o_orderdate), CAST(NULL AS BIGINT),
-      |         o_totalprice, 0
+      |         o_totalprice, 0, o_orderkey
       |  FROM orders
       |), enriched AS (
       |  SELECT *, LAST_VALUE(o_price IGNORE NULLS) OVER (
-      |    PARTITION BY key ORDER BY t, is_event
+      |    PARTITION BY key ORDER BY t, is_event, tie
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order_price
       |  FROM u
       |)

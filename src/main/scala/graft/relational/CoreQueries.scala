@@ -131,12 +131,17 @@ object CoreQueries {
   def asofEnrich(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id").as("key"), tsMicros(col("ts")).as("t"),
-        col("event_id"), lit(null).cast("double").as("o_price"), lit(1).as("is_event"))
+        col("event_id"), lit(null).cast("double").as("o_price"),
+        lit(1).as("is_event"), col("event_id").as("tie"))
     val o = Tables.load(spark, dir, "orders")
       .select((col("o_custkey") % 1500).as("key"), tsMicros(col("o_orderdate")).as("t"),
         lit(null).cast("long").as("event_id"),
-        col("o_totalprice").as("o_price"), lit(0).as("is_event"))
-    val w = Window.partitionBy("key").orderBy(col("t"), col("is_event"))
+        col("o_totalprice").as("o_price"), lit(0).as("is_event"),
+        col("o_orderkey").as("tie"))
+    // `tie` disambiguates same-day orders of one customer — without it
+    // the as-of value is nondeterministic (surfaced at sf0.1)
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("is_event"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
     ev.unionByName(o)
       .withColumn("last_order_price", last("o_price", ignoreNulls = true).over(w))
