@@ -76,8 +76,37 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   /** `obanalytics.summary()` — per-era feed statistics. */
   def summary(): DataFrame = Analytics.summary(l3e)
 
+  /** `obadiah::spread` instantaneous overload — best bid/ask at t. */
+  def spreadAt(atMicros: Long): DataFrame =
+    MarketOps.spreadAt(level3, atMicros)
+
+  /** Frequency-resampled spread (right-closed grid). */
+  def spreadResampled(freqMicros: Long): DataFrame =
+    market.Resampling.spreadResampled(level3, spark, freqMicros)
+
+  /** Era-reset spread: books rebuilt from empty at each era start. */
+  def spreadByEra(): DataFrame =
+    market.Resampling.spreadByEra(level3, spark)
+
+  /** Snapshot reconciliation between two instants (created/deleted/
+    * changed orders). */
+  def bookDiff(ts1: Long, ts2: Long): DataFrame =
+    MarketOps.bookDiff(level3, ts1, ts2)
+
+  /** Per-side nested price ladders at an instant. */
+  def orderBookLadders(atMicros: Long): DataFrame =
+    Analytics.orderBookLadders(level3, atMicros)
+
+  /** Catalog overview: covered period + counts per pair. */
+  def dataOverview(): DataFrame = Analytics.dataOverview(level3)
+
   /** Crossed-book periods (data-quality view). */
   def crossedBooks(): DataFrame = GridOps.crossedBooks(spread())
+
+  /** Crossed-book repair: synthetic deletions for eternal crossing
+    * takers (correction stream). */
+  def fixCrossedBooks(): DataFrame =
+    GridOps.fixCrossedBooks(level3, spread())
 
   /** Invariant-violation report (`qty_level3_*` analogue). */
   def dataQuality(): DataFrame = GridOps.dqReport(level3)

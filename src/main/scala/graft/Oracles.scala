@@ -1072,4 +1072,24 @@ object Oracles {
       |  THEN e.price >= COALESCE(s.ba, e.price + 1)
       |  ELSE e.price <= COALESCE(s.bb, e.price - 1) END
       |ORDER BY pair_id, order_id""".stripMargin
+
+  def mktSpreadAt: String = Level3Cte +
+    s""", snaps AS (
+      |  SELECT pair_id, side, price, SUM(amount) AS qty FROM level3
+      |  WHERE microtimestamp <= $SnapshotMicros
+      |    AND next_microtimestamp > $SnapshotMicros
+      |  GROUP BY pair_id, side, price
+      |), bests2 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, side
+      |    ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS rn
+      |  FROM snaps
+      |)
+      |SELECT pair_id,
+      |  MAX(CASE WHEN side = 'b' THEN price END) AS bid_price,
+      |  MAX(CASE WHEN side = 'b' THEN qty END) AS bid_qty,
+      |  MAX(CASE WHEN side = 's' THEN price END) AS ask_price,
+      |  MAX(CASE WHEN side = 's' THEN qty END) AS ask_qty,
+      |  $SnapshotMicros AS ts
+      |FROM bests2 WHERE rn = 1 GROUP BY pair_id
+      |ORDER BY pair_id""".stripMargin
 }

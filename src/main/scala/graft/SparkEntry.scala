@@ -153,6 +153,11 @@ object SparkEntry {
           col("side"), col("a_price"), col("a_amount"), col("b_price"),
           col("b_amount"), col("change"))
         .orderBy("pair_id", "order_id")),
+    "mkt_spread_at" -> ((s, d) =>
+      MarketOps.spreadAt(level3(s, d), Oracles.SnapshotMicros)
+        .select(col("pair_id").cast("long").as("pair_id"), col("bid_price"),
+          col("bid_qty"), col("ask_price"), col("ask_qty"), col("ts"))
+        .orderBy("pair_id")),
     "mkt_spread_1h" -> ((s, d) =>
       market.Resampling.spreadResampled(level3(s, d), s, 3600000000L)
         .orderBy("pair_id", "ts")),
@@ -264,6 +269,7 @@ object SparkEntry {
     "mkt_overview" -> Oracles.mktOverview,
     "mkt_ob_ladders" -> Oracles.mktObLadders,
     "mkt_book_diff" -> Oracles.mktBookDiff,
+    "mkt_spread_at" -> Oracles.mktSpreadAt,
     "mkt_spread_1h" -> Oracles.mktSpread1h,
     "mkt_spread_era" -> Oracles.mktSpreadEra,
     "mkt_queues_log" -> Oracles.mktQueuesLog,

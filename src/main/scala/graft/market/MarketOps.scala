@@ -140,6 +140,29 @@ object MarketOps {
       .select("pair_id", "ts", "side", "price", "volume")
   }
 
+  /** Instantaneous spread at an instant (reference `get.spread`'s
+    * second overload over `_starting_depth`, `db/get_schema.sql:645-682`):
+    * best bid/ask price and the total quantity resting at each. */
+  def spreadAt(level3: DataFrame, tsMicros: Long): DataFrame = {
+    val snap = level3
+      .filter(col("microtimestamp") <= tsMicros &&
+        col("next_microtimestamp") > tsMicros)
+      .groupBy("pair_id", "side", "price")
+      .agg(sum("amount").as("qty"))
+    val w = Window.partitionBy("pair_id", "side")
+      .orderBy(when(col("side") === "b", -col("price")).otherwise(col("price")))
+    snap
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("pair_id")
+      .agg(
+        max(when(col("side") === "b", col("price"))).as("bid_price"),
+        max(when(col("side") === "b", col("qty"))).as("bid_qty"),
+        max(when(col("side") === "s", col("price"))).as("ask_price"),
+        max(when(col("side") === "s", col("qty"))).as("ask_qty"))
+      .withColumn("ts", lit(tsMicros))
+  }
+
   /** Diff of the books standing at two instants: synthetic
     * created/deleted/changed rows per order (reference
     * `bitfinex._diff_order_books` — channel-reconnect reconciliation,
