@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.market.{Level3Source, MarketOps}
+
+/** Scale probe: replicate the sf0.1 event stream K× (new user ids →
+  * new order streams and pairs, so the replay group count grows with
+  * the data — the realistic 100 TB shape where pair×era parallelism
+  * absorbs volume), then time the level3 build + L1 replay end to end.
+  *
+  * `java ... graft.ScaleProbe [K]` → one JSON line with events/sec.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 50
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val copies = broadcast((0 until k).toDF("copy"))
+    val events = base.crossJoin(copies)
+      .select(
+        (col("event_id") * k + col("copy")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * 10000).as("user_id"),
+        col("event_type"),
+        col("value"),
+        col("props"))
+    val nEvents = events.count()
+
+    // (a) as-is: 3 pairs -> 3 replay groups (the skewed worst case)
+    val t0 = System.nanoTime()
+    val l3 = Level3Source.level3(events)
+    val ticks = MarketOps.spread(l3, spark).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // (b) multi-instrument shape: one pair per user block -> replay
+    // parallelism grows with the data (the realistic 100 TB layout)
+    val t1 = System.nanoTime()
+    val l3p = Level3Source.level3(events)
+      .withColumn("pair_id",
+        (expr("order_id div 1000") % 150 + 1).cast("int"))
+    val ticksP = MarketOps.spread(l3p, spark).count()
+    val secsP = (System.nanoTime() - t1) / 1e9
+
+    println(f"""{"events":$nEvents,"skewed_3_pairs":{"l1_ticks":$ticks,"seconds":$secs%.1f,"events_per_sec":${(nEvents / secs).toLong}},"parallel_150_pairs":{"l1_ticks":$ticksP,"seconds":$secsP%.1f,"events_per_sec":${(nEvents / secsP).toLong}}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers the library's custom
+  * Catalyst expressions for SQL use
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)`), so `SELECT
+  * long_array_dot(a, b)` works from plain SQL, not only the Scala
+  * Column API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayDot(exprs(0), exprs(1))))
+  }
+}
