@@ -1092,4 +1092,23 @@ object Oracles {
       |  $SnapshotMicros AS ts
       |FROM bests2 WHERE rn = 1 GROUP BY pair_id
       |ORDER BY pair_id""".stripMargin
+
+  def mktDepthSummaryWide: String = Level3Cte + GridSnapCte +
+    """, bkw AS (
+      |  SELECT *, CAST(CEIL(ABS(price - best) / best * 10000 / 25) AS BIGINT) * 25
+      |    AS bps_level
+      |  FROM wb
+      |), longds AS (
+      |  SELECT pair_id, g AS ts, side, bps_level, SUM(amount) AS volume
+      |  FROM bkw WHERE bps_level <= 500
+      |  GROUP BY pair_id, g, side, bps_level
+      |)
+      |SELECT pair_id, ts,""".stripMargin + "\n" +
+    (for (side <- Seq("b", "s"); b <- 0 to 500 by 25) yield
+      s"  SUM(CASE WHEN side = '$side' AND bps_level = $b THEN volume END)" +
+        s" AS ${if (side == "b") "bid" else "ask"}_vol${b}bps")
+      .mkString(",\n") +
+    """
+      |FROM longds GROUP BY pair_id, ts
+      |ORDER BY pair_id, ts""".stripMargin
 }

@@ -99,6 +99,10 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("bps_level"), col("volume"), col("bps_price"))
         .orderBy("pair_id", "ts", "side", "bps_level")),
+    "mkt_depth_summary_wide" -> ((s, d) =>
+      GridOps.depthSummaryWide(level3(s, d), Oracles.GridInstants)
+        .withColumn("pair_id", col("pair_id").cast("long"))
+        .orderBy("pair_id", "ts")),
     "mkt_queues" -> ((s, d) =>
       GridOps.queues(level3(s, d), Oracles.GridInstants)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -261,6 +265,7 @@ object SparkEntry {
     "mkt_level3" -> Oracles.mktLevel3,
     "mkt_trading_period" -> Oracles.mktTradingPeriod,
     "mkt_depth_summary" -> Oracles.mktDepthSummary,
+    "mkt_depth_summary_wide" -> Oracles.mktDepthSummaryWide,
     "mkt_queues" -> Oracles.mktQueues,
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,

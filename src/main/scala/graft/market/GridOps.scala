@@ -98,6 +98,20 @@ object GridOps {
         col("price_bucket"))
       .agg(sum("amount").as("volume"))
 
+  /** Wide (pivoted) depth summary — the R client's final shape
+    * (`bid.vol25bps … ask.vol500bps`, `R/obanalytics.R:410-427`): one
+    * row per (pair, instant), one column per side×bps bucket. */
+  def depthSummaryWide(level3: DataFrame, instants: Seq[Long],
+      bpsStep: Int = 25, maxBps: Int = 500): DataFrame = {
+    val long = depthSummary(level3, instants, bpsStep, maxBps)
+    val buckets = (0 to maxBps by bpsStep)
+    val cols = for (side <- Seq("b", "s"); b <- buckets) yield
+      sum(when(col("side") === side && col("bps_level") === b,
+        col("volume")))
+        .as(s"${if (side == "b") "bid" else "ask"}_vol${b}bps")
+    long.groupBy("pair_id", "ts").agg(cols.head, cols.tail: _*)
+  }
+
   /** Crossed-book periods (reference `obanalytics.crossed_books`,
     * `db/obanalytics_schema.sql:1183-1216`): gaps-and-islands over the
     * L1 stream where best_bid ≥ best_ask. */
