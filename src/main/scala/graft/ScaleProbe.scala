@@ -6,14 +6,17 @@ import graft.market.{Level3Source, MarketOps}
 
 /** Scale probe: replicate the sf0.1 event stream K× (new user ids →
   * new order streams and pairs, so the replay group count grows with
-  * the data — the realistic 100 TB shape where pair×era parallelism
+  * the data — the realistic 100 TB shape where pair×slice parallelism
   * absorbs volume), then time the level3 build + L1 replay end to end.
   *
-  * `java ... graft.ScaleProbe [K]` → one JSON line with events/sec.
+  * `java ... graft.ScaleProbe [K] [sliceHours]` → one JSON line.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 50
+    val sliceMicros =
+      if (args.length > 1) args(1).toLong * 3600L * 1000000
+      else MarketOps.DefaultSliceMicros
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -35,22 +38,28 @@ object ScaleProbe {
         col("props"))
     val nEvents = events.count()
 
-    // (a) as-is: 3 pairs -> 3 replay groups (the skewed worst case)
-    val t0 = System.nanoTime()
-    val l3 = Level3Source.level3(events)
-    val ticks = MarketOps.spread(l3, spark).count()
-    val secs = (System.nanoTime() - t0) / 1e9
+    def timed(f: => Long): (Long, Double) = {
+      val t = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t) / 1e9)
+    }
 
-    // (b) multi-instrument shape: one pair per user block -> replay
-    // parallelism grows with the data (the realistic 100 TB layout)
-    val t1 = System.nanoTime()
+    // level3 build alone (materialize every column, defeat pruning)
+    val (_, tL3) = timed(Level3Source.level3(events).rdd.count())
+
+    // (a) as-is: 3 pairs (the skewed worst case) — sliced replay keeps
+    // parallelism = pairs × slices. First pass absorbs JIT warmup.
+    MarketOps.spread(Level3Source.level3(events), spark, sliceMicros).count()
+    val (ticks, secs) = timed(
+      MarketOps.spread(Level3Source.level3(events), spark, sliceMicros).count())
+
+    // (b) multi-instrument shape: one pair per user block
     val l3p = Level3Source.level3(events)
       .withColumn("pair_id",
         (expr("order_id div 1000") % 150 + 1).cast("int"))
-    val ticksP = MarketOps.spread(l3p, spark).count()
-    val secsP = (System.nanoTime() - t1) / 1e9
+    val (ticksP, secsP) = timed(MarketOps.spread(l3p, spark, sliceMicros).count())
 
-    println(f"""{"events":$nEvents,"skewed_3_pairs":{"l1_ticks":$ticks,"seconds":$secs%.1f,"events_per_sec":${(nEvents / secs).toLong}},"parallel_150_pairs":{"l1_ticks":$ticksP,"seconds":$secsP%.1f,"events_per_sec":${(nEvents / secsP).toLong}}}""")
+    println(f"""{"events":$nEvents,"slice_micros":$sliceMicros,"level3_build_sec":$tL3%.1f,"skewed_3_pairs":{"l1_ticks":$ticks,"seconds":$secs%.1f,"events_per_sec":${(nEvents / secs).toLong}},"parallel_150_pairs":{"l1_ticks":$ticksP,"seconds":$secsP%.1f,"events_per_sec":${(nEvents / secsP).toLong}}}""")
     spark.stop()
   }
 }

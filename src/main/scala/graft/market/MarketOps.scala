@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object MarketOps {
 
+  /** Default replay slice width: 24 h of event time per (pair, slice)
+    * group. Replay parallelism = pairs × days of data, so a month of one
+    * hot pair still fans out over ~30 cores; at cluster scale the width
+    * is the knob trading seed-row overhead (O(live orders) rows per
+    * boundary) against group count. */
+  val DefaultSliceMicros: Long = 86400L * 1000000
+
   private def bookEvents(level3: DataFrame, spark: SparkSession)
       : Dataset[BookEvent] = {
     import spark.implicits._
@@ -32,10 +39,71 @@ object MarketOps {
       .as[BookEvent]
   }
 
+  /** Replay input re-keyed to (pair, time-slice) groups. Slice `s` owns
+    * episodes in `(s·W, (s+1)·W]`; each group is prefixed with *seed*
+    * rows — the orders standing at the slice boundary, found
+    * declaratively from validity intervals (`micro ≤ s·W < next`, the
+    * same predicate as `obanalytics.order_book`,
+    * `db/obanalytics_schema.sql:2061-2063`) — so groups replay
+    * independently yet concatenate to the sequential answer. An order
+    * seeds every boundary its interval covers (`explode(sequence)`),
+    * capped to slices that actually hold events. */
+  private[graft] def slicedEvents(level3: DataFrame, spark: SparkSession,
+      sliceMicros: Long): Dataset[SlicedEvent] = {
+    import spark.implicits._
+    val W = sliceMicros
+    val sliceOf = expr(s"(microtimestamp - 1) div $W")
+    // min/max slice per pair: Catalyst prunes the level3 window
+    // expressions here (only pair_id + microtimestamp survive), so this
+    // is a cheap pre-scan, and the 1-row-per-pair result broadcasts.
+    val bounds = level3.groupBy("pair_id")
+      .agg(min(sliceOf).as("min_slice"), max(sliceOf).as("max_slice"))
+    // Boundaries b=s·W covered by the row's validity interval:
+    // ceil(micro/W) ≤ s ≤ (next-1) div W, clamped to slices with data;
+    // deleted rows have empty intervals and generate no seeds. One
+    // generator per row emits the row's own slice plus every boundary
+    // it seeds — a single evaluation of the level3 plan, no self-union.
+    val lo = greatest(expr(s"(microtimestamp + ${W - 1}) div $W"),
+      col("min_slice") + 1)
+    val hi = least(expr(s"(next_microtimestamp - 1) div $W"), col("max_slice"))
+    level3
+      .join(broadcast(bounds), "pair_id")
+      .withColumn("real_slice", sliceOf)
+      .withColumn("slice",
+        explode(when(lo <= hi,
+          concat(array(col("real_slice")), sequence(lo, hi)))
+          .otherwise(array(col("real_slice")))))
+      .select(
+        col("pair_id").as("pairId"),
+        col("slice"),
+        (col("slice") =!= col("real_slice")).as("seed"),
+        (col("slice") > col("min_slice")).as("hasHistory"),
+        col("microtimestamp").as("ts"),
+        col("order_id").as("orderId"),
+        col("side"), col("price"), col("amount"),
+        col("is_deleted").as("isDeleted"),
+        col("event_id"))
+      .as[SlicedEvent]
+  }
+
   /** Level-1 spread stream: (pair_id, ts, bid/ask price+qty), one row per
     * episode where the quote changed (reference: `spread_by_episode_fast`,
-    * `db/c/obadiah_db/obadiah_db.cpp:270-363`). */
-  def spread(level3: DataFrame, spark: SparkSession): DataFrame = {
+    * `db/c/obadiah_db/obadiah_db.cpp:270-363`). Runs as seeded
+    * (pair, slice) groups — output identical to one sequential pass per
+    * pair, parallelism proportional to the time span. */
+  def spread(level3: DataFrame, spark: SparkSession,
+      sliceMicros: Long = DefaultSliceMicros): DataFrame = {
+    import spark.implicits._
+    slicedEvents(level3, spark, sliceMicros)
+      .groupByKey(e => (e.pairId, e.slice))
+      .flatMapSortedGroups($"ts", $"event_id") { case ((pair, _), it) =>
+        Replay.l1Sliced(pair, it)
+      }
+      .toDF()
+  }
+
+  /** Single-group-per-pair twin of [[spread]] (differential testing). */
+  private[graft] def spreadUnsliced(level3: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     bookEvents(level3, spark)
       .groupByKey(_.pairId)
@@ -45,7 +113,19 @@ object MarketOps {
 
   /** Level-2 depth-change stream (reference:
     * `depth_change_by_episode_fast`, `db/c/obadiah_db/obadiah_db.cpp:171-268`). */
-  def depthChanges(level3: DataFrame, spark: SparkSession): DataFrame = {
+  def depthChanges(level3: DataFrame, spark: SparkSession,
+      sliceMicros: Long = DefaultSliceMicros): DataFrame = {
+    import spark.implicits._
+    slicedEvents(level3, spark, sliceMicros)
+      .groupByKey(e => (e.pairId, e.slice))
+      .flatMapSortedGroups($"ts", $"event_id") { case ((pair, _), it) =>
+        Replay.l2Sliced(pair, it)
+      }
+      .toDF()
+  }
+
+  /** Single-group-per-pair twin of [[depthChanges]] (differential testing). */
+  private[graft] def depthChangesUnsliced(level3: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     bookEvents(level3, spark)
       .groupByKey(_.pairId)
@@ -56,58 +136,100 @@ object MarketOps {
   /** Effective-price (trading period) stream for a fixed volume —
     * kernel walk per episode (reference `get.trading_period`). */
   def tradingPeriod(level3: DataFrame, spark: SparkSession,
-      volumeUnits: Long): DataFrame = {
+      volumeUnits: Long, sliceMicros: Long = DefaultSliceMicros): DataFrame = {
     import spark.implicits._
-    bookEvents(level3, spark)
-      .groupByKey(_.pairId)
-      .flatMapSortedGroups($"ts", $"event_id")((pair, it) =>
-        Replay.tradingPeriod(pair, it, volumeUnits))
+    slicedEvents(level3, spark, sliceMicros)
+      .groupByKey(e => (e.pairId, e.slice))
+      .flatMapSortedGroups($"ts", $"event_id") { case ((pair, _), it) =>
+        Replay.tradingPeriodSliced(pair, it, volumeUnits)
+      }
       .toDF()
   }
 
+  /** L1 ticks annotated with the era they fall into — the parallel unit
+    * for the sequential operators below (reference: books and their
+    * derived series never cross eras, `db/obanalytics_schema.sql:2104-2124`,
+    * so a request spanning eras concatenates era-local results). The
+    * eras dimension is tiny → broadcast asof-range join. */
+  private def spreadWithEra(level3: DataFrame, spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy("pair_id").orderBy("era")
+    val eras = Level3Source.eras(level3)
+      .withColumn("next_era",
+        coalesce(lead("era", 1).over(w), lit(Long.MaxValue)))
+      .select("pair_id", "era_no", "era", "next_era")
+    spread(level3, spark)
+      .join(broadcast(eras), Seq("pair_id"))
+      .where(col("ts") >= col("era") && col("ts") < col("next_era"))
+      .drop("era", "next_era")
+  }
+
   /** Optimal-strategy positions over the L1 stream (reference
-    * `get.trading_strategy` / `src/position_discovery.cpp`). */
+    * `get.trading_strategy` / `src/position_discovery.cpp`). One
+    * sequential state machine per (pair, era): positions cannot span an
+    * era boundary (the book restarts from empty), matching the
+    * reference and bounding any single task to one era's quote stream. */
   def tradingStrategy(level3: DataFrame, spark: SparkSession,
       phi: Double, rho: Double): DataFrame = {
     import spark.implicits._
-    spread(level3, spark)
-      .select(col("pair_id"), col("ts"),
+    spreadWithEra(level3, spark)
+      .select(col("pair_id"), col("era_no"), col("ts"),
         col("bid_price").as("bid"), col("ask_price").as("ask"))
-      .as[graft.sequential.Quote]
-      .groupByKey(_.pair_id)
-      .flatMapSortedGroups($"ts")((pair, it) =>
-        graft.sequential.TradingStrategyOp.positions(pair, it, phi, rho))
+      .as[graft.sequential.QuoteE]
+      .groupByKey(q => (q.pair_id, q.era_no))
+      .flatMapSortedGroups($"ts") { case ((pair, _), it) =>
+        graft.sequential.TradingStrategyOp.positions(pair, it.map(_.toQuote), phi, rho)
+      }
       .toDF()
   }
 
   /** ε-drawup/drawdown segmentation of the mid-price path (reference
     * `src/epsilon_drawupdowns.cpp`). One-sided and crossed quotes are
-    * skipped before segmentation. */
+    * skipped before segmentation; one machine per (pair, era). */
   def epsilonDraws(level3: DataFrame, spark: SparkSession,
       epsilon: Double): DataFrame = {
     import spark.implicits._
-    spread(level3, spark)
+    spreadWithEra(level3, spark)
       .filter(col("bid_price").isNotNull && col("ask_price").isNotNull &&
         col("bid_price") <= col("ask_price"))
-      .select(col("pair_id"), col("ts"),
+      .select(col("pair_id"), col("era_no"), col("ts"),
         ((col("bid_price") + col("ask_price")) / 2.0).as("mid"))
-      .as[(Int, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups($"ts")((pair, it) =>
-        graft.sequential.EpsilonDrawsOp.draws(pair, it.map(r => (r._2, r._3)), epsilon))
+      .as[(Int, Long, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups($"ts") { case ((pair, _), it) =>
+        graft.sequential.EpsilonDrawsOp.draws(pair, it.map(r => (r._3, r._4)), epsilon)
+      }
       .toDF()
   }
 
-  /** Windowed depth API in one kernel pass: starting book at t0 +
-    * changes in (t0, t1] (reference `get.depth` / `level2_continuous`). */
+  /** Windowed depth API: starting book at t0 + changes in (t0, t1]
+    * (reference `get.depth` / `level2_continuous`,
+    * `db/obanalytics_schema.sql:1627-1661`). The starting depth is a
+    * declarative validity-interval snapshot (filter + groupBy — fully
+    * parallel, amounts are integral so summation order is immaterial);
+    * the change stream is the sliced L2 replay restricted to slices
+    * overlapping (t0, t1] — slices entirely before t0 contribute only
+    * through seed rows, so no replay outside the window. */
   def depthWindow(level3: DataFrame, spark: SparkSession,
-      t0: Long, t1: Long): DataFrame = {
+      t0: Long, t1: Long, sliceMicros: Long = DefaultSliceMicros): DataFrame = {
     import spark.implicits._
-    bookEvents(level3, spark)
-      .groupByKey(_.pairId)
-      .flatMapSortedGroups($"ts", $"event_id")((pair, it) =>
-        Replay.depthWindow(pair, it, t0, t1))
+    val starting = level3
+      .filter(col("microtimestamp") <= t0 && col("next_microtimestamp") > t0)
+      .groupBy("pair_id", "side", "price")
+      .agg(sum("amount").as("volume"))
+      .select(col("pair_id").cast("int").as("pair_id"),
+        lit(t0).as("ts"), col("side"), col("price"), col("volume"))
+    val changes = slicedEvents(level3, spark, sliceMicros)
+      // slice s owns episodes in (s·W, (s+1)·W] — keep s touching (t0, t1]
+      .where(col("slice") >= t0 / sliceMicros &&
+        col("slice") <= (t1 - 1) / sliceMicros)
+      .groupByKey(e => (e.pairId, e.slice))
+      .flatMapSortedGroups($"ts", $"event_id") { case ((pair, _), it) =>
+        Replay.l2Sliced(pair, it)
+      }
       .toDF()
+      .filter(col("ts") > t0 && col("ts") <= t1)
+      .select("pair_id", "ts", "side", "price", "volume")
+    starting.unionByName(changes)
       .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
         when(col("side") === "b", "bid").otherwise("ask").as("side"),
         col("price"), col("volume"))

@@ -87,11 +87,42 @@ final class OrderBook {
   def askLevels: Int = asks.size
 }
 
+/** Book event tagged with its replay slice (see
+  * [[MarketOps.slicedEvents]]): `seed = true` rows reconstruct the book
+  * standing at the slice boundary and are applied silently before any
+  * emission; `hasHistory` is constant per group and marks slices with
+  * earlier data for the pair (so emit-on-change dedup can initialize its
+  * "last emitted" state from the seeded book instead of emitting
+  * unconditionally). */
+case class SlicedEvent(
+    pairId: Int,
+    slice: Long,
+    seed: Boolean,
+    hasHistory: Boolean,
+    ts: Long,
+    orderId: Long,
+    side: String,
+    price: Double,
+    amount: Double,
+    isDeleted: Boolean,
+    event_id: Long) {
+  def toBookEvent: BookEvent =
+    BookEvent(pairId, ts, orderId, side, price, amount, isDeleted)
+}
+
 /** Episode-at-a-time replay over a time-sorted event iterator. An
   * *episode* is the group of events sharing one microtimestamp; emitters
   * observe the book only at episode boundaries (reference:
   * `db/c/obadiah_db/episode.cpp:106-159`, SURVEY §7.4). The iterator is
   * fully streaming: O(book) memory, single pass.
+  *
+  * Every emitter has a *sliced* variant taking [[SlicedEvent]]s: the
+  * leading seed rows rebuild the book standing at the slice boundary
+  * (computed declaratively from validity intervals — no upstream replay
+  * dependency), so a pair's event history replays as independent
+  * (pair, slice) groups whose concatenated output is byte-identical to
+  * one sequential pass. Parallelism then grows with data *length*, not
+  * the pair count — the property that makes replay viable at 100 TB.
   */
 object Replay {
 
@@ -100,9 +131,14 @@ object Replay {
   def episodes[T](
       events: Iterator[BookEvent],
       emit: (Long, OrderBook, List[(Boolean, Double)]) => IterableOnce[T])
+      : Iterator[T] = episodesFrom(new OrderBook, events, emit)
+
+  private def episodesFrom[T](
+      book: OrderBook,
+      events: Iterator[BookEvent],
+      emit: (Long, OrderBook, List[(Boolean, Double)]) => IterableOnce[T])
       : Iterator[T] = {
     val buf = events.buffered
-    val book = new OrderBook
     new Iterator[Iterator[T]] {
       override def hasNext: Boolean = buf.hasNext
       override def next(): Iterator[T] = {
@@ -115,14 +151,39 @@ object Replay {
     }.flatten
   }
 
+  /** Silently apply the leading seed rows; returns the seeded book and
+    * whether the slice has prior history for this pair. */
+  private def seedBook(buf: BufferedIterator[SlicedEvent]): (OrderBook, Boolean) = {
+    val hasHistory = buf.hasNext && buf.head.hasHistory
+    val book = new OrderBook
+    while (buf.hasNext && buf.head.seed) book.apply(buf.next().toBookEvent)
+    (book, hasHistory)
+  }
+
+  private def quoteOf(pairId: Int, ts: Long, book: OrderBook): L1Tick =
+    L1Tick(pairId, ts,
+      book.bestBid.map(_._1), book.bestBid.map(_._2),
+      book.bestAsk.map(_._1), book.bestAsk.map(_._2))
+
   /** L1 ticks, deduplicated (emit only when the quote changes —
     * reference: `db/c/obadiah_db/depth.cpp:20-75`). */
-  def l1(pairId: Int, events: Iterator[BookEvent]): Iterator[L1Tick] = {
-    var last: L1Tick = null
-    episodes(events, (ts, book, _) => {
-      val t = L1Tick(pairId, ts,
-        book.bestBid.map(_._1), book.bestBid.map(_._2),
-        book.bestAsk.map(_._1), book.bestAsk.map(_._2))
+  def l1(pairId: Int, events: Iterator[BookEvent]): Iterator[L1Tick] =
+    l1From(pairId, new OrderBook, null, events)
+
+  /** Slice-parallel L1: output of all (pair, slice) groups concatenated
+    * equals [[l1]] over the whole pair stream. */
+  def l1Sliced(pairId: Int, events: Iterator[SlicedEvent]): Iterator[L1Tick] = {
+    val buf = events.buffered
+    val (book, hasHistory) = seedBook(buf)
+    val last0 = if (hasHistory) quoteOf(pairId, 0L, book) else null
+    l1From(pairId, book, last0, buf.map(_.toBookEvent))
+  }
+
+  private def l1From(pairId: Int, book: OrderBook, last0: L1Tick,
+      events: Iterator[BookEvent]): Iterator[L1Tick] = {
+    var last: L1Tick = last0
+    episodesFrom(book, events, (ts, b, _) => {
+      val t = quoteOf(pairId, ts, b)
       if (last == null ||
           t.bid_price != last.bid_price || t.bid_qty != last.bid_qty ||
           t.ask_price != last.ask_price || t.ask_qty != last.ask_qty) {
@@ -139,23 +200,43 @@ object Replay {
     * result is exact and engine-independent; the final division is one
     * deterministic double op. Emits on change only. */
   def tradingPeriod(pairId: Int, events: Iterator[BookEvent],
+      volumeUnits: Long): Iterator[TpTick] =
+    tpFrom(pairId, new OrderBook, null, events, volumeUnits)
+
+  /** Slice-parallel trading period (see [[l1Sliced]]). */
+  def tradingPeriodSliced(pairId: Int, events: Iterator[SlicedEvent],
       volumeUnits: Long): Iterator[TpTick] = {
-    def walk(book: OrderBook, isBid: Boolean): Option[Double] = {
-      var remaining = volumeUnits
-      var costCents = 0L
-      val it = book.depth(isBid)
-      while (remaining > 0 && it.hasNext) {
-        val (price, qty) = it.next()
-        val take = math.min(qty.toLong, remaining)
-        costCents += take * math.round(price * 100)
-        remaining -= take
-      }
-      if (remaining > 0) None
-      else Some(costCents.toDouble / (100.0 * volumeUnits))
+    val buf = events.buffered
+    val (book, hasHistory) = seedBook(buf)
+    val last0 =
+      if (hasHistory)
+        TpTick(pairId, 0L, tpWalk(book, isBid = false, volumeUnits),
+          tpWalk(book, isBid = true, volumeUnits))
+      else null
+    tpFrom(pairId, book, last0, buf.map(_.toBookEvent), volumeUnits)
+  }
+
+  private def tpWalk(book: OrderBook, isBid: Boolean,
+      volumeUnits: Long): Option[Double] = {
+    var remaining = volumeUnits
+    var costCents = 0L
+    val it = book.depth(isBid)
+    while (remaining > 0 && it.hasNext) {
+      val (price, qty) = it.next()
+      val take = math.min(qty.toLong, remaining)
+      costCents += take * math.round(price * 100)
+      remaining -= take
     }
-    var last: TpTick = null
-    episodes(events, (ts, book, _) => {
-      val t = TpTick(pairId, ts, walk(book, isBid = false), walk(book, isBid = true))
+    if (remaining > 0) None
+    else Some(costCents.toDouble / (100.0 * volumeUnits))
+  }
+
+  private def tpFrom(pairId: Int, book: OrderBook, last0: TpTick,
+      events: Iterator[BookEvent], volumeUnits: Long): Iterator[TpTick] = {
+    var last: TpTick = last0
+    episodesFrom(book, events, (ts, b, _) => {
+      val t = TpTick(pairId, ts, tpWalk(b, isBid = false, volumeUnits),
+        tpWalk(b, isBid = true, volumeUnits))
       if (last == null || t.buy_vwap != last.buy_vwap ||
           t.sell_vwap != last.sell_vwap) {
         last = t; Some(t)
@@ -169,6 +250,18 @@ object Replay {
   def l2(pairId: Int, events: Iterator[BookEvent]): Iterator[L2Change] =
     l2From(pairId, new OrderBook,
       mutable.HashMap.empty[(Boolean, Double), Double], events)
+
+  /** Slice-parallel L2: the seeded book's standing levels become the
+    * per-level "previous total" state, so each group emits exactly the
+    * deltas the sequential pass would (see [[l1Sliced]]). */
+  def l2Sliced(pairId: Int, events: Iterator[SlicedEvent]): Iterator[L2Change] = {
+    val buf = events.buffered
+    val (book, _) = seedBook(buf)
+    val prev = mutable.HashMap.empty[(Boolean, Double), Double]
+    for (isBid <- Seq(true, false); (price, vol) <- book.depth(isBid))
+      prev.update((isBid, price), vol)
+    l2From(pairId, book, prev, buf.map(_.toBookEvent))
+  }
 
   private def l2From(pairId: Int, book: OrderBook,
       prev: mutable.HashMap[(Boolean, Double), Double],
@@ -194,24 +287,4 @@ object Replay {
     }.flatten
   }
 
-  /** Windowed depth in one pass (reference `level2_continuous`,
-    * `db/obanalytics_schema.sql:1627-1661`): silently replay to t0,
-    * emit the standing book as a synthetic starting depth at t0, then
-    * stream the changes in (t0, t1] — no second replay for the
-    * boundary state. */
-  def depthWindow(pairId: Int, events: Iterator[BookEvent],
-      t0: Long, t1: Long): Iterator[L2Change] = {
-    val buf = events.buffered
-    val book = new OrderBook
-    while (buf.hasNext && buf.head.ts <= t0) book.apply(buf.next())
-    val prev = mutable.HashMap.empty[(Boolean, Double), Double]
-    val starting = Seq(true, false).iterator.flatMap { isBid =>
-      book.depth(isBid).map { case (price, vol) =>
-        prev.update((isBid, price), vol)
-        L2Change(pairId, t0, if (isBid) "b" else "s", price, vol)
-      }
-    }.toList // materialize: prev must be seeded before changes stream
-    starting.iterator ++
-      l2From(pairId, book, prev, buf.takeWhile(_.ts <= t1))
-  }
 }

@@ -12,6 +12,12 @@ package graft.sequential
 case class Quote(pair_id: Int, ts: Long,
     bid: Option[Double], ask: Option[Double])
 
+/** Quote tagged with its era — the (pair, era) parallel unit. */
+case class QuoteE(pair_id: Int, era_no: Long, ts: Long,
+    bid: Option[Double], ask: Option[Double]) {
+  def toQuote: Quote = Quote(pair_id, ts, bid, ask)
+}
+
 case class Position(pair_id: Int, side: String,
     opened_at: Long, open_price: Double,
     closed_at: Long, close_price: Double)

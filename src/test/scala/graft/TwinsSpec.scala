@@ -40,6 +40,23 @@ class TwinsSpec extends AnyFunSuite {
     assert(sortedRows(kernel) == sortedRows(twin))
   }
 
+  test("sliced replay == single sequential pass per pair (L1 + L2)") {
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    // A slice width that forces many boundaries mid-stream (~30 days of
+    // data / 6 h slices ≈ 120 boundary seedings per pair).
+    val w = 6L * 3600 * 1000000
+    val l1Sliced = MarketOps.spread(l3, spark, w)
+      .orderBy("pair_id", "ts").collect().map(_.toSeq).toList
+    val l1Seq = MarketOps.spreadUnsliced(l3, spark)
+      .orderBy("pair_id", "ts").collect().map(_.toSeq).toList
+    assert(l1Sliced.nonEmpty && l1Sliced == l1Seq)
+    val l2Sliced = sortedRows(MarketOps.depthChanges(l3, spark, w)
+      .withColumn("pair_id", col("pair_id").cast("long")))
+    val l2Seq = sortedRows(MarketOps.depthChangesUnsliced(l3, spark)
+      .withColumn("pair_id", col("pair_id").cast("long")))
+    assert(l2Sliced == l2Seq)
+  }
+
   test("streaming L2 == batch kernel L2") {
     import spark.implicits._
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
