@@ -877,33 +877,42 @@ object Oracles {
       |GROUP BY pair_id, g, side, tick
       |ORDER BY pair_id, ts, side, tick""".stripMargin
 
-  def mktMatchSum2: String = Level3Cte +
+  /** Capped per-buy matchable set — mirror of
+    * `TradeMatching.matchableSells` (reference
+    * `_matches_matchable_sets`, set cap 10). */
+  private def MatchableSetCte: String =
     """, fl AS (
       |  SELECT pair_id, microtimestamp AS ts, order_id AS oid,
       |    event_no AS eno, side, fill
       |  FROM level3 WHERE fill > 0
-      |), sp AS (
-      |  SELECT s1.pair_id,
-      |    s1.ts AS s1_ts, s1.oid AS s1_oid, s1.eno AS s1_eno,
-      |    s1.fill AS s1_fill,
-      |    s2.ts AS s2_ts, s2.oid AS s2_oid, s2.eno AS s2_eno,
-      |    s2.fill AS s2_fill,
-      |    s1.fill + s2.fill AS sum_fill
-      |  FROM fl s1 JOIN fl s2
-      |    ON s1.side = 's' AND s2.side = 's'
-      |   AND s1.pair_id = s2.pair_id
-      |   AND ABS(s1.ts - s2.ts) <= 3600000000
-      |   AND (s1.ts < s2.ts OR (s1.ts = s2.ts AND (s1.oid < s2.oid
-      |     OR (s1.oid = s2.oid AND s1.eno < s2.eno))))
-      |), cand AS (
+      |), ms AS (
       |  SELECT b.pair_id, b.ts AS b_ts, b.oid AS b_oid, b.eno AS b_eno,
-      |    b.fill AS fill, sp.*,
-      |    ABS(b.ts - sp.s1_ts) + ABS(b.ts - sp.s2_ts) AS dist
-      |  FROM fl b JOIN sp
-      |    ON b.side = 'b' AND b.pair_id = sp.pair_id
-      |   AND b.fill = sp.sum_fill
-      |   AND ABS(b.ts - sp.s1_ts) <= 3600000000
-      |   AND ABS(b.ts - sp.s2_ts) <= 3600000000
+      |    b.fill AS b_fill,
+      |    s.ts AS s_ts, s.oid AS s_oid, s.eno AS s_eno, s.fill AS s_fill,
+      |    ABS(b.ts - s.ts) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY b.pair_id, b.oid, b.eno
+      |      ORDER BY ABS(b.ts - s.ts), s.ts, s.oid, s.eno) AS srn
+      |  FROM fl b JOIN fl s
+      |    ON b.side = 'b' AND s.side = 's' AND b.pair_id = s.pair_id
+      |   AND ABS(b.ts - s.ts) <= 3600000000
+      |), msc AS (
+      |  SELECT * FROM ms WHERE srn <= 10
+      |)""".stripMargin
+
+  def mktMatchSum2: String = Level3Cte + MatchableSetCte +
+    """, cand AS (
+      |  SELECT m1.pair_id, m1.b_ts, m1.b_oid, m1.b_eno,
+      |    m1.b_fill AS fill,
+      |    m1.s_ts AS s1_ts, m1.s_oid AS s1_oid, m1.s_eno AS s1_eno,
+      |    m1.s_fill AS s1_fill,
+      |    m2.s_ts AS s2_ts, m2.s_oid AS s2_oid, m2.s_eno AS s2_eno,
+      |    m2.s_fill AS s2_fill,
+      |    m1.dist + m2.dist AS dist
+      |  FROM msc m1 JOIN msc m2
+      |    ON m1.pair_id = m2.pair_id AND m1.b_ts = m2.b_ts
+      |   AND m1.b_oid = m2.b_oid AND m1.b_eno = m2.b_eno
+      |   AND m1.srn < m2.srn
+      |   AND m1.s_fill + m2.s_fill = m1.b_fill
       |), ranked2 AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, b_oid, b_eno
       |    ORDER BY dist, s1_ts, s1_oid, s1_eno, s2_ts, s2_oid, s2_eno)
@@ -913,6 +922,38 @@ object Oracles {
       |SELECT pair_id, b_ts, b_oid, b_eno, fill,
       |  s1_ts, s1_oid, s1_eno, s1_fill, s2_ts, s2_oid, s2_eno, s2_fill
       |FROM ranked2 WHERE rn = 1
+      |ORDER BY pair_id, b_ts, b_oid, b_eno""".stripMargin
+
+  def mktMatchSum3: String = Level3Cte + MatchableSetCte +
+    """, cand AS (
+      |  SELECT m1.pair_id, m1.b_ts, m1.b_oid, m1.b_eno,
+      |    m1.b_fill AS fill,
+      |    m1.s_ts AS s1_ts, m1.s_oid AS s1_oid, m1.s_eno AS s1_eno,
+      |    m1.s_fill AS s1_fill,
+      |    m2.s_ts AS s2_ts, m2.s_oid AS s2_oid, m2.s_eno AS s2_eno,
+      |    m2.s_fill AS s2_fill,
+      |    m3.s_ts AS s3_ts, m3.s_oid AS s3_oid, m3.s_eno AS s3_eno,
+      |    m3.s_fill AS s3_fill,
+      |    m1.dist + m2.dist + m3.dist AS dist
+      |  FROM msc m1 JOIN msc m2
+      |    ON m1.pair_id = m2.pair_id AND m1.b_ts = m2.b_ts
+      |   AND m1.b_oid = m2.b_oid AND m1.b_eno = m2.b_eno
+      |   AND m1.srn < m2.srn
+      |  JOIN msc m3
+      |    ON m2.pair_id = m3.pair_id AND m2.b_ts = m3.b_ts
+      |   AND m2.b_oid = m3.b_oid AND m2.b_eno = m3.b_eno
+      |   AND m2.srn < m3.srn
+      |  WHERE m1.s_fill + m2.s_fill + m3.s_fill = m1.b_fill
+      |), ranked3 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, b_oid, b_eno
+      |    ORDER BY dist, s1_ts, s1_oid, s1_eno, s2_ts, s2_oid, s2_eno,
+      |      s3_ts, s3_oid, s3_eno) AS rn
+      |  FROM cand
+      |)
+      |SELECT pair_id, b_ts, b_oid, b_eno, fill,
+      |  s1_ts, s1_oid, s1_eno, s1_fill, s2_ts, s2_oid, s2_eno, s2_fill,
+      |  s3_ts, s3_oid, s3_eno, s3_fill
+      |FROM ranked3 WHERE rn = 1
       |ORDER BY pair_id, b_ts, b_oid, b_eno""".stripMargin
 
   def mktBookDiff: String = Level3Cte +

@@ -185,6 +185,17 @@ object SparkEntry {
           col("s2_ts"), col("s2_oid"),
           col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"))
         .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
+    "mkt_match_sum3" -> ((s, d) =>
+      TradeMatching.matchSumOfThree(level3(s, d))
+        .select(col("pair_id").cast("long").as("pair_id"), col("b_ts"),
+          col("b_oid"), col("b_eno").cast("long").as("b_eno"), col("fill"),
+          col("s1_ts"), col("s1_oid"),
+          col("s1_eno").cast("long").as("s1_eno"), col("s1_fill"),
+          col("s2_ts"), col("s2_oid"),
+          col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"),
+          col("s3_ts"), col("s3_oid"),
+          col("s3_eno").cast("long").as("s3_eno"), col("s3_fill"))
+        .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
     "mkt_ob_flags" -> ((s, d) =>
       MarketOps.orderBookAt(level3(s, d), Oracles.SnapshotMicros)
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
@@ -279,6 +290,7 @@ object SparkEntry {
     "mkt_spread_era" -> Oracles.mktSpreadEra,
     "mkt_queues_log" -> Oracles.mktQueuesLog,
     "mkt_match_sum2" -> Oracles.mktMatchSum2,
+    "mkt_match_sum3" -> Oracles.mktMatchSum3,
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_split" -> Oracles.pipeSplit,

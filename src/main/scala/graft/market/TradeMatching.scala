@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object TradeMatching {
 
+  /** Time band for matching. The reference default is 1 s on µs-spaced
+    * exchange feeds (`p_max_delay`, `db/bitfinex_schema.sql:577`); this
+    * dataset's fills are minutes apart, so the band scales accordingly
+    * (same reasoning as the era-gap threshold). Compute stays bounded at
+    * any width via bucketed equi keys + the matchable-set cap. */
   val DefaultToleranceMicros: Long = 3600L * 1000000 // 1 h band
+
+  /** Matchable-set cap — reference `p_max_set_size = 10`
+    * (`db/bitfinex_schema.sql:577`). */
+  val DefaultSetCap: Int = 10
 
   /** Event uuid — md5 of the natural key, as in the reference
     * (`obanalytics._level3_uuid`, `db/obanalytics_schema.sql:909-911`). */
@@ -32,7 +41,16 @@ object TradeMatching {
   /** Inferred matches table: one row per (buy event, sell event) pair.
     * Columns: microtimestamp, price, amount, side (taker side),
     * buy_order_id/buy_event_no, sell_order_id/sell_event_no, pair_id,
-    * exchange_id. */
+    * exchange_id.
+    *
+    * The band join is *time-bucketed*: the buy side explodes into its
+    * bucket ±1 (`bucket = ts div band`) and the join runs on
+    * (pair, fill, bucket) with the band as residual — every true match
+    * has bucket distance ≤ 1, so the candidate set is identical, but a
+    * join group is now bounded by a band's worth of fills even when one
+    * fill value dominates (low-cardinality fill skew — the sort-merge
+    * join on (pair, fill) alone degenerates toward a cross product per
+    * fill value). */
   def inferredMatches(level3: DataFrame,
       toleranceMicros: Long = DefaultToleranceMicros): DataFrame = {
     val fills = level3.filter(col("fill") > 0)
@@ -42,12 +60,18 @@ object TradeMatching {
     val b = fills.filter(col("side") === "b").columns
       .foldLeft(fills.filter(col("side") === "b")) {
         (d, c) => d.withColumnRenamed(c, "b_" + c) }
+      .withColumn("probe_bucket", explode(array(
+        expr(s"b_microtimestamp div $toleranceMicros - 1"),
+        expr(s"b_microtimestamp div $toleranceMicros"),
+        expr(s"b_microtimestamp div $toleranceMicros + 1"))))
     val s = fills.filter(col("side") === "s").columns
       .foldLeft(fills.filter(col("side") === "s")) {
         (d, c) => d.withColumnRenamed(c, "s_" + c) }
+      .withColumn("s_bucket", expr(s"s_microtimestamp div $toleranceMicros"))
     val cand = b.join(s,
       col("b_pair_id") === col("s_pair_id") &&
         col("b_fill") === col("s_fill") &&
+        col("probe_bucket") === col("s_bucket") &&
         abs(col("b_microtimestamp") - col("s_microtimestamp")) <= toleranceMicros)
       .withColumn("dist", abs(col("b_microtimestamp") - col("s_microtimestamp")))
     val wb = Window.partitionBy("b_pair_id", "b_order_id", "b_event_no")
@@ -82,49 +106,102 @@ object TradeMatching {
       lit(1L).as("exchange_id"))
   }
 
-  /** Subset-sum trade matching (reference
-    * `bitfinex.match_price_and_sum_of_fill_exact`,
-    * `db/bitfinex_schema.sql:577-646`, restricted to 2-subsets): a buy
-    * fill matched against the *sum* of two sell fills inside the time
-    * band. Sell pairs are built per pair_id with a band predicate (the
-    * pair space is band-bounded, not quadratic), then equi-joined on
-    * (pair_id, fill-sum); best candidate per buy event wins. */
-  def matchSumOfTwo(level3: DataFrame,
-      toleranceMicros: Long = DefaultToleranceMicros): DataFrame = {
+  /** Per-buy *matchable set*: the ≤ `setCap` nearest sell fills inside
+    * the time band, ranked by distance (reference
+    * `bitfinex._matches_matchable_sets`, `db/bitfinex_schema.sql:177-237`
+    * — matchable sets are delay-windowed runs capped at
+    * `p_max_set_size = 10`). The band join is time-bucketed as in
+    * [[inferredMatches]]; the cap makes every downstream subset join
+    * O(setCap²·n) instead of O(band²·n) — the property that keeps
+    * subset-sum matching linear in the fill count at any band width. */
+  private def matchableSells(level3: DataFrame, toleranceMicros: Long,
+      setCap: Int): DataFrame = {
     val fills = level3.filter(col("fill") > 0)
       .select(col("pair_id"), col("microtimestamp").as("ts"),
         col("order_id").as("oid"), col("event_no").as("eno"),
         col("side"), col("fill"))
     def pref(p: String, d: DataFrame) =
       d.columns.foldLeft(d)((x, c) => x.withColumnRenamed(c, p + c))
-    val s1 = pref("s1_", fills.filter(col("side") === "s"))
-    val s2 = pref("s2_", fills.filter(col("side") === "s"))
-    val sellPairs = s1.join(s2,
-      col("s1_pair_id") === col("s2_pair_id") &&
-        abs(col("s1_ts") - col("s2_ts")) <= toleranceMicros &&
-        (col("s1_ts") < col("s2_ts") ||
-          (col("s1_ts") === col("s2_ts") &&
-            (col("s1_oid") < col("s2_oid") ||
-              (col("s1_oid") === col("s2_oid") &&
-                col("s1_eno") < col("s2_eno"))))))
-      .withColumn("sum_fill", col("s1_fill") + col("s2_fill"))
     val b = pref("b_", fills.filter(col("side") === "b"))
-    val cand = b.join(sellPairs,
-      col("b_pair_id") === col("s1_pair_id") &&
-        col("b_fill") === col("sum_fill") &&
-        abs(col("b_ts") - col("s1_ts")) <= toleranceMicros &&
-        abs(col("b_ts") - col("s2_ts")) <= toleranceMicros)
-      .withColumn("dist",
-        abs(col("b_ts") - col("s1_ts")) + abs(col("b_ts") - col("s2_ts")))
+      .withColumn("probe_bucket", explode(array(
+        expr(s"b_ts div $toleranceMicros - 1"),
+        expr(s"b_ts div $toleranceMicros"),
+        expr(s"b_ts div $toleranceMicros + 1"))))
+    val s = pref("s_", fills.filter(col("side") === "s"))
+      .withColumn("s_bucket", expr(s"s_ts div $toleranceMicros"))
     val w = Window.partitionBy("b_pair_id", "b_oid", "b_eno")
+      .orderBy(col("dist"), col("s_ts"), col("s_oid"), col("s_eno"))
+    b.join(s,
+      col("b_pair_id") === col("s_pair_id") &&
+        col("probe_bucket") === col("s_bucket") &&
+        abs(col("b_ts") - col("s_ts")) <= toleranceMicros)
+      .withColumn("dist", abs(col("b_ts") - col("s_ts")))
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= setCap)
+      .select(col("b_pair_id").as("pair_id"), col("b_ts"), col("b_oid"),
+        col("b_eno"), col("b_fill"), col("s_ts"), col("s_oid"),
+        col("s_eno"), col("s_fill"), col("dist"), col("srn"))
+  }
+
+  private def renameSell(d: DataFrame, p: String): DataFrame =
+    Seq("s_ts", "s_oid", "s_eno", "s_fill", "dist", "srn")
+      .foldLeft(d)((x, c) => x.withColumnRenamed(c, p + c.stripPrefix("s_")))
+
+  /** Subset-sum trade matching, 2-subsets (reference
+    * `bitfinex.match_price_and_sum_of_fill_exact`,
+    * `db/bitfinex_schema.sql:577-646`): a buy fill matched against the
+    * sum of two sell fills from its capped matchable set; best (closest)
+    * candidate per buy event wins. */
+  def matchSumOfTwo(level3: DataFrame,
+      toleranceMicros: Long = DefaultToleranceMicros,
+      setCap: Int = DefaultSetCap): DataFrame = {
+    val ms = matchableSells(level3, toleranceMicros, setCap)
+    val s1 = renameSell(ms, "s1_")
+    val s2 = renameSell(ms
+      .drop("b_fill"), "s2_")
+    val buyKey = Seq("pair_id", "b_ts", "b_oid", "b_eno")
+    val cand = s1.join(s2, buyKey)
+      .filter(col("s1_srn") < col("s2_srn") &&
+        col("s1_fill") + col("s2_fill") === col("b_fill"))
+      .withColumn("dist", col("s1_dist") + col("s2_dist"))
+    val w = Window.partitionBy("pair_id", "b_oid", "b_eno")
       .orderBy(col("dist"), col("s1_ts"), col("s1_oid"), col("s1_eno"),
         col("s2_ts"), col("s2_oid"), col("s2_eno"))
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("b_pair_id").as("pair_id"),
+      .select(col("pair_id"),
         col("b_ts"), col("b_oid"), col("b_eno"), col("b_fill").as("fill"),
         col("s1_ts"), col("s1_oid"), col("s1_eno"), col("s1_fill"),
         col("s2_ts"), col("s2_oid"), col("s2_eno"), col("s2_fill"))
+  }
+
+  /** Subset-sum trade matching, 3-subsets — the reference's default
+    * `p_max_group_size = 3` (`db/bitfinex_schema.sql:577`). */
+  def matchSumOfThree(level3: DataFrame,
+      toleranceMicros: Long = DefaultToleranceMicros,
+      setCap: Int = DefaultSetCap): DataFrame = {
+    val ms = matchableSells(level3, toleranceMicros, setCap)
+    val s1 = renameSell(ms, "s1_")
+    val s2 = renameSell(ms.drop("b_fill"), "s2_")
+    val s3 = renameSell(ms.drop("b_fill"), "s3_")
+    val buyKey = Seq("pair_id", "b_ts", "b_oid", "b_eno")
+    val cand = s1.join(s2, buyKey)
+      .filter(col("s1_srn") < col("s2_srn"))
+      .join(s3, buyKey)
+      .filter(col("s2_srn") < col("s3_srn") &&
+        col("s1_fill") + col("s2_fill") + col("s3_fill") === col("b_fill"))
+      .withColumn("dist", col("s1_dist") + col("s2_dist") + col("s3_dist"))
+    val w = Window.partitionBy("pair_id", "b_oid", "b_eno")
+      .orderBy(col("dist"), col("s1_ts"), col("s1_oid"), col("s1_eno"),
+        col("s2_ts"), col("s2_oid"), col("s2_eno"),
+        col("s3_ts"), col("s3_oid"), col("s3_eno"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("pair_id"),
+        col("b_ts"), col("b_oid"), col("b_eno"), col("b_fill").as("fill"),
+        col("s1_ts"), col("s1_oid"), col("s1_eno"), col("s1_fill"),
+        col("s2_ts"), col("s2_oid"), col("s2_eno"), col("s2_fill"),
+        col("s3_ts"), col("s3_oid"), col("s3_eno"), col("s3_fill"))
   }
 
   /** `get.trades` projection (reference `db/get_schema.sql:688-723`):

@@ -21,8 +21,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query runs and returns rows (except known-sparse ones)") {
     // sparse at sf0.001 only: the trade-matching band finds no pairs
-    val mayBeEmpty = Set("mkt_trades", "mkt_match_sum2", "mkt_crossed",
-      "pipe_minhash", "pipe_simhash")
+    val mayBeEmpty = Set("mkt_trades", "mkt_match_sum2", "mkt_match_sum3",
+      "mkt_crossed", "pipe_minhash", "pipe_simhash")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, dir).count()
     }
