@@ -622,11 +622,15 @@ object Oracles {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def pipeNgramJaccard: String = DocShinglesCte +
-    """, sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    """, shc AS (
+      |  SELECT sh.* FROM sh
+      |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+      |        HAVING COUNT(*) <= 50) rare USING (shingle)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id
       |), common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM sh a JOIN sh b
+      |  FROM shc a JOIN shc b
       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
       |)
@@ -639,17 +643,19 @@ object Oracles {
 
   def pipeSimhash: String = DocShinglesCte +
     """, bitsum AS (
-      |  SELECT doc_id, j,
-      |    SUM(CASE WHEN ascii(substr(md5(shingle), j + 1, 1)) % 2 = 1
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |        substr(md5(shingle), CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |        // CAST(POW(2, b % 4) AS BIGINT)) % 2 = 1
       |      THEN 1 ELSE -1 END) AS s
-      |  FROM sh, range(0, 32) t(j) GROUP BY doc_id, j
+      |  FROM sh, range(0, 60) t(b) GROUP BY doc_id, b
       |), sg AS (
       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
-      |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |    THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
       |  FROM bitsum GROUP BY doc_id
       |), blocks AS (
       |  SELECT doc_id, sig, b,
-      |    (sig // CAST(POW(2, 8*b) AS BIGINT)) % 256 AS bv
+      |    (sig // CAST(POW(2, 15*b) AS BIGINT)) % 32768 AS bv
       |  FROM sg, range(0, 4) t(b)
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
@@ -708,11 +714,16 @@ object Oracles {
       |ORDER BY query_id, rnk""".stripMargin
 
   def pipeAnnLsh: String = QuantEmbCte +
-    """, proj AS (
+    """, nb AS (
+      |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
+      |    AS BIGINT)) AS bits
+      |  FROM embeddings
+      |), proj AS (
       |  SELECT e.vec_id, j,
       |    SUM((CASE WHEN ascii(substr(md5(j || '#' || e.i), 1, 1)) % 2 = 1
       |      THEN 1 ELSE -1 END) * e.q) AS proj
-      |  FROM ev e, range(0, 6) t(j) GROUP BY e.vec_id, j
+      |  FROM ev e, range(0, 64) t(j), nb WHERE j < nb.bits
+      |  GROUP BY e.vec_id, j
       |), bkt AS (
       |  SELECT vec_id, CAST(SUM(CASE WHEN proj > 0
       |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket

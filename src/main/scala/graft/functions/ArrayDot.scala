@@ -67,4 +67,8 @@ object GraftFunctions {
   def longArrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper for [[StringPolyHash]]. */
+  def stringPolyHash(s: Column): Column =
+    ColumnBridge.column(StringPolyHash(ColumnBridge.expression(s)))
 }

@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("string_poly_hash"),
+      new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        StringPolyHash(exprs(0))))
   }
 }

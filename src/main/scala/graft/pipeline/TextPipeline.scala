@@ -65,11 +65,23 @@ object TextPipeline {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing at least
-    * `minCommon` trigrams (shared-shingle join — the posting lists are
-    * short because trigrams are near-unique, so no quadratic blowup). */
-  def ngramJaccard(docs: DataFrame, minCommon: Int = 2): DataFrame = {
-    val sh = shingled(docs)
+  /** Exact n-gram Jaccard similarity over *discriminative* trigrams:
+    * shingles with document frequency > `dfCap` (boilerplate — repeated
+    * headers, licence text, templates) are dropped before the
+    * shared-shingle self-join, so posting lists are bounded by `dfCap`
+    * and the join is O(n·dfCap) instead of quadratic in the hottest
+    * shingle. Similarity is defined on the capped shingle space (both
+    * the intersection and the set sizes), keeping the operator
+    * self-consistent and oracle-expressible. */
+  def ngramJaccard(docs: DataFrame, minCommon: Int = 2,
+      dfCap: Int = 50): DataFrame = {
+    val all = shingled(docs)
+    val rare = all.join(
+      all.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select("shingle"),
+      Seq("shingle"), "left_semi")
+    val sh = rare
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -84,53 +96,60 @@ object TextPipeline {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** 32-bit SimHash over the document's trigram shingles (word-level
+  /** 60-bit SimHash over the document's trigram shingles (word-level
     * tokens are degenerate on small vocabularies: every doc contains
-    * nearly every word, making all signatures collide); bit j is the
-    * sign of Σ_shingles ±1 from the parity of hex digit j of the
-    * shingle's single md5 digest. */
-  def simhashSignatures(docs: DataFrame, bits: Int = 32): DataFrame = {
-    // ONE md5 per shingle; bit j comes from the parity of hex digit j
-    // of the digest (the 32 digest digits give 32 independent bits),
-    // all bit sums in one aggregation — no per-bit hashing or row
-    // explosion
-    def contrib(j: Int) =
-      when(ascii(substring(col("dig"), j + 1, 1)) % 2 === 1, 1)
+    * nearly every word, making all signatures collide); bit b is the
+    * sign of Σ_shingles ±1 from bit (b mod 4) of hex digit (b div 4) of
+    * the shingle's single md5 digest — 60 independent bits from one
+    * digest, and the signature stays a *positive* BIGINT, which keeps
+    * shifts/mod identical across engines (no two's-complement edge). */
+  def simhashSignatures(docs: DataFrame, bits: Int = 60): DataFrame = {
+    // ONE md5 per shingle; 15 hex-digit value columns, then all bit
+    // sums in one aggregation — no per-bit hashing or row explosion
+    val withDigits = (0 until (bits + 3) / 4).foldLeft(
+      shingled(docs).withColumn("dig", md5(col("shingle")))) { (d, j) =>
+      d.withColumn(s"d$j",
+        expr(s"locate(substring(dig, ${j + 1}, 1), '0123456789abcdef') - 1"))
+    }
+    def contrib(b: Int) =
+      when(expr(s"(d${b / 4} div ${1 << (b % 4)}) % 2") === 1, 1)
         .otherwise(-1)
-    val sumCols = (0 until bits).map(j => sum(contrib(j)).as(s"s$j"))
+    val sumCols = (0 until bits).map(b => sum(contrib(b)).as(s"s$b"))
     val sig = (0 until bits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    shingled(docs)
-      .withColumn("dig", md5(col("shingle")))
+    withDigits
       .groupBy("doc_id")
       .agg(sumCols.head, sumCols.tail: _*)
       .select(col("doc_id"), sig.as("sig"))
   }
 
   /** SimHash near-duplicates with Hamming distance ≤ `maxHamming`,
-    * found via pigeonhole banding (4 blocks of 8 bits: ≤3 differing
-    * bits ⇒ at least one identical block; 256-value blocks keep the
-    * collision buckets small) — the O(n²) scan never happens, pairs
-    * come from equi-joins on (block_no, block_value). */
+    * found via pigeonhole banding (4 blocks of 15 bits: ≤3 differing
+    * bits ⇒ at least one identical block). 32768-value blocks keep the
+    * candidate space ~n²/2¹⁵ per block — the bucket count grows with
+    * the signature, not a fixed 256, so the pair join stays subquadratic
+    * at corpus scale. The signature join-back is left to the optimizer
+    * (AQE broadcasts while the table is small, shuffles when it isn't —
+    * a forced broadcast would OOM at billions of docs). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs)
     val blocks = sigs
       .withColumn("blk", explode(sequence(lit(0), lit(3))))
       .withColumn("blk_val",
-        expr("(sig div CAST(pow(2, 8*blk) AS BIGINT)) % 256"))
+        expr("(sig div CAST(pow(2, 15*blk) AS BIGINT)) % 32768"))
       .select("doc_id", "blk", "blk_val")
     val a = blocks.select(col("doc_id").as("doc_a"), col("blk"), col("blk_val"))
     val b = blocks.select(col("doc_id").as("doc_b"), col("blk"), col("blk_val"))
-    // dedupe candidate ids first (narrow rows), then broadcast-join the
-    // small signature table back for the hamming computation
+    // dedupe candidate ids first (narrow rows), then join the signature
+    // table back for the hamming computation
     a.join(b, Seq("blk", "blk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"))), Seq("doc_a"))
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"))), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
@@ -245,15 +264,16 @@ object TextPipeline {
   /** Document fingerprints: order-insensitive bag-of-words md5 (catches
     * shuffled duplicates), winnowing-style minimum shingle hash, and a
     * polynomial rolling hash of the byte stream (base 31 mod 1e9+7,
-    * seeded 7 — order-sensitive, exact integer math). */
+    * seeded 7 — order-sensitive, exact integer math; codegen'd
+    * [[graft.functions.StringPolyHash]], not an interpreted
+    * per-character HOF). */
   def fingerprints(docs: DataFrame): DataFrame = {
     val sh = shingled(docs).groupBy("doc_id").agg(min(md5(col("shingle"))).as("min_shingle_hash"))
     docs.withColumn("words", wordsCol)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(col("words")))))
           .as("bag_fingerprint"),
-        expr("aggregate(split(text, ''), 7L, " +
-          "(acc, x) -> (acc * 31 + ascii(x)) % 1000000007)")
+        graft.functions.GraftFunctions.stringPolyHash(col("text"))
           .as("rolling_hash"))
       .join(sh, Seq("doc_id"), "left")
   }

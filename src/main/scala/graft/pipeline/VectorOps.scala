@@ -62,6 +62,14 @@ object VectorOps {
         col("vb").as("vec_id"), col("cos"))
   }
 
+  /** Collection-size-scaled hyperplane count: enough bits that the
+    * expected bucket holds ~`targetBucket` vectors (fixed bits ⇒ bucket
+    * size n/2^bits, quadratic probe cost at corpus scale). Never below
+    * 6. */
+  def scaledBits(n: Long, targetBucket: Int = 16): Int =
+    math.max(6, math.ceil(
+      math.log(math.max(1L, n / targetBucket).toDouble) / math.log(2.0)).toInt)
+
   /** Random-hyperplane LSH buckets: `bits` hyperplanes with ±1 weights
     * derived from md5 parity (deterministic, engine-portable); bucket =
     * Σ bit_j·2^j. The scale path: vectors are bucketed once (one shuffle
@@ -88,10 +96,13 @@ object VectorOps {
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's
-    * bucket; exact cosine ranking within the bucket. */
+    * bucket; exact cosine ranking within the bucket. `bits` defaults to
+    * the collection-size-scaled count (one cheap count() to size it) so
+    * buckets stay ~constant-size as the collection grows. */
   def annLsh(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      bits: Int = 6): DataFrame = {
-    val buckets = lshBuckets(emb, bits)
+      bits: Int = -1): DataFrame = {
+    val useBits = if (bits > 0) bits else scaledBits(emb.count())
+    val buckets = lshBuckets(emb, useBits)
     val queries = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("q").as("qa"), col("nq").as("na"))

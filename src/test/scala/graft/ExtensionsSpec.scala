@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{GraftExtensions, LongArrayDot}
+import graft.functions.{GraftExtensions, LongArrayDot, StringPolyHash}
 
 /** The custom expression must be reachable from plain SQL. NOTE:
   * `.withExtensions` only applies when a session is first created, and
@@ -27,6 +27,20 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .collect()(0).getLong(0)
     assert(r == 32L)
+  }
+
+  test("string_poly_hash == interpreted HOF formulation") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "string_poly_hash", exprs => StringPolyHash(exprs(0)), "built-in")
+    val r = spark.sql(
+      "SELECT string_poly_hash('hello world 42') AS h, " +
+        "aggregate(split('hello world 42', ''), 7L, " +
+        "(acc, x) -> (acc * 31 + ascii(x)) % 1000000007) AS h2")
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    // empty string hashes to the seed
+    val e = spark.sql("SELECT string_poly_hash('') AS h").collect()(0).getLong(0)
+    assert(e == 7L)
   }
 
   test("GraftExtensions injects without error") {
