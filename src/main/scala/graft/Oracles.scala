@@ -967,6 +967,59 @@ object Oracles {
       |FROM ranked3 WHERE rn = 1
       |ORDER BY pair_id, b_ts, b_oid, b_eno""".stripMargin
 
+  /** Era-surgery mirror (EraSurgery.insertEra at SnapshotMicros, pair 1):
+    * split orders re-materialized at the cut, downstream chains shifted
+    * by a constant per-order delta, price chains re-anchored. */
+  def mktEraSplit: String = Level3Cte +
+    s""", sub AS (
+      |  SELECT l.*,
+      |    (l.microtimestamp < $SnapshotMicros
+      |      AND l.next_microtimestamp >= $SnapshotMicros) AS is_span,
+      |    MAX(CASE WHEN l.microtimestamp < $SnapshotMicros
+      |      AND l.next_microtimestamp >= $SnapshotMicros THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY l.order_id) = 1 AS has_span,
+      |    2 - MIN(CASE WHEN l.microtimestamp >= $SnapshotMicros
+      |      THEN l.event_no END) OVER (PARTITION BY l.order_id) AS delta
+      |  FROM level3 l WHERE l.pair_id = 1
+      |), split_out AS (
+      |  SELECT microtimestamp, order_id, event_no, side, price, amount,
+      |    fill,
+      |    CASE WHEN is_span THEN $SnapshotMicros
+      |         ELSE next_microtimestamp END AS next_microtimestamp,
+      |    is_deleted, price_microtimestamp, price_event_no, pair_id,
+      |    exchange_id, event_id
+      |  FROM sub WHERE microtimestamp < $SnapshotMicros
+      |  UNION ALL
+      |  SELECT $SnapshotMicros, order_id, 1, side, price, amount, fill,
+      |    next_microtimestamp, FALSE, $SnapshotMicros, 1, pair_id,
+      |    exchange_id, -order_id
+      |  FROM sub WHERE is_span
+      |  UNION ALL
+      |  SELECT microtimestamp, order_id,
+      |    CASE WHEN has_span THEN event_no + delta ELSE event_no END,
+      |    side, price, amount, fill, next_microtimestamp, is_deleted,
+      |    CASE WHEN has_span AND price_microtimestamp < $SnapshotMicros
+      |         THEN $SnapshotMicros ELSE price_microtimestamp END,
+      |    CASE WHEN has_span THEN
+      |        CASE WHEN price_microtimestamp < $SnapshotMicros THEN 1
+      |             ELSE price_event_no + delta END
+      |         ELSE price_event_no END,
+      |    pair_id, exchange_id, event_id
+      |  FROM sub WHERE microtimestamp >= $SnapshotMicros
+      |  UNION ALL
+      |  SELECT microtimestamp, order_id, event_no, side, price, amount,
+      |    fill, next_microtimestamp, is_deleted, price_microtimestamp,
+      |    price_event_no, pair_id, exchange_id, event_id
+      |  FROM level3 WHERE pair_id <> 1
+      |)
+      |SELECT microtimestamp, order_id, CAST(event_no AS BIGINT) AS event_no,
+      |  side, price, amount, fill, next_microtimestamp, is_deleted,
+      |  price_microtimestamp, CAST(price_event_no AS BIGINT) AS price_event_no,
+      |  CAST(pair_id AS BIGINT) AS pair_id,
+      |  CAST(exchange_id AS BIGINT) AS exchange_id, event_id
+      |FROM split_out
+      |ORDER BY microtimestamp, order_id, event_no""".stripMargin
+
   def mktBookDiff: String = Level3Cte +
     s""", snap_a AS (
       |  SELECT pair_id, order_id, side, price, amount FROM level3

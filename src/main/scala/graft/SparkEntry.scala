@@ -185,6 +185,17 @@ object SparkEntry {
           col("s2_ts"), col("s2_oid"),
           col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"))
         .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
+    "mkt_era_split" -> ((s, d) =>
+      market.EraSurgery.insertEra(level3(s, d), Oracles.SnapshotMicros, 1)
+        .select(col("microtimestamp"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("side"),
+          col("price"), col("amount"), col("fill"),
+          col("next_microtimestamp"), col("is_deleted"),
+          col("price_microtimestamp"),
+          col("price_event_no").cast("long").as("price_event_no"),
+          col("pair_id").cast("long").as("pair_id"),
+          col("exchange_id").cast("long").as("exchange_id"), col("event_id"))
+        .orderBy("microtimestamp", "order_id", "event_no")),
     "mkt_match_sum3" -> ((s, d) =>
       TradeMatching.matchSumOfThree(level3(s, d))
         .select(col("pair_id").cast("long").as("pair_id"), col("b_ts"),
@@ -291,6 +302,7 @@ object SparkEntry {
     "mkt_queues_log" -> Oracles.mktQueuesLog,
     "mkt_match_sum2" -> Oracles.mktMatchSum2,
     "mkt_match_sum3" -> Oracles.mktMatchSum3,
+    "mkt_era_split" -> Oracles.mktEraSplit,
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_split" -> Oracles.pipeSplit,
