@@ -322,7 +322,9 @@ object Oracles {
       |FROM flg2
       |ORDER BY ts_us, id, event_no""".stripMargin
 
-  def mktTrades: String = Level3Cte +
+  /** Mirror of TradeMatching.inferredMatches up to the mutual-best
+    * matches (`m`) — shared by mktTrades and the Bitstamp-tier oracles. */
+  private def InferredMatchCte: String =
     """, fills AS (
       |  SELECT pair_id, microtimestamp, order_id, event_no, side, price,
       |    fill, price_microtimestamp
@@ -350,7 +352,10 @@ object Oracles {
       |  SELECT *, (b_pts < s_pts OR (b_pts = s_pts AND (b_ts < s_ts
       |    OR (b_ts = s_ts AND b_oid < s_oid)))) AS maker_is_buy
       |  FROM ranked WHERE rn_b = 1 AND rn_s = 1
-      |)
+      |)""".stripMargin
+
+  def mktTrades: String = Level3Cte + InferredMatchCte +
+    """
       |SELECT GREATEST(b_ts, s_ts) AS ts,
       |  CASE WHEN maker_is_buy THEN b_price ELSE s_price END AS price,
       |  fill AS volume,
@@ -367,6 +372,164 @@ object Oracles {
       |  CASE WHEN maker_is_buy THEN s_oid ELSE b_oid END AS taker,
       |  pair_id
       |FROM m ORDER BY ts, maker, taker""".stripMargin
+
+  /** Aggressor/resting refs of each inferred match (taker side = 'b'
+    * when maker_is_buy is false) — shared by the Bitstamp-tier oracles. */
+  private def MatchRefsCte: String =
+    """, refs AS (
+      |  SELECT pair_id,
+      |    CASE WHEN maker_is_buy THEN s_ts ELSE b_ts END AS a_ts,
+      |    CASE WHEN maker_is_buy THEN s_oid ELSE b_oid END AS a_oid,
+      |    CASE WHEN maker_is_buy THEN s_eno ELSE b_eno END AS a_eno,
+      |    CASE WHEN maker_is_buy THEN b_ts ELSE s_ts END AS r_ts,
+      |    CASE WHEN maker_is_buy THEN b_oid ELSE s_oid END AS r_oid,
+      |    CASE WHEN maker_is_buy THEN b_eno ELSE s_eno END AS r_eno
+      |  FROM m
+      |)""".stripMargin
+
+  def mktBstReveal: String = Level3Cte + InferredMatchCte + MatchRefsCte +
+    """, ag AS (
+      |  SELECT refs.*, l.price_microtimestamp AS episode_ts
+      |  FROM refs JOIN level3 l ON l.microtimestamp = refs.a_ts
+      |    AND l.order_id = refs.a_oid AND l.event_no = refs.a_eno
+      |), props AS (
+      |  SELECT pair_id, a_ts AS ts, a_oid AS oid, a_eno AS eno, episode_ts
+      |  FROM ag
+      |  UNION ALL
+      |  SELECT pair_id, r_ts, r_oid, r_eno, episode_ts FROM ag
+      |), mv AS (
+      |  SELECT pair_id, ts, oid, eno, MIN(episode_ts) AS new_ts
+      |  FROM props GROUP BY pair_id, ts, oid, eno
+      |  HAVING ts <> MIN(episode_ts)
+      |)
+      |SELECT mv.pair_id AS pair_id, mv.oid AS order_id,
+      |  CAST(mv.eno AS BIGINT) AS event_no, mv.ts AS old_ts, mv.new_ts,
+      |  l.side, l.price, l.amount
+      |FROM mv JOIN level3 l ON l.pair_id = mv.pair_id
+      |  AND l.microtimestamp = mv.ts AND l.order_id = mv.oid
+      |  AND l.event_no = mv.eno
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  def mktBstFixAggr: String = Level3Cte + InferredMatchCte + MatchRefsCte +
+    """, twe AS (
+      |  SELECT refs.*, l.price_microtimestamp AS episode_ts,
+      |    l.price_event_no AS episode_eno
+      |  FROM refs JOIN level3 l ON l.microtimestamp = refs.a_ts
+      |    AND l.order_id = refs.a_oid AND l.event_no = refs.a_eno
+      |), props AS (
+      |  SELECT pair_id, a_oid AS oid, a_eno AS eno, episode_ts,
+      |    a_oid AS episode_oid, episode_eno
+      |  FROM twe
+      |  UNION ALL
+      |  SELECT pair_id, r_oid, r_eno, episode_ts, a_oid, episode_eno
+      |  FROM twe
+      |), runm AS (
+      |  SELECT *, MIN(episode_ts) OVER (PARTITION BY oid ORDER BY eno DESC
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS new_ep
+      |  FROM props
+      |), adj AS (
+      |  SELECT pair_id, episode_ts, episode_oid, episode_eno,
+      |    MIN(new_ep) AS new_ts
+      |  FROM runm WHERE new_ep < episode_ts
+      |  GROUP BY pair_id, episode_ts, episode_oid, episode_eno
+      |)
+      |SELECT adj.pair_id AS pair_id, adj.episode_oid AS order_id,
+      |  CAST(adj.episode_eno AS BIGINT) AS event_no,
+      |  adj.episode_ts AS old_ts, adj.new_ts, l.side, l.price, l.amount
+      |FROM adj JOIN level3 l ON l.pair_id = adj.pair_id
+      |  AND l.microtimestamp = adj.episode_ts
+      |  AND l.order_id = adj.episode_oid AND l.event_no = adj.episode_eno
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  def mktBstMatchSeq: String = Level3Cte + InferredMatchCte +
+    """, mts AS (
+      |  SELECT GREATEST(b_ts, s_ts) AS t_ts, fill AS t_amt,
+      |    CASE WHEN maker_is_buy THEN b_price ELSE s_price END AS t_price,
+      |    CASE WHEN maker_is_buy THEN 's' ELSE 'b' END AS t_side,
+      |    b_ts, b_oid, b_eno, s_ts, s_oid, s_eno, pair_id
+      |  FROM m
+      |), used AS (
+      |  SELECT b_ts AS microtimestamp, b_oid AS order_id,
+      |    b_eno AS event_no
+      |  FROM mts WHERE (b_oid + s_oid) % 3 <> 0
+      |  UNION ALL
+      |  SELECT s_ts, s_oid, s_eno FROM mts WHERE (b_oid + s_oid) % 3 <> 0
+      |), ev2 AS (
+      |  SELECT l.* FROM level3 l
+      |  WHERE l.event_no > 1 AND NOT EXISTS (
+      |    SELECT 1 FROM used u WHERE u.microtimestamp = l.microtimestamp
+      |      AND u.order_id = l.order_id AND u.event_no = l.event_no)
+      |), sq AS (
+      |  SELECT pair_id, microtimestamp, order_id, event_no, side, amount,
+      |    fill, price_microtimestamp, is_deleted, event_id,
+      |    LEAD(microtimestamp) OVER w AS n_microtimestamp,
+      |    LEAD(order_id) OVER w AS n_order_id,
+      |    LEAD(event_no) OVER w AS n_event_no,
+      |    LEAD(side) OVER w AS n_side,
+      |    LEAD(amount) OVER w AS n_amount,
+      |    LEAD(fill) OVER w AS n_fill,
+      |    LEAD(price_microtimestamp) OVER w AS n_price_microtimestamp,
+      |    LEAD(is_deleted) OVER w AS n_is_deleted
+      |  FROM ev2
+      |  WINDOW w AS (PARTITION BY pair_id ORDER BY microtimestamp, event_id)
+      |), um AS (
+      |  SELECT t_ts, t_amt, t_price, t_side,
+      |    b_oid AS buy_order_id, s_oid AS sell_order_id,
+      |    pair_id AS t_pair_id
+      |  FROM mts WHERE (b_oid + s_oid) % 3 = 0
+      |), scand AS (
+      |  SELECT sq.*, um.*,
+      |    CASE WHEN t_amt = fill THEN 0
+      |         WHEN ABS(t_amt * t_price - fill * t_price)
+      |           < CAST(0.0001 AS DOUBLE) * t_price THEN 1
+      |         WHEN fill IS NULL THEN 2
+      |         WHEN is_deleted AND fill = 0.0
+      |           AND ABS(t_amt * t_price - amount * t_price)
+      |             < CAST(0.0001 AS DOUBLE) * t_price THEN 3
+      |    END AS mr,
+      |    CASE WHEN t_amt = n_fill THEN 0
+      |         WHEN ABS(t_amt * t_price - n_fill * t_price)
+      |           < CAST(0.0001 AS DOUBLE) * t_price THEN 1
+      |         WHEN n_fill IS NULL THEN 2
+      |         WHEN n_is_deleted AND n_fill = 0.0
+      |           AND ABS(t_amt * t_price - n_amount * t_price)
+      |             < CAST(0.0001 AS DOUBLE) * t_price THEN 3
+      |    END AS n_mr
+      |  FROM sq JOIN um ON sq.pair_id = um.t_pair_id
+      |    AND sq.side <> sq.n_side
+      |    AND ((sq.order_id = um.buy_order_id
+      |          AND sq.n_order_id = um.sell_order_id)
+      |      OR (sq.n_order_id = um.buy_order_id
+      |          AND sq.order_id = um.sell_order_id))
+      |), prop AS (
+      |  SELECT * FROM scand
+      |  WHERE mr IS NOT NULL AND n_mr IS NOT NULL
+      |    AND CASE WHEN (t_side = 'b' AND side = 'b')
+      |               OR (t_side = 's' AND side = 's')
+      |             THEN price_microtimestamp > n_price_microtimestamp
+      |             ELSE price_microtimestamp < n_price_microtimestamp END
+      |), clean AS (
+      |  SELECT * FROM prop o
+      |  WHERE NOT EXISTS (SELECT 1 FROM prop i
+      |    WHERE o.order_id = i.n_order_id AND o.event_no = i.n_event_no)
+      |), rnk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY t_ts, buy_order_id, sell_order_id
+      |    ORDER BY microtimestamp, event_id) AS rn
+      |  FROM clean
+      |)
+      |SELECT pair_id, t_ts, t_amt, t_side, buy_order_id,
+      |  CAST(CASE WHEN side = 'b' THEN event_no ELSE n_event_no END
+      |    AS BIGINT) AS buy_event_no,
+      |  CAST(CASE WHEN side = 'b' THEN mr ELSE n_mr END
+      |    AS BIGINT) AS buy_rule,
+      |  sell_order_id,
+      |  CAST(CASE WHEN side = 'b' THEN n_event_no ELSE event_no END
+      |    AS BIGINT) AS sell_event_no,
+      |  CAST(CASE WHEN side = 'b' THEN n_mr ELSE mr END
+      |    AS BIGINT) AS sell_rule
+      |FROM rnk WHERE rn = 1
+      |ORDER BY pair_id, t_ts, buy_order_id, sell_order_id""".stripMargin
 
   /** level3 + era columns (gaps-and-islands, 2 h threshold). */
   private def ErasCte: String =

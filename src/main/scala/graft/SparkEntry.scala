@@ -185,6 +185,35 @@ object SparkEntry {
           col("s2_ts"), col("s2_oid"),
           col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"))
         .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
+    "mkt_bst_reveal" -> ((s, d) => {
+      val l3 = level3(s, d)
+      market.BitstampOps.revealEpisodes(l3, TradeMatching.inferredMatches(l3))
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("old_ts"),
+          col("new_ts"), col("side"), col("price"), col("amount"))
+        .orderBy("pair_id", "order_id", "event_no", "old_ts")
+    }),
+    "mkt_bst_fix_aggr" -> ((s, d) => {
+      val l3 = level3(s, d)
+      market.BitstampOps.fixAggressorOrder(l3, TradeMatching.inferredMatches(l3))
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("old_ts"),
+          col("new_ts"), col("side"), col("price"), col("amount"))
+        .orderBy("pair_id", "order_id", "event_no", "old_ts")
+    }),
+    "mkt_bst_match_seq" -> ((s, d) => {
+      val l3 = level3(s, d)
+      market.BitstampOps.matchSequentialEvents(l3,
+          TradeMatching.inferredMatches(l3))
+        .select(col("pair_id").cast("long").as("pair_id"), col("t_ts"),
+          col("t_amt"), col("t_side"), col("buy_order_id"),
+          col("buy_event_no").cast("long").as("buy_event_no"),
+          col("buy_rule").cast("long").as("buy_rule"),
+          col("sell_order_id"),
+          col("sell_event_no").cast("long").as("sell_event_no"),
+          col("sell_rule").cast("long").as("sell_rule"))
+        .orderBy("pair_id", "t_ts", "buy_order_id", "sell_order_id")
+    }),
     "mkt_era_split" -> ((s, d) =>
       market.EraSurgery.insertEra(level3(s, d), Oracles.SnapshotMicros, 1)
         .select(col("microtimestamp"), col("order_id"),
@@ -303,6 +332,9 @@ object SparkEntry {
     "mkt_match_sum2" -> Oracles.mktMatchSum2,
     "mkt_match_sum3" -> Oracles.mktMatchSum3,
     "mkt_era_split" -> Oracles.mktEraSplit,
+    "mkt_bst_reveal" -> Oracles.mktBstReveal,
+    "mkt_bst_fix_aggr" -> Oracles.mktBstFixAggr,
+    "mkt_bst_match_seq" -> Oracles.mktBstMatchSeq,
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_split" -> Oracles.pipeSplit,

@@ -45,13 +45,18 @@ case class LongArrayDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: generated projections use short locals (`i` is the
+      // input row of UnsafeProjection) that plain names would shadow
+      val n = ctx.freshName("len")
+      val s = ctx.freshName("acc")
+      val k = ctx.freshName("idx")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long s = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getLong(i) * $b.getLong(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $s += $a.getLong($k) * $b.getLong($k);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

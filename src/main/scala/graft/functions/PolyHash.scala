@@ -43,13 +43,18 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
+      // fresh names: generated projections use short locals (`i` is the
+      // input row of UnsafeProjection) that plain names would shadow
+      val b = ctx.freshName("bytes")
+      val h = ctx.freshName("hash")
+      val k = ctx.freshName("idx")
       s"""
-         |byte[] b = $s.getBytes();
-         |long h = 7L;
-         |for (int i = 0; i < b.length; i++) {
-         |  h = (h * 31L + (b[i] & 0xff)) % 1000000007L;
+         |byte[] $b = $s.getBytes();
+         |long $h = 7L;
+         |for (int $k = 0; $k < $b.length; $k++) {
+         |  $h = ($h * 31L + ($b[$k] & 0xff)) % 1000000007L;
          |}
-         |${ev.value} = h;
+         |${ev.value} = $h;
        """.stripMargin
     })
 
