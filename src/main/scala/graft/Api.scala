@@ -19,21 +19,39 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
 
   private lazy val l3e = Level3Source.level3WithEras(level3)
 
+  /** Reference `get._validate_parameters` (`db/get_schema.sql:150-159`):
+    * every windowed request is capped at one month + one minute — the
+    * reference's only result-size guard. */
+  private def validateWindow(start: Long, end: Long): Unit = {
+    val max = GraftApi.MaximumPeriodMicros
+    require(end - start <= max,
+      s"[${start}, ${end}) exceeds the maximum request period of " +
+        s"1 month 1 minute (${max} us)")
+  }
+
   /** `obadiah::depth` — starting depth at `start` ∪ depth changes in
     * (start, end]. */
-  def depth(start: Long, end: Long): DataFrame =
+  def depth(start: Long, end: Long): DataFrame = {
+    validateWindow(start, end)
     MarketOps.depthWindow(level3, spark, start, end)
+  }
 
   /** `obadiah::spread` — L1 best bid/ask stream (deduplicated). */
   def spread(): DataFrame = MarketOps.spread(level3, spark)
 
-  /** `obadiah::order.book` — snapshot with liquidity / bps / levels. */
-  def orderBook(atMicros: Long, maxLevels: Option[Int] = None): DataFrame =
-    MarketOps.orderBookQuery(level3, atMicros, maxLevels)
+  /** `obadiah::order.book` — snapshot with liquidity / bps / levels and
+    * the reference's bps-range / min-bid / max-ask result filters. */
+  def orderBook(atMicros: Long, maxLevels: Option[Int] = None,
+      bpsRange: Option[Double] = None, minBid: Option[Double] = None,
+      maxAsk: Option[Double] = None): DataFrame =
+    MarketOps.orderBookQuery(level3, atMicros, maxLevels, bpsRange,
+      minBid, maxAsk)
 
   /** `obadiah::events` — classified order events in a window. */
-  def events(start: Long, end: Long): DataFrame =
+  def events(start: Long, end: Long): DataFrame = {
+    validateWindow(start, end)
     EventsQuery.events(level3, MarketOps.spread(level3, spark), start, end)
+  }
 
   /** `obadiah::trades` — inferred/matched trades. */
   def trades(): DataFrame =
@@ -53,7 +71,10 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   def depthResample(instants: Seq[Long], tickSize: Double = 5.0): DataFrame =
     GridOps.depthResample(level3, instants, tickSize)
 
-  /** `obadiah::trading.period` — effective buy/sell price for a volume. */
+  /** `obadiah::trading.period` — effective buy/sell price for a volume;
+    * `volumeUnits = 0` → best bid/ask, [[Replay.WholeBook]] → full-book
+    * VWAP (the reference's `volume = 0` / `∞` modes,
+    * `src/base.h:288-349`). */
   def tradingPeriod(volumeUnits: Long): DataFrame =
     MarketOps.tradingPeriod(level3, spark, volumeUnits)
 
@@ -66,9 +87,11 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   def epsilonDrawUpDowns(epsilon: Double): DataFrame =
     MarketOps.epsilonDraws(level3, spark, epsilon)
 
-  /** `obadiah::intervals` — green/red data-availability intervals. */
-  def intervals(): DataFrame =
-    Analytics.intervals(Level3Source.eras(level3))
+  /** `obadiah::intervals` — green/red data-availability intervals;
+    * `minDurationMicros` drops shorter ones (reference
+    * `p_min_duration`). */
+  def intervals(minDurationMicros: Long = 0L): DataFrame =
+    Analytics.intervals(Level3Source.eras(level3), minDurationMicros)
 
   /** `obadiah::export` — flat CSV-shaped event projection. */
   def export(): DataFrame = Analytics.export(level3)
@@ -113,6 +136,10 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
 }
 
 object GraftApi {
+  /** 1 month (31 days) + 1 minute, in µs — reference `MAXIMUM_PERIOD`
+    * (`db/get_schema.sql:153`). */
+  val MaximumPeriodMicros: Long = 31L * 86400 * 1000000 + 60L * 1000000
+
   /** Build the canonical level3 log from a raw order-event feed and wrap
     * it in the API (the ETL entry point — reference
     * `bitfinex.capture_transient_raw_book_events`). */

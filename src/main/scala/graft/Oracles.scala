@@ -623,6 +623,98 @@ object Oracles {
       |FROM agg
       |ORDER BY pair_id, side, lvl, order_id""".stripMargin
 
+  /** Filtered snapshot query (bps_range / min_bid / max_ask — reference
+    * `get.order_book` filters, `db/get_schema.sql:596-599`). */
+  def mktObFiltered: String = Level3Cte +
+    s""", snap AS (
+      |  SELECT * FROM level3
+      |  WHERE microtimestamp <= $SnapshotMicros
+      |    AND next_microtimestamp > $SnapshotMicros
+      |), sided AS (
+      |  SELECT pair_id, side, price, amount, order_id, microtimestamp,
+      |    CASE WHEN side = 'b' THEN -price ELSE price END AS sord
+      |  FROM snap
+      |), agg AS (
+      |  SELECT *,
+      |    SUM(amount) OVER (PARTITION BY pair_id, side ORDER BY sord,
+      |      microtimestamp, order_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS liquidity,
+      |    CAST(DENSE_RANK() OVER (PARTITION BY pair_id, side ORDER BY sord)
+      |      AS BIGINT) AS lvl,
+      |    CASE WHEN side = 'b' THEN MAX(price) OVER (PARTITION BY pair_id, side)
+      |         ELSE MIN(price) OVER (PARTITION BY pair_id, side) END AS best
+      |  FROM sided
+      |)
+      |SELECT pair_id, side, price, amount, order_id, liquidity, lvl,
+      |  ABS(price - best) / best * 10000.0 AS bps
+      |FROM agg
+      |WHERE ABS(price - best) / best * 10000.0 <= 400.0
+      |  AND ((side = 'b' AND price >= 100.0)
+      |    OR (side = 's' AND price <= 200.0))
+      |ORDER BY pair_id, side, lvl, order_id""".stripMargin
+
+  /** Trading period, volume = 0 mode: best bid/ask, deduped on change
+    * of the (buy, sell) pair only. */
+  def mktTpBest: String = Level3Cte + QuoteCte +
+    """, tp AS (
+      |  SELECT pair_id, ts, ask_price AS buy_vwap, bid_price AS sell_vwap
+      |  FROM quote
+      |), tpd AS (
+      |  SELECT *, ROW_NUMBER() OVER w AS rn,
+      |    LAG(buy_vwap) OVER w AS pbv, LAG(sell_vwap) OVER w AS psv
+      |  FROM tp WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
+      |)
+      |SELECT pair_id, ts, buy_vwap, sell_vwap FROM tpd
+      |WHERE rn = 1 OR NOT (buy_vwap IS NOT DISTINCT FROM pbv
+      |  AND sell_vwap IS NOT DISTINCT FROM psv)
+      |ORDER BY pair_id, ts""".stripMargin
+
+  /** Trading period, volume = ∞ mode: whole-book VWAP per side (exact
+    * integer cents / units before one final double division). */
+  def mktTpVwap: String = Level3Cte + QuoteCte +
+    """, pp AS (
+      |  SELECT pair_id, ts, side,
+      |    SUM(CAST(qty AS BIGINT) * CAST(ROUND(price * 100) AS BIGINT))
+      |      AS cost_cents,
+      |    SUM(CAST(qty AS BIGINT)) AS total
+      |  FROM lvl GROUP BY pair_id, ts, side
+      |), tp AS (
+      |  SELECT e.pair_id, e.ts,
+      |    MAX(CASE WHEN p.side = 's' THEN CAST(p.cost_cents AS DOUBLE)
+      |      / (CAST(100 AS DOUBLE) * p.total) END) AS buy_vwap,
+      |    MAX(CASE WHEN p.side = 'b' THEN CAST(p.cost_cents AS DOUBLE)
+      |      / (CAST(100 AS DOUBLE) * p.total) END) AS sell_vwap
+      |  FROM etimes e LEFT JOIN pp p
+      |    ON p.pair_id = e.pair_id AND p.ts = e.ts
+      |  GROUP BY e.pair_id, e.ts
+      |), tpd AS (
+      |  SELECT *, ROW_NUMBER() OVER w AS rn,
+      |    LAG(buy_vwap) OVER w AS pbv, LAG(sell_vwap) OVER w AS psv
+      |  FROM tp WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
+      |)
+      |SELECT pair_id, ts, buy_vwap, sell_vwap FROM tpd
+      |WHERE rn = 1 OR NOT (buy_vwap IS NOT DISTINCT FROM pbv
+      |  AND sell_vwap IS NOT DISTINCT FROM psv)
+      |ORDER BY pair_id, ts""".stripMargin
+
+  /** Intervals with the reference's p_min_duration filter (6 h). */
+  def mktIntervalsMin: String = Level3Cte + ErasCte +
+    """, nxt AS (
+      |  SELECT *, LEAD(era) OVER (PARTITION BY pair_id ORDER BY era)
+      |    AS next_era
+      |  FROM eras
+      |), iv AS (
+      |  SELECT pair_id, era AS interval_start, level3_ts AS interval_end,
+      |    'G' AS kind
+      |  FROM nxt
+      |  UNION ALL
+      |  SELECT pair_id, level3_ts, next_era, 'R' FROM nxt
+      |  WHERE next_era IS NOT NULL
+      |)
+      |SELECT * FROM iv
+      |WHERE interval_end - interval_start >= 21600000000
+      |ORDER BY pair_id, interval_start, kind""".stripMargin
+
   /** Daily grid instants over [T0, T1]. */
   def GridInstants: Seq[Long] = (0 to 10).map(k => T0 + k * 86400000000L)
 

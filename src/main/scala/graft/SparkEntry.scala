@@ -133,8 +133,32 @@ object SparkEntry {
       MarketOps.tradingStrategy(level3(s, d), s, phi = 0.5, rho = 1e-6)
         .select(col("pair_id").cast("long").as("pair_id"), col("side"),
           col("opened_at"), col("open_price"), col("closed_at"),
-          col("close_price"))
+          col("close_price"), col("bps_return"), col("rate"),
+          col("log_return"))
         .orderBy("pair_id", "opened_at", "closed_at")),
+    "mkt_tp_best" -> ((s, d) =>
+      MarketOps.tradingPeriod(level3(s, d), s, 0)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("buy_vwap"), col("sell_vwap"))
+        .orderBy("pair_id", "ts")),
+    "mkt_tp_vwap" -> ((s, d) =>
+      MarketOps.tradingPeriod(level3(s, d), s, market.Replay.WholeBook)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("buy_vwap"), col("sell_vwap"))
+        .orderBy("pair_id", "ts")),
+    "mkt_ob_filtered" -> ((s, d) =>
+      MarketOps.orderBookQuery(level3(s, d), Oracles.SnapshotMicros,
+          maxLevels = None, bpsRange = Some(400.0), minBid = Some(100.0),
+          maxAsk = Some(200.0))
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("price"), col("amount"), col("order_id"),
+          col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
+        .orderBy("pair_id", "side", "lvl", "order_id")),
+    "mkt_intervals_min" -> ((s, d) =>
+      Analytics.intervals(Level3Source.eras(level3(s, d)), 21600000000L)
+        .select(col("pair_id").cast("long").as("pair_id"),
+          col("interval_start"), col("interval_end"), col("kind"))
+        .orderBy("pair_id", "interval_start", "kind")),
     "mkt_eps_draws" -> ((s, d) =>
       MarketOps.epsilonDraws(level3(s, d), s, epsilon = 2.0)
         .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
@@ -335,6 +359,10 @@ object SparkEntry {
     "mkt_bst_reveal" -> Oracles.mktBstReveal,
     "mkt_bst_fix_aggr" -> Oracles.mktBstFixAggr,
     "mkt_bst_match_seq" -> Oracles.mktBstMatchSeq,
+    "mkt_tp_best" -> Oracles.mktTpBest,
+    "mkt_tp_vwap" -> Oracles.mktTpVwap,
+    "mkt_ob_filtered" -> Oracles.mktObFiltered,
+    "mkt_intervals_min" -> Oracles.mktIntervalsMin,
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_split" -> Oracles.pipeSplit,

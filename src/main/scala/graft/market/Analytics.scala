@@ -66,8 +66,10 @@ object Analytics {
   }
 
   /** Green (data) / red (gap) intervals from the eras table:
-    * greens = [era, level3]; reds = (level3, next era). */
-  def intervals(eras: DataFrame): DataFrame = {
+    * greens = [era, level3]; reds = (level3, next era). `minDuration`
+    * drops intervals shorter than the threshold (reference
+    * `p_min_duration`, `db/get_schema.sql:462-503`). */
+  def intervals(eras: DataFrame, minDurationMicros: Long = 0L): DataFrame = {
     val w = Window.partitionBy("pair_id").orderBy("era")
     val withNext = eras.withColumn("next_era", lead("era", 1).over(w))
     val greens = withNext.select(col("pair_id"),
@@ -77,6 +79,7 @@ object Analytics {
       .select(col("pair_id"), col("level3").as("interval_start"),
         col("next_era").as("interval_end"), lit("R").as("kind"))
     greens.unionByName(reds)
+      .filter(col("interval_end") - col("interval_start") >= minDurationMicros)
   }
 
   /** Flat export projection (CSV-shaped): millisecond timestamps,

@@ -358,9 +358,15 @@ object MarketOps {
 
   /** API-level snapshot (reference `get.order_book`,
     * `db/get_schema.sql:561-603`): per-side cumulative liquidity, bps
-    * distance from best, dense-ranked price levels. */
+    * distance from best, dense-ranked price levels, and the reference's
+    * three result filters — `p_bps_range` (≤ bps from best), `p_min_bid`
+    * (bids at or above) and `p_max_ask` (asks at or below),
+    * `db/get_schema.sql:596-599`. */
   def orderBookQuery(level3: DataFrame, tsMicros: Long,
-      maxLevels: Option[Int] = None): DataFrame = {
+      maxLevels: Option[Int] = None,
+      bpsRange: Option[Double] = None,
+      minBid: Option[Double] = None,
+      maxAsk: Option[Double] = None): DataFrame = {
     val snap = level3
       .filter(col("microtimestamp") <= tsMicros &&
         col("next_microtimestamp") > tsMicros)
@@ -377,6 +383,11 @@ object MarketOps {
       .withColumn("lvl", dense_rank().over(wLvl))
       .withColumn("bps",
         abs(col("price") - best) / best * 10000.0)
-    maxLevels.fold(out)(n => out.filter(col("lvl") <= n))
+    val f1 = maxLevels.fold(out)(n => out.filter(col("lvl") <= n))
+    val f2 = bpsRange.fold(f1)(r => f1.filter(col("bps") <= r))
+    val f3 = minBid.fold(f2)(p => f2.filter(col("side") =!= "b" ||
+      col("price") >= p))
+    maxAsk.fold(f3)(p => f3.filter(col("side") =!= "s" ||
+      col("price") <= p))
   }
 }

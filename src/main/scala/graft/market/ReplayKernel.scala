@@ -216,8 +216,29 @@ object Replay {
     tpFrom(pairId, book, last0, buf.map(_.toBookEvent), volumeUnits)
   }
 
+  /** Sentinel for the reference's `volume = ∞` mode (whole-book VWAP). */
+  val WholeBook: Long = Long.MaxValue
+
+  /** Book walk for one side. Three modes, as in the reference walk
+    * kernel (`src/base.h:288-349`): `volumeUnits = 0` → the best price;
+    * [[WholeBook]] → VWAP of the entire side; otherwise → VWAP of the
+    * first `volumeUnits` units (None when depth is insufficient). */
   private def tpWalk(book: OrderBook, isBid: Boolean,
       volumeUnits: Long): Option[Double] = {
+    if (volumeUnits == 0L)
+      return (if (isBid) book.bestBid else book.bestAsk).map(_._1)
+    if (volumeUnits == WholeBook) {
+      var costCents = 0L
+      var total = 0L
+      val it = book.depth(isBid)
+      while (it.hasNext) {
+        val (price, qty) = it.next()
+        costCents += qty.toLong * math.round(price * 100)
+        total += qty.toLong
+      }
+      return if (total == 0L) None
+      else Some(costCents.toDouble / (100.0 * total))
+    }
     var remaining = volumeUnits
     var costCents = 0L
     val it = book.depth(isBid)

@@ -18,9 +18,33 @@ case class QuoteE(pair_id: Int, era_no: Long, ts: Long,
   def toQuote: Quote = Quote(pair_id, ts, bid, ask)
 }
 
+/** A discovered position with the R client's return columns
+  * (`R/obanalytics.R:795-813`, `src/obanalytics.cpp:338-360`):
+  * `log_return` = |ln open − ln close|, `rate` = per-second compounding
+  * `exp(log_return / seconds) − 1`, `bps_return` = the signed
+  * basis-point return (None when open == close, as the R client leaves
+  * NA). */
 case class Position(pair_id: Int, side: String,
     opened_at: Long, open_price: Double,
-    closed_at: Long, close_price: Double)
+    closed_at: Long, close_price: Double,
+    log_return: Double, rate: Double, bps_return: Option[Double])
+
+object Position {
+  def withReturns(pairId: Int, side: String, openedAt: Long,
+      openPrice: Double, closedAt: Long, closePrice: Double): Position = {
+    val logReturn =
+      if (openPrice > closePrice) math.log(openPrice) - math.log(closePrice)
+      else math.log(closePrice) - math.log(openPrice)
+    val secs = (closedAt - openedAt) / 1e6
+    val rate = math.exp(logReturn / secs) - 1.0
+    val bps =
+      if (openPrice > closePrice) Some((math.exp(-logReturn) - 1.0) * -10000.0)
+      else if (openPrice < closePrice) Some((math.exp(logReturn) - 1.0) * 10000.0)
+      else None
+    Position(pairId, side, openedAt, openPrice, closedAt, closePrice,
+      logReturn, rate, bps)
+  }
+}
 
 /** Greedy optimal long/short position discovery with commission `phi`
   * (cost 2φ per round trip) and per-second interest `rho` — a
@@ -49,7 +73,7 @@ object TradingStrategyOp {
     val ss = IP(b0, t0); val es = IP(0, 0)
 
     def emit(side: String, s: IP, e: IP): Unit =
-      out += Position(pairId, side, s.t, s.p, e.t, e.p)
+      out += Position.withReturns(pairId, side, s.t, s.p, e.t, e.p)
 
     it.foreach { case (t, bp, ap) =>
       val bid = IP(bp, t); val ask = IP(ap, t)
