@@ -62,10 +62,23 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
       maxBps: Int = 500): DataFrame =
     GridOps.depthSummary(level3, instants, bpsStep, maxBps)
 
-  /** `obadiah::queues` — bucketed book queues at grid instants. */
+  /** `obadiah::queues` — bucketed book queues at grid instants (ticks
+    * anchored at the best opposite price, as the reference). */
   def queues(instants: Seq[Long], tickSize: Double = 5.0,
       nTicks: Int = 10): DataFrame =
-    GridOps.queues(level3, instants, tickSize, nTicks)
+    GridOps.queues(level3, instants, tickSize, nTicks = nTicks)
+
+  /** `obadiah::queues` wide shape — `(ts, bid.price, ask.price, b[],
+    * a[])` with dense per-bucket volume arrays (the SRF's result rows,
+    * `db/c/obadiah_db/obadiah_db.cpp:717-726`). */
+  def queuesWide(instants: Seq[Long], tickSize: Double = 5.0,
+      nTicks: Int = 10): DataFrame = {
+    val wide = GridOps.queuesWide(level3, instants, tickSize, nTicks)
+    import org.apache.spark.sql.functions.{array, col}
+    wide.select(col("pair_id"), col("ts"), col("bid_price"), col("ask_price"),
+      array((1 to nTicks).map(k => col(s"bid_q$k")): _*).as("b"),
+      array((1 to nTicks).map(k => col(s"ask_q$k")): _*).as("a"))
+  }
 
   /** `obadiah::depth.resample` — depth on a coarser price/time grid. */
   def depthResample(instants: Seq[Long], tickSize: Double = 5.0): DataFrame =

@@ -729,6 +729,13 @@ object Oracles {
       |    THEN MAX(price) OVER (PARTITION BY pair_id, g, side)
       |    ELSE MIN(price) OVER (PARTITION BY pair_id, g, side) END AS best
       |  FROM snap2
+      |), wbo AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN side = 'b' THEN price END)
+      |      OVER (PARTITION BY pair_id, g) AS best_bid,
+      |    MIN(CASE WHEN side = 's' THEN price END)
+      |      OVER (PARTITION BY pair_id, g) AS best_ask
+      |  FROM snap2
       |)""".stripMargin
 
   def mktLevel3: String = Level3Cte +
@@ -784,16 +791,46 @@ object Oracles {
       |GROUP BY pair_id, g, side, bps_level, best
       |ORDER BY pair_id, ts, side, bps_level""".stripMargin
 
-  def mktQueues: String = Level3Cte + GridSnapCte +
+  /** Opposite-anchored tick assignment (see GridOps.bucketed): bids
+    * bucket by ceil((AlignUp(best_ask) − p) / t), asks by
+    * ceil((p − AlignDown(best_bid)) / t). */
+  private def OppTickCte: String =
     """, tk AS (
-      |  SELECT *, CAST(FLOOR(CASE WHEN side = 'b' THEN (best - price) / 5.0
-      |    ELSE (price - best) / 5.0 END) AS BIGINT) AS tick
-      |  FROM wb
-      |)
+      |  SELECT *, CASE WHEN side = 'b' THEN
+      |      CASE WHEN best_ask IS NOT NULL THEN
+      |        CAST(CEIL((CEIL(best_ask / 5.0) * 5.0 - price) / 5.0) AS BIGINT)
+      |      END
+      |    ELSE
+      |      CASE WHEN best_bid IS NOT NULL THEN
+      |        CAST(CEIL((price - FLOOR(best_bid / 5.0) * 5.0) / 5.0) AS BIGINT)
+      |      END
+      |    END AS tick
+      |  FROM wbo
+      |)""".stripMargin
+
+  def mktQueues: String = Level3Cte + GridSnapCte + OppTickCte +
+    """
       |SELECT pair_id, g AS ts, side, tick, SUM(amount) AS volume
-      |FROM tk WHERE tick >= 0 AND tick < 10
+      |FROM tk WHERE tick >= 1 AND tick < 11
       |GROUP BY pair_id, g, side, tick
       |ORDER BY pair_id, ts, side, tick""".stripMargin
+
+  def mktQueuesWide: String = Level3Cte + GridSnapCte + OppTickCte + {
+    val cols = (for (side <- Seq("b", "s"); k <- 1 to 10) yield {
+      val nm = s"${if (side == "b") "bid" else "ask"}_q$k"
+      s"COALESCE(SUM(CASE WHEN side = '$side' AND tick = $k THEN amount END), CAST(0 AS DOUBLE)) AS $nm"
+    }).mkString(",\n  ")
+    s"""
+      |SELECT pair_id, g AS ts,
+      |  FLOOR(MAX(CASE WHEN side = 'b' THEN price END) / 5.0) * 5.0
+      |    AS bid_price,
+      |  CEIL(MIN(CASE WHEN side = 's' THEN price END) / 5.0) * 5.0
+      |    AS ask_price,
+      |  $cols
+      |FROM tk WHERE tick IS NOT NULL
+      |GROUP BY pair_id, g
+      |ORDER BY pair_id, ts""".stripMargin
+  }
 
   def mktResample: String = Level3Cte + GridSnapCte +
     """
@@ -1133,13 +1170,21 @@ object Oracles {
 
   def mktQueuesLog: String = Level3Cte + GridSnapCte +
     """, tkl AS (
-      |  SELECT *, CAST(FLOOR(CASE WHEN side = 'b'
-      |    THEN (ln(best) - ln(price)) / 0.05
-      |    ELSE (ln(price) - ln(best)) / 0.05 END) AS BIGINT) AS tick
-      |  FROM wb
+      |  SELECT *, CASE WHEN side = 'b' THEN
+      |      CASE WHEN best_ask IS NOT NULL THEN
+      |        CAST(CEIL((CEIL(ln(best_ask) / 0.05) * 0.05 - ln(price)) / 0.05)
+      |          AS BIGINT)
+      |      END
+      |    ELSE
+      |      CASE WHEN best_bid IS NOT NULL THEN
+      |        CAST(CEIL((ln(price) - FLOOR(ln(best_bid) / 0.05) * 0.05) / 0.05)
+      |          AS BIGINT)
+      |      END
+      |    END AS tick
+      |  FROM wbo
       |)
       |SELECT pair_id, g AS ts, side, tick, SUM(amount) AS volume
-      |FROM tkl WHERE tick >= 0 AND tick < 10
+      |FROM tkl WHERE tick >= 1 AND tick < 11
       |GROUP BY pair_id, g, side, tick
       |ORDER BY pair_id, ts, side, tick""".stripMargin
 

@@ -108,6 +108,10 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("tick"), col("volume"))
         .orderBy("pair_id", "ts", "side", "tick")),
+    "mkt_queues_wide" -> ((s, d) =>
+      GridOps.queuesWide(level3(s, d), Oracles.GridInstants)
+        .withColumn("pair_id", col("pair_id").cast("long"))
+        .orderBy("pair_id", "ts")),
     "mkt_resample" -> ((s, d) =>
       GridOps.depthResample(level3(s, d), Oracles.GridInstants)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -342,6 +346,7 @@ object SparkEntry {
     "mkt_depth_summary" -> Oracles.mktDepthSummary,
     "mkt_depth_summary_wide" -> Oracles.mktDepthSummaryWide,
     "mkt_queues" -> Oracles.mktQueues,
+    "mkt_queues_wide" -> Oracles.mktQueuesWide,
     "mkt_resample" -> Oracles.mktResample,
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_fix_crossed" -> Oracles.mktFixCrossed,

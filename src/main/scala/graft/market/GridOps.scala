@@ -1,6 +1,6 @@
 package graft.market
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,44 +47,75 @@ object GridOps {
       .drop("best")
   }
 
-  /** Order-book queues (reference `get.queues`,
-    * `db/c/obadiah_db/obadiah_db.cpp:633-731`): per instant, volumes in
-    * `nTicks` fixed price buckets of width `tickSize` anchored at the
-    * side's best price. */
-  def queues(level3: DataFrame, instants: Seq[Long],
-      tickSize: Double = 5.0, nTicks: Int = 10): DataFrame = {
-    val wBest = Window.partitionBy("pair_id", "g", "side")
-    val best = when(col("side") === "b", max("price").over(wBest))
-      .otherwise(min("price").over(wBest))
+  /** Snapshot rows annotated with tick buckets anchored at the best
+    * *opposite* price (reference `get.queues` kernel,
+    * `src/order_book_investigation.h:33-225`, SRF
+    * `db/c/obadiah_db/obadiah_db.cpp:633-731`): bid boundaries step down
+    * from `AlignUp(best_ask)` (bucket k holds bids in
+    * `[B − k·t, B − (k−1)·t)`), ask boundaries step up from
+    * `AlignDown(best_bid)` — so the two ladders tile the price axis from
+    * the crossing point outward, the reference's parity-defining
+    * convention. Sides with an empty opposite book get no buckets
+    * (reference anchors at ±∞). */
+  private def bucketed(level3: DataFrame, instants: Seq[Long],
+      bidTick: Column => Column, askTick: Column => Column): DataFrame = {
+    val wInst = Window.partitionBy("pair_id", "g")
     snapshots(level3, instants)
-      .withColumn("best", best)
+      .withColumn("best_bid", max(when(col("side") === "b", col("price"))).over(wInst))
+      .withColumn("best_ask", min(when(col("side") === "s", col("price"))).over(wInst))
       .withColumn("tick",
-        when(col("side") === "b",
-          floor((col("best") - col("price")) / tickSize))
-          .otherwise(floor((col("price") - col("best")) / tickSize)))
-      .filter(col("tick") >= 0 && col("tick") < nTicks)
-      .groupBy(col("pair_id"), col("g").as("ts"), col("side"), col("tick"))
-      .agg(sum("amount").as("volume"))
+        when(col("side") === "b", bidTick(col("best_ask")))
+          .otherwise(askTick(col("best_bid"))))
+      .filter(col("tick").isNotNull)
   }
 
-  /** Log-relative order-book queues (reference `get.queues` with
-    * `'LOGRELATIVE'` ticks, `src/order_book_investigation.h:33-225`):
-    * bucket k = ⌊(ln(price) − ln(best))/tick⌋ away from the side's
-    * best. */
-  def queuesLogRelative(level3: DataFrame, instants: Seq[Long],
-      logTick: Double = 0.05, nTicks: Int = 10): DataFrame = {
-    val wBest = Window.partitionBy("pair_id", "g", "side")
-    val best = when(col("side") === "b", max("price").over(wBest))
-      .otherwise(min("price").over(wBest))
-    snapshots(level3, instants)
-      .withColumn("best", best)
-      .withColumn("tick",
-        when(col("side") === "b",
-          floor((log(col("best")) - log(col("price"))) / logTick))
-          .otherwise(floor((log(col("price")) - log(col("best"))) / logTick)))
-      .filter(col("tick") >= 0 && col("tick") < nTicks)
+  /** Order-book queues, long form: per instant, volumes in `nTicks`
+    * buckets of width `tickSize`, 1-based ticks anchored at the best
+    * opposite price; only touched buckets are emitted (the wide form
+    * below is dense). */
+  def queues(level3: DataFrame, instants: Seq[Long],
+      tickSize: Double = 5.0, firstTick: Int = 1, nTicks: Int = 10): DataFrame =
+    bucketed(level3, instants,
+      bestAsk => ceil((ceil(bestAsk / tickSize) * tickSize - col("price")) / tickSize),
+      bestBid => ceil((col("price") - floor(bestBid / tickSize) * tickSize) / tickSize))
+      .filter(col("tick") >= firstTick && col("tick") < firstTick + nTicks)
       .groupBy(col("pair_id"), col("g").as("ts"), col("side"), col("tick"))
       .agg(sum("amount").as("volume"))
+
+  /** Log-relative order-book queues (reference `'LOGRELATIVE'` ticks):
+    * boundaries on the log-price grid, anchored at the best opposite. */
+  def queuesLogRelative(level3: DataFrame, instants: Seq[Long],
+      logTick: Double = 0.05, firstTick: Int = 1, nTicks: Int = 10): DataFrame =
+    bucketed(level3, instants,
+      bestAsk => ceil((ceil(log(bestAsk) / logTick) * logTick - log(col("price"))) / logTick),
+      bestBid => ceil((log(col("price")) - floor(log(bestBid) / logTick) * logTick) / logTick))
+      .filter(col("tick") >= firstTick && col("tick") < firstTick + nTicks)
+      .groupBy(col("pair_id"), col("g").as("ts"), col("side"), col("tick"))
+      .agg(sum("amount").as("volume"))
+
+  /** Order-book queues, wide form — the SRF's result shape
+    * (`ts, bid.price, ask.price, b[], a[]`,
+    * `db/c/obadiah_db/obadiah_db.cpp:717-726`): one row per (pair,
+    * instant) with tick-aligned best prices and dense per-bucket volume
+    * columns (zeros for untouched buckets; `GraftApi.queuesWide` folds
+    * them into the `b[]`/`a[]` arrays). */
+  def queuesWide(level3: DataFrame, instants: Seq[Long],
+      tickSize: Double = 5.0, nTicks: Int = 10): DataFrame = {
+    val base = bucketed(level3, instants,
+      bestAsk => ceil((ceil(bestAsk / tickSize) * tickSize - col("price")) / tickSize),
+      bestBid => ceil((col("price") - floor(bestBid / tickSize) * tickSize) / tickSize))
+    val volCols = for (side <- Seq("b", "s"); k <- 1 to nTicks) yield
+      coalesce(sum(when(col("side") === side && col("tick") === k,
+        col("amount"))), lit(0.0))
+        .as(s"${if (side == "b") "bid" else "ask"}_q$k")
+    base
+      .groupBy(col("pair_id"), col("g").as("ts"))
+      .agg(
+        (floor(max(when(col("side") === "b", col("price"))) / tickSize) * tickSize)
+          .as("bid_price"),
+        (ceil(min(when(col("side") === "s", col("price"))) / tickSize) * tickSize)
+          .as("ask_price")
+          +: volCols: _*)
   }
 
   /** Depth resample (reference `depth.resample`,
