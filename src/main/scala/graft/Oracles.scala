@@ -145,10 +145,10 @@ object Oracles {
   /** Deduplicated L1 stream (`spread_ticks`) on top of [[QuoteCte]]. */
   private def DedupSpreadCte: String =
     """, dedup AS (
-      |  SELECT *, ROW_NUMBER() OVER w AS rn,
-      |    LAG(bid_price) OVER w AS pb, LAG(bid_qty) OVER w AS pbq,
-      |    LAG(ask_price) OVER w AS pa, LAG(ask_qty) OVER w AS paq
-      |  FROM quote WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
+      |  SELECT *, ROW_NUMBER() OVER wsp AS rn,
+      |    LAG(bid_price) OVER wsp AS pb, LAG(bid_qty) OVER wsp AS pbq,
+      |    LAG(ask_price) OVER wsp AS pa, LAG(ask_qty) OVER wsp AS paq
+      |  FROM quote WINDOW wsp AS (PARTITION BY pair_id ORDER BY ts)
       |), spread_ticks AS (
       |  SELECT pair_id, ts, bid_price, bid_qty, ask_price, ask_qty
       |  FROM dedup
@@ -714,6 +714,247 @@ object Oracles {
       |SELECT * FROM iv
       |WHERE interval_end - interval_start >= 21600000000
       |ORDER BY pair_id, interval_start, kind""".stripMargin
+
+  /** Valid (uncrossed, two-sided) spread ticks tagged with their era —
+    * the sequential machines' input and parallel unit. */
+  private def EraTicksCte: String =
+    """, eras_nx AS (
+      |  SELECT pair_id, era_no, era, COALESCE(LEAD(era) OVER (
+      |    PARTITION BY pair_id ORDER BY era), 9223372036854775807)
+      |    AS next_era
+      |  FROM eras
+      |), vticks AS (
+      |  SELECT s.pair_id, e.era_no, s.ts, s.bid_price AS bid,
+      |    s.ask_price AS ask
+      |  FROM spread_ticks s JOIN eras_nx e
+      |    ON e.pair_id = s.pair_id AND s.ts >= e.era AND s.ts < e.next_era
+      |  WHERE s.bid_price IS NOT NULL AND s.ask_price IS NOT NULL
+      |    AND s.bid_price <= s.ask_price
+      |)""".stripMargin
+
+  /** ε-drawup/drawdown machine (mirror of
+    * `sequential.EpsilonDrawsOp.draws`, ε = 2.0) as a linear recursion:
+    * one recursive-CTE step per tick, state = (draw start, turning
+    * point), a closed draw emitted on the step that closes it, plus the
+    * trailing partial draw from each era's final state. */
+  def mktEpsDraws: String = (Level3Cte + QuoteCte + DedupSpreadCte +
+    ErasCte + EraTicksCte +
+    """, tk AS (
+      |  SELECT pair_id, era_no, ts, (bid + ask) / 2.0 AS mid,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY pair_id, era_no
+      |      ORDER BY ts) AS BIGINT) AS rn
+      |  FROM vticks
+      |), steps AS (
+      |  SELECT pair_id, era_no, rn, ts AS en_t, mid AS en_p,
+      |    ts AS st_t, mid AS st_p, ts AS tp_t, mid AS tp_p,
+      |    CAST(NULL AS BIGINT) AS d_s_t, CAST(NULL AS DOUBLE) AS d_s_p,
+      |    CAST(NULL AS BIGINT) AS d_e_t, CAST(NULL AS DOUBLE) AS d_e_p,
+      |    CAST(NULL AS VARCHAR) AS d_kind
+      |  FROM tk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.pair_id, t.era_no, t.rn, t.ts, t.mid,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0 THEN s.tp_t ELSE s.st_t END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0 THEN s.tp_p ELSE s.st_p END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      THEN t.ts ELSE s.tp_t END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      THEN t.mid ELSE s.tp_p END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0 THEN s.st_t END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0 THEN s.st_p END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0 THEN s.tp_t END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0 THEN s.tp_p END,
+      |    CASE WHEN t.mid <> s.tp_p
+      |      AND NOT ((s.tp_p >= s.st_p AND t.mid > s.tp_p)
+      |        OR (s.tp_p <= s.st_p AND t.mid < s.tp_p))
+      |      AND ABS(t.mid - s.tp_p) > 2.0
+      |      THEN CASE WHEN s.tp_p >= s.st_p THEN 'up' ELSE 'down' END END
+      |  FROM steps s JOIN tk t ON t.pair_id = s.pair_id
+      |    AND t.era_no = s.era_no AND t.rn = s.rn + 1
+      |), last_state AS (
+      |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY pair_id, era_no ORDER BY rn DESC) AS lrn FROM steps)
+      |  WHERE lrn = 1
+      |)
+      |SELECT pair_id, d_s_t AS start_ts, d_s_p AS start_price,
+      |  d_e_t AS end_ts, d_e_p AS end_price, d_kind AS kind
+      |FROM steps WHERE d_kind IS NOT NULL
+      |UNION ALL
+      |SELECT pair_id, st_t, st_p, en_t, en_p,
+      |  CASE WHEN en_p >= st_p THEN 'up' ELSE 'down' END
+      |FROM last_state WHERE en_t > st_t
+      |ORDER BY pair_id, start_ts, end_ts""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** Optimal-strategy machine (mirror of
+    * `sequential.TradingStrategyOp.positions`, φ = 0.5, ρ = 1e-6) as a
+    * linear recursion: state = the four candidate prices (sl, el, ss,
+    * es), one step per valid tick, a closed position emitted on its
+    * closing step plus the trailing open position per era. Return
+    * columns are rounded to 8 decimals on both sides (ln/exp may differ
+    * across libm implementations in the last ulp). */
+  def mktStrategy: String = {
+    def i(t1: String, t2: String) = s"1e-6 * ABS(($t1 - $t2) / 1e6)"
+    val A = "(s.el_p = 0 AND s.es_p = 0)"
+    val B = "(s.el_p <> 0)"
+    val condA1 = s"t.bid - s.sl_p > ${i("t.ts", "s.sl_t")} + 1.0"
+    val condA2 = s"s.ss_p - t.ask > ${i("s.ss_t", "t.ts")} + 1.0"
+    val slA3 = s"t.ask - s.sl_p < ${i("t.ts", "s.sl_t")}"
+    val ssA3 = s"s.ss_p - t.bid < ${i("s.ss_t", "t.ts")}"
+    val ss1p = s"(CASE WHEN $ssA3 THEN t.bid ELSE s.ss_p END)"
+    val ss1t = s"(CASE WHEN $ssA3 THEN t.ts ELSE s.ss_t END)"
+    val condB1 = s"t.bid - s.el_p > ${i("t.ts", "s.el_t")}"
+    val condB2 = s"$ss1p - t.ask > 1e-6 * ABS(($ss1t - t.ts) / 1e6) + 1.0"
+    val condB3 = s"${i("t.ts", "s.el_t")} > 1.0 - (s.el_p - t.ask)"
+    val sl1p = s"(CASE WHEN $slA3 THEN t.ask ELSE s.sl_p END)"
+    val sl1t = s"(CASE WHEN $slA3 THEN t.ts ELSE s.sl_t END)"
+    val condC1 = s"s.es_p - t.ask > ${i("t.ts", "s.es_t")}"
+    val condC2 = s"t.bid - $sl1p > 1e-6 * ABS(($sl1t - t.ts) / 1e6) + 1.0"
+    val condC3 = s"${i("t.ts", "s.es_t")} > 1.0 - (t.bid - s.es_p)"
+    val slP =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN s.sl_p
+         |       WHEN $condA2 THEN t.ask
+         |       WHEN $slA3 THEN t.ask ELSE s.sl_p END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN s.sl_p
+         |       WHEN $condB2 THEN t.ask WHEN $condB3 THEN t.ask
+         |       ELSE s.sl_p END
+         |     ELSE CASE WHEN $condC1 THEN t.ask ELSE $sl1p END END""".stripMargin
+    val slT =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN s.sl_t
+         |       WHEN $condA2 THEN t.ts
+         |       WHEN $slA3 THEN t.ts ELSE s.sl_t END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN s.sl_t
+         |       WHEN $condB2 THEN t.ts WHEN $condB3 THEN t.ts
+         |       ELSE s.sl_t END
+         |     ELSE CASE WHEN $condC1 THEN t.ts ELSE $sl1t END END""".stripMargin
+    val elP =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN t.bid ELSE s.el_p END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN t.bid
+         |       WHEN $condB2 THEN CAST(0 AS DOUBLE)
+         |       WHEN $condB3 THEN CAST(0 AS DOUBLE) ELSE s.el_p END
+         |     ELSE CASE WHEN $condC1 THEN s.el_p
+         |       WHEN $condC2 THEN t.bid ELSE s.el_p END END""".stripMargin
+    val elT =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN t.ts ELSE s.el_t END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN t.ts
+         |       WHEN $condB2 THEN CAST(0 AS BIGINT)
+         |       WHEN $condB3 THEN CAST(0 AS BIGINT) ELSE s.el_t END
+         |     ELSE CASE WHEN $condC1 THEN s.el_t
+         |       WHEN $condC2 THEN t.ts ELSE s.el_t END END""".stripMargin
+    val ssP =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN t.bid
+         |       WHEN $condA2 THEN s.ss_p
+         |       WHEN $ssA3 THEN t.bid ELSE s.ss_p END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN t.bid ELSE $ss1p END
+         |     ELSE CASE WHEN $condC1 THEN s.ss_p
+         |       WHEN $condC2 THEN t.bid WHEN $condC3 THEN t.bid
+         |       ELSE s.ss_p END END""".stripMargin
+    val ssT =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN t.ts
+         |       WHEN $condA2 THEN s.ss_t
+         |       WHEN $ssA3 THEN t.ts ELSE s.ss_t END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN t.ts ELSE $ss1t END
+         |     ELSE CASE WHEN $condC1 THEN s.ss_t
+         |       WHEN $condC2 THEN t.ts WHEN $condC3 THEN t.ts
+         |       ELSE s.ss_t END END""".stripMargin
+    val esP =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN s.es_p
+         |       WHEN $condA2 THEN t.ask ELSE s.es_p END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN s.es_p
+         |       WHEN $condB2 THEN t.ask ELSE s.es_p END
+         |     ELSE CASE WHEN $condC1 THEN t.ask
+         |       WHEN $condC2 THEN CAST(0 AS DOUBLE)
+         |       WHEN $condC3 THEN CAST(0 AS DOUBLE) ELSE s.es_p END END""".stripMargin
+    val esT =
+      s"""CASE WHEN $A THEN CASE WHEN $condA1 THEN s.es_t
+         |       WHEN $condA2 THEN t.ts ELSE s.es_t END
+         |     WHEN $B THEN CASE WHEN $condB1 THEN s.es_t
+         |       WHEN $condB2 THEN t.ts ELSE s.es_t END
+         |     ELSE CASE WHEN $condC1 THEN t.ts
+         |       WHEN $condC2 THEN CAST(0 AS BIGINT)
+         |       WHEN $condC3 THEN CAST(0 AS BIGINT) ELSE s.es_t END END""".stripMargin
+    val emitLong = s"$B AND NOT ($condB1) AND (($condB2) OR ($condB3))"
+    val emitShort =
+      s"NOT $A AND NOT $B AND NOT ($condC1) AND (($condC2) OR ($condC3))"
+    (Level3Cte + QuoteCte + DedupSpreadCte + ErasCte + EraTicksCte +
+      s""", tk AS (
+        |  SELECT pair_id, era_no, ts, bid, ask,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY pair_id, era_no
+        |      ORDER BY ts) AS BIGINT) AS rn
+        |  FROM vticks
+        |), steps AS (
+        |  SELECT pair_id, era_no, rn,
+        |    ask AS sl_p, ts AS sl_t,
+        |    CAST(0 AS DOUBLE) AS el_p, CAST(0 AS BIGINT) AS el_t,
+        |    bid AS ss_p, ts AS ss_t,
+        |    CAST(0 AS DOUBLE) AS es_p, CAST(0 AS BIGINT) AS es_t,
+        |    CAST(NULL AS VARCHAR) AS e_side, CAST(NULL AS BIGINT) AS e_ot,
+        |    CAST(NULL AS DOUBLE) AS e_op, CAST(NULL AS BIGINT) AS e_ct,
+        |    CAST(NULL AS DOUBLE) AS e_cp
+        |  FROM tk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.pair_id, t.era_no, t.rn,
+        |    $slP, $slT, $elP, $elT, $ssP, $ssT, $esP, $esT,
+        |    CASE WHEN $emitLong THEN 'long'
+        |         WHEN $emitShort THEN 'short' END,
+        |    CASE WHEN $emitLong THEN s.sl_t WHEN $emitShort THEN s.ss_t END,
+        |    CASE WHEN $emitLong THEN s.sl_p WHEN $emitShort THEN s.ss_p END,
+        |    CASE WHEN $emitLong THEN s.el_t WHEN $emitShort THEN s.es_t END,
+        |    CASE WHEN $emitLong THEN s.el_p WHEN $emitShort THEN s.es_p END
+        |  FROM steps s JOIN tk t ON t.pair_id = s.pair_id
+        |    AND t.era_no = s.era_no AND t.rn = s.rn + 1
+        |), last_state AS (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY pair_id, era_no ORDER BY rn DESC) AS lrn FROM steps)
+        |  WHERE lrn = 1
+        |), pos AS (
+        |  SELECT pair_id, e_side AS side, e_ot AS opened_at,
+        |    e_op AS open_price, e_ct AS closed_at, e_cp AS close_price
+        |  FROM steps WHERE e_side IS NOT NULL
+        |  UNION ALL
+        |  SELECT pair_id, 'long', sl_t, sl_p, el_t, el_p
+        |  FROM last_state WHERE el_p <> 0
+        |  UNION ALL
+        |  SELECT pair_id, 'short', ss_t, ss_p, es_t, es_p
+        |  FROM last_state WHERE el_p = 0 AND es_p <> 0
+        |), posr AS (
+        |  SELECT *, CASE WHEN open_price > close_price
+        |    THEN LN(open_price) - LN(close_price)
+        |    ELSE LN(close_price) - LN(open_price) END AS lr
+        |  FROM pos
+        |)
+        |SELECT pair_id, side, opened_at, open_price, closed_at, close_price,
+        |  ROUND(CASE WHEN open_price > close_price
+        |      THEN (EXP(-lr) - 1) * -10000
+        |      WHEN open_price < close_price THEN (EXP(lr) - 1) * 10000 END, 8)
+        |    AS bps_return,
+        |  ROUND(EXP(lr / ((closed_at - opened_at) / 1e6)) - 1, 8) AS rate,
+        |  ROUND(lr, 8) AS log_return
+        |FROM posr
+        |ORDER BY pair_id, opened_at, closed_at""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
 
   /** Daily grid instants over [T0, T1]. */
   def GridInstants: Seq[Long] = (0 to 10).map(k => T0 + k * 86400000000L)

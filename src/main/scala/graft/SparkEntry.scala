@@ -137,8 +137,11 @@ object SparkEntry {
       MarketOps.tradingStrategy(level3(s, d), s, phi = 0.5, rho = 1e-6)
         .select(col("pair_id").cast("long").as("pair_id"), col("side"),
           col("opened_at"), col("open_price"), col("closed_at"),
-          col("close_price"), col("bps_return"), col("rate"),
-          col("log_return"))
+          col("close_price"),
+          // rounded: ln/exp may differ across libm in the last ulp
+          round(col("bps_return"), 8).as("bps_return"),
+          round(col("rate"), 8).as("rate"),
+          round(col("log_return"), 8).as("log_return"))
         .orderBy("pair_id", "opened_at", "closed_at")),
     "mkt_tp_best" -> ((s, d) =>
       MarketOps.tradingPeriod(level3(s, d), s, 0)
@@ -384,7 +387,7 @@ object SparkEntry {
     "pipe_tokens" -> Oracles.pipeTokens,
     "pipe_fingerprint" -> Oracles.pipeFingerprint,
     "pipe_multimodal" -> Oracles.pipeMultimodal,
-    // mkt_strategy / mkt_eps_draws are sequential state machines with no
-    // SQL-expressible oracle -> rows-only check (driver contract allows it)
+    "mkt_eps_draws" -> Oracles.mktEpsDraws,
+    "mkt_strategy" -> Oracles.mktStrategy,
   )
 }
