@@ -192,6 +192,39 @@ object Oracles {
       |  FROM deltas
       |)""".stripMargin
 
+  /** depth.changes chain ids (mirror of MarketOps.depthChangeChains). */
+  def mktDepthChains: String = Level3Cte + QuoteCte + DedupSpreadCte +
+    DepthRunCte +
+    """, firsts AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, side, ABS(delta)
+      |    ORDER BY ts, side, price) AS krn
+      |  FROM deltas
+      |), chains AS (
+      |  SELECT pair_id, side, ABS(delta) AS absd,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY pair_id
+      |      ORDER BY ts, side, price) AS BIGINT) AS chain_id
+      |  FROM firsts WHERE krn = 1
+      |), dch AS (
+      |  SELECT d.pair_id, d.ts, d.side, d.price, d.delta, c.chain_id
+      |  FROM deltas d JOIN chains c ON c.pair_id = d.pair_id
+      |    AND c.side = d.side AND c.absd = ABS(d.delta)
+      |), uni AS (
+      |  SELECT pair_id, ts, 0 AS k, side, price, delta, chain_id,
+      |    CAST(NULL AS DOUBLE) AS sb, CAST(NULL AS DOUBLE) AS sa
+      |  FROM dch
+      |  UNION ALL
+      |  SELECT pair_id, ts, 1, NULL, NULL, NULL, NULL, bid_price, ask_price
+      |  FROM spread_ticks
+      |), asofq AS (
+      |  SELECT *, LAST_VALUE(sb IGNORE NULLS) OVER wch AS bid_price,
+      |    LAST_VALUE(sa IGNORE NULLS) OVER wch AS ask_price
+      |  FROM uni WINDOW wch AS (PARTITION BY pair_id ORDER BY ts, k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT pair_id, ts, side, price, delta, chain_id, bid_price, ask_price
+      |FROM asofq WHERE k = 0
+      |ORDER BY pair_id, ts, side, price""".stripMargin
+
   def mktDepth: String = Level3Cte + DepthRunCte +
     """
       |SELECT pair_id, ts, side, price, volume FROM run

@@ -46,6 +46,12 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
+    "mkt_depth_chains" -> ((s, d) =>
+      MarketOps.depthChangeChains(level3(s, d), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("price"), col("delta"), col("chain_id"),
+          col("bid_price"), col("ask_price"))
+        .orderBy("pair_id", "ts", "side", "price")),
     "mkt_depth_api" -> ((s, d) =>
       MarketOps.depthWindow(level3(s, d), s, Oracles.T0, Oracles.T1)
         .orderBy("pair_id", "ts", "side", "price")),
@@ -338,6 +344,7 @@ object SparkEntry {
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,
+    "mkt_depth_chains" -> Oracles.mktDepthChains,
     "mkt_depth_api" -> Oracles.mktDepthApi,
     "mkt_events" -> Oracles.mktEvents,
     "mkt_trades" -> Oracles.mktTrades,

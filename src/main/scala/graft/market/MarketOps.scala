@@ -262,6 +262,63 @@ object MarketOps {
       .select("pair_id", "ts", "side", "price", "volume")
   }
 
+  /** `depth.changes` with chain ids (reference
+    * `src/order_book_investigation.h:277-355`): per-level volume deltas,
+    * each tagged with a *chain id* linking deltas of equal |volume| on
+    * the same side (the reference's order-chain heuristic — a
+    * first-seen map |Δ| → id with one counter per pair), plus the
+    * prevailing pre-episode best bid/ask. Chain ids are ranked by first
+    * occurrence in (ts, side, price) order — the declarative stand-in
+    * for the reference's stream-encounter order within an episode. */
+  def depthChangeChains(level3: DataFrame, spark: SparkSession): DataFrame = {
+    val start = level3.select(col("pair_id"), col("microtimestamp").as("ts"),
+      col("side"), col("price"), col("amount").as("delta"))
+    val end = level3.select(col("pair_id"),
+      col("next_microtimestamp").as("ts"), col("side"), col("price"),
+      (-col("amount")).as("delta"))
+      .filter(col("ts") < Level3Source.AliveMicros)
+    val deltas = start.unionByName(end)
+      .groupBy("pair_id", "side", "price", "ts")
+      .agg(sum("delta").as("delta"))
+      .filter(col("delta") =!= 0)
+    val wKey = Window.partitionBy(col("pair_id"), col("side"),
+      abs(col("delta")))
+      .orderBy("ts", "side", "price")
+    val wChain = Window.partitionBy("pair_id")
+      .orderBy("ts", "side", "price")
+    val chains = deltas
+      .withColumn("krn", row_number().over(wKey))
+      .filter(col("krn") === 1)
+      .select(col("pair_id").as("c_pair_id"), col("side").as("c_side"),
+        abs(col("delta")).as("absd"),
+        row_number().over(wChain).cast("long").as("chain_id"))
+    val dch = deltas.join(chains,
+      col("pair_id") === col("c_pair_id") &&
+        col("side") === col("c_side") &&
+        abs(col("delta")) === col("absd"))
+      .select(col("pair_id"), col("ts"), col("side"), col("price"),
+        col("delta"), col("chain_id"))
+    // pre-episode prevailing quote: changes (k=0) see only ticks (k=1)
+    // strictly before their episode
+    val ticks = spread(level3, spark).select(col("pair_id"), col("ts"),
+      lit(1).as("k"), lit(null).cast("string").as("side"),
+      lit(null).cast("double").as("price"),
+      lit(null).cast("double").as("delta"),
+      lit(null).cast("long").as("chain_id"),
+      col("bid_price").as("sb"), col("ask_price").as("sa"))
+    val wAsof = Window.partitionBy("pair_id").orderBy("ts", "k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dch.withColumn("k", lit(0))
+      .withColumn("sb", lit(null).cast("double"))
+      .withColumn("sa", lit(null).cast("double"))
+      .unionByName(ticks)
+      .withColumn("bid_price", last("sb", ignoreNulls = true).over(wAsof))
+      .withColumn("ask_price", last("sa", ignoreNulls = true).over(wAsof))
+      .filter(col("k") === 0)
+      .select("pair_id", "ts", "side", "price", "delta", "chain_id",
+        "bid_price", "ask_price")
+  }
+
   /** Instantaneous spread at an instant (reference `get.spread`'s
     * second overload over `_starting_depth`, `db/get_schema.sql:645-682`):
     * best bid/ask price and the total quantity resting at each. */
