@@ -474,7 +474,7 @@ object Oracles {
       |  AND l.order_id = adj.episode_oid AND l.event_no = adj.episode_eno
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
-  def mktBstMatchSeq: String = Level3Cte + InferredMatchCte +
+  def mktBstMatchSeq: String = Level3Cte + ErasCte + InferredMatchCte +
     """, mts AS (
       |  SELECT GREATEST(b_ts, s_ts) AS t_ts, fill AS t_amt,
       |    CASE WHEN maker_is_buy THEN b_price ELSE s_price END AS t_price,
@@ -488,13 +488,13 @@ object Oracles {
       |  UNION ALL
       |  SELECT s_ts, s_oid, s_eno FROM mts WHERE (b_oid + s_oid) % 3 <> 0
       |), ev2 AS (
-      |  SELECT l.* FROM level3 l
+      |  SELECT l.* FROM l3e l
       |  WHERE l.event_no > 1 AND NOT EXISTS (
       |    SELECT 1 FROM used u WHERE u.microtimestamp = l.microtimestamp
       |      AND u.order_id = l.order_id AND u.event_no = l.event_no)
       |), sq AS (
-      |  SELECT pair_id, microtimestamp, order_id, event_no, side, amount,
-      |    fill, price_microtimestamp, is_deleted, event_id,
+      |  SELECT pair_id, era_no, microtimestamp, order_id, event_no, side,
+      |    amount, fill, price_microtimestamp, is_deleted, event_id,
       |    LEAD(microtimestamp) OVER w AS n_microtimestamp,
       |    LEAD(order_id) OVER w AS n_order_id,
       |    LEAD(event_no) OVER w AS n_event_no,
@@ -504,7 +504,7 @@ object Oracles {
       |    LEAD(price_microtimestamp) OVER w AS n_price_microtimestamp,
       |    LEAD(is_deleted) OVER w AS n_is_deleted
       |  FROM ev2
-      |  WINDOW w AS (PARTITION BY pair_id ORDER BY microtimestamp, event_id)
+      |  WINDOW w AS (PARTITION BY pair_id, era_no ORDER BY microtimestamp, event_id)
       |), um AS (
       |  SELECT t_ts, t_amt, t_price, t_side,
       |    b_oid AS buy_order_id, s_oid AS sell_order_id,

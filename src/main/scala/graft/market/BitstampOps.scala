@@ -178,14 +178,18 @@ object BitstampOps {
         .select(col("sell_microtimestamp").as("microtimestamp"),
           col("sell_order_id").as("order_id"),
           col("sell_event_no").as("event_no")))
-    val events = level3
+    // adjacency is meaningful only inside an era (the book restarts at
+    // each), so the lead-window partitions by (pair, era) — sequential
+    // matching then parallelizes like the replay kernels
+    val events = Level3Source.level3WithEras(level3)
       .join(usedRefs, Seq("microtimestamp", "order_id", "event_no"),
         "left_anti")
       .filter(col("event_no") > 1) // not 'order_created'
-      .select("pair_id", "microtimestamp", "order_id", "event_no", "side",
-        "price", "amount", "fill", "price_microtimestamp", "is_deleted",
-        "event_id")
-    val m = Window.partitionBy("pair_id").orderBy("microtimestamp", "event_id")
+      .select("pair_id", "era_no", "microtimestamp", "order_id", "event_no",
+        "side", "price", "amount", "fill", "price_microtimestamp",
+        "is_deleted", "event_id")
+    val m = Window.partitionBy("pair_id", "era_no")
+      .orderBy("microtimestamp", "event_id")
     val seq = Seq("microtimestamp", "order_id", "event_no", "side", "amount",
       "fill", "price_microtimestamp", "is_deleted")
       .foldLeft(events) { (d, c) =>
