@@ -564,6 +564,102 @@ object Oracles {
       |FROM rnk WHERE rn = 1
       |ORDER BY pair_id, t_ts, buy_order_id, sell_order_id""".stripMargin
 
+  private def L3Cols =
+    """microtimestamp, order_id, event_no, side, price, amount, fill,
+      |next_microtimestamp, is_deleted, price_microtimestamp,
+      |price_event_no, pair_id, exchange_id, event_id""".stripMargin
+
+  /** qty_level3_fix_duplicate_order_events over a log corrupted with
+    * duplicate eternal creations (orders ≡ 0 mod 11). */
+  def mktDqFixDups: String = Level3Cte +
+    s""", corrupted AS (
+      |  SELECT $L3Cols FROM level3
+      |  UNION ALL
+      |  SELECT microtimestamp, order_id, event_no, side, price, amount,
+      |    fill, 4102444800000000, FALSE, price_microtimestamp,
+      |    price_event_no, pair_id, exchange_id, -event_id - 1000000000
+      |  FROM level3 WHERE order_id % 11 = 0 AND event_no = 1
+      |), dup_orders AS (
+      |  SELECT DISTINCT order_id FROM corrupted
+      |  GROUP BY order_id, event_no HAVING COUNT(*) > 1
+      |)
+      |SELECT pair_id, order_id, CAST(event_no AS BIGINT) AS event_no,
+      |  microtimestamp, 'drop' AS action, CAST(NULL AS BIGINT) AS new_next
+      |FROM corrupted
+      |WHERE order_id IN (SELECT order_id FROM dup_orders)
+      |  AND event_no = 1 AND next_microtimestamp = 4102444800000000
+      |ORDER BY pair_id, order_id, event_no, microtimestamp""".stripMargin
+
+  /** qty_level3_fix_eternals over a log with broken chains (orders ≡ 0
+    * mod 13: second-to-last event made eternal). */
+  def mktDqFixEternals: String = Level3Cte +
+    s""", corrupted AS (
+      |  SELECT microtimestamp, order_id, event_no, side, price, amount,
+      |    fill,
+      |    CASE WHEN order_id % 13 = 0 AND max_eno >= 2
+      |      AND event_no = max_eno - 1 THEN 4102444800000000
+      |      ELSE next_microtimestamp END AS next_microtimestamp,
+      |    is_deleted, price_microtimestamp, price_event_no, pair_id,
+      |    exchange_id, event_id
+      |  FROM (SELECT *, MAX(event_no) OVER (PARTITION BY order_id)
+      |    AS max_eno FROM level3) t
+      |), orphans AS (
+      |  SELECT o.order_id AS o_oid, o.event_no AS o_eno,
+      |    o.microtimestamp AS o_ts
+      |  FROM corrupted o
+      |  WHERE o.event_no > 1 AND NOT EXISTS (
+      |    SELECT 1 FROM corrupted p WHERE p.order_id = o.order_id
+      |      AND p.event_no = o.event_no - 1
+      |      AND p.next_microtimestamp = o.microtimestamp)
+      |)
+      |SELECT c.pair_id, c.order_id, CAST(c.event_no AS BIGINT) AS event_no,
+      |  c.microtimestamp, 'reconnect' AS action, o_ts AS new_next
+      |FROM corrupted c JOIN orphans
+      |  ON c.order_id = o_oid AND c.event_no = o_eno - 1
+      |WHERE c.next_microtimestamp = 4102444800000000
+      |ORDER BY pair_id, order_id, event_no, microtimestamp""".stripMargin
+
+  /** qty_level3_fix_premature_deletes over a log with engine-generated
+    * deletes (negative event_id) contradicted by later real events. */
+  def mktDqFixPremature: String = Level3Cte +
+    s""", base AS (
+      |  SELECT *, MAX(event_no) OVER (PARTITION BY order_id) AS max_eno
+      |  FROM level3
+      |), corrupted AS (
+      |  SELECT microtimestamp, order_id, event_no, side, price, amount,
+      |    fill,
+      |    CASE WHEN order_id % 9 = 0 AND max_eno >= 2 AND event_no = 1
+      |      THEN microtimestamp + 1 ELSE next_microtimestamp END
+      |      AS next_microtimestamp,
+      |    is_deleted, price_microtimestamp, price_event_no, pair_id,
+      |    exchange_id, event_id
+      |  FROM base
+      |  UNION ALL
+      |  SELECT microtimestamp + 1, order_id, 1000, side, price, amount,
+      |    CAST(NULL AS DOUBLE), microtimestamp + 1, TRUE,
+      |    price_microtimestamp, price_event_no, pair_id, exchange_id,
+      |    -event_id - 2000000000
+      |  FROM base WHERE order_id % 9 = 0 AND max_eno >= 2 AND event_no = 1
+      |), realr AS (
+      |  SELECT * FROM corrupted WHERE event_id >= 0
+      |), prem AS (
+      |  SELECT d.pair_id, d.order_id, d.event_no, d.microtimestamp,
+      |    MIN(r.microtimestamp) AS next_real_ts
+      |  FROM corrupted d JOIN realr r ON r.order_id = d.order_id
+      |    AND r.microtimestamp > d.microtimestamp
+      |  WHERE d.is_deleted AND d.event_id < 0
+      |  GROUP BY d.pair_id, d.order_id, d.event_no, d.microtimestamp
+      |)
+      |SELECT pair_id, order_id, CAST(event_no AS BIGINT) AS event_no,
+      |  microtimestamp, 'drop' AS action, CAST(NULL AS BIGINT) AS new_next
+      |FROM prem
+      |UNION ALL
+      |SELECT r.pair_id, r.order_id, CAST(r.event_no AS BIGINT),
+      |  r.microtimestamp, 'reconnect', p.next_real_ts
+      |FROM realr r JOIN prem p ON r.order_id = p.order_id
+      |  AND r.next_microtimestamp = p.microtimestamp
+      |ORDER BY pair_id, order_id, event_no, microtimestamp, action""".stripMargin
+
   /** level3 + era columns (gaps-and-islands, 2 h threshold). */
   private def ErasCte: String =
     """, l3g AS (
@@ -1134,6 +1230,72 @@ object Oracles {
       |  COUNT(*) AS n_ticks
       |FROM grpd WHERE c = 1 GROUP BY pair_id, grp
       |ORDER BY pair_id, period_start""".stripMargin
+
+  /** merge_crossed_books (mirror of GridOps.mergeCrossedBooks): full
+    * merged level3 after collapsing each crossed run into one episode
+    * at its next uncrossed tick. */
+  def mktMergeCrossed: String = Level3Cte + QuoteCte + DedupSpreadCte +
+    """, flg AS (
+      |  SELECT pair_id, ts, CASE WHEN bid_price IS NOT NULL
+      |    AND ask_price IS NOT NULL AND bid_price >= ask_price
+      |    THEN 1 ELSE 0 END AS c
+      |  FROM spread_ticks
+      |), chgd AS (
+      |  SELECT *, CASE WHEN LAG(c) OVER wmc IS NULL OR c <> LAG(c) OVER wmc
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM flg WINDOW wmc AS (PARTITION BY pair_id ORDER BY ts)
+      |), grpd AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY pair_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM chgd
+      |), periods AS (
+      |  SELECT pair_id AS w_pair, MIN(ts) AS period_start,
+      |    MAX(ts) AS period_end
+      |  FROM grpd WHERE c = 1 GROUP BY pair_id, grp
+      |), wnd AS (
+      |  SELECT p.w_pair, p.period_start, MIN(t.ts) AS w_end
+      |  FROM periods p JOIN spread_ticks t
+      |    ON t.pair_id = p.w_pair AND t.ts > p.period_end
+      |  GROUP BY p.w_pair, p.period_start, p.period_end
+      |), tagged AS (
+      |  SELECT l.*, w.period_start, w.w_end
+      |  FROM level3 l LEFT JOIN wnd w
+      |    ON l.pair_id = w.w_pair AND l.microtimestamp >= w.period_start
+      |    AND l.microtimestamp < w.w_end
+      |), merged AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN is_deleted THEN microtimestamp END) OVER (
+      |      PARTITION BY pair_id, order_id, period_start
+      |      ORDER BY microtimestamp DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS next_death,
+      |    MAX(microtimestamp) OVER (
+      |      PARTITION BY pair_id, order_id, period_start) AS last_seen
+      |  FROM tagged WHERE w_end IS NOT NULL
+      |), mg2 AS (
+      |  SELECT *,
+      |    CASE WHEN next_death IS NOT NULL AND next_death < w_end
+      |      AND next_death < last_seen THEN next_death ELSE w_end END
+      |      AS new_micro
+      |  FROM merged
+      |)
+      |SELECT microtimestamp, order_id, CAST(event_no AS BIGINT) AS event_no,
+      |  side, price, amount, fill, next_microtimestamp, is_deleted,
+      |  CAST(pair_id AS BIGINT) AS pair_id, event_id
+      |FROM tagged WHERE w_end IS NULL
+      |UNION ALL
+      |SELECT new_micro, order_id, CAST(event_no AS BIGINT), side, price,
+      |  amount, fill,
+      |  CASE WHEN is_deleted THEN new_micro
+      |       WHEN next_death IS NOT NULL
+      |         AND next_microtimestamp <= next_death
+      |         AND next_microtimestamp <> 4102444800000000
+      |         AND next_death < last_seen THEN next_death
+      |       WHEN next_microtimestamp < w_end THEN w_end
+      |       ELSE next_microtimestamp END,
+      |  is_deleted, CAST(pair_id AS BIGINT), event_id
+      |FROM mg2
+      |ORDER BY microtimestamp, order_id, event_no, event_id""".stripMargin
 
   def mktDq: String = Level3Cte +
     """, dq_base AS (

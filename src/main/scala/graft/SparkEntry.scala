@@ -177,6 +177,38 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
           col("start_price"), col("end_ts"), col("end_price"), col("kind"))
         .orderBy("pair_id", "start_ts", "end_ts")),
+    "mkt_merge_crossed" -> ((s, d) => {
+      val l3 = level3(s, d)
+      GridOps.mergeCrossedBooks(l3, MarketOps.spread(l3, s))
+        .select(col("microtimestamp"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("side"),
+          col("price"), col("amount"), col("fill"),
+          col("next_microtimestamp"), col("is_deleted"),
+          col("pair_id").cast("long").as("pair_id"), col("event_id"))
+        .orderBy("microtimestamp", "order_id", "event_no", "event_id")
+    }),
+    "mkt_dq_fix_dups" -> ((s, d) =>
+      market.DqFixOps.fixDuplicates(
+          market.DqFixOps.withDuplicates(level3(s, d)))
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("microtimestamp"),
+          col("action"), col("new_next"))
+        .orderBy("pair_id", "order_id", "event_no", "microtimestamp")),
+    "mkt_dq_fix_eternals" -> ((s, d) =>
+      market.DqFixOps.fixEternals(
+          market.DqFixOps.withBrokenChains(level3(s, d)))
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("microtimestamp"),
+          col("action"), col("new_next"))
+        .orderBy("pair_id", "order_id", "event_no", "microtimestamp")),
+    "mkt_dq_fix_premature" -> ((s, d) =>
+      market.DqFixOps.fixPrematureDeletes(
+          market.DqFixOps.withPrematureDeletes(level3(s, d)))
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("microtimestamp"),
+          col("action"), col("new_next"))
+        .orderBy("pair_id", "order_id", "event_no", "microtimestamp",
+          "action")),
     "mkt_overview" -> ((s, d) =>
       Analytics.dataOverview(level3(s, d))
         .select(col("pair_id").cast("long").as("pair_id"),
@@ -361,6 +393,10 @@ object SparkEntry {
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_fix_crossed" -> Oracles.mktFixCrossed,
     "mkt_dq" -> Oracles.mktDq,
+    "mkt_merge_crossed" -> Oracles.mktMergeCrossed,
+    "mkt_dq_fix_dups" -> Oracles.mktDqFixDups,
+    "mkt_dq_fix_eternals" -> Oracles.mktDqFixEternals,
+    "mkt_dq_fix_premature" -> Oracles.mktDqFixPremature,
     "mkt_overview" -> Oracles.mktOverview,
     "mkt_ob_ladders" -> Oracles.mktObLadders,
     "mkt_book_diff" -> Oracles.mktBookDiff,

@@ -200,6 +200,62 @@ object GridOps {
         lit("crossed-eternal-taker").as("reason"))
   }
 
+  /** Episode merge (reference `obanalytics.merge_episodes`,
+    * `db/obanalytics_schema.sql:1959-2026`, applied per crossed period
+    * as `merge_crossed_books`, `:1921-1943`): every event inside a
+    * crossed window [first_crossed, next_uncrossed) moves to the
+    * window's end — except orders that die and resurrect inside the
+    * window, whose pre-death events collapse at the death instant —
+    * and forward pointers clamp accordingly, so the whole crossed run
+    * becomes one (uncrossed) episode. Immutable form: returns the full
+    * merged level3. Crossed runs with no subsequent uncrossed tick are
+    * left untouched (the reference raises there). */
+  def mergeCrossedBooks(level3: DataFrame, spreadTicks: DataFrame): DataFrame = {
+    val Alive = Level3Source.AliveMicros
+    // next uncrossed tick after each crossed period
+    val periods = crossedBooks(spreadTicks)
+      .select(col("pair_id").cast("int").as("w_pair"), col("period_start"),
+        col("period_end"))
+    val ticks = spreadTicks.select(col("pair_id").cast("int").as("t_pair"),
+      col("ts").as("t_ts"))
+    val windows = periods.join(ticks,
+      col("w_pair") === col("t_pair") && col("t_ts") > col("period_end"))
+      .groupBy("w_pair", "period_start", "period_end")
+      .agg(min("t_ts").as("w_end"))
+    val tagged = level3.join(broadcast(windows),
+      col("pair_id") === col("w_pair") &&
+        col("microtimestamp") >= col("period_start") &&
+        col("microtimestamp") < col("w_end"), "left")
+    val untouched = tagged.filter(col("w_end").isNull)
+      .select(level3.columns.map(col).toIndexedSeq: _*)
+    // running-from-behind earliest death per (order, window); RANGE
+    // frame keeps ties deterministic
+    val wBack = Window.partitionBy("pair_id", "order_id", "period_start")
+      .orderBy(col("microtimestamp").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy("pair_id", "order_id", "period_start")
+    val merged = tagged.filter(col("w_end").isNotNull)
+      .withColumn("next_death",
+        min(when(col("is_deleted"), col("microtimestamp"))).over(wBack))
+      .withColumn("last_seen", max("microtimestamp").over(wOrd))
+      .withColumn("new_micro",
+        when(col("next_death").isNotNull && col("next_death") < col("w_end") &&
+          col("next_death") < col("last_seen"), col("next_death"))
+          .otherwise(col("w_end")))
+      .withColumn("new_next",
+        when(col("is_deleted"), col("new_micro"))
+          .when(col("next_death").isNotNull &&
+            col("next_microtimestamp") <= col("next_death") &&
+            col("next_microtimestamp") =!= Alive &&
+            col("next_death") < col("last_seen"), col("next_death"))
+          .when(col("next_microtimestamp") < col("w_end"), col("w_end"))
+          .otherwise(col("next_microtimestamp")))
+      .withColumn("microtimestamp", col("new_micro"))
+      .withColumn("next_microtimestamp", col("new_next"))
+      .select(level3.columns.map(col).toIndexedSeq: _*)
+    untouched.unionByName(merged)
+  }
+
   /** Data-quality report (reference `qty_level3_*` checks,
     * `db/obanalytics_schema.sql:2157-2429`, and the table constraints
     * `:146-151`): invariant-violation counts per pair. */
