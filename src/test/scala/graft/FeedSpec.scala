@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.market.{MarketOps, Replay, BookEvent}
+import graft.sources.BitfinexFeed
+
+/** Exchange-format connector: raw Bitfinex R0 book-channel frames →
+  * transient raw book events → level3 → replay, end to end. The quote
+  * expectations reproduce the reference's own golden order-book fixture
+  * (`db/python2/tests/test_orderbook.py:45-56` over `level3_*.csv`:
+  * best bid 7989 → 7990, best ask 7990.40 → 7992 across the episode).
+  */
+class FeedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-feed")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // The reference fixture as wire frames: a snapshot episode (three
+  // resting orders), then an update episode that moves the bid, deletes
+  // the 7990.40 ask, re-asserts 7992 and adds 7993. Bids have +amount,
+  // asks -amount; a zero price deletes; 'hb' is noise.
+  private val t0 = 1569546956000L // ms
+  private val frames = Seq(
+    (1, 17082, 1000L,
+      s"""[17082, [[4154960395, 7989, 1], [4154960397, 7990.40, -1], [4154960398, 7992, -1]], $t0]"""),
+    (1, 17082, 1500L, s"""[17082, "hb", ${t0 + 100}]"""),
+    (1, 17082, 2000L,
+      s"""[17082, [4154960395, 7990, 1], ${t0 + 1000}]"""),
+    (1, 17082, 2100L,
+      s"""[17082, [4154960398, 7992, -1], ${t0 + 1000}]"""),
+    (1, 17082, 2200L,
+      s"""[17082, [4154961174, 7993, -1], ${t0 + 1000}]"""),
+    (1, 17082, 2300L,
+      s"""[17082, [4154960397, 0, -1], ${t0 + 1000}]"""))
+    .toDF("pair_id", "channel_id", "local_timestamp", "message")
+
+  test("frames parse: heartbeats drop, snapshots explode, updates flow") {
+    val parsed = BitfinexFeed.parseFrames(frames)
+    assert(parsed.count() == 7) // 3 snapshot entries + 4 updates
+    assert(parsed.filter(col("is_snapshot")).count() == 3)
+    assert(parsed.filter(col("price") === 0.0).count() == 1)
+  }
+
+  test("episode sessionization: snapshot episode + zero-price-closed episode") {
+    val raw = BitfinexFeed.rawBookEvents(frames)
+    val eps = raw.select("episode_timestamp").distinct().as[Long]
+      .collect().sorted
+    assert(eps.length == 2)
+    assert(eps(0) == t0 * 1000 && eps(1) == (t0 + 1000) * 1000)
+    // the four update rows share the second episode
+    assert(raw.filter(col("episode_timestamp") === (t0 + 1000) * 1000)
+      .count() == 4)
+  }
+
+  test("level3 from raw feed replays to the reference fixture's quotes") {
+    val l3 = BitfinexFeed.level3FromRaw(BitfinexFeed.rawBookEvents(frames))
+    // side from amount sign
+    assert(l3.filter(col("order_id") === 4154960395000L &&
+      col("side") =!= "b").count() == 0)
+    assert(l3.filter(col("order_id") === 4154960398000L &&
+      col("side") =!= "s").count() == 0)
+    val events = l3
+      .orderBy("microtimestamp", "event_id")
+      .select("pair_id", "microtimestamp", "order_id", "side", "price",
+        "amount", "is_deleted")
+      .as[(Int, Long, Long, String, Double, Double, Boolean)]
+      .collect()
+      .map(r => BookEvent(r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+    val ticks = Replay.l1(1, events.iterator).toList
+    assert(ticks.size == 2)
+    assert(ticks(0).bid_price.contains(7989.0) &&
+      ticks(0).ask_price.contains(7990.40))
+    assert(ticks(1).bid_price.contains(7990.0) &&
+      ticks(1).ask_price.contains(7992.0))
+    // the deleted ask's chain ends at the episode (event_no 2, deleted)
+    val del = l3.filter(col("order_id") === 4154960397000L &&
+      col("is_deleted")).collect()
+    assert(del.length == 1)
+  }
+}
