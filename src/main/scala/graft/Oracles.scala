@@ -1148,6 +1148,36 @@ object Oracles {
       |  AND sell_vwap IS NOT DISTINCT FROM psv)
       |ORDER BY pair_id, ts""".stripMargin
 
+  /** Moving depth summary at 6 h frequency (mirror of
+    * GridOps.depthSummaryAtFreq). */
+  def mktDepthSummaryFreq: String = Level3Cte +
+    """, chosen AS (
+      |  SELECT pair_id AS g_pair,
+      |    ((ets + 21599999999) // 21600000000) * 21600000000 AS g,
+      |    MAX(ets) AS sample_ts
+      |  FROM (SELECT DISTINCT pair_id, microtimestamp AS ets FROM level3) e
+      |  GROUP BY g_pair, ((ets + 21599999999) // 21600000000) * 21600000000
+      |), snapf AS (
+      |  SELECT l.*, c.g, c.sample_ts FROM level3 l JOIN chosen c
+      |    ON l.pair_id = c.g_pair AND l.microtimestamp <= c.sample_ts
+      |   AND l.next_microtimestamp > c.sample_ts
+      |), wbf AS (
+      |  SELECT *, CASE WHEN side = 'b'
+      |    THEN MAX(price) OVER (PARTITION BY pair_id, g, side)
+      |    ELSE MIN(price) OVER (PARTITION BY pair_id, g, side) END AS best
+      |  FROM snapf
+      |), bkf AS (
+      |  SELECT *, CAST(CEIL(ABS(price - best) / best * 10000 / 25) AS BIGINT)
+      |    * 25 AS bps_level
+      |  FROM wbf
+      |)
+      |SELECT pair_id, g AS ts, side, bps_level, SUM(amount) AS volume,
+      |  CASE WHEN side = 'b' THEN best * (1.0 - bps_level / 10000.0)
+      |       ELSE best * (1.0 + bps_level / 10000.0) END AS bps_price
+      |FROM bkf WHERE bps_level <= 500
+      |GROUP BY pair_id, g, side, bps_level, best
+      |ORDER BY pair_id, ts, side, bps_level""".stripMargin
+
   def mktDepthSummary: String = Level3Cte + GridSnapCte +
     """, bk AS (
       |  SELECT *, CAST(CEIL(ABS(price - best) / best * 10000 / 25) AS BIGINT) * 25
@@ -1460,6 +1490,52 @@ object Oracles {
       |  SELECT qa.vec_id AS query_id, cb.vec_id AS vec_id
       |  FROM bkt qa JOIN bkt cb
       |    ON qa.bucket = cb.bucket AND qa.vec_id < 5 AND cb.vec_id <> qa.vec_id
+      |), qd AS (
+      |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
+      |  FROM cand
+      |  JOIN ev a ON a.vec_id = query_id
+      |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = a.i
+      |  GROUP BY query_id, cand.vec_id
+      |), cc AS (
+      |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd.vec_id
+      |), rr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cc
+      |)
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  def pipeAnnIvf: String = QuantEmbCte +
+    """, cents AS (
+      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < 16
+      |), cnrm AS (
+      |  SELECT cent_id, SUM(q*q) AS cnq FROM cents GROUP BY cent_id
+      |), adot AS (
+      |  SELECT e.vec_id, c.cent_id, SUM(e.q * c.q) AS dot
+      |  FROM ev e JOIN cents c ON c.i = e.i
+      |  GROUP BY e.vec_id, c.cent_id
+      |), acos AS (
+      |  SELECT a.vec_id, a.cent_id, CAST(a.dot AS DOUBLE) /
+      |    (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(cn.cnq AS DOUBLE))) AS ccos
+      |  FROM adot a JOIN nrm n ON n.vec_id = a.vec_id
+      |  JOIN cnrm cn ON cn.cent_id = a.cent_id
+      |), ranked_c AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY ccos DESC, cent_id) AS crn
+      |  FROM acos
+      |), assign AS (
+      |  SELECT vec_id AS vb, cent_id FROM ranked_c WHERE crn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM ranked_c
+      |  WHERE vec_id < 5 AND crn <= 2
+      |), cand AS (
+      |  SELECT DISTINCT p.query_id, a.vb AS vec_id
+      |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      |  WHERE a.vb <> p.query_id
       |), qd AS (
       |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
       |  FROM cand

@@ -105,6 +105,11 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("bps_level"), col("volume"), col("bps_price"))
         .orderBy("pair_id", "ts", "side", "bps_level")),
+    "mkt_depth_summary_freq" -> ((s, d) =>
+      GridOps.depthSummaryAtFreq(level3(s, d), 21600000000L)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("bps_level"), col("volume"), col("bps_price"))
+        .orderBy("pair_id", "ts", "side", "bps_level")),
     "mkt_depth_summary_wide" -> ((s, d) =>
       GridOps.depthSummaryWide(level3(s, d), Oracles.GridInstants)
         .withColumn("pair_id", col("pair_id").cast("long"))
@@ -340,6 +345,9 @@ object SparkEntry {
     "pipe_ann_topk" -> ((s, d) =>
       VectorOps.annTopK(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
+    "pipe_ann_ivf" -> ((s, d) =>
+      VectorOps.annIvf(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
     "pipe_ann_lsh" -> ((s, d) =>
       VectorOps.annLsh(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
@@ -386,6 +394,7 @@ object SparkEntry {
     "mkt_level3" -> Oracles.mktLevel3,
     "mkt_trading_period" -> Oracles.mktTradingPeriod,
     "mkt_depth_summary" -> Oracles.mktDepthSummary,
+    "mkt_depth_summary_freq" -> Oracles.mktDepthSummaryFreq,
     "mkt_depth_summary_wide" -> Oracles.mktDepthSummaryWide,
     "mkt_queues" -> Oracles.mktQueues,
     "mkt_queues_wide" -> Oracles.mktQueuesWide,
@@ -425,6 +434,7 @@ object SparkEntry {
     "pipe_embed_neardup" -> Oracles.pipeEmbedNearDup,
     "pipe_ann_topk" -> Oracles.pipeAnnTopK,
     "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
+    "pipe_ann_ivf" -> Oracles.pipeAnnIvf,
     "pipe_langid" -> Oracles.pipeLangId,
     "pipe_quality" -> Oracles.pipeQuality,
     "pipe_tokens" -> Oracles.pipeTokens,

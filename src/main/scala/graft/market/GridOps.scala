@@ -129,6 +129,46 @@ object GridOps {
         col("price_bucket"))
       .agg(sum("amount").as("volume"))
 
+  /** Depth summary as a *moving aggregate at frequency* (reference
+    * `get.depth_summary(start, end, freq)` applies its custom moving
+    * aggregate over every episode and samples per window,
+    * `db/get_schema.sql:281-298`): the value at grid instant g is the
+    * bps-ladder of the book standing at the last episode in the
+    * right-closed window (g − freq, g] — data-driven instants, not a
+    * fixed grid. Sampling instants are found per (pair, window) and the
+    * ladder is evaluated by validity-interval snapshot, so the whole
+    * operator is declarative (broadcast of the tiny instants set). */
+  def depthSummaryAtFreq(level3: DataFrame, freqMicros: Long,
+      bpsStep: Int = 25, maxBps: Int = 500): DataFrame = {
+    val chosen = level3
+      .select(col("pair_id").as("g_pair"), col("microtimestamp").as("ets"))
+      .distinct()
+      .withColumn("g",
+        expr(s"((ets + ${freqMicros - 1}) div $freqMicros) * $freqMicros"))
+      .groupBy("g_pair", "g")
+      .agg(max("ets").as("sample_ts"))
+    val snap = level3.join(broadcast(chosen),
+      col("pair_id") === col("g_pair") &&
+        col("microtimestamp") <= col("sample_ts") &&
+        col("next_microtimestamp") > col("sample_ts"))
+    val wBest = Window.partitionBy("pair_id", "g", "side")
+    val best = when(col("side") === "b", max("price").over(wBest))
+      .otherwise(min("price").over(wBest))
+    snap
+      .withColumn("best", best)
+      .withColumn("bps_level",
+        ceil(abs(col("price") - col("best")) / col("best") * 10000 / bpsStep) * bpsStep)
+      .filter(col("bps_level") <= maxBps)
+      .groupBy(col("pair_id"), col("g").as("ts"), col("side"),
+        col("bps_level"), col("best"))
+      .agg(sum("amount").as("volume"))
+      .withColumn("bps_price",
+        when(col("side") === "b",
+          col("best") * (lit(1.0) - col("bps_level") / 10000.0))
+          .otherwise(col("best") * (lit(1.0) + col("bps_level") / 10000.0)))
+      .drop("best")
+  }
+
   /** Wide (pivoted) depth summary — the R client's final shape
     * (`bid.vol25bps … ask.vol500bps`, `R/obanalytics.R:410-427`): one
     * row per (pair, instant), one column per side×bps bucket. */

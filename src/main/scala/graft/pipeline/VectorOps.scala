@@ -95,6 +95,46 @@ object VectorOps {
     buckets.join(q, Seq("vec_id"))
   }
 
+  /** IVF-Flat approximate top-k: a coarse quantizer of `nCells`
+    * centroids (deterministic training sample: the first `nCells`
+    * vectors by id — engine-portable, no iterative k-means), every
+    * vector assigned to its nearest centroid once (one broadcast of the
+    * tiny centroid table, one shuffle on cell id), queries probing the
+    * `nProbe` nearest cells with exact cosine re-ranking inside. The
+    * inverted-file structure is the standard scale path when
+    * hyperplane LSH recall is insufficient: cells ≈ √n keeps probe
+    * cost O(√n) per query. */
+  def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val q = quantized(emb)
+    val cents = q.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nq").as("cnq"))
+    val centCos = (longArrayDot(col("q"), col("cq")).cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double"))))
+      .as("ccos")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val scored = q.join(broadcast(cents)).withColumn("ccos", centCos)
+      .withColumn("crn", row_number().over(wAssign))
+    val assign = scored.filter(col("crn") === 1)
+      .select(col("vec_id").as("vb"), col("cent_id"),
+        col("q").as("qb"), col("nq").as("nb"))
+    val probes = scored.filter(col("vec_id") < nQueries &&
+      col("crn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("q").as("qa"), col("nq").as("na"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vb"))
+    probes.join(assign, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vb"))
+      .withColumn("cos", cosine)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's
     * bucket; exact cosine ranking within the bucket. `bits` defaults to
     * the collection-size-scaled count (one cheap count() to size it) so
