@@ -95,6 +95,20 @@ object SparkEntry {
           col("pair_id").cast("long").as("pair_id"),
           col("exchange_id").cast("long").as("exchange_id"), col("event_id"))
         .orderBy("event_id")),
+    // incremental (month-boundary) build must equal the full build --
+    // same oracle SQL as mkt_level3
+    "mkt_level3_incr" -> ((s, d) =>
+      Level3Source.incrementalLevel3(Tables.load(s, d, "events"),
+          Oracles.SnapshotMicros)
+        .select(col("microtimestamp"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("side"),
+          col("price"), col("amount"), col("fill"),
+          col("next_microtimestamp"), col("is_deleted"),
+          col("price_microtimestamp"),
+          col("price_event_no").cast("long").as("price_event_no"),
+          col("pair_id").cast("long").as("pair_id"),
+          col("exchange_id").cast("long").as("exchange_id"), col("event_id"))
+        .orderBy("event_id")),
     "mkt_trading_period" -> ((s, d) =>
       MarketOps.tradingPeriod(level3(s, d), s, 50)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -392,6 +406,7 @@ object SparkEntry {
     "mkt_intervals" -> Oracles.mktIntervals,
     "mkt_export" -> Oracles.mktExport,
     "mkt_level3" -> Oracles.mktLevel3,
+    "mkt_level3_incr" -> Oracles.mktLevel3,
     "mkt_trading_period" -> Oracles.mktTradingPeriod,
     "mkt_depth_summary" -> Oracles.mktDepthSummary,
     "mkt_depth_summary_freq" -> Oracles.mktDepthSummaryFreq,

@@ -104,6 +104,155 @@ object Level3Source {
       col("event_id"))
   }
 
+  /** Carry state for incremental (batch-at-a-time) building — the
+    * month-boundary chain continuation of the reference (`v_open_orders`,
+    * `db/bitfinex_schema.sql:327-340`; trigger path
+    * `db/obanalytics_schema.sql:1760-1834`): per user the deletion
+    * count so far (incarnation base), and per *open* order its event
+    * count, last event state and current price-chain anchor. */
+  def openState(level3Df: DataFrame): DataFrame = {
+    val delCounts = level3Df
+      .groupBy("user_id")
+      .agg(sum(when(col("is_deleted"), 1).otherwise(0)).as("del_base"))
+    val wOrd = Window.partitionBy("order_id")
+      .orderBy(col("microtimestamp").desc, col("event_id").desc)
+    val open = level3Df
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1 && !col("is_deleted"))
+      .select(col("user_id"), col("order_id"),
+        col("event_no").as("event_count"),
+        col("microtimestamp").as("last_ts"),
+        col("price").as("last_price"),
+        col("amount").as("last_amount"),
+        col("price_microtimestamp").as("chain_ts"),
+        col("price_event_no").as("chain_eno"))
+    delCounts.join(open, Seq("user_id"), "left")
+  }
+
+  /** Build the next batch of events on top of carried [[openState]]:
+    * returns (new level3 rows, pointer corrections). A correction
+    * re-points the previous batch's final event of each continuing
+    * order at its first new event — the immutable form of the
+    * reference's `level3_incorporate_new_event` trigger. The carry
+    * mechanism: each open order's last event is prepended as a silent
+    * carry row so the one window pass continues chains, numbering and
+    * fills across the boundary. */
+  def continueBuild(events: DataFrame, state: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val base = events.select(
+      col("event_id"),
+      tsMicros(col("ts")).as("microtimestamp"),
+      col("user_id"),
+      ((col("user_id") % 3) + 1).cast("int").as("pair_id"),
+      when(col("user_id") % 2 === 0, "b").otherwise("s").as("side"),
+      when(col("user_id") % 2 === 0, col("value"))
+        .otherwise(col("value") + 80.0).as("price"),
+      ((col("event_id") % 20) + 1).cast("double").as("amount"),
+      when(col("event_type") === "error", 1).otherwise(0).as("del_flag"),
+      lit(false).as("carry"))
+    val carryRows = state.filter(col("order_id").isNotNull).select(
+      lit(-1L).as("event_id"),
+      col("last_ts").as("microtimestamp"),
+      col("user_id"),
+      ((col("user_id") % 3) + 1).cast("int").as("pair_id"),
+      when(col("user_id") % 2 === 0, "b").otherwise("s").as("side"),
+      col("last_price").as("price"),
+      col("last_amount").as("amount"),
+      lit(0).as("del_flag"),
+      lit(true).as("carry"))
+    val st = state.select(col("user_id").as("s_user"),
+      coalesce(col("del_base"), lit(0L)).as("del_base"),
+      col("order_id").as("s_oid"), col("event_count"),
+      col("chain_ts"), col("chain_eno"))
+      // one state row per user (open order unique per user in this
+      // adapter); del_base applies to every incarnation
+      .groupBy("s_user")
+      .agg(max("del_base").as("del_base"), max("s_oid").as("s_oid"),
+        max("event_count").as("event_count"), max("chain_ts").as("chain_ts"),
+        max("chain_eno").as("chain_eno"))
+    val wUser = Window.partitionBy("user_id")
+      .orderBy("microtimestamp", "event_id")
+    val all = base.unionByName(carryRows)
+      .join(st, col("user_id") === col("s_user"), "left")
+      .withColumn("order_id",
+        col("user_id") * 1000 + coalesce(col("del_base"), lit(0L)) +
+          coalesce(sum("del_flag").over(
+            wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wOrd = Window.partitionBy("order_id")
+      .orderBy("microtimestamp", "event_id")
+    val continuing = col("order_id") === col("s_oid")
+    val evt = all
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("event_no",
+        when(continuing, col("rn") + col("event_count") - 1)
+          .otherwise(col("rn")).cast("int"))
+      .withColumn("prev_amount", lag("amount", 1).over(wOrd))
+      .withColumn("lead_ts", lead("microtimestamp", 1).over(wOrd))
+      .withColumn("prev_price", lag("price", 1).over(wOrd))
+      .withColumn("price_chg",
+        when(col("prev_price").isNull || col("price") =!= col("prev_price"), 1)
+          .otherwise(0))
+      .withColumn("price_group",
+        sum("price_chg").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val wChain = Window.partitionBy("order_id", "price_group")
+    val built = evt
+      .withColumn("chain_start_ts", min("microtimestamp").over(wChain))
+      .withColumn("chain_start_eno", min("event_no").over(wChain))
+      // the chain containing the carry row continues the carried anchor
+      .withColumn("carried_chain",
+        max(when(col("carry"), 1).otherwise(0)).over(wChain) === 1)
+      .filter(!col("carry"))
+    val newRows = built.select(
+      col("microtimestamp"),
+      col("order_id"),
+      col("event_no"),
+      col("side"),
+      col("price"),
+      col("amount"),
+      when(col("prev_amount") > col("amount"),
+        col("prev_amount") - col("amount")).as("fill"),
+      when(col("del_flag") === 1, col("microtimestamp"))
+        .otherwise(coalesce(col("lead_ts"), lit(AliveMicros)))
+        .as("next_microtimestamp"),
+      (col("del_flag") === 1).as("is_deleted"),
+      when(col("carried_chain"), col("chain_ts"))
+        .otherwise(col("chain_start_ts")).as("price_microtimestamp"),
+      when(col("carried_chain"), col("chain_eno"))
+        .otherwise(col("chain_start_eno")).cast("int").as("price_event_no"),
+      col("pair_id"),
+      lit(1).as("exchange_id"),
+      col("event_id"))
+    val corrections = built
+      .filter(continuing && col("rn") === 2) // first real event after carry
+      .select(col("order_id"), (col("event_count")).as("event_no"),
+        col("microtimestamp").as("new_next"))
+    (newRows, corrections)
+  }
+
+  /** Incremental end-to-end: build events ≤ `cutMicros`, carry the open
+    * state, build the rest on top, apply pointer corrections, merge.
+    * The result is exactly [[level3]] of the whole stream (proven by
+    * the driver oracle `mkt_level3_incr` and IncrementalSpec) — the
+    * property that lets the 100 TB lake build month by month. */
+  def incrementalLevel3(events: DataFrame, cutMicros: Long): DataFrame = {
+    val first = events.filter(tsMicros(col("ts")) <= cutMicros)
+    val rest = events.filter(tsMicros(col("ts")) > cutMicros)
+    val batch1 = level3(first)
+      .join(first.select(col("event_id").as("u_eid"), col("user_id")),
+        col("event_id") === col("u_eid"))
+      .drop("u_eid")
+    val (newRows, corrections) = continueBuild(rest, openState(batch1))
+    val corrected = batch1
+      .join(corrections.select(col("order_id").as("c_oid"),
+        col("event_no").as("c_eno"), col("new_next")),
+        col("order_id") === col("c_oid") && col("event_no") === col("c_eno"),
+        "left")
+      .withColumn("next_microtimestamp",
+        coalesce(col("new_next"), col("next_microtimestamp")))
+      .drop("c_oid", "c_eno", "new_next", "user_id")
+    corrected.unionByName(newRows)
+  }
+
   /** Era detection per pair: gaps-and-islands over the event stream
     * (reference: new era when feed gap exceeds a threshold,
     * `db/bitfinex_schema.sql:332-361`). Returns
