@@ -82,6 +82,53 @@ object BitfinexFeed {
         col("episode_timestamp"))
   }
 
+  /** Trades-channel frames → transient trade rows (reference
+    * `python/obadiah/bitfinex.py:121-151`): `'tu'` frames are
+    * authoritative single trades, `'te'`/`'hb'` are dropped, a leading
+    * snapshot carries an array of trades. Entry = [id, mts, qty,
+    * price]; negative qty = sell. Stateless — streaming-safe. */
+  def parseTradeFrames(frames: DataFrame): DataFrame = {
+    val payload = get_json_object(col("message"), "$[1]")
+    val base = frames.withColumn("payload", payload)
+    val tu = base
+      .filter(col("payload") === "\"tu\"" || col("payload") === "tu")
+      .select(col("pair_id"), col("channel_id"), col("local_timestamp"),
+        from_json(get_json_object(col("message"), "$[2]"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<double>"))
+          .as("entry"))
+    val snap = base
+      .filter(get_json_object(col("payload"), "$[0][0]").isNotNull)
+      .select(col("pair_id"), col("channel_id"), col("local_timestamp"),
+        explode(from_json(col("payload"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<array<double>>")))
+          .as("entry"))
+    tu.unionByName(snap)
+      .select(col("pair_id"), col("channel_id"), col("local_timestamp"),
+        col("entry").getItem(0).cast("long").as("trade_id"),
+        (col("entry").getItem(1) * 1000).cast("long")
+          .as("exchange_timestamp"), // ms → µs
+        col("entry").getItem(2).as("qty"),
+        col("entry").getItem(3).as("price"))
+      .filter(col("trade_id").isNotNull)
+  }
+
+  /** `bitfinex.capture_transient_trades`
+    * (`db/bitfinex_schema.sql:477-492`): transient trades → matches
+    * rows, `distinct on (exchange_timestamp, id)` (first by capture
+    * time), side from the sign of qty. */
+  def captureTrades(transient: DataFrame): DataFrame = {
+    val w = Window.partitionBy("exchange_timestamp", "trade_id")
+      .orderBy("local_timestamp")
+    transient
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(abs(col("qty")).as("amount"), col("price"),
+        when(col("qty") < 0, "s").otherwise("b").as("side"),
+        col("exchange_timestamp").as("microtimestamp"),
+        col("local_timestamp"), col("pair_id"),
+        col("trade_id").as("exchange_trade_id"))
+  }
+
   /** The level3 builder over the *native feed shape* (reference
     * `bitfinex.capture_transient_raw_book_events`,
     * `db/bitfinex_schema.sql:279-468`): side from the sign of the

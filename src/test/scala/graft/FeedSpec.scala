@@ -61,6 +61,23 @@ class FeedSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("trades channel: tu frames captured, te/hb dropped, duplicates deduped") {
+    val tf = Seq(
+      (1, 18000, 1000L,
+        s"""[18000, [[401, $t0, 0.5, 7990], [402, $t0, -1.5, 7991]], $t0]"""),
+      (1, 18000, 1100L, s"""[18000, "te", [403, ${t0 + 10}, 2, 7992], ${t0 + 10}]"""),
+      (1, 18000, 1200L, s"""[18000, "tu", [403, ${t0 + 10}, 2, 7992], ${t0 + 10}]"""),
+      (1, 18000, 1300L, s"""[18000, "tu", [403, ${t0 + 10}, 2, 7992], ${t0 + 10}]"""),
+      (1, 18000, 1400L, s"""[18000, "hb", ${t0 + 20}]"""))
+      .toDF("pair_id", "channel_id", "local_timestamp", "message")
+    val trades = BitfinexFeed.captureTrades(BitfinexFeed.parseTradeFrames(tf))
+    assert(trades.count() == 3) // 2 snapshot + 1 deduped tu (te/hb dropped)
+    val t403 = trades.filter(col("exchange_trade_id") === 403).collect()
+    assert(t403.length == 1 && t403(0).getAs[Long]("local_timestamp") == 1200L)
+    assert(trades.filter(col("exchange_trade_id") === 402 &&
+      col("side") === "s" && col("amount") === 1.5).count() == 1)
+  }
+
   test("level3 from raw feed replays to the reference fixture's quotes") {
     val l3 = BitfinexFeed.level3FromRaw(BitfinexFeed.rawBookEvents(frames))
     // side from amount sign
