@@ -273,26 +273,32 @@ object SparkEntry {
           col("s2_ts"), col("s2_oid"),
           col("s2_eno").cast("long").as("s2_eno"), col("s2_fill"))
         .orderBy("pair_id", "b_ts", "b_oid", "b_eno")),
+    // The Bitstamp ops consume level3 and the matches table several
+    // times each (diamond plans); a lazy localCheckpoint evaluates each
+    // expensive sub-plan once — at lake scale both are build-once
+    // tables, so this mirrors production, not a bench trick.
     "mkt_bst_reveal" -> ((s, d) => {
-      val l3 = level3(s, d)
-      market.BitstampOps.revealEpisodes(l3, TradeMatching.inferredMatches(l3))
+      val l3 = level3(s, d).localCheckpoint(false)
+      market.BitstampOps.revealEpisodes(l3,
+          TradeMatching.inferredMatches(l3).localCheckpoint(false))
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("old_ts"),
           col("new_ts"), col("side"), col("price"), col("amount"))
         .orderBy("pair_id", "order_id", "event_no", "old_ts")
     }),
     "mkt_bst_fix_aggr" -> ((s, d) => {
-      val l3 = level3(s, d)
-      market.BitstampOps.fixAggressorOrder(l3, TradeMatching.inferredMatches(l3))
+      val l3 = level3(s, d).localCheckpoint(false)
+      market.BitstampOps.fixAggressorOrder(l3,
+          TradeMatching.inferredMatches(l3).localCheckpoint(false))
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("old_ts"),
           col("new_ts"), col("side"), col("price"), col("amount"))
         .orderBy("pair_id", "order_id", "event_no", "old_ts")
     }),
     "mkt_bst_match_seq" -> ((s, d) => {
-      val l3 = level3(s, d)
+      val l3 = level3(s, d).localCheckpoint(false)
       market.BitstampOps.matchSequentialEvents(l3,
-          TradeMatching.inferredMatches(l3))
+          TradeMatching.inferredMatches(l3).localCheckpoint(false))
         .select(col("pair_id").cast("long").as("pair_id"), col("t_ts"),
           col("t_amt"), col("t_side"), col("buy_order_id"),
           col("buy_event_no").cast("long").as("buy_event_no"),
