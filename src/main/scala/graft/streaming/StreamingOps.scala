@@ -123,6 +123,89 @@ object StreamingOps {
       .toDF()
   }
 
+  /** A fill event entering the streaming trade matcher. */
+  case class PairFill(pairId: Int, ts: Long, orderId: Long, eventNo: Int,
+      side: String, price: Double, fill: Double, priceTs: Long)
+
+  /** An inferred match, same shape as `TradeMatching.inferredMatches`. */
+  case class StreamMatch(microtimestamp: Long, price: Double, amount: Double,
+      side: String, buy_microtimestamp: Long, buy_order_id: Long,
+      buy_event_no: Int, sell_microtimestamp: Long, sell_order_id: Long,
+      sell_event_no: Int, pair_id: Int, exchange_id: Long)
+
+  case class MatchState(buffer: List[PairFill], decided: List[(Long, Int)])
+
+  /** Streaming trade inference — the incremental twin of
+    * `TradeMatching.inferredMatches`, *exactly*: a buy's mutual-best
+    * decision depends only on equal-fill sells within `band` of it, and
+    * those sells' own preferences on buys within a further `band` — so
+    * once the watermark passes `buy_ts + 2·band` the decision is
+    * final, and a fill stops being anyone's candidate after
+    * `ts + 3·band`. Buys decide exactly once (sealed horizon), fills
+    * evict at the 3-band horizon: state is O(fills per 3 bands), and
+    * the emitted set equals the batch mutual-best matching
+    * (`StreamingSpec` proves equality). */
+  def tradesStream(fills: Dataset[PairFill], spark: SparkSession,
+      bandMicros: Long = graft.market.TradeMatching.DefaultToleranceMicros)
+      : DataFrame = {
+    import spark.implicits._
+
+    def update(pairId: Int, batch: Iterator[PairFill],
+        state: GroupState[MatchState]): Iterator[StreamMatch] = {
+      // invoked on data OR on event-time timeout: a pair with no new
+      // fills still decides its sealed buys as the watermark advances
+      val st = state.getOption.getOrElse(MatchState(Nil, Nil))
+      val buf = st.buffer ++ batch.toSeq
+      val decided = scala.collection.mutable.Set(st.decided: _*)
+      val wm = state.getCurrentWatermarkMs() * 1000L
+      val decideLimit = wm - 2 * bandMicros
+      val keepLimit = wm - 3 * bandMicros
+      val sells = buf.filter(_.side == "s")
+      val buys = buf.filter(_.side == "b")
+      val out = scala.collection.mutable.ListBuffer.empty[StreamMatch]
+      for (b <- buys
+           if b.ts < decideLimit && !decided.contains((b.orderId, b.eventNo))) {
+        decided += ((b.orderId, b.eventNo))
+        val cand = sells.filter(s =>
+          s.fill == b.fill && math.abs(b.ts - s.ts) <= bandMicros)
+        if (cand.nonEmpty) {
+          val s = cand.minBy(s =>
+            (math.abs(b.ts - s.ts), s.ts, s.orderId, s.eventNo))
+          val back = buys.filter(b2 =>
+            b2.fill == s.fill && math.abs(b2.ts - s.ts) <= bandMicros)
+            .minBy(b2 =>
+              (math.abs(b2.ts - s.ts), b2.ts, b2.orderId, b2.eventNo))
+          if (back.orderId == b.orderId && back.eventNo == b.eventNo) {
+            val makerIsBuy = b.priceTs < s.priceTs ||
+              (b.priceTs == s.priceTs && (b.ts < s.ts ||
+                (b.ts == s.ts && b.orderId < s.orderId)))
+            out += StreamMatch(math.max(b.ts, s.ts),
+              if (makerIsBuy) b.price else s.price, b.fill,
+              if (makerIsBuy) "s" else "b",
+              b.ts, b.orderId, b.eventNo, s.ts, s.orderId, s.eventNo,
+              pairId, 1L)
+          }
+        }
+      }
+      val kept = buf.filter(_.ts >= keepLimit)
+      val keptKeys = kept.map(f => (f.orderId, f.eventNo)).toSet
+      state.update(MatchState(kept,
+        decided.filter(keptKeys.contains).toList))
+      // wake on the next watermark advance to decide newly sealed buys
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)
+      out.iterator
+    }
+
+    fills
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "2 minutes")
+      .as[PairFill]
+      .groupByKey(_.pairId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+
   /** Tumbling-window event-rate aggregation with watermarking — the
     * streaming twin of `obanalytics.summary`'s per-era rates. */
   def eventRates(raw: DataFrame, windowSec: Int = 3600): DataFrame =

@@ -79,6 +79,67 @@ class TwinsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming trade inference == batch mutual-best matching") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    // sf0.01: the band finds 184 matches (sf0.001 is too sparse to be
+    // a meaningful differential)
+    val l3 = Level3Source.level3(
+      Tables.load(spark, "/root/testdata/sf0.01", "events"))
+    val fills = l3.filter(col("fill") > 0).select(
+      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("event_no").as("eventNo"),
+      col("side"), col("price"), col("fill"),
+      col("price_microtimestamp").as("priceTs"))
+    // The watermark only advances between micro-batches, so the stream
+    // must arrive as several time-ordered files; two trailing flush
+    // rows push the final watermark past every real buy's 2-band
+    // decision horizon (band = 1 h, watermark delay = 2 min).
+    val maxTs = l3.agg(max("microtimestamp")).collect()(0).getLong(0)
+    val minTs = l3.agg(min("microtimestamp")).collect()(0).getLong(0)
+    val span = (maxTs - minTs) / 4 + 1
+    val stage = java.nio.file.Files.createTempDirectory("graft-tr").toString
+    def writeSlice(k: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-trs").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(stage, f"batch$k%04d.parquet"))
+    }
+    for (k <- 0 until 4)
+      writeSlice(k, fills.filter(
+        col("ts") >= minTs + k * span && col("ts") < minTs + (k + 1) * span))
+    def flushRow(k: Int, ts: Long) = writeSlice(k,
+      Seq((999, ts, 0L, 1, "b", 0.0, 1.0, 0L))
+        .toDF(fills.columns.toIndexedSeq: _*))
+    flushRow(4, maxTs + 4L * 3600 * 1000000)
+    flushRow(5, maxTs + 8L * 3600 * 1000000)
+    val q = StreamingOps.tradesStream(
+        spark.readStream.schema(fills.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .as[StreamingOps.PairFill], spark)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trades_out").start()
+    q.processAllAvailable(); q.stop()
+    val cols = Seq("pair_id", "microtimestamp", "price", "amount", "side",
+      "buy_microtimestamp", "buy_order_id", "buy_event_no",
+      "sell_microtimestamp", "sell_order_id", "sell_event_no")
+    val streamed = spark.table("trades_out")
+      .filter(col("pair_id") =!= 999)
+      .select(cols.head, cols.tail: _*)
+      .withColumn("buy_event_no", col("buy_event_no").cast("long"))
+      .withColumn("sell_event_no", col("sell_event_no").cast("long"))
+      .orderBy(cols.map(col): _*).collect().map(_.toSeq).toList
+    val batch = market.TradeMatching.inferredMatches(l3)
+      .select(cols.head, cols.tail: _*)
+      .withColumn("buy_event_no", col("buy_event_no").cast("long"))
+      .withColumn("sell_event_no", col("sell_event_no").cast("long"))
+      .orderBy(cols.map(col): _*).collect().map(_.toSeq).toList
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("book diff between two instants is consistent with snapshots") {
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
     val diff = MarketOps.bookDiff(l3, Oracles.T0, Oracles.T1)
