@@ -1555,6 +1555,65 @@ object Oracles {
       |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  def pipeRepetition: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id, words,
+      |    list_transform(range(1, GREATEST(len(words)-4, 0) + 1),
+      |      i -> array_to_string(words[i:i+4], ' ')) AS g5
+      |  FROM w
+      |)
+      |SELECT doc_id,
+      |  CAST(len(words) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+      |  CAST(len(g5) AS BIGINT) AS n_grams5,
+      |  CAST(len(list_distinct(g5)) AS BIGINT) AS n_distinct_grams5,
+      |  CAST(list_max(list_transform(list_distinct(words),
+      |    w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS top_word_n,
+      |  1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+      |    AS dup_word_ratio,
+      |  CASE WHEN len(g5) > 0
+      |    THEN 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5) END
+      |    AS dup_gram5_ratio,
+      |  CAST(list_max(list_transform(list_distinct(words),
+      |    w -> len(list_filter(words, x -> x = w)))) AS DOUBLE) / len(words)
+      |    AS top_word_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  def pipeScrub: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+      |    AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+      |    AS BIGINT) AS n_urls,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{6,}'))
+      |    AS BIGINT) AS n_long_digit_runs,
+      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^ ]+', '<URL>', 'g'), '[a-z0-9._%+-]+@[a-z0-9.-]+',
+      |    '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT)
+      |    AS scrubbed_len,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^ ]+', '<URL>', 'g'), '[a-z0-9._%+-]+@[a-z0-9.-]+',
+      |    '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def pipeChunkDedup: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), ch AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, (GREATEST(len(words) - 1, 0) // 10) + 1),
+      |    i -> array_to_string(words[i*10+1:i*10+10], ' '))) AS chunk
+      |  FROM w
+      |), h AS (
+      |  SELECT doc_id, md5(chunk) AS chunk_hash FROM ch WHERE chunk <> ''
+      |)
+      |SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_occurrences, MIN(doc_id) AS keep_doc
+      |FROM h GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_hash""".stripMargin
+
   def pipeLangId: String =
     """WITH wd AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

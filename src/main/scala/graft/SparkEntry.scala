@@ -382,6 +382,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ws_tokens"), col("n_alpha_tokens"),
           col("n_bpe_est").cast("long").as("n_bpe_est"))
         .orderBy("doc_id")),
+    "pipe_repetition" -> ((s, d) =>
+      TextPipeline.repetitionScore(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_scrub" -> ((s, d) =>
+      TextPipeline.scrubPii(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_chunk_dedup" -> ((s, d) =>
+      TextPipeline.chunkDedup(Tables.load(s, d, "documents"))
+        .orderBy("chunk_hash")),
     "pipe_fingerprint" -> ((s, d) =>
       TextPipeline.fingerprints(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -460,6 +469,9 @@ object SparkEntry {
     "pipe_quality" -> Oracles.pipeQuality,
     "pipe_tokens" -> Oracles.pipeTokens,
     "pipe_fingerprint" -> Oracles.pipeFingerprint,
+    "pipe_repetition" -> Oracles.pipeRepetition,
+    "pipe_scrub" -> Oracles.pipeScrub,
+    "pipe_chunk_dedup" -> Oracles.pipeChunkDedup,
     "pipe_multimodal" -> Oracles.pipeMultimodal,
     "mkt_eps_draws" -> Oracles.mktEpsDraws,
     "mkt_strategy" -> Oracles.mktStrategy,

@@ -261,6 +261,75 @@ object TextPipeline {
         expr("(length(text) * 10 + 37) div 38"))
       .select("doc_id", "n_ws_tokens", "n_alpha_tokens", "n_bpe_est")
 
+  /** Repetition-based quality signals (Gopher-style repetition
+    * filters): duplicate-word ratio, duplicate 5-gram ratio and the
+    * most-common-word share — all exact integer counts with one final
+    * division. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val grams5 = expr("transform(sequence(1, greatest(size(words)-4, 0)), " +
+      "i -> concat_ws(' ', slice(words, i, 5)))")
+    docs.withColumn("words", wordsCol)
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_distinct_words",
+        size(array_distinct(col("words"))).cast("long"))
+      .withColumn("g5", grams5)
+      .withColumn("n_grams5", size(col("g5")).cast("long"))
+      .withColumn("n_distinct_grams5",
+        size(array_distinct(col("g5"))).cast("long"))
+      .withColumn("top_word_n",
+        expr("array_max(transform(array_distinct(words), " +
+          "w -> size(filter(words, x -> x = w))))").cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("n_grams5"), col("n_distinct_grams5"), col("top_word_n"),
+        (lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+          .as("dup_word_ratio"),
+        when(col("n_grams5") > 0,
+          lit(1.0) - col("n_distinct_grams5").cast("double") / col("n_grams5"))
+          .as("dup_gram5_ratio"),
+        (col("top_word_n").cast("double") / col("n_words"))
+          .as("top_word_ratio"))
+  }
+
+  /** PII / URL scrubbing: count and redact emails, URLs and long digit
+    * runs (the standard pre-training scrub pass); the scrubbed text is
+    * fingerprinted rather than returned (hash-comparable). */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9]{6,}"
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      url, "<URL>"), email, "<EMAIL>"), digits, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(digits), lit(0)))
+        .cast("long").as("n_long_digit_runs"),
+      length(scrubbed).cast("long").as("scrubbed_len"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  /** Cross-document chunk dedup: documents split into fixed 10-word
+    * chunks, chunks hashed, and every chunk shared by ≥ 2 documents
+    * reported with its spread (the paragraph-dedup pass of training
+    * pipelines, on word-chunk granularity since the corpus has no
+    * newlines). */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val chunks = expr(s"transform(sequence(0, " +
+      s"greatest(size(words) - 1, 0) div $chunkWords), " +
+      s"i -> concat_ws(' ', slice(words, i * $chunkWords + 1, $chunkWords)))")
+    docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .filter(col("chunk") =!= "")
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min("doc_id").as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Document fingerprints: order-insensitive bag-of-words md5 (catches
     * shuffled duplicates), winnowing-style minimum shingle hash, and a
     * polynomial rolling hash of the byte stream (base 31 mod 1e9+7,
