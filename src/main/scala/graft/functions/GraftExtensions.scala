@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         StringPolyHash(exprs(0))))
+    // band joins (abs(l.ts - r.ts) <= c) rewrite to bucketed equi joins
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }

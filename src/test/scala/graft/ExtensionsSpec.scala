@@ -43,6 +43,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e == 7L)
   }
 
+  test("band-join rule rewrites theta band joins to bucketed equi joins") {
+    import spark.implicits._
+    val a = (0L until 200L).map(i => (i, i * 1000L)).toDF("ida", "tsa")
+    val b = (0L until 200L).map(i => (i, i * 1337L % 200000L))
+      .toDF("idb", "tsb")
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    val band = abs(col("tsa") - col("tsb")) <= lit(5000L)
+    val joined = a.join(b, band)
+    val baseline = joined.orderBy("ida", "idb").collect().map(_.toSeq).toList
+    val basePlan = joined.queryExecution.optimizedPlan.toString
+    assert(!basePlan.contains("__band_probe"))
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandJoinRule)
+    try {
+      val rewritten = a.join(b, band)
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__band_probe") && plan.contains("__band_bucket"),
+        s"rule did not fire:\n$plan")
+      val rows = rewritten.orderBy("ida", "idb").collect().map(_.toSeq).toList
+      assert(rows.nonEmpty && rows == baseline)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("GraftExtensions injects without error") {
     // the injection target is inert here (no session is built from it),
     // but a broken identifier/builder would throw at apply time
