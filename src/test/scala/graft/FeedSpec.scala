@@ -78,6 +78,43 @@ class FeedSpec extends AnyFunSuite {
       col("side") === "s" && col("amount") === 1.5).count() == 1)
   }
 
+  test("bitstamp dialect: object frames parse, level3 chains build") {
+    import graft.sources.BitstampFeed
+    def of(lts: Long, ev: String, ts: Long, amt: String, price: String,
+        id: Long, ot: Int) =
+      (1, lts, s"""{"event": "$ev", "channel": "live_orders_btcusd", """ +
+        s""""data": {"microtimestamp": "$ts", "datetime": "${ts / 1000000}", """ +
+        s""""amount_str": "$amt", "price_str": "$price", "id": $id, """ +
+        s""""order_type": $ot}}""")
+    val frames = Seq(
+      of(1L, "order_created", 1000000L, "2.0", "7989", 10L, 0),
+      of(2L, "order_changed", 2000000L, "1.0", "7989", 10L, 0),
+      of(3L, "order_created", 2500000L, "1.0", "7995", 11L, 1),
+      of(4L, "order_deleted", 3000000L, "1.0", "7989", 10L, 0),
+      (1, 5L, """{"event": "bts:subscription_succeeded", "channel": "x", "data": {}}"""))
+      .toDF("pair_id", "local_timestamp", "message")
+    val orders = BitstampFeed.liveOrders(frames)
+    assert(orders.count() == 4) // control frame dropped
+    assert(orders.agg(min("era")).collect()(0).getLong(0) == 1000000L)
+    val l3 = BitstampFeed.level3FromLiveOrders(orders)
+    val o10 = l3.filter(col("order_id") === 10).orderBy("event_no")
+      .select("event_no", "fill", "next_microtimestamp", "is_deleted")
+      .collect()
+    assert(o10.length == 3)
+    assert(o10(1).getDouble(1) == 1.0) // fill = 2.0 - 1.0
+    assert(o10(1).getLong(2) == 3000000L) // chains to the delete
+    assert(o10(2).getBoolean(3)) // deleted
+    val trades = BitstampFeed.liveTrades(Seq(
+      (1, 6L, """{"event": "trade", "channel": "live_trades_btcusd", """ +
+        """"data": {"microtimestamp": "2600000", "amount_str": "1.0", """ +
+        """"price_str": "7989", "id": 77, "type": 1, """ +
+        """"buy_order_id": 10, "sell_order_id": 11}}"""))
+      .toDF("pair_id", "local_timestamp", "message"))
+    val t = trades.collect()(0)
+    assert(t.getAs[String]("trade_type") == "s" &&
+      t.getAs[Long]("buy_order_id") == 10L)
+  }
+
   test("level3 from raw feed replays to the reference fixture's quotes") {
     val l3 = BitfinexFeed.level3FromRaw(BitfinexFeed.rawBookEvents(frames))
     // side from amount sign
