@@ -146,6 +146,45 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
 
   /** Invariant-violation report (`qty_level3_*` analogue). */
   def dataQuality(): DataFrame = GridOps.dqReport(level3)
+
+  /** `get.depth_summary` with a frequency — the moving-aggregate form
+    * (ladder at the last episode of each right-closed window). */
+  def depthSummaryAtFreq(freqMicros: Long, bpsStep: Int = 25,
+      maxBps: Int = 500): DataFrame =
+    GridOps.depthSummaryAtFreq(level3, freqMicros, bpsStep, maxBps)
+
+  /** `depth.changes` with chain ids and the prevailing pre-episode
+    * quote. */
+  def depthChanges(): DataFrame =
+    MarketOps.depthChangeChains(level3, spark)
+
+  /** `obanalytics.insert_level3_era` — immutable era split at a cut. */
+  def insertEra(cutMicros: Long, pairId: Int): DataFrame =
+    EraSurgery.insertEra(level3, cutMicros, pairId)
+
+  /** `obanalytics.merge_crossed_books` — crossed runs collapsed into
+    * single episodes (full merged level3). */
+  def mergeCrossedBooks(): DataFrame =
+    GridOps.mergeCrossedBooks(level3, spread())
+
+  /** `bitfinex.match_price_and_sum_of_fill_exact` with the reference's
+    * default group size 3 over the capped matchable set. */
+  def matchSumOfThree(): DataFrame = TradeMatching.matchSumOfThree(level3)
+
+  /** Bitstamp cleanse tier: episode reveal over the inferred matches. */
+  def revealEpisodes(): DataFrame =
+    BitstampOps.revealEpisodes(level3, TradeMatching.inferredMatches(level3))
+
+  /** Bitstamp cleanse tier: aggressor-order repair to a fixpoint. */
+  def fixAggressorOrder(): DataFrame =
+    BitstampOps.fixAggressorOrderFixpoint(level3,
+      TradeMatching.inferredMatches(level3))
+
+  /** DQ fixes: duplicate-creation drop / eternal reconnect / premature
+    * delete repair, as correction streams. */
+  def fixDuplicates(): DataFrame = DqFixOps.fixDuplicates(level3)
+  def fixEternals(): DataFrame = DqFixOps.fixEternals(level3)
+  def fixPrematureDeletes(): DataFrame = DqFixOps.fixPrematureDeletes(level3)
 }
 
 object GraftApi {
