@@ -2069,6 +2069,44 @@ object Oracles {
       |FROM bests2 WHERE rn = 1 GROUP BY pair_id
       |ORDER BY pair_id""".stripMargin
 
+  /** Wide pivot of the at-frequency moving depth summary. */
+  def mktDepthSummaryFreqWide: String = {
+    val pivot =
+      (for (side <- Seq("b", "s"); b <- 0 to 500 by 25) yield
+        s"  SUM(CASE WHEN side = '$side' AND bps_level = $b THEN volume END)" +
+          s" AS ${if (side == "b") "bid" else "ask"}_vol${b}bps")
+        .mkString(",\n")
+    Level3Cte +
+      """, chosen AS (
+        |  SELECT pair_id AS g_pair,
+        |    ((ets + 21599999999) // 21600000000) * 21600000000 AS g,
+        |    MAX(ets) AS sample_ts
+        |  FROM (SELECT DISTINCT pair_id, microtimestamp AS ets FROM level3) e
+        |  GROUP BY g_pair, ((ets + 21599999999) // 21600000000) * 21600000000
+        |), snapf AS (
+        |  SELECT l.*, c.g FROM level3 l JOIN chosen c
+        |    ON l.pair_id = c.g_pair AND l.microtimestamp <= c.sample_ts
+        |   AND l.next_microtimestamp > c.sample_ts
+        |), wbf AS (
+        |  SELECT *, CASE WHEN side = 'b'
+        |    THEN MAX(price) OVER (PARTITION BY pair_id, g, side)
+        |    ELSE MIN(price) OVER (PARTITION BY pair_id, g, side) END AS best
+        |  FROM snapf
+        |), bkf AS (
+        |  SELECT *, CAST(CEIL(ABS(price - best) / best * 10000 / 25) AS BIGINT)
+        |    * 25 AS bps_level
+        |  FROM wbf
+        |), longf AS (
+        |  SELECT pair_id, g AS ts, side, bps_level, SUM(amount) AS volume
+        |  FROM bkf WHERE bps_level <= 500
+        |  GROUP BY pair_id, g, side, bps_level
+        |)
+        |SELECT pair_id, ts,""".stripMargin + "\n" + pivot +
+      """
+        |FROM longf GROUP BY pair_id, ts
+        |ORDER BY pair_id, ts""".stripMargin
+  }
+
   def mktDepthSummaryWide: String = Level3Cte + GridSnapCte +
     """, bkw AS (
       |  SELECT *, CAST(CEIL(ABS(price - best) / best * 10000 / 25) AS BIGINT) * 25

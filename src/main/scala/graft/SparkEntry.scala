@@ -124,6 +124,10 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("bps_level"), col("volume"), col("bps_price"))
         .orderBy("pair_id", "ts", "side", "bps_level")),
+    "mkt_depth_summary_freq_wide" -> ((s, d) =>
+      GridOps.depthSummaryAtFreqWide(level3(s, d), 21600000000L)
+        .withColumn("pair_id", col("pair_id").cast("long"))
+        .orderBy("pair_id", "ts")),
     "mkt_depth_summary_wide" -> ((s, d) =>
       GridOps.depthSummaryWide(level3(s, d), Oracles.GridInstants)
         .withColumn("pair_id", col("pair_id").cast("long"))
@@ -425,6 +429,7 @@ object SparkEntry {
     "mkt_trading_period" -> Oracles.mktTradingPeriod,
     "mkt_depth_summary" -> Oracles.mktDepthSummary,
     "mkt_depth_summary_freq" -> Oracles.mktDepthSummaryFreq,
+    "mkt_depth_summary_freq_wide" -> Oracles.mktDepthSummaryFreqWide,
     "mkt_depth_summary_wide" -> Oracles.mktDepthSummaryWide,
     "mkt_queues" -> Oracles.mktQueues,
     "mkt_queues_wide" -> Oracles.mktQueuesWide,

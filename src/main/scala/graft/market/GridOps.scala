@@ -183,6 +183,19 @@ object GridOps {
     long.groupBy("pair_id", "ts").agg(cols.head, cols.tail: _*)
   }
 
+  /** Wide pivot of [[depthSummaryAtFreq]] — the R client's bps-column
+    * shape over the moving (data-driven-instant) form. */
+  def depthSummaryAtFreqWide(level3: DataFrame, freqMicros: Long,
+      bpsStep: Int = 25, maxBps: Int = 500): DataFrame = {
+    val long = depthSummaryAtFreq(level3, freqMicros, bpsStep, maxBps)
+    val buckets = (0 to maxBps by bpsStep)
+    val cols = for (side <- Seq("b", "s"); b <- buckets) yield
+      sum(when(col("side") === side && col("bps_level") === b,
+        col("volume")))
+        .as(s"${if (side == "b") "bid" else "ask"}_vol${b}bps")
+    long.groupBy("pair_id", "ts").agg(cols.head, cols.tail: _*)
+  }
+
   /** Crossed-book periods (reference `obanalytics.crossed_books`,
     * `db/obanalytics_schema.sql:1183-1216`): gaps-and-islands over the
     * L1 stream where best_bid ≥ best_ask. */
