@@ -67,6 +67,44 @@ class BookPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sliced replay == sequential replay for arbitrary streams and slice widths") {
+    import graft.market.SlicedEvent
+    // build the sliced-group inputs the DataFrame layer would: per
+    // slice, seed rows = the standing book at the boundary (derived
+    // from a model replay), then the slice's own events
+    def slicedL1(events: List[BookEvent], w: Long) = {
+      val minSlice = events.map(e => (e.ts - 1) / w).min
+      events.groupBy(e => (e.ts - 1) / w).toList.sortBy(_._1).flatMap {
+        case (slice, evs) =>
+          val boundary = slice * w
+          val book = new OrderBook
+          events.filter(_.ts <= boundary).foreach(book.apply)
+          val seeds = (for (isBid <- Seq(true, false);
+            // one seed per live order: replay the prefix and read state
+            (oid, (ib, p, a)) <- {
+              val b2 = new OrderBook
+              events.filter(_.ts <= boundary).foreach(b2.apply)
+              b2.liveOrders.toList
+            } if ib == isBid)
+            yield SlicedEvent(1, slice, seed = true,
+              hasHistory = slice > minSlice, boundary, oid,
+              if (ib) "b" else "s", p, a, isDeleted = false, -oid)).toList
+          val real = evs.sortBy(e => (e.ts, e.orderId)).map(e =>
+            SlicedEvent(1, slice, seed = false,
+              hasHistory = slice > minSlice, e.ts, e.orderId, e.side,
+              e.price, e.amount, e.isDeleted, e.orderId))
+          Replay.l1Sliced(1, (seeds ++ real).iterator).toList
+      }
+    }
+    cases.filter(_.nonEmpty).foreach { events =>
+      val sequential = Replay.l1(1, events.iterator).toList
+      for (w <- Seq(1L, 3L, 7L, 100L)) {
+        val sliced = slicedL1(events, w)
+        assert(sliced == sequential, s"w=$w events=$events")
+      }
+    }
+  }
+
   test("L2 running totals reconstruct the model at end of stream") {
     cases.foreach { events =>
       val changes = Replay.l2(1, events.iterator).toList
