@@ -47,10 +47,14 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
     MarketOps.orderBookQuery(level3, atMicros, maxLevels, bpsRange,
       minBid, maxAsk)
 
-  /** `obadiah::events` — classified order events in a window. */
-  def events(start: Long, end: Long): DataFrame = {
+  /** `obadiah::events` — classified order events in a window.
+    * `referenceParity` reproduces the reference's buy-side
+    * aggressiveness denominator for differential testing. */
+  def events(start: Long, end: Long,
+      referenceParity: Boolean = false): DataFrame = {
     validateWindow(start, end)
-    EventsQuery.events(level3, MarketOps.spread(level3, spark), start, end)
+    EventsQuery.events(level3, MarketOps.spread(level3, spark), start, end,
+      referenceParity)
   }
 
   /** `obadiah::trades` — inferred/matched trades. */

@@ -270,7 +270,12 @@ object Oracles {
       |  GROUP BY e.pair_id, e.ts
       |)""".stripMargin
 
-  def mktEvents: String = Level3Cte + QuoteCte +
+  def mktEvents: String = mktEventsWith(parity = false)
+
+  /** `parity = true` mirrors the reference's buy-side aggressiveness
+    * denominator (best_ask for both sides, `db/get_schema.sql:435-438`)
+    * rather than the side-correct best_bid. */
+  def mktEventsWith(parity: Boolean): String = Level3Cte + QuoteCte +
     s""", quote_cf AS (
       |  SELECT pair_id, ts,
       |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
@@ -339,7 +344,8 @@ object Oracles {
       |       ELSE 'unknown' END AS type,
       |  CASE WHEN side = 's'
       |    THEN ROUND((best_ask_price - price) / best_ask_price * 10000)
-      |    ELSE ROUND((price - best_bid_price) / best_bid_price * 10000)
+      |    ELSE ROUND((price - best_bid_price) /
+      |      ${if (parity) "best_ask_price" else "best_bid_price"} * 10000)
       |  END AS aggressiveness_bps,
       |  event_no,
       |  is_aggressor,

@@ -60,6 +60,12 @@ object SparkEntry {
       EventsQuery.events(l3, MarketOps.spread(l3, s), Oracles.T0, Oracles.T1)
         .orderBy("ts_us", "id", "event_no")
     }),
+    "mkt_events_parity" -> ((s, d) => {
+      val l3 = level3(s, d)
+      EventsQuery.events(l3, MarketOps.spread(l3, s), Oracles.T0, Oracles.T1,
+        referenceParity = true)
+        .orderBy("ts_us", "id", "event_no")
+    }),
     "mkt_trades" -> ((s, d) =>
       TradeMatching.trades(TradeMatching.inferredMatches(level3(s, d)))
         .select(col("ts"), col("price"), col("volume"), col("direction"),
@@ -420,6 +426,7 @@ object SparkEntry {
     "mkt_depth_chains" -> Oracles.mktDepthChains,
     "mkt_depth_api" -> Oracles.mktDepthApi,
     "mkt_events" -> Oracles.mktEvents,
+    "mkt_events_parity" -> Oracles.mktEventsWith(parity = true),
     "mkt_trades" -> Oracles.mktTrades,
     "mkt_summary" -> Oracles.mktSummary,
     "mkt_intervals" -> Oracles.mktIntervals,

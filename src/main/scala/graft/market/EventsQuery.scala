@@ -14,17 +14,21 @@ import TradeMatching.eventUuid
   * Pure Catalyst: window functions (`last(_, ignoreNulls)` as-of over a
   * unioned stream, `bool_or` per order), a `when` chain for the state
   * machine, `md5` uuids. One deliberate divergence from the reference:
-  * `aggressiveness_bps` uses the side-correct denominator (the
-  * reference divides by best_ask for both sides,
-  * `db/get_schema.sql:435-438`).
+  * by default `aggressiveness_bps` uses the side-correct denominator
+  * (the reference divides by best_ask for both sides,
+  * `db/get_schema.sql:435-438`); pass `referenceParity = true` for
+  * bit-compatible differential testing against a live obadiah.
   */
 object EventsQuery {
 
   /** @param spreadTicks undeduplicated or deduplicated L1 stream
     *   (pair_id, ts, bid_price, ask_price, …) — as-of carry-forward is
-    *   insensitive to dedupe. */
+    *   insensitive to dedupe.
+    * @param referenceParity reproduce the reference's buy-side
+    *   aggressiveness denominator (best_ask, `db/get_schema.sql:438`)
+    *   instead of the side-correct best_bid. */
   def events(level3: DataFrame, spreadTicks: DataFrame,
-      t0: Long, t1: Long): DataFrame = {
+      t0: Long, t1: Long, referenceParity: Boolean = false): DataFrame = {
 
     // active events: in-window rows ∪ the book standing at t0 (kept with
     // their original timestamps, as the reference does via order_book()).
@@ -106,10 +110,12 @@ object EventsQuery {
         col("is_ever_aggressor"), "market-limit")
       .otherwise("unknown")
 
+    val buyDenominator =
+      if (referenceParity) col("best_ask_price") else col("best_bid_price")
     val aggressiveness = when(col("side") === "s",
       round((col("best_ask_price") - col("price")) / col("best_ask_price") * 10000))
       .otherwise(
-        round((col("price") - col("best_bid_price")) / col("best_bid_price") * 10000))
+        round((col("price") - col("best_bid_price")) / buyDenominator * 10000))
 
     flagged.select(
       eventUuid(col("microtimestamp"), col("order_id"), col("event_no"),
