@@ -1385,6 +1385,45 @@ object Oracles {
       |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirror of `TextPipeline.dedupClusters` over the MinHash candidate
+    * pairs: connected components as a recursive transitive closure
+    * (label set of a node = every node that reaches it; undirected
+    * edges make reachability symmetric, so MIN(label) is the cluster's
+    * canonical doc). */
+  def pipeDedupClusters: String = (pipeMinhashBody(
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN e ON e.src = r.doc_id
+      |), lab AS (
+      |  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+      |), sz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+      |)
+      |SELECT doc_id, cluster_id, cluster_size,
+      |  doc_id = cluster_id AS is_canonical
+      |FROM lab JOIN sz USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin))
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** The MinHash signature/band CTEs with a caller-supplied tail. */
+  private def pipeMinhashBody(tail: String): String = DocShinglesCte +
+    s""", hh AS (
+      |  SELECT doc_id, j, MIN(md5(j || '#' || shingle)) AS mh
+      |  FROM sh, range(1, 10) t(j) GROUP BY doc_id, j
+      |), bnd AS (
+      |  SELECT doc_id, (j-1) // 3 AS band,
+      |    string_agg(mh, '#' ORDER BY j) AS key
+      |  FROM hh GROUP BY doc_id, (j-1) // 3
+      |), $tail""".stripMargin
+
   def pipeNgramJaccard: String = DocShinglesCte +
     """, shc AS (
       |  SELECT sh.* FROM sh

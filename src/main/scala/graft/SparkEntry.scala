@@ -361,6 +361,11 @@ object SparkEntry {
     "pipe_minhash" -> ((s, d) =>
       TextPipeline.minhashCandidates(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
+    "pipe_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextPipeline.dedupClusters(docs, TextPipeline.minhashCandidates(docs))
+        .orderBy("doc_id")
+    }),
     "pipe_ngram_jaccard" -> ((s, d) =>
       TextPipeline.ngramJaccard(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -471,6 +476,7 @@ object SparkEntry {
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_minhash" -> Oracles.pipeMinhash,
+    "pipe_dedup_clusters" -> Oracles.pipeDedupClusters,
     "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,
     "pipe_simhash" -> Oracles.pipeSimhash,
     "pipe_embed_neardup" -> Oracles.pipeEmbedNearDup,

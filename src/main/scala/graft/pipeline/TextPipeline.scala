@@ -65,6 +65,50 @@ object TextPipeline {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Near-duplicate cluster formation: connected components over
+    * candidate pairs (MinHash/SimHash output), labelling every document
+    * with its cluster's canonical (minimum) doc_id — the step a dedup
+    * pipeline needs between pair generation and "keep one per cluster".
+    *
+    * Distributed min-label propagation: each round every node adopts
+    * the minimum label in its closed neighbourhood (one edge-join + one
+    * min-aggregation — two shuffles), and the driver loop stops at the
+    * fixpoint. Rounds = eccentricity of each cluster's minimum node;
+    * near-dup clusters are small and dense, so this is 2-3 rounds in
+    * practice (for adversarial path-shaped graphs the published
+    * large-star/small-star alternation bounds rounds by O(log n) and
+    * drops into the same loop). `localCheckpoint` truncates the
+    * per-round lineage so the plan doesn't grow with the iteration
+    * count. Deterministic: the fixpoint is independent of execution
+    * order, so any engine reproduces it bit-for-bit. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"))
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdge = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(viaEdge)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(
+        labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Exact n-gram Jaccard similarity over *discriminative* trigrams:
     * shingles with document frequency > `dfCap` (boilerplate — repeated
     * headers, licence text, templates) are dropped before the

@@ -51,6 +51,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("dedup clusters: connected components over a crafted pair graph") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("doc_id")
+    // a path (min label needs 3 hops), a triangle, and a singleton
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L)).toDF("doc_a", "doc_b")
+    val got = TextPipeline.dedupClusters(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, 4L, true), (2L, 1L, 4L, false), (3L, 1L, 4L, false),
+      (4L, 1L, 4L, false), (5L, 5L, 3L, true), (6L, 5L, 3L, false),
+      (7L, 5L, 3L, false), (8L, 8L, 1L, true))
+    assert(got.toSeq == want)
+  }
+
   test("level3 invariants: validity intervals are well-formed") {
     import org.apache.spark.sql.functions._
     val l3 = SparkEntry.queries("mkt_level3")(spark, dir)
