@@ -2000,11 +2000,17 @@ object Oracles {
       |FROM lvls GROUP BY pair_id, side
       |ORDER BY pair_id, side""".stripMargin
 
-  def mktObFlags: String = Level3Cte +
+  def mktObFlags: String = mktObFlagsWith(before = false, onlyMakers = false)
+
+  /** `before` = the reference's left-open validity variant
+    * (`p_before`); `onlyMakers` keeps maker rows only. */
+  def mktObFlagsWith(before: Boolean, onlyMakers: Boolean): String = Level3Cte +
     s""", snapf AS (
       |  SELECT * FROM level3
-      |  WHERE microtimestamp <= $SnapshotMicros
-      |    AND next_microtimestamp > $SnapshotMicros
+      |  WHERE ${if (before)
+             s"microtimestamp < $SnapshotMicros AND next_microtimestamp >= $SnapshotMicros"
+           else
+             s"microtimestamp <= $SnapshotMicros AND next_microtimestamp > $SnapshotMicros"}
       |), flagged_ob AS (
       |  SELECT pair_id, order_id, side, price, amount,
       |    MIN(CASE WHEN side = 's' THEN price END) OVER wf AS min_ask_b,
@@ -2020,12 +2026,16 @@ object Oracles {
       |        order_id DESC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |)
-      |SELECT pair_id, order_id, side, price, amount,
-      |  CASE side WHEN 'b' THEN price < COALESCE(min_ask_b, 1e308)
-      |       ELSE price > COALESCE(max_bid_b, -1e308) END AS is_maker,
-      |  CASE side WHEN 'b' THEN price >= COALESCE(min_ask_a, 1e308)
-      |       ELSE price <= COALESCE(max_bid_a, -1e308) END AS is_crossed
-      |FROM flagged_ob ORDER BY pair_id, order_id""".stripMargin
+      |SELECT pair_id, order_id, side, price, amount, is_maker, is_crossed
+      |FROM (
+      |  SELECT pair_id, order_id, side, price, amount,
+      |    CASE side WHEN 'b' THEN price < COALESCE(min_ask_b, 1e308)
+      |         ELSE price > COALESCE(max_bid_b, -1e308) END AS is_maker,
+      |    CASE side WHEN 'b' THEN price >= COALESCE(min_ask_a, 1e308)
+      |         ELSE price <= COALESCE(max_bid_a, -1e308) END AS is_crossed
+      |  FROM flagged_ob
+      |) ${if (onlyMakers) "WHERE is_maker" else ""}
+      |ORDER BY pair_id, order_id""".stripMargin
 
   def pipeDecontaminate: String = DocShinglesCte +
     """, bench AS (

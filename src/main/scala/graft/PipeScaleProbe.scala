@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextPipeline
+
+/** Scale probe for the text-dedup pipeline: replicates the sf0.1
+  * corpus k× (text perturbed per copy so near-dup structure repeats
+  * instead of merging into one giant cluster) and measures the dedup
+  * family end-to-end. The quantity of interest is docs/sec as the
+  * corpus grows: every op here shuffles on content-derived keys
+  * (uniform) and emits candidates from constant-occupancy buckets, so
+  * throughput should stay ~flat in corpus size — the 100 TB design
+  * claim this probe checks at 10-50×.
+  *
+  * Usage: PipeScaleProbe [k]   (default 20)
+  */
+object PipeScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 20
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val copies = broadcast((0 until k).toDF("copy"))
+    val docs = base.crossJoin(copies)
+      .select((col("doc_id") * k + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" c"), col("copy")).as("text"))
+    val nDocs = docs.count()
+
+    def timed(f: => Long): (Long, Double) = {
+      val t = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t) / 1e9)
+    }
+
+    // warmup pass absorbs JIT
+    TextPipeline.exactDedup(docs).rdd.count()
+
+    val (nExact, tExact) = timed(TextPipeline.exactDedup(docs).rdd.count())
+    val (nCand, tMinhash) = timed(TextPipeline.minhashCandidates(docs).count())
+    val (nClust, tClust) = timed {
+      val pairs = TextPipeline.minhashCandidates(docs)
+      TextPipeline.dedupClusters(docs, pairs)
+        .filter(col("cluster_size") > 1).count()
+    }
+    val (nSim, tSim) = timed(TextPipeline.simhashPairs(docs).count())
+
+    def rate(t: Double) = (nDocs / t).toLong
+    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}}}""")
+    spark.stop()
+  }
+}

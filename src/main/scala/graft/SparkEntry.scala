@@ -346,6 +346,13 @@ object SparkEntry {
           col("side"), col("price"), col("amount"), col("is_maker"),
           col("is_crossed"))
         .orderBy("pair_id", "order_id")),
+    "mkt_ob_makers" -> ((s, d) =>
+      MarketOps.orderBookAt(level3(s, d), Oracles.SnapshotMicros,
+        onlyMakers = true, before = true)
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("side"), col("price"), col("amount"), col("is_maker"),
+          col("is_crossed"))
+        .orderBy("pair_id", "order_id")),
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -471,6 +478,7 @@ object SparkEntry {
     "mkt_ob_filtered" -> Oracles.mktObFiltered,
     "mkt_intervals_min" -> Oracles.mktIntervalsMin,
     "mkt_ob_flags" -> Oracles.mktObFlags,
+    "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_split" -> Oracles.pipeSplit,
     "pipe_vocab" -> Oracles.pipeVocab,

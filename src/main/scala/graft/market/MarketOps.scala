@@ -380,14 +380,44 @@ object MarketOps {
 
   /** Order-book snapshot at time `ts` (µs): all orders whose validity
     * interval covers ts (reference: `obanalytics.order_book`,
-    * `db/obanalytics_schema.sql:2035-2075`). Pure filter — Catalyst
-    * pushes `microtimestamp <= ts` into the parquet scan. */
-  def orderBookAt(level3: DataFrame, tsMicros: Long): DataFrame =
-    level3
-      .filter(col("microtimestamp") <= tsMicros &&
-        col("next_microtimestamp") > tsMicros)
+    * `db/obanalytics_schema.sql:2035-2075`), with the reference's full
+    * parameter surface:
+    *   - `before` — the left-open variant (`micro < ts ≤ next`,
+    *     reference `p_before`);
+    *   - `side` — restrict to one side *before* the maker/crossed
+    *     windows (as the reference does: a one-sided book is all
+    *     makers);
+    *   - `onlyMakers` — keep maker rows only (`p_only_makers`);
+    *   - `checkTakers` — the reference *raises* on a standing crossing
+    *     order that is not deleted at its own episode
+    *     (`_is_valid_taker_event`, `db/obanalytics_schema.sql:888-903`);
+    *     a distributed query can't abort per-row, so invalid takers are
+    *     excluded here instead (`GridOps.dqReport` counts them).
+    * Pure filter — Catalyst pushes `microtimestamp <= ts` into the
+    * parquet scan. */
+  def orderBookAt(level3: DataFrame, tsMicros: Long,
+      onlyMakers: Boolean = false, before: Boolean = false,
+      checkTakers: Boolean = false, side: Option[String] = None): DataFrame = {
+    val validity =
+      if (before)
+        col("microtimestamp") < tsMicros &&
+          col("next_microtimestamp") >= tsMicros
+      else
+        col("microtimestamp") <= tsMicros &&
+          col("next_microtimestamp") > tsMicros
+    val snap = side.fold(level3.filter(validity))(s =>
+      level3.filter(validity && col("side") === s))
+    val flagged = snap
       .withColumn("is_maker", makerFlag)
       .withColumn("is_crossed", crossedFlag)
+    // reference WHERE: is_maker OR (NOT only_makers AND
+    //   (NOT check_takers OR (NOT is_maker AND valid_taker)));
+    // valid_taker ⇔ the crossing event is its order's deletion
+    val validTaker = col("is_deleted")
+    flagged.filter(col("is_maker") ||
+      (lit(!onlyMakers) && (lit(!checkTakers) ||
+        (!col("is_maker") && validTaker))))
+  }
 
   /** is_maker: the order's price does not cross the best opposite price
     * among orders priced earlier (running conditional extremes over

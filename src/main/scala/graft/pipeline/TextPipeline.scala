@@ -82,29 +82,42 @@ object TextPipeline {
     * count. Deterministic: the fixpoint is independent of execution
     * order, so any engine reproduces it bit-for-bit. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // the loop runs over the candidate-pair graph only — docs with no
+    // candidate edge can never change label, and at corpus scale the
+    // pair graph is orders of magnitude smaller than the corpus;
+    // singletons rejoin after convergence
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val viaEdge = edges
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label")).union(viaEdge)
-        .groupBy("doc_id").agg(min("label").as("label"))
+        .select(col("dst").as("doc_id"), col("label"),
+          lit(false).as("own"))
+      // min over the closed neighbourhood + the node's own previous
+      // label in one aggregation: convergence is read off the
+      // checkpointed result without a second join
+      val next = labels
+        .select(col("doc_id"), col("label"), lit(true).as("own"))
+        .union(viaEdge)
+        .groupBy("doc_id")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next.join(
-        labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
     }
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
+    val full = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = full.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, "cluster_id")
+    full.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
@@ -204,15 +217,18 @@ object TextPipeline {
     * the n-gram-overlap decontamination step of training-data
     * pipelines. */
   def decontaminate(docs: DataFrame, benchMax: Long = 10): DataFrame = {
-    val sh = shingled(docs)
-    val bench = sh.filter(col("doc_id") < benchMax)
-      .select("shingle").distinct()
-    val corpus = sh.filter(col("doc_id") >= benchMax)
-    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val overlap = corpus.join(bench, Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    sizes.join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    // one evaluation of the shingle explosion: mark each (doc, shingle)
+    // row with "some benchmark doc has this shingle" via a per-shingle
+    // bool_or window, then count per corpus doc — two shuffles total
+    // (by shingle, then by doc), vs. three shingle scans + a semi-join
+    // in the naive bench-set/corpus/sizes decomposition
+    val marked = shingled(docs).withColumn("in_bench",
+      max(when(col("doc_id") < benchMax, 1).otherwise(0))
+        .over(Window.partitionBy("shingle")))
+    marked.filter(col("doc_id") >= benchMax)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum("in_bench").as("n_overlap"))
       .withColumn("is_contaminated",
         col("n_overlap") * 10 >= col("n_shingles"))
   }
