@@ -30,9 +30,14 @@ object PipeScaleProbe {
 
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val copies = broadcast((0 until k).toDF("copy"))
+    // the copy id is spliced before every space, so every shingle of
+    // every copy differs from the original's: copies are distinct
+    // document families and the pair structure grows k-fold instead of
+    // collapsing into k-cliques of mutual near-dups
     val docs = base.crossJoin(copies)
       .select((col("doc_id") * k + col("copy")).as("doc_id"),
-        concat(col("text"), lit(" c"), col("copy")).as("text"))
+        regexp_replace(col("text"), lit("( )"),
+          concat(lit("~"), col("copy").cast("string"), lit("$1"))).as("text"))
     val nDocs = docs.count()
 
     def timed(f: => Long): (Long, Double) = {

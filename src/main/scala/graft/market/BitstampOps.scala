@@ -196,12 +196,22 @@ object BitstampOps {
         d.withColumn(s"n_$c", lead(c, 1).over(m))
       }
       .filter(col("side") =!= col("n_side"))
-    val cand = seq.join(unmatched,
-      col("pair_id") === col("t_pair_id") && (
-        (col("order_id") === col("buy_order_id") &&
-          col("n_order_id") === col("sell_order_id")) ||
-          (col("n_order_id") === col("buy_order_id") &&
-            col("order_id") === col("sell_order_id"))))
+    // one equi-join per orientation of the (event, next-event) pair —
+    // an OR of the two conjunctions would force a nested-loop join;
+    // the second branch excludes rows the first already matched so the
+    // union is exactly the OR-join's output
+    val buySellKeys =
+      col("pair_id") === col("t_pair_id") &&
+        col("order_id") === col("buy_order_id") &&
+        col("n_order_id") === col("sell_order_id")
+    val sellBuyKeys =
+      col("pair_id") === col("t_pair_id") &&
+        col("order_id") === col("sell_order_id") &&
+        col("n_order_id") === col("buy_order_id")
+    val cand = seq.join(unmatched, buySellKeys)
+      .unionByName(seq.join(unmatched,
+        sellBuyKeys && !(col("order_id") === col("buy_order_id") &&
+          col("n_order_id") === col("sell_order_id"))))
     val tol = lit(tolerancePct) * col("t_price")
     val mr = matchRule(col("t_amt"), col("t_price"), col("amount"),
       col("fill"), col("is_deleted"), tol)
