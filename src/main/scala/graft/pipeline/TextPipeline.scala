@@ -70,17 +70,16 @@ object TextPipeline {
     * with its cluster's canonical (minimum) doc_id — the step a dedup
     * pipeline needs between pair generation and "keep one per cluster".
     *
-    * Distributed min-label propagation: each round every node adopts
-    * the minimum label in its closed neighbourhood (one edge-join + one
-    * min-aggregation — two shuffles), and the driver loop stops at the
-    * fixpoint. Rounds = eccentricity of each cluster's minimum node;
-    * near-dup clusters are small and dense, so this is 2-3 rounds in
-    * practice (for adversarial path-shaped graphs the published
-    * large-star/small-star alternation bounds rounds by O(log n) and
-    * drops into the same loop). `localCheckpoint` truncates the
-    * per-round lineage so the plan doesn't grow with the iteration
-    * count. Deterministic: the fixpoint is independent of execution
-    * order, so any engine reproduces it bit-for-bit. */
+    * Distributed min-label propagation with pointer jumping: each round
+    * every node adopts the minimum label in its closed neighbourhood
+    * (one edge-join + one min-aggregation), then follows its label one
+    * hop (`label := label(label)`), which halves chain depth per round
+    * — O(log diameter) rounds even for adversarial path-shaped
+    * clusters; dense near-dup clusters converge in 2-3.
+    * `localCheckpoint` truncates the per-round lineage so the plan
+    * doesn't grow with the iteration count. Deterministic: the fixpoint
+    * (every node labelled with its component's minimum) is independent
+    * of execution order, so any engine reproduces it bit-for-bit. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // the loop runs over the candidate-pair graph only — docs with no
     // candidate edge can never change label, and at corpus scale the
@@ -108,8 +107,21 @@ object TextPipeline {
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next.filter(col("label") < col("prev")).count()
-      labels = next.select(col("doc_id"), col("label"))
+      // pointer jumping: follow the label one hop (label := label(label))
+      // so path-shaped clusters converge in O(log diameter) rounds
+      // instead of O(diameter) — labels only decrease and stay inside
+      // the component, so the fixpoint (= component minimum) is the
+      // same; the extra join is over the just-checkpointed node table
+      val jumped = next
+        .join(next.select(col("label").as("hop_label"),
+          col("doc_id").as("label")), Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("hop_label"), col("label")))
+            .as("label"),
+          col("prev"))
+        .localCheckpoint()
+      changed = jumped.filter(col("label") < col("prev")).count()
+      labels = jumped.select(col("doc_id"), col("label"))
     }
     val full = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

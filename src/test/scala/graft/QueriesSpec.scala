@@ -68,6 +68,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("order-book snapshot parameter surface: side / only_makers / check_takers") {
+    import org.apache.spark.sql.functions._
+    import graft.market.{Level3Source, MarketOps}
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint()
+    val ts = Oracles.SnapshotMicros
+    val all = MarketOps.orderBookAt(l3, ts).localCheckpoint()
+    val n = all.count()
+    assert(n > 0)
+    // side restriction partitions the unrestricted book only when the
+    // one-sided book computes the same flags; it does not (a one-sided
+    // book is all makers), so check the weaker containment: every
+    // one-sided row's order is in the full snapshot
+    val bids = MarketOps.orderBookAt(l3, ts, side = Some("b"))
+    assert(bids.filter(col("side") =!= "b").count() == 0)
+    assert(bids.join(all.filter(col("side") === "b"), Seq("order_id"),
+      "left_anti").count() == 0)
+    // only_makers keeps exactly the maker rows of the full snapshot
+    val makers = MarketOps.orderBookAt(l3, ts, onlyMakers = true)
+    assert(makers.filter(!col("is_maker")).count() == 0)
+    assert(makers.count() == all.filter(col("is_maker")).count())
+    // check_takers drops crossing orders whose standing event is not a
+    // deletion; makers are never dropped
+    val checked = MarketOps.orderBookAt(l3, ts, checkTakers = true)
+    assert(checked.count() <= n)
+    assert(checked.filter(col("is_maker")).count() ==
+      all.filter(col("is_maker")).count())
+    assert(checked.filter(!col("is_maker") && !col("is_deleted"))
+      .count() == 0)
+  }
+
   test("level3 invariants: validity intervals are well-formed") {
     import org.apache.spark.sql.functions._
     val l3 = SparkEntry.queries("mkt_level3")(spark, dir)
