@@ -1679,8 +1679,21 @@ object Oracles {
       |  n_words, s_en, s_de, s_es, s_fr
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** The quality-score expression over a `text` column (shared by
+    * `pipeQuality` and the end-to-end curation oracle). */
+  private def qualityScoreSql: String =
+    """CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500 THEN 4 ELSE 0 END
+      |   + CASE WHEN len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the','and','of','to','a','in','is','it','for','on'))) * 5
+      |       >= len(string_split(text, ' ')) THEN 3 ELSE 0 END
+      |   + CASE WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10
+      |       <= length(text) THEN 2 ELSE 0 END
+      |   + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+      |   AS DOUBLE) / 10""".stripMargin
+
   def pipeQuality: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_chars_m,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
       |  CAST(len(list_filter(string_split(text, ' '),
@@ -1690,15 +1703,7 @@ object Oracles {
       |    AS BIGINT) AS n_digits,
       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS mean_word_len,
-      |  CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500 THEN 4 ELSE 0 END
-      |   + CASE WHEN len(list_filter(string_split(text, ' '),
-      |       x -> x IN ('the','and','of','to','a','in','is','it','for','on'))) * 5
-      |       >= len(string_split(text, ' ')) THEN 3 ELSE 0 END
-      |   + CASE WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10
-      |       <= length(text) THEN 2 ELSE 0 END
-      |   + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-      |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
-      |   AS DOUBLE) / 10 AS quality_score
+      |  $qualityScoreSql AS quality_score
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def pipeTokens: String =
@@ -2036,6 +2041,81 @@ object Oracles {
       |  FROM flagged_ob
       |) ${if (onlyMakers) "WHERE is_maker" else ""}
       |ORDER BY pair_id, order_id""".stripMargin
+
+  /** Mirror of `TextPipeline.curate`: the end-to-end curation
+    * composition (quality gate → exact dedup → near-dup
+    * canonicalization → decontamination → split + token counts) as one
+    * recursive query. Stages reuse the per-operator oracles' exact
+    * formulas, so any stage divergence surfaces as a hash mismatch
+    * here even if the per-operator entries pass. */
+  def pipeE2e: String =
+    s"""WITH RECURSIVE qual AS (
+      |  SELECT doc_id, $qualityScoreSql AS quality_score
+      |  FROM documents WHERE doc_id >= 10
+      |), kept AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)
+      |  WHERE qual.quality_score >= 0.5
+      |), uniq AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |    FROM kept) WHERE doc_id = keep_id
+      |), w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM uniq
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(words)-1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |  FROM w
+      |), hh AS (
+      |  SELECT doc_id, j, MIN(md5(j || '#' || shingle)) AS mh
+      |  FROM sh, range(1, 10) t(j) GROUP BY doc_id, j
+      |), bnd AS (
+      |  SELECT doc_id, (j-1) // 3 AS band,
+      |    string_agg(mh, '#' ORDER BY j) AS key
+      |  FROM hh GROUP BY doc_id, (j-1) // 3
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS label FROM uniq
+      |  UNION
+      |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN e ON e.src = r.doc_id
+      |), lab AS (
+      |  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+      |), sz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+      |), canon AS (
+      |  SELECT doc_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+      |  WHERE doc_id = cluster_id
+      |), shb AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(words)-1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |  FROM (SELECT string_split(text, ' ') AS words FROM documents
+      |        WHERE doc_id < 10)
+      |), ov AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+      |    SUM(CASE WHEN s.shingle IN (SELECT shingle FROM shb)
+      |        THEN 1 ELSE 0 END) AS n_overlap
+      |  FROM sh s JOIN canon USING (doc_id)
+      |  GROUP BY s.doc_id
+      |)
+      |SELECT u.doc_id AS doc_id, q.quality_score, c.cluster_size,
+      |  CAST(len(string_split(u.text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST((ascii(substr(md5(u.text), 1, 1)) * 256 +
+      |    ascii(substr(md5(u.text), 2, 1))) % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN (ascii(substr(md5(u.text), 1, 1)) * 256 +
+      |      ascii(substr(md5(u.text), 2, 1))) % 100 < 80 THEN 'train'
+      |    WHEN (ascii(substr(md5(u.text), 1, 1)) * 256 +
+      |      ascii(substr(md5(u.text), 2, 1))) % 100 < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |FROM uniq u JOIN canon c USING (doc_id) JOIN qual q USING (doc_id)
+      |JOIN ov USING (doc_id)
+      |WHERE NOT (ov.n_overlap * 10 >= ov.n_shingles)
+      |ORDER BY doc_id""".stripMargin
 
   def pipeDecontaminate: String = DocShinglesCte +
     """, bench AS (

@@ -356,6 +356,9 @@ object SparkEntry {
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    "pipe_e2e" -> ((s, d) =>
+      TextPipeline.curate(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     "pipe_split" -> ((s, d) =>
       TextPipeline.splitAssign(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -480,6 +483,7 @@ object SparkEntry {
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
+    "pipe_e2e" -> Oracles.pipeE2e,
     "pipe_split" -> Oracles.pipeSplit,
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,

@@ -258,6 +258,47 @@ object TextPipeline {
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
 
+  /** End-to-end curation — the composition a training-data pipeline
+    * actually runs, as one job: quality gate → exact dedup → near-dup
+    * canonicalization (MinHash+LSH candidates → connected components,
+    * keep each cluster's minimum doc) → benchmark decontamination →
+    * deterministic split assignment + token counts for the survivors.
+    * Every stage is one of the library's individually-oracle-checked
+    * operators; composing them costs no extra shuffles beyond each
+    * stage's own (the joins between stages are on doc_id, which every
+    * stage already shuffles on, so AQE reuses the exchange where
+    * possible). Docs below `benchMax` are the held-out benchmark: they
+    * only feed the decontamination filter and never appear in the
+    * output. */
+  def curate(docs: DataFrame, benchMax: Long = 10,
+      minQuality: Double = 0.5): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+      .select(col("doc_id"), col("text"))
+    val qual = qualityScore(corpus)
+      .select(col("doc_id"), col("quality_score"))
+    val kept = corpus.join(
+      qual.filter(col("quality_score") >= minQuality).select("doc_id"),
+      "doc_id")
+    val uniq = kept.join(
+      exactDedup(kept).filter(!col("is_dup")).select("doc_id"), "doc_id")
+    val canon = dedupClusters(uniq, minhashCandidates(uniq))
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("cluster_size"))
+    val canonDocs = uniq.join(canon, "doc_id")
+    val clean = decontaminate(
+      docs.filter(col("doc_id") < benchMax).select("doc_id", "text")
+        .unionByName(canonDocs.select("doc_id", "text")), benchMax)
+      .filter(!col("is_contaminated")).select("doc_id")
+    canonDocs.join(clean, "doc_id")
+      .join(qual, "doc_id")
+      .join(tokenCounts(canonDocs.select("doc_id", "text"))
+        .select("doc_id", "n_ws_tokens"), "doc_id")
+      .join(splitAssign(canonDocs.select("doc_id", "text"))
+        .select("doc_id", "bucket", "split"), "doc_id")
+      .select("doc_id", "quality_score", "cluster_size", "n_ws_tokens",
+        "bucket", "split")
+  }
+
   /** Corpus vocabulary: top-N words by occurrence count. */
   def vocabTop(docs: DataFrame, topN: Int = 20): DataFrame = {
     val w = Window.orderBy(col("n").desc, col("word"))
