@@ -57,9 +57,10 @@ object PipeScaleProbe {
         .filter(col("cluster_size") > 1).count()
     }
     val (nSim, tSim) = timed(TextPipeline.simhashPairs(docs).count())
+    val (nCur, tCur) = timed(TextPipeline.curate(docs).count())
 
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}}}""")
     spark.stop()
   }
 }

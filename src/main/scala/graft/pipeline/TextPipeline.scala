@@ -279,12 +279,16 @@ object TextPipeline {
     val kept = corpus.join(
       qual.filter(col("quality_score") >= minQuality).select("doc_id"),
       "doc_id")
+    // uniq feeds six consumers (shingling, clustering, three per-doc
+    // stat joins, decontamination) — one lazy checkpoint evaluates the
+    // scan→quality→dedup prefix once instead of per consumer
     val uniq = kept.join(
       exactDedup(kept).filter(!col("is_dup")).select("doc_id"), "doc_id")
+      .localCheckpoint(false)
     val canon = dedupClusters(uniq, minhashCandidates(uniq))
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("cluster_size"))
-    val canonDocs = uniq.join(canon, "doc_id")
+    val canonDocs = uniq.join(canon, "doc_id").localCheckpoint(false)
     val clean = decontaminate(
       docs.filter(col("doc_id") < benchMax).select("doc_id", "text")
         .unionByName(canonDocs.select("doc_id", "text")), benchMax)
