@@ -18,6 +18,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // dev loop: SPARK_GRAFT_EXPLAIN=1 dumps formatted physical plans
+    // (for the PLANS.md audits) instead of timing
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        println(s"==== $name ====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
+      spark.stop(); return
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -196,6 +196,9 @@ object BitstampOps {
         d.withColumn(s"n_$c", lead(c, 1).over(m))
       }
       .filter(col("side") =!= col("n_side"))
+      // consumed once per pair orientation below — evaluate the
+      // anti-join + lead-window pass once
+      .localCheckpoint(false)
     // one equi-join per orientation of the (event, next-event) pair —
     // an OR of the two conjunctions would force a nested-loop join;
     // the second branch excludes rows the first already matched so the
