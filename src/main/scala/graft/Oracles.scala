@@ -2117,6 +2117,49 @@ object Oracles {
       |WHERE NOT (ov.n_overlap * 10 >= ov.n_shingles)
       |ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.wavFeatures`: the WAV payload's
+    * samples are `s(i) = (doc_id·31 + i·17) mod 4096 − 2048`, so the
+    * decoded statistics are computable without the bytes — the Spark
+    * side must encode AND decode the real RIFF/PCM16 container
+    * correctly to reproduce them. */
+  def pipeMediaWav: String =
+    """SELECT doc_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS n_channels,
+      |  CAST(256 + doc_id % 100 AS BIGINT) AS n_samples,
+      |  CAST(list_aggregate(list_transform(range(0, 256 + doc_id % 100),
+      |    i -> abs((doc_id*31 + i*17) % 4096 - 2048)), 'max') AS BIGINT)
+      |    AS peak,
+      |  CAST(list_aggregate(list_transform(range(0, 256 + doc_id % 100),
+      |    i -> (doc_id*31 + i*17) % 4096 - 2048), 'sum') AS BIGINT)
+      |    AS sum_samples,
+      |  CAST(list_aggregate(list_transform(range(0, 256 + doc_id % 100),
+      |    i -> ((doc_id*31 + i*17) % 4096 - 2048)
+      |       * ((doc_id*31 + i*17) % 4096 - 2048)), 'sum') AS BIGINT)
+      |    AS sum_sq
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Closed-form mirror of `Multimodal.ppmFeatures` (P6 pixel bytes
+    * `p(j) = (doc_id·7 + j·13) mod 256`, RGB interleaved). */
+  def pipeMediaPpm: String =
+    """SELECT doc_id,
+      |  CAST(4 + doc_id % 5 AS BIGINT) AS width,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS height,
+      |  CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT) AS n_pixels,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(range(0, 3*(4 + doc_id % 5)*(3 + doc_id % 4)),
+      |      j -> j % 3 = 0), j -> (doc_id*7 + j*13) % 256), 'sum')
+      |    AS BIGINT) AS sum_r,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(range(0, 3*(4 + doc_id % 5)*(3 + doc_id % 4)),
+      |      j -> j % 3 = 1), j -> (doc_id*7 + j*13) % 256), 'sum')
+      |    AS BIGINT) AS sum_g,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(range(0, 3*(4 + doc_id % 5)*(3 + doc_id % 4)),
+      |      j -> j % 3 = 2), j -> (doc_id*7 + j*13) % 256), 'sum')
+      |    AS BIGINT) AS sum_b
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def pipeDecontaminate: String = DocShinglesCte +
     """, bench AS (
       |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10

@@ -424,6 +424,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("first_byte"),
           col("stub_feature"), col("content_md5"))
         .orderBy("doc_id")),
+    "pipe_media_wav" -> ((s, d) =>
+      pipeline.Multimodal.wavFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
+    "pipe_media_ppm" -> ((s, d) =>
+      pipeline.Multimodal.ppmFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -503,6 +509,8 @@ object SparkEntry {
     "pipe_scrub" -> Oracles.pipeScrub,
     "pipe_chunk_dedup" -> Oracles.pipeChunkDedup,
     "pipe_multimodal" -> Oracles.pipeMultimodal,
+    "pipe_media_wav" -> Oracles.pipeMediaWav,
+    "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "mkt_eps_draws" -> Oracles.mktEpsDraws,
     "mkt_strategy" -> Oracles.mktStrategy,
   )
