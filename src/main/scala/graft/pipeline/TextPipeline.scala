@@ -55,9 +55,12 @@ object TextPipeline {
         (1 to r).map(i => col(s"mh${band * r + i}")): _*)
       struct(lit(band).as("band"), key.as("key"))
     }
+    // both sides of the self-join — one lazy checkpoint evaluates the
+    // shingle/min-signature pass once
     val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(false)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -144,12 +147,16 @@ object TextPipeline {
     * self-consistent and oracle-expressible. */
   def ngramJaccard(docs: DataFrame, minCommon: Int = 2,
       dfCap: Int = 50): DataFrame = {
-    val all = shingled(docs)
+    // the raw shingle set feeds both the DF count and the semi-join;
+    // the capped set feeds the size aggregate and both self-join
+    // sides — checkpoint each so the explode runs once, not 6×
+    val all = shingled(docs).localCheckpoint(false)
     val rare = all.join(
       all.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap)
         .select("shingle"),
       Seq("shingle"), "left_semi")
+      .localCheckpoint(false)
     val sh = rare
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"), "shingle")
@@ -202,7 +209,9 @@ object TextPipeline {
     * (AQE broadcasts while the table is small, shuffles when it isn't —
     * a forced broadcast would OOM at billions of docs). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    // consumed three times (block explode + both join-backs) — one
+    // lazy checkpoint evaluates the shingle/60-sum signature pass once
+    val sigs = simhashSignatures(docs).localCheckpoint(false)
     val blocks = sigs
       .withColumn("blk", explode(sequence(lit(0), lit(3))))
       .withColumn("blk_val",
