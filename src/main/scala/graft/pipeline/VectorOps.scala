@@ -115,8 +115,11 @@ object VectorOps {
       .as("ccos")
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id"))
+    // feeds both the assignment and the probe list — evaluate the
+    // centroid-scoring join + window once
     val scored = q.join(broadcast(cents)).withColumn("ccos", centCos)
       .withColumn("crn", row_number().over(wAssign))
+      .localCheckpoint(false)
     val assign = scored.filter(col("crn") === 1)
       .select(col("vec_id").as("vb"), col("cent_id"),
         col("q").as("qb"), col("nq").as("nb"))
@@ -142,7 +145,9 @@ object VectorOps {
   def annLsh(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       bits: Int = -1): DataFrame = {
     val useBits = if (bits > 0) bits else scaledBits(emb.count())
-    val buckets = lshBuckets(emb, useBits)
+    // both sides of the bucket join — evaluate the hyperplane-sign
+    // pass once
+    val buckets = lshBuckets(emb, useBits).localCheckpoint(false)
     val queries = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("q").as("qa"), col("nq").as("na"))
