@@ -1679,6 +1679,33 @@ object Oracles {
       |  n_words, s_en, s_de, s_es, s_fr
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.langBalance`: at most 100 docs per
+    * predicted language in content-hash order. */
+  def pipeLangBalance: String =
+    """WITH wd AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), sc AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN word IN ('the','and','of','to','a','in','is','it','for','on') THEN 1 ELSE 0 END) AS s_en,
+      |    SUM(CASE WHEN word IN ('der','die','das','und','ist','nicht','mit','ein','zu','den') THEN 1 ELSE 0 END) AS s_de,
+      |    SUM(CASE WHEN word IN ('el','la','de','que','y','en','un','por','con','los') THEN 1 ELSE 0 END) AS s_es,
+      |    SUM(CASE WHEN word IN ('le','la','de','et','un','en','est','que','pour','dans') THEN 1 ELSE 0 END) AS s_fr
+      |  FROM wd GROUP BY doc_id
+      |), lid AS (
+      |  SELECT doc_id,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+      |  FROM sc
+      |), ranked AS (
+      |  SELECT d.doc_id, lid.pred_lang, md5(d.text) AS sample_hash,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lid.pred_lang
+      |      ORDER BY md5(d.text), d.doc_id) AS BIGINT) AS rnk
+      |  FROM documents d JOIN lid USING (doc_id)
+      |)
+      |SELECT doc_id, pred_lang, sample_hash, rnk FROM ranked
+      |WHERE rnk <= 100 ORDER BY pred_lang, rnk""".stripMargin
+
   /** The quality-score expression over a `text` column (shared by
     * `pipeQuality` and the end-to-end curation oracle). */
   private def qualityScoreSql: String =

@@ -359,6 +359,9 @@ object SparkEntry {
     "pipe_e2e" -> ((s, d) =>
       TextPipeline.curate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    "pipe_lang_balance" -> ((s, d) =>
+      TextPipeline.langBalance(Tables.load(s, d, "documents"))
+        .orderBy("pred_lang", "rnk")),
     "pipe_split" -> ((s, d) =>
       TextPipeline.splitAssign(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -490,6 +493,7 @@ object SparkEntry {
     "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_e2e" -> Oracles.pipeE2e,
+    "pipe_lang_balance" -> Oracles.pipeLangBalance,
     "pipe_split" -> Oracles.pipeSplit,
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,

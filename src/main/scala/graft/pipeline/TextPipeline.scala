@@ -352,6 +352,33 @@ object TextPipeline {
         "s_en", "s_de", "s_es", "s_fr")
   }
 
+  /** Language-balanced quota sampling: keep at most `cap` documents
+    * per predicted language, selected by content-hash order
+    * (deterministic under any partitioning or arrival order) — the
+    * corpus-balancing step that stops a majority language from
+    * drowning minority ones. Each language's selection is a
+    * distributed top-k (`TakeOrderedAndProject`), NOT a `row_number`
+    * window partitioned by language: with a handful of languages such
+    * a window would place an entire — possibly corpus-dominating —
+    * language on one task at scale. The final rank window runs over
+    * ≤ `languages × cap` selected rows only. */
+  def langBalance(docs: DataFrame, cap: Int = 100): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val tagged = langId(docs).select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"), md5(col("text")).as("sample_hash")),
+        "doc_id")
+      .localCheckpoint(false)
+    val sel = langs.map { l =>
+      tagged.filter(col("pred_lang") === l)
+        .orderBy(col("sample_hash"), col("doc_id"))
+        .limit(cap)
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("pred_lang")
+      .orderBy(col("sample_hash"), col("doc_id"))
+    sel.withColumn("rnk", row_number().over(w).cast("long"))
+      .select("doc_id", "pred_lang", "sample_hash", "rnk")
+  }
+
   /** Heuristic quality scoring: length band, stopword density, digit
     * density, mean word length (cf. C4/Gopher-style filters). */
   def qualityScore(docs: DataFrame): DataFrame = {

@@ -39,4 +39,26 @@ object Lake {
       .withColumn("exchange_id", col("exchange_id").cast("int"))
       .withColumn("pair_id", col("pair_id").cast("int"))
       .drop("month")
+
+  /** Write a curated corpus (`TextPipeline.curate` output joined back
+    * to its text) partitioned by split — the training-data sink
+    * shape: a trainer reads `split=train` alone and partition pruning
+    * skips val/test entirely; files within a split are sorted by
+    * doc_id so shard readers get deterministic, disjoint id ranges.
+    * `bucketsPerSplit` bounds file count (at corpus scale set it to
+    * target-shard-size / docs-per-byte). */
+  def writeCurated(curated: DataFrame, path: String,
+      bucketsPerSplit: Int = 4): Unit =
+    curated
+      .repartition(3 * bucketsPerSplit, col("split"),
+        pmod(col("doc_id"), lit(bucketsPerSplit)))
+      .sortWithinPartitions("doc_id")
+      .write
+      .partitionBy("split")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read one split back with pruning (callers filter nothing). */
+  def readSplit(spark: SparkSession, path: String, split: String): DataFrame =
+    spark.read.parquet(path).filter(col("split") === split)
 }

@@ -32,6 +32,26 @@ class LakeSpec extends AnyFunSuite {
     assert(spreadRows(back) == spreadRows(l3))
   }
 
+  test("curated corpus sink: split partitions prune, round-trip exact") {
+    import graft.pipeline.TextPipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val curated = TextPipeline.curate(docs)
+    val path = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    Lake.writeCurated(curated, path)
+    val train = Lake.readSplit(spark, path, "train")
+    // reading one split = exactly the curated rows of that split
+    val wantTrain = curated.filter(col("split") === "train")
+    assert(train.count() == wantTrain.count() && train.count() > 0)
+    assert(train.select("doc_id").except(wantTrain.select("doc_id")).count() == 0)
+    // and the split filter prunes at the partition level
+    val plan = spark.read.parquet(path).filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("split"))
+  }
+
   test("pair filter prunes lake partitions") {
     val dir = "/root/testdata/sf0.001"
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
