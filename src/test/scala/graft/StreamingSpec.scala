@@ -20,6 +20,38 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("stateless pipeline operators run unchanged on a document stream") {
+    import graft.pipeline.TextPipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    // stage as several files so the stream sees multiple micro-batches
+    val stage = java.nio.file.Files.createTempDirectory("graft-docs")
+      .toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+
+    val streamIn = spark.readStream.schema(docs.schema).parquet(stage)
+    // per-doc maps need no state: the same DataFrame functions compose
+    // on a streaming source — ingestion-time scoring at capture, the
+    // shape a 100 TB pipeline uses to avoid a second full pass
+    val q = TextPipeline.qualityScore(streamIn)
+      .join(TextPipeline.langId(streamIn).select("doc_id", "pred_lang"),
+        "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_scored")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("docs_scored")
+      .orderBy("doc_id").collect().map(_.toSeq).toList
+    val batch = TextPipeline.qualityScore(docs)
+      .join(TextPipeline.langId(docs).select("doc_id", "pred_lang"),
+        "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming L1 equals batch L1 on the same event log") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
