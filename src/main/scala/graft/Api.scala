@@ -47,6 +47,15 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
     MarketOps.orderBookQuery(level3, atMicros, maxLevels, bpsRange,
       minBid, maxAsk)
 
+  /** `obanalytics.order_book` raw snapshot with the reference's full
+    * parameter surface (`p_only_makers` / `p_before` /
+    * `p_check_takers` / one-sided). */
+  def orderBookRaw(atMicros: Long, onlyMakers: Boolean = false,
+      before: Boolean = false, checkTakers: Boolean = false,
+      side: Option[String] = None): DataFrame =
+    MarketOps.orderBookAt(level3, atMicros, onlyMakers, before,
+      checkTakers, side)
+
   /** `obadiah::events` — classified order events in a window.
     * `referenceParity` reproduces the reference's buy-side
     * aggressiveness denominator for differential testing. */
