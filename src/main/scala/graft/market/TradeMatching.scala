@@ -155,7 +155,10 @@ object TradeMatching {
   def matchSumOfTwo(level3: DataFrame,
       toleranceMicros: Long = DefaultToleranceMicros,
       setCap: Int = DefaultSetCap): DataFrame = {
+    // both subset positions draw from the same matchable set —
+    // evaluate the band join + rank window once
     val ms = matchableSells(level3, toleranceMicros, setCap)
+      .localCheckpoint(false)
     val s1 = renameSell(ms, "s1_")
     val s2 = renameSell(ms
       .drop("b_fill"), "s2_")
@@ -180,7 +183,9 @@ object TradeMatching {
   def matchSumOfThree(level3: DataFrame,
       toleranceMicros: Long = DefaultToleranceMicros,
       setCap: Int = DefaultSetCap): DataFrame = {
+    // all three subset positions draw from the same matchable set
     val ms = matchableSells(level3, toleranceMicros, setCap)
+      .localCheckpoint(false)
     val s1 = renameSell(ms, "s1_")
     val s2 = renameSell(ms.drop("b_fill"), "s2_")
     val s3 = renameSell(ms.drop("b_fill"), "s3_")
