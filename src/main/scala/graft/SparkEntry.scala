@@ -56,12 +56,12 @@ object SparkEntry {
       MarketOps.depthWindow(level3(s, d), s, Oracles.T0, Oracles.T1)
         .orderBy("pair_id", "ts", "side", "price")),
     "mkt_events" -> ((s, d) => {
-      val l3 = level3(s, d)
+      val l3 = level3(s, d).localCheckpoint(false)
       EventsQuery.events(l3, MarketOps.spread(l3, s), Oracles.T0, Oracles.T1)
         .orderBy("ts_us", "id", "event_no")
     }),
     "mkt_events_parity" -> ((s, d) => {
-      val l3 = level3(s, d)
+      val l3 = level3(s, d).localCheckpoint(false)
       EventsQuery.events(l3, MarketOps.spread(l3, s), Oracles.T0, Oracles.T1,
         referenceParity = true)
         .orderBy("ts_us", "id", "event_no")
@@ -158,7 +158,7 @@ object SparkEntry {
           col("period_start"), col("period_end"), col("n_ticks"))
         .orderBy("pair_id", "period_start")),
     "mkt_fix_crossed" -> ((s, d) => {
-      val l3 = level3(s, d)
+      val l3 = level3(s, d).localCheckpoint(false)
       GridOps.fixCrossedBooks(l3, MarketOps.spread(l3, s))
         .orderBy("pair_id", "order_id")
     }),
@@ -207,7 +207,7 @@ object SparkEntry {
           col("start_price"), col("end_ts"), col("end_price"), col("kind"))
         .orderBy("pair_id", "start_ts", "end_ts")),
     "mkt_merge_crossed" -> ((s, d) => {
-      val l3 = level3(s, d)
+      val l3 = level3(s, d).localCheckpoint(false)
       GridOps.mergeCrossedBooks(l3, MarketOps.spread(l3, s))
         .select(col("microtimestamp"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("side"),

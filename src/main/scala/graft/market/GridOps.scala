@@ -265,11 +265,14 @@ object GridOps {
     * left untouched (the reference raises there). */
   def mergeCrossedBooks(level3: DataFrame, spreadTicks: DataFrame): DataFrame = {
     val Alive = Level3Source.AliveMicros
+    // The L1 stream feeds both the period detector and the next-tick
+    // lookup; one lazy evaluation (it is a replay-kernel output).
+    val l1 = spreadTicks.localCheckpoint(false)
     // next uncrossed tick after each crossed period
-    val periods = crossedBooks(spreadTicks)
+    val periods = crossedBooks(l1)
       .select(col("pair_id").cast("int").as("w_pair"), col("period_start"),
         col("period_end"))
-    val ticks = spreadTicks.select(col("pair_id").cast("int").as("t_pair"),
+    val ticks = l1.select(col("pair_id").cast("int").as("t_pair"),
       col("ts").as("t_ts"))
     val windows = periods.join(ticks,
       col("w_pair") === col("t_pair") && col("t_ts") > col("period_end"))
@@ -279,24 +282,28 @@ object GridOps {
       col("pair_id") === col("w_pair") &&
         col("microtimestamp") >= col("period_start") &&
         col("microtimestamp") < col("w_end"), "left")
-    val untouched = tagged.filter(col("w_end").isNull)
-      .select(level3.columns.map(col).toIndexedSeq: _*)
+    // Single pass over the tagged stream: untagged rows (w_end null) keep
+    // their values, so no filter/filter/union — that shape evaluates the
+    // level3 sub-plan twice. Untagged rows fall into the null-period_start
+    // window partition; their window values are computed but unused.
     // running-from-behind earliest death per (order, window); RANGE
     // frame keeps ties deterministic
     val wBack = Window.partitionBy("pair_id", "order_id", "period_start")
       .orderBy(col("microtimestamp").desc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wOrd = Window.partitionBy("pair_id", "order_id", "period_start")
-    val merged = tagged.filter(col("w_end").isNotNull)
+    tagged
       .withColumn("next_death",
         min(when(col("is_deleted"), col("microtimestamp"))).over(wBack))
       .withColumn("last_seen", max("microtimestamp").over(wOrd))
       .withColumn("new_micro",
-        when(col("next_death").isNotNull && col("next_death") < col("w_end") &&
-          col("next_death") < col("last_seen"), col("next_death"))
+        when(col("w_end").isNull, col("microtimestamp"))
+          .when(col("next_death").isNotNull && col("next_death") < col("w_end") &&
+            col("next_death") < col("last_seen"), col("next_death"))
           .otherwise(col("w_end")))
       .withColumn("new_next",
-        when(col("is_deleted"), col("new_micro"))
+        when(col("w_end").isNull, col("next_microtimestamp"))
+          .when(col("is_deleted"), col("new_micro"))
           .when(col("next_death").isNotNull &&
             col("next_microtimestamp") <= col("next_death") &&
             col("next_microtimestamp") =!= Alive &&
@@ -306,7 +313,6 @@ object GridOps {
       .withColumn("microtimestamp", col("new_micro"))
       .withColumn("next_microtimestamp", col("new_next"))
       .select(level3.columns.map(col).toIndexedSeq: _*)
-    untouched.unionByName(merged)
   }
 
   /** Data-quality report (reference `qty_level3_*` checks,
