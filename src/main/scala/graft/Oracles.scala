@@ -2228,6 +2228,165 @@ object Oracles {
       |)
       |SELECT word, n, rnk FROM rankedv WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  def pipeChunk: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), n AS (
+      |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words FROM w
+      |), k AS (
+      |  SELECT doc_id, words, unnest(range(0,
+      |    1 + CASE WHEN n_words <= 40 THEN 0
+      |             ELSE (n_words - 40 + 29) // 30 END)) AS k
+      |  FROM n
+      |)
+      |SELECT doc_id, k AS chunk_no, k * 30 + 1 AS start_word,
+      |  CAST(len(words[(k*30+1):(k*30+40)]) AS BIGINT) AS chunk_words,
+      |  md5(array_to_string(words[(k*30+1):(k*30+40)], ' ')) AS chunk_hash
+      |FROM k ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Milli-quantized embedding elements + the int8 requantization
+    * (`round(q·127/max_abs)` in pure integer arithmetic — the same
+    * formula as `TrainingData.withQ8`). */
+  private def Q8Cte: String =
+    """WITH ev AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), ma AS (
+      |  SELECT vec_id, MAX(ABS(q)) AS max_abs FROM ev GROUP BY vec_id
+      |), e8 AS (
+      |  SELECT ev.vec_id, i, q, max_abs,
+      |    CASE WHEN max_abs = 0 THEN 0
+      |         WHEN q < 0 THEN -((-q * 254 + max_abs) // (2 * max_abs))
+      |         ELSE (q * 254 + max_abs) // (2 * max_abs) END AS q8
+      |  FROM ev JOIN ma ON ma.vec_id = ev.vec_id
+      |)""".stripMargin
+
+  def pipeQuantize: String = Q8Cte +
+    """
+      |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |  MAX(max_abs) AS max_abs_milli,
+      |  CAST(SUM(q8) AS BIGINT) AS sum_q8,
+      |  CAST(SUM(q8 * q8) AS BIGINT) AS norm_q8,
+      |  md5(string_agg(CAST(q8 AS VARCHAR), ',' ORDER BY i)) AS q8_md5
+      |FROM e8 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  def pipeAnnQ8: String = Q8Cte +
+    """, n8 AS (
+      |  SELECT vec_id, CAST(SUM(q8 * q8) AS BIGINT) AS n8 FROM e8 GROUP BY vec_id
+      |), qd AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS vb,
+      |    CAST(SUM(a.q8 * b.q8) AS BIGINT) AS dot
+      |  FROM e8 a JOIN e8 b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+      |  GROUP BY a.vec_id, b.vec_id
+      |), cc AS (
+      |  SELECT query_id, vb, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.n8 AS DOUBLE)) * SQRT(CAST(nb.n8 AS DOUBLE))) AS cos
+      |  FROM qd JOIN n8 na ON na.vec_id = query_id JOIN n8 nb ON nb.vec_id = vb
+      |  WHERE na.n8 > 0 AND nb.n8 > 0
+      |), rq AS (
+      |  SELECT query_id, vb, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vb) AS BIGINT) AS rnk
+      |  FROM cc
+      |)
+      |SELECT query_id, rnk, vb AS vec_id, cos FROM rq WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  def pipeSourceMix: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+      |      THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS weight,
+      |    CAST((ascii(substr(md5('mix#' || text), 1, 1)) * 65536 +
+      |          ascii(substr(md5('mix#' || text), 2, 1)) * 256 +
+      |          ascii(substr(md5('mix#' || text), 3, 1))) % 1000 AS BIGINT) AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, weight, bucket,
+      |  bucket * 4 < weight * 1000 AS kept
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  def pipePack: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, md5(text) AS sample_hash,
+      |    CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 256) AS toks
+      |  FROM documents
+      |), o AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY sample_hash, doc_id) AS BIGINT) AS pos
+      |  FROM d
+      |), rp AS (
+      |  SELECT shard, doc_id, pos, toks, CAST(1 AS BIGINT) AS bin_no,
+      |    CAST(0 AS BIGINT) AS bin_offset, toks AS fill
+      |  FROM o WHERE pos = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.doc_id, o.pos, o.toks,
+      |    CASE WHEN rp.fill + o.toks > 256 THEN rp.bin_no + 1 ELSE rp.bin_no END,
+      |    CASE WHEN rp.fill + o.toks > 256 THEN 0 ELSE rp.fill END,
+      |    CASE WHEN rp.fill + o.toks > 256 THEN o.toks ELSE rp.fill + o.toks END
+      |  FROM rp JOIN o ON o.shard = rp.shard AND o.pos = rp.pos + 1
+      |)
+      |SELECT shard, doc_id, pos, toks, bin_no, bin_offset FROM rp
+      |ORDER BY shard, pos""".stripMargin
+
+  /** The BPE training CTE chain: word-frequency dictionary,
+    * character-level symbolization, then one (pair-count → argmax →
+    * greedy-leftmost apply) block per merge round. Each round's apply
+    * step is a linear recursion over symbol positions; the MATERIALIZED
+    * hints stop DuckDB from inlining the chain (each round is consumed
+    * twice, which would otherwise re-expand exponentially). Mirrors
+    * `TrainingData.bpeTrain` exactly. */
+  private def bpeChain(nMerges: Int): String = {
+    val sb = new StringBuilder(
+      """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  GROUP BY word
+        |), s0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+        |  FROM wf
+        |)""".stripMargin)
+    for (r <- 1 to nMerges) {
+      val prev = s"s${r - 1}"
+      sb.append(s""", p$r AS MATERIALIZED (
+        |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM $prev, range(1, 32) t(i) WHERE i + 1 <= len(syms)
+        |  GROUP BY syms[i], syms[i + 1]
+        |), b$r AS MATERIALIZED (
+        |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1
+        |), a$r AS (
+        |  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
+        |  UNION ALL
+        |  SELECT a.word, a.freq, a.syms,
+        |    CASE WHEN a.i + 1 <= len(a.syms) AND a.syms[a.i] = b.l AND a.syms[a.i + 1] = b.r
+        |      THEN a.i + 2 ELSE a.i + 1 END,
+        |    CASE WHEN a.i + 1 <= len(a.syms) AND a.syms[a.i] = b.l AND a.syms[a.i + 1] = b.r
+        |      THEN list_append(a.out, b.l || b.r) ELSE list_append(a.out, a.syms[a.i]) END
+        |  FROM a$r a, b$r b WHERE a.i <= len(a.syms)
+        |), s$r AS MATERIALIZED (
+        |  SELECT word, freq, out AS syms FROM a$r WHERE i > len(syms)
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  def pipeBpe(nMerges: Int = 8): String =
+    bpeChain(nMerges) + "\n" + (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_no, l AS lft, r AS rgt, " +
+        s"l || r AS merged, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ") + "\nORDER BY merge_no"
+
+  def pipeBpeTokens(nMerges: Int = 8): String =
+    bpeChain(nMerges) +
+      s"""
+        |, dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+        |FROM dw JOIN s$nMerges s USING (word) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+
   def mktFixCrossed: String = Level3Cte + QuoteCte +
     """, quote_cf2 AS (
       |  SELECT pair_id, ts,

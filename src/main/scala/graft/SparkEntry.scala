@@ -433,6 +433,29 @@ object SparkEntry {
     "pipe_media_ppm" -> ((s, d) =>
       pipeline.Multimodal.ppmFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    "pipe_chunk" -> ((s, d) =>
+      pipeline.TrainingData.chunkSlices(Tables.load(s, d, "documents"))
+        .orderBy("doc_id", "chunk_no")),
+    "pipe_quantize" -> ((s, d) =>
+      pipeline.TrainingData.quantizeInt8(Tables.load(s, d, "embeddings"))
+        .orderBy("vec_id")),
+    "pipe_ann_q8" -> ((s, d) =>
+      pipeline.TrainingData.annQ8(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    "pipe_source_mix" -> ((s, d) =>
+      pipeline.TrainingData.sourceMix(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_pack" -> ((s, d) =>
+      pipeline.TrainingData.packSequences(Tables.load(s, d, "documents"), s)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("pos"), col("toks"), col("bin_no"), col("bin_offset"))
+        .orderBy("shard", "pos")),
+    "pipe_bpe" -> ((s, d) =>
+      pipeline.TrainingData.bpeTrain(Tables.load(s, d, "documents"), s)
+        .orderBy("merge_no")),
+    "pipe_bpe_tokens" -> ((s, d) =>
+      pipeline.TrainingData.bpeTokenCounts(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -517,5 +540,12 @@ object SparkEntry {
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "mkt_eps_draws" -> Oracles.mktEpsDraws,
     "mkt_strategy" -> Oracles.mktStrategy,
+    "pipe_chunk" -> Oracles.pipeChunk,
+    "pipe_quantize" -> Oracles.pipeQuantize,
+    "pipe_ann_q8" -> Oracles.pipeAnnQ8,
+    "pipe_source_mix" -> Oracles.pipeSourceMix,
+    "pipe_pack" -> Oracles.pipePack,
+    "pipe_bpe" -> Oracles.pipeBpe(),
+    "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
   )
 }

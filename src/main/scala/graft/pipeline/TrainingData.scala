@@ -1,0 +1,249 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.longArrayDot
+
+/** A packing-input doc: shard + deterministic sample order + token count. */
+case class PackDoc(shard: Int, sample_hash: String, doc_id: Long, toks: Long)
+
+/** A packed doc: its bin and offset within the shard's bin sequence. */
+case class PackedDoc(shard: Int, doc_id: Long, pos: Long, toks: Long,
+    bin_no: Long, bin_offset: Long)
+
+/** Training-data preparation operators beyond cleaning/dedup: the steps
+  * between a curated corpus and a token stream a trainer consumes —
+  * context-window chunking, sequence packing, tokenizer (BPE) training,
+  * embedding quantization for memory-bounded retrieval, and
+  * source-mixture rebalancing. All deterministic (content-hash ordering,
+  * exact integer arithmetic) so every engine reproduces them
+  * bit-for-bit.
+  */
+object TrainingData {
+
+  // ---------------------------------------------------------------- chunking
+
+  /** Sliding-window chunking: each document split into word windows of
+    * `win` words every `stride` words (overlap = win − stride) — the
+    * step that turns variable-length documents into model-context-sized
+    * pieces. Pure Catalyst: one `sequence` explode per doc, no shuffle
+    * at all (the downstream consumer shuffles on whatever key it
+    * needs). */
+  def chunkSlices(docs: DataFrame, win: Int = 40, stride: Int = 30): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("k", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), CASE WHEN n_words <= $win THEN CAST(0 AS BIGINT) " +
+          s"ELSE (n_words - $win + ${stride - 1}) div $stride END)")))
+      .withColumn("chunk", expr(s"slice(words, k * $stride + 1, $win)"))
+      .select(col("doc_id"), col("k").as("chunk_no"),
+        (col("k") * stride + 1).as("start_word"),
+        size(col("chunk")).cast("long").as("chunk_words"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+
+  // ---------------------------------------------------------- quantization
+
+  /** Embedding-milli vectors (the established exact integer base,
+    * cf. [[VectorOps]]). */
+  private def milli(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+
+  /** Per-vector symmetric int8 quantization in pure integer math:
+    * `q8 = round(q·127 / max_abs)` computed as
+    * `sign(q)·((|q|·254 + max_abs) div (2·max_abs))` — round half away
+    * from zero without any float division, so the quantized vector is
+    * identical on every engine. max_abs = 0 (the zero vector) quantizes
+    * to zeros. */
+  private def withQ8(d: DataFrame): DataFrame =
+    d.withColumn("max_abs", expr("array_max(transform(q, x -> abs(x)))"))
+      .withColumn("q8", expr(
+        """transform(q, x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+          |  WHEN x < 0 THEN -((-x * 254 + max_abs) div (2 * max_abs))
+          |  ELSE (x * 254 + max_abs) div (2 * max_abs) END)""".stripMargin))
+
+  /** Int8 quantization report: per-vector scale (max |milli| value),
+    * dimension count, exact integer sum / squared norm of the quantized
+    * vector, and an order-sensitive fingerprint — the artifact a
+    * memory-bounded vector store persists (4× smaller than float32,
+    * 8× smaller than the milli longs). Per-row map, no shuffle. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    withQ8(milli(emb))
+      .select(col("vec_id"),
+        size(col("q")).cast("long").as("n_dims"),
+        col("max_abs").as("max_abs_milli"),
+        expr("aggregate(q8, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_q8"),
+        longArrayDot(col("q8"), col("q8")).as("norm_q8"),
+        md5(concat_ws(",", expr("transform(q8, x -> CAST(x AS STRING))")))
+          .as("q8_md5"))
+
+  /** Top-k retrieval over the *quantized* vectors — the memory-bounded
+    * scale path (int8 dot products via the codegen'd [[longArrayDot]];
+    * the index fits in a quarter of the float32 footprint). Same shape
+    * as [[VectorOps.annTopK]] so recall against the exact baseline is a
+    * join away. */
+  def annQ8(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q8 = withQ8(milli(emb))
+      .withColumn("n8", longArrayDot(col("q8"), col("q8")))
+      .filter(col("n8") > 0)
+      .select("vec_id", "q8", "n8")
+    val queries = q8.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qa"), col("n8").as("na"))
+    val cands = q8.select(col("vec_id").as("vb"), col("q8").as("qb"), col("n8").as("nb"))
+    val cos = longArrayDot(col("qa"), col("qb")).cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vb"))
+    broadcast(queries).join(cands, col("query_id") =!= col("vb"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("cos"))
+  }
+
+  // -------------------------------------------------------- source mixing
+
+  /** Source-mixture rebalancing: each source gets a configured mixing
+    * weight (here: sources 0-9 weight 2, the long tail weight 1 — the
+    * "configured domain weights" of a training mix) and documents are
+    * kept by a deterministic content-hash Bernoulli at rate
+    * `w / (2·w_max)` — pure integer comparison, no RNG, stable under
+    * any partitioning. Complements [[TextPipeline.langBalance]] (hard
+    * caps): rates preserve relative volume within a weight class. */
+  def sourceMix(docs: DataFrame, wMax: Int = 2): DataFrame = {
+    val h = md5(concat(lit("mix#"), col("text")))
+    val bucket = ((ascii(substring(h, 1, 1)) * 65536 +
+      ascii(substring(h, 2, 1)) * 256 +
+      ascii(substring(h, 3, 1))) % 1000).cast("long")
+    docs.select(col("doc_id"), col("source"),
+        when(expr("CAST(substring(source, 4) AS INT)") < 10, 2L).otherwise(1L)
+          .as("weight"),
+        bucket.as("bucket"))
+      .withColumn("kept", col("bucket") * 2 * wMax < col("weight") * 1000)
+  }
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Greedy sequence packing: documents are dealt into `nShards` shards
+    * by content hash, ordered within each shard by (hash, doc_id) — a
+    * deterministic global shuffle, the order a trainer would consume —
+    * and packed first-fit into bins of `capacity` tokens (token count =
+    * whitespace tokens, clamped at capacity). Inherently sequential
+    * *within* a shard (each doc's bin depends on the running fill), so
+    * the parallel unit is the shard — the same (small-state, sequential
+    * per group) pattern as the financial state machines; at corpus
+    * scale `nShards` rises with the cluster, and shard sizes are
+    * uniform by construction (content-hash deal). */
+  def packSequences(docs: DataFrame, spark: SparkSession,
+      capacity: Long = 256, nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(nShards == 16, "shard = first md5 hex digit; 16 shards")
+    docs.select(
+        expr("locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1")
+          .cast("int").as("shard"),
+        md5(col("text")).as("sample_hash"),
+        col("doc_id"),
+        least(size(split(col("text"), " ")).cast("long"), lit(capacity))
+          .as("toks"))
+      .as[PackDoc]
+      .groupByKey(_.shard)
+      .flatMapSortedGroups($"sample_hash", $"doc_id") { (shard, it) =>
+        var bin = 1L; var fill = 0L; var pos = 0L
+        it.map { d =>
+          pos += 1
+          if (fill + d.toks > capacity && fill > 0) { bin += 1; fill = 0 }
+          val off = fill
+          fill += d.toks
+          PackedDoc(shard, d.doc_id, pos, d.toks, bin, off)
+        }
+      }
+      .toDF()
+  }
+
+  // ------------------------------------------------------------ BPE training
+
+  /** Greedy-leftmost application of one merge to a symbol sequence. */
+  private[pipeline] def applyMerge(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE tokenizer training (Sennrich-style, over the word-frequency
+    * dictionary): `nMerges` rounds of (count adjacent symbol pairs
+    * weighted by word frequency → take the most frequent pair, ties
+    * broken lexicographically → apply it greedy-leftmost to every
+    * word). Returns the merge table (merge_no, lft, rgt, merged,
+    * pair_count) — the tokenizer artifact.
+    *
+    * Scale shape: the corpus-sized work is the initial word count (one
+    * shuffle on the word — this is how BPE is trained on large corpora:
+    * the dictionary, not the corpus, enters the merge loop); each round
+    * is one explode + aggregation over the *dictionary* plus a 1-row
+    * argmax to the driver. The merge application is a per-row Scala
+    * function (a sequential greedy collapse — not expressible as a
+    * Catalyst expression; the dictionary is orders of magnitude smaller
+    * than the corpus, so the interpreted hop is off the hot path). */
+  def bpeTrain(docs: DataFrame, spark: SparkSession,
+      nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val mergeUdf = udf(applyMerge _)
+    var words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val top = words
+        .withColumn("p", explode(when(size(col("syms")) >= 2,
+          expr("transform(sequence(1, size(syms) - 1), i -> " +
+            "named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
+          .otherwise(array())))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, l + r, cnt))
+        words = words
+          .withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("merge_no", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** Tokenize the corpus with a trained merge table: per doc, per word,
+    * apply the merges in order; emits exact BPE token counts — the
+    * "how many tokens is this corpus under my tokenizer" pass. */
+  def bpeTokenCounts(docs: DataFrame, spark: SparkSession,
+      nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val mergeRows = bpeTrain(docs, spark, nMerges)
+      .select("lft", "rgt").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokUdf = udf((text: String) => {
+      text.split(" ").iterator.map { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        mergeRows.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        syms.length
+      }.sum.toLong
+    })
+    docs.select(col("doc_id"), tokUdf(col("text")).as("n_bpe_tokens"))
+  }
+}
