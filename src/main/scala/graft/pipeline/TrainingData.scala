@@ -165,7 +165,7 @@ object TrainingData {
   // ------------------------------------------------------------ BPE training
 
   /** Greedy-leftmost application of one merge to a symbol sequence. */
-  private[pipeline] def applyMerge(syms: Seq[String], l: String,
+  private[graft] def applyMerge(syms: Seq[String], l: String,
       r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TrainingData
+
+/** Invariant checks for the training-data preparation tier (chunking,
+  * int8 quantization, packing, BPE) on crafted inputs — the driver's
+  * DuckDB oracle checks exact equality on the real tables; these pin
+  * the algebraic properties a refactor could silently break. */
+class TrainingDataSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-traindata")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("chunkSlices covers every word and respects stride") {
+    val d = docs((1L, (1 to 95).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"))
+    val rows = TrainingData.chunkSlices(d, win = 40, stride = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: starts at 1, 31, 61 — last window covers word 95
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(1L, 31L, 61L))
+    assert(d1.last._3 + d1.last._4 - 1 == 95)
+    // short doc: one chunk of its own length
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3L)
+  }
+
+  test("quantizeInt8 stays within int8 range and zero vector is safe") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = TrainingData.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Long]("max_abs_milli") == 1000L)
+    // 0.5 -> 500 milli -> round(500*127/1000) = 64; -1.0 -> -127; 0.25 -> 32
+    assert(q(1L).getAs[Long]("norm_q8") == 64L * 64 + 127L * 127 + 32L * 32)
+    assert(q(2L).getAs[Long]("norm_q8") == 0L)
+  }
+
+  test("packSequences never overflows a bin and packs every doc") {
+    val d = docs((1 to 200).map(i =>
+      (i.toLong, (1 to (i % 97 + 3)).map(_ => "tok").mkString(" "))): _*)
+    val p = TrainingData.packSequences(d, spark, capacity = 128)
+    assert(p.count() == 200)
+    assert(p.filter(col("bin_offset") + col("toks") > 128).count() == 0)
+    // within a shard, bins are consumed in order and offsets restart
+    val bad = p.withColumn("prev_end",
+      lag(col("bin_offset") + col("toks"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard", "bin_no").orderBy("pos")))
+      .filter(col("prev_end").isNotNull && col("bin_offset") =!= col("prev_end"))
+    assert(bad.count() == 0)
+  }
+
+  test("bpeTrain learns the dominant pair first and applies it greedily") {
+    // 'aaab' x3 + 'ab': pairs (a,a) count 6, (a,b) 4 -> first merge (a,a)
+    val d = docs((1L, "aaab aaab aaab ab"))
+    val merges = TrainingData.bpeTrain(d, spark, nMerges = 2).collect()
+    assert(merges(0).getAs[String]("merged") == "aa")
+    assert(merges(0).getAs[Long]("pair_count") == 6L)
+    // greedy-leftmost: "aaab" -> [aa, a, b], so round 2's top pair is
+    // (aa, a) count 3 ties (a, b) count 4 -> (a,b) wins on count
+    assert(merges(1).getAs[String]("merged") == "ab")
+  }
+
+  test("applyMerge collapses leftmost-first without overlap") {
+    assert(TrainingData.applyMerge(Seq("a", "a", "a"), "a", "a")
+      == Seq("aa", "a"))
+    assert(TrainingData.applyMerge(Seq("a", "b", "a", "b"), "a", "b")
+      == Seq("ab", "ab"))
+  }
+
+  test("bpeTokenCounts equals per-word merged symbol lengths") {
+    val d = docs((1L, "aaab ab"), (2L, "b"))
+    // merges learned on this corpus: (a,a) then... counts: doc1 only
+    val counts = TrainingData.bpeTokenCounts(d, spark, nMerges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // merge (a,a): "aaab" -> aa,a,b = 3 tokens; "ab" -> 2; "b" -> 1
+    assert(counts(1L) == 5L)
+    assert(counts(2L) == 1L)
+  }
+
+  test("sourceMix keeps higher-weight sources at twice the rate bound") {
+    val d = Seq((1L, "srcA", "x"), (2L, "src3", "y"), (3L, "src15", "z"))
+      .toDF("doc_id", "source", "text")
+      .filter(col("source") =!= "srcA") // non-numeric suffix excluded
+    val m = TrainingData.sourceMix(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(2L).getAs[Long]("weight") == 2L)
+    assert(m(3L).getAs[Long]("weight") == 1L)
+  }
+}
