@@ -2296,7 +2296,7 @@ object Oracles {
   def pipeSourceMix: String =
     """WITH m AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+      |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
       |      THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS weight,
       |    CAST((ascii(substr(md5('mix#' || text), 1, 1)) * 65536 +
       |          ascii(substr(md5('mix#' || text), 2, 1)) * 256 +
@@ -2307,11 +2307,15 @@ object Oracles {
       |  bucket * 4 < weight * 1000 AS kept
       |FROM m ORDER BY doc_id""".stripMargin
 
-  def pipePack: String =
-    """WITH RECURSIVE d AS (
+  def pipePack(nShards: Int = 16, capacity: Long = 256): String = {
+    val hexPrefix = (1 to 4).map { i =>
+      val p = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * $p"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE d AS (
       |  SELECT doc_id, md5(text) AS sample_hash,
-      |    CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
-      |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 256) AS toks
+      |    CAST(($hexPrefix) % $nShards AS BIGINT) AS shard,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), $capacity) AS toks
       |  FROM documents
       |), o AS (
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
@@ -2323,13 +2327,14 @@ object Oracles {
       |  FROM o WHERE pos = 1
       |  UNION ALL
       |  SELECT o.shard, o.doc_id, o.pos, o.toks,
-      |    CASE WHEN rp.fill + o.toks > 256 THEN rp.bin_no + 1 ELSE rp.bin_no END,
-      |    CASE WHEN rp.fill + o.toks > 256 THEN 0 ELSE rp.fill END,
-      |    CASE WHEN rp.fill + o.toks > 256 THEN o.toks ELSE rp.fill + o.toks END
+      |    CASE WHEN rp.fill + o.toks > $capacity THEN rp.bin_no + 1 ELSE rp.bin_no END,
+      |    CASE WHEN rp.fill + o.toks > $capacity THEN 0 ELSE rp.fill END,
+      |    CASE WHEN rp.fill + o.toks > $capacity THEN o.toks ELSE rp.fill + o.toks END
       |  FROM rp JOIN o ON o.shard = rp.shard AND o.pos = rp.pos + 1
       |)
       |SELECT shard, doc_id, pos, toks, bin_no, bin_offset FROM rp
       |ORDER BY shard, pos""".stripMargin
+  }
 
   /** The BPE training CTE chain: word-frequency dictionary,
     * character-level symbolization, then one (pair-count → argmax →
@@ -2352,9 +2357,13 @@ object Oracles {
     for (r <- 1 to nMerges) {
       val prev = s"s${r - 1}"
       sb.append(s""", p$r AS MATERIALIZED (
-        |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-        |  FROM $prev, range(1, 32) t(i) WHERE i + 1 <= len(syms)
-        |  GROUP BY syms[i], syms[i + 1]
+        |  SELECT p['l'] AS l, p['r'] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
+        |    FROM $prev WHERE len(syms) >= 2
+        |  )
+        |  GROUP BY 1, 2
         |), b$r AS MATERIALIZED (
         |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1
         |), a$r AS (

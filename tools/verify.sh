@@ -11,5 +11,5 @@ rm -rf "$OUT"
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/obadiahspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
-  graft.Verify "/root/testdata/$SF" "$OUT"
+  graft.Verify "/root/testdata/$SF" "$OUT" ${3:+"$3"}
 python3 tools/check.py "$OUT" "/root/testdata/$SF"
