@@ -67,11 +67,12 @@ object EventsQuery {
       col("bid_price").as("tick_bid"),
       col("ask_price").as("tick_ask"))
 
-    val wAsof = Window.partitionBy("pair_id").orderBy("ts", "kind")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val enriched = evSide.unionByName(tickSide)
-      .withColumn("bb", last("tick_bid", ignoreNulls = true).over(wAsof))
-      .withColumn("ba", last("tick_ask", ignoreNulls = true).over(wAsof))
+    // as-of carry evaluated per (pair, slice) with cross-slice seeds —
+    // identical to a whole-pair window, parallelism grows with the span
+    val enriched = AsofSlicing.carry(evSide.unionByName(tickSide),
+        Seq("tick_bid", "tick_ask"))
+      .withColumn("bb", col("tick_bid_asof"))
+      .withColumn("ba", col("tick_ask_asof"))
       .filter(col("kind") === 0)
       // initial-book rows predate the window: no prevailing spread
       .withColumn("best_bid_price", when(col("is_initial"), lit(null)).otherwise(col("bb")))

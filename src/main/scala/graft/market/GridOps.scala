@@ -236,14 +236,16 @@ object GridOps {
       lit(null).cast("double").as("price"),
       lit(null).cast("double").as("amount"),
       col("bid_price").as("tick_bid"), col("ask_price").as("tick_ask"))
-    val wAsof = Window.partitionBy("pair_id").orderBy("ts", "kind")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    eternal
-      .withColumn("tick_bid", lit(null).cast("double"))
-      .withColumn("tick_ask", lit(null).cast("double"))
-      .unionByName(tickCols)
-      .withColumn("bb", last("tick_bid", ignoreNulls = true).over(wAsof))
-      .withColumn("ba", last("tick_ask", ignoreNulls = true).over(wAsof))
+    // slice-parallel as-of (see AsofSlicing): same result as one
+    // whole-pair window, no single-task-per-pair sort
+    AsofSlicing.carry(
+        eternal
+          .withColumn("tick_bid", lit(null).cast("double"))
+          .withColumn("tick_ask", lit(null).cast("double"))
+          .unionByName(tickCols),
+        Seq("tick_bid", "tick_ask"))
+      .withColumn("bb", col("tick_bid_asof"))
+      .withColumn("ba", col("tick_ask_asof"))
       .filter(col("kind") === 0)
       .filter(
         when(col("side") === "b", col("price") >= coalesce(col("ba"), col("price") + 1))

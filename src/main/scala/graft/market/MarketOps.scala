@@ -301,22 +301,23 @@ object MarketOps {
     // pre-episode prevailing quote: changes (k=0) see only ticks (k=1)
     // strictly before their episode
     val ticks = spread(level3, spark).select(col("pair_id"), col("ts"),
-      lit(1).as("k"), lit(null).cast("string").as("side"),
+      lit(1).as("kind"), lit(null).cast("string").as("side"),
       lit(null).cast("double").as("price"),
       lit(null).cast("double").as("delta"),
       lit(null).cast("long").as("chain_id"),
       col("bid_price").as("sb"), col("ask_price").as("sa"))
-    val wAsof = Window.partitionBy("pair_id").orderBy("ts", "k")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    dch.withColumn("k", lit(0))
-      .withColumn("sb", lit(null).cast("double"))
-      .withColumn("sa", lit(null).cast("double"))
-      .unionByName(ticks)
-      .withColumn("bid_price", last("sb", ignoreNulls = true).over(wAsof))
-      .withColumn("ask_price", last("sa", ignoreNulls = true).over(wAsof))
-      .filter(col("k") === 0)
-      .select("pair_id", "ts", "side", "price", "delta", "chain_id",
-        "bid_price", "ask_price")
+    // slice-parallel as-of (AsofSlicing): changes (kind 0) see only
+    // ticks (kind 1) strictly before their episode, per (pair, slice)
+    AsofSlicing.carry(
+        dch.withColumn("kind", lit(0))
+          .withColumn("sb", lit(null).cast("double"))
+          .withColumn("sa", lit(null).cast("double"))
+          .unionByName(ticks),
+        Seq("sb", "sa"))
+      .filter(col("kind") === 0)
+      .select(col("pair_id"), col("ts"), col("side"), col("price"),
+        col("delta"), col("chain_id"),
+        col("sb_asof").as("bid_price"), col("sa_asof").as("ask_price"))
   }
 
   /** Instantaneous spread at an instant (reference `get.spread`'s
