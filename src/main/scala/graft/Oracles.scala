@@ -690,20 +690,48 @@ object Oracles {
       |  FROM l3e GROUP BY pair_id, era_no
       |)""".stripMargin
 
-  def mktSummary: String = Level3Cte + ErasCte +
-    """
-      |SELECT pair_id, era,
-      |  COUNT(*) AS n_events,
-      |  COUNT(DISTINCT order_id) AS n_orders,
-      |  COUNT(CASE WHEN event_no = 1 AND NOT is_deleted THEN 1 END) AS n_created,
-      |  COUNT(CASE WHEN is_deleted THEN 1 END) AS n_deleted,
-      |  COUNT(CASE WHEN fill > 0 THEN 1 END) AS n_fills,
-      |  MIN(microtimestamp) AS first_event,
-      |  MAX(microtimestamp) AS last_event,
-      |  CASE WHEN MAX(microtimestamp) > MIN(microtimestamp)
-      |    THEN COUNT(*) / ((MAX(microtimestamp) - MIN(microtimestamp)) / 1000000.0)
-      |  END AS e_per_sec
-      |FROM l3ee GROUP BY pair_id, era ORDER BY pair_id, era""".stripMargin
+  def mktSummary: String = Level3Cte + ErasCte + InferredMatchCte +
+    """, ev AS (
+      |  SELECT pair_id, era,
+      |    COUNT(*) AS n_events,
+      |    COUNT(DISTINCT order_id) AS n_orders,
+      |    COUNT(CASE WHEN event_no = 1 AND NOT is_deleted THEN 1 END) AS n_created,
+      |    COUNT(CASE WHEN is_deleted THEN 1 END) AS n_deleted,
+      |    COUNT(CASE WHEN fill > 0 THEN 1 END) AS n_fills,
+      |    MIN(microtimestamp) AS first_event,
+      |    MAX(microtimestamp) AS last_event,
+      |    CASE WHEN MAX(microtimestamp) > MIN(microtimestamp)
+      |      THEN COUNT(*) / ((MAX(microtimestamp) - MIN(microtimestamp)) / 1000000.0)
+      |    END AS e_per_sec
+      |  FROM l3ee GROUP BY pair_id, era
+      |), erax AS (
+      |  SELECT pair_id, era, COALESCE(LEAD(era) OVER (PARTITION BY pair_id
+      |    ORDER BY era), 9223372036854775807) AS next_era
+      |  FROM eras
+      |), tr AS (
+      |  SELECT e.pair_id, e.era, GREATEST(m.b_ts, m.s_ts) AS ts,
+      |    (m.b_oid IS NOT NULL OR m.s_oid IS NOT NULL) AS is_matched,
+      |    CAST(NULL AS BIGINT) AS exchange_trade_id
+      |  FROM m JOIN erax e ON m.pair_id = e.pair_id
+      |    AND GREATEST(m.b_ts, m.s_ts) >= e.era
+      |    AND GREATEST(m.b_ts, m.s_ts) < e.next_era
+      |), trs AS (
+      |  SELECT pair_id, era, MIN(ts) AS t_first, MAX(ts) AS t_last,
+      |    CAST(COUNT(*) AS BIGINT) AS t_total,
+      |    CAST(COUNT(CASE WHEN is_matched THEN 1 END) AS BIGINT) AS t_matched,
+      |    CAST(COUNT(exchange_trade_id) AS BIGINT) AS t_exchange,
+      |    CASE WHEN MAX(ts) > MIN(ts)
+      |      THEN COUNT(*) / ((MAX(ts) - MIN(ts)) / 1000000.0)
+      |    END AS t_per_sec
+      |  FROM tr GROUP BY pair_id, era
+      |)
+      |SELECT ev.*, trs.t_first, trs.t_last,
+      |  COALESCE(trs.t_total, 0) AS t_total,
+      |  COALESCE(trs.t_matched, 0) AS t_matched,
+      |  COALESCE(trs.t_exchange, 0) AS t_exchange,
+      |  trs.t_per_sec
+      |FROM ev LEFT JOIN trs USING (pair_id, era)
+      |ORDER BY pair_id, era""".stripMargin
 
   def mktIntervals: String = Level3Cte + ErasCte +
     """, nxt AS (

@@ -72,13 +72,18 @@ object SparkEntry {
           col("maker_event_id"), col("taker_event_id"), col("maker"),
           col("taker"), col("pair_id").cast("long").as("pair_id"))
         .orderBy("ts", "maker", "taker")),
-    "mkt_summary" -> ((s, d) =>
-      Analytics.summary(Level3Source.level3WithEras(level3(s, d)))
+    "mkt_summary" -> ((s, d) => {
+      val l3 = level3(s, d).localCheckpoint(false)
+      Analytics.summaryWithTrades(Level3Source.level3WithEras(l3),
+          TradeMatching.inferredMatches(l3))
         .select(col("pair_id").cast("long").as("pair_id"), col("era"),
           col("n_events"), col("n_orders"), col("n_created"),
           col("n_deleted"), col("n_fills"), col("first_event"),
-          col("last_event"), col("e_per_sec"))
-        .orderBy("pair_id", "era")),
+          col("last_event"), col("e_per_sec"),
+          col("t_first"), col("t_last"), col("t_total"), col("t_matched"),
+          col("t_exchange"), col("t_per_sec"))
+        .orderBy("pair_id", "era")
+    }),
     "mkt_intervals" -> ((s, d) =>
       Analytics.intervals(Level3Source.eras(level3(s, d)))
         .select(col("pair_id").cast("long").as("pair_id"),

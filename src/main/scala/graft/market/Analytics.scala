@@ -30,6 +30,48 @@ object Analytics {
         when(col("last_event") > col("first_event"),
           col("n_events") / ((col("last_event") - col("first_event")) / lit(1000000.0))))
 
+  /** Event-side summary joined with per-era trade-side metrics
+    * (reference `obanalytics.summary`'s `trades` CTE,
+    * `db/obanalytics_schema.sql:2556-2578`): trade count, first/last
+    * trade, trades/sec, `t_matched` (a trade linked to at least one
+    * order event) and `t_exchange` (a trade carrying the exchange's own
+    * trade id — inferred matches carry none, exchange-reported feeds
+    * do). Trades are assigned to eras by time range; the era table is
+    * one row per (pair, era) → broadcast range join, no shuffle of the
+    * matches stream beyond the final (pair, era) aggregation. */
+  def summaryWithTrades(level3WithEras: DataFrame,
+      matches: DataFrame): DataFrame = {
+    val m =
+      if (matches.columns.contains("exchange_trade_id")) matches
+      else matches.withColumn("exchange_trade_id", lit(null).cast("long"))
+    val wEra = Window.partitionBy("pair_id").orderBy("era")
+    val eras = level3WithEras.select("pair_id", "era").distinct()
+      .withColumn("next_era",
+        coalesce(lead("era", 1).over(wEra), lit(Long.MaxValue)))
+      .select(col("pair_id").as("e_pair"), col("era"), col("next_era"))
+    val tradeSide = m
+      .join(broadcast(eras),
+        col("pair_id") === col("e_pair") &&
+          col("microtimestamp") >= col("era") &&
+          col("microtimestamp") < col("next_era"))
+      .groupBy(col("pair_id"), col("era"))
+      .agg(
+        min("microtimestamp").as("t_first"),
+        max("microtimestamp").as("t_last"),
+        count(lit(1)).as("t_total"),
+        count(when(col("buy_order_id").isNotNull ||
+          col("sell_order_id").isNotNull, 1)).as("t_matched"),
+        count(col("exchange_trade_id")).as("t_exchange"))
+      .withColumn("t_per_sec",
+        when(col("t_last") > col("t_first"),
+          col("t_total") / ((col("t_last") - col("t_first")) / lit(1000000.0))))
+    summary(level3WithEras)
+      .join(tradeSide, Seq("pair_id", "era"), "left")
+      .withColumn("t_total", coalesce(col("t_total"), lit(0L)))
+      .withColumn("t_matched", coalesce(col("t_matched"), lit(0L)))
+      .withColumn("t_exchange", coalesce(col("t_exchange"), lit(0L)))
+  }
+
   /** Catalog overview (reference `get.data_overview` /
     * `available_pairs/period`, `db/get_schema.sql:168-233`): per pair,
     * the covered period and basic counts. */

@@ -468,7 +468,10 @@ object TextPipeline {
     * reported with its spread (the paragraph-dedup pass of training
     * pipelines, on word-chunk granularity since the corpus has no
     * newlines). */
-  def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+  /** The stateless chunk explosion feeding [[chunkDedup]] — also the
+    * per-batch map of the streaming twin
+    * ([[graft.streaming.StreamingOps.chunkDedupStream]]). */
+  def docChunks(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
     val chunks = expr(s"transform(sequence(0, " +
       s"greatest(size(words) - 1, 0) div $chunkWords), " +
       s"i -> concat_ws(' ', slice(words, i * $chunkWords + 1, $chunkWords)))")
@@ -476,6 +479,10 @@ object TextPipeline {
       .select(col("doc_id"), explode(chunks).as("chunk"))
       .filter(col("chunk") =!= "")
       .withColumn("chunk_hash", md5(col("chunk")))
+  }
+
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    docChunks(docs, chunkWords)
       .groupBy("chunk_hash")
       .agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"),

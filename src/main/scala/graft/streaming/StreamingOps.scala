@@ -213,4 +213,52 @@ object StreamingOps {
       .withWatermark("ts", "2 minutes")
       .groupBy(window(col("ts"), s"$windowSec seconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** One (doc, chunk) occurrence on the ingest stream. */
+  case class ChunkOcc(doc_id: Long, chunk_hash: String)
+
+  /** Per-chunk dedup state: distinct docs seen, total occurrences,
+    * canonical keeper (min doc id). */
+  case class ChunkState(docIds: Set[Long], nOcc: Long, keepDoc: Long)
+
+  /** Updated per-chunk aggregate emitted each micro-batch. */
+  case class ChunkAgg(chunk_hash: String, n_docs: Long,
+      n_occurrences: Long, keep_doc: Long)
+
+  /** Streaming twin of [[graft.pipeline.TextPipeline.chunkDedup]]: the
+    * stateless chunk explosion runs per micro-batch
+    * (`TextPipeline.docChunks`), and the cross-document counts live in
+    * `GroupState` keyed by chunk hash — the *stateful* training-data
+    * op on the ingest path (dedup counters maintained while the corpus
+    * lands, instead of a second full pass). Emits the updated
+    * aggregate for every chunk touched by a batch; the latest emission
+    * per key (its occurrence count is strictly increasing) equals the
+    * batch aggregate, which `StreamingSpec` asserts.
+    *
+    * State per key is O(distinct docs sharing the chunk) — exact
+    * `n_docs`, matching the batch `countDistinct`. At corpus scale the
+    * doc-id set of a pathological viral chunk is the knob (cap it and
+    * report `≥ cap`, or swap in a sketch); exactness is kept here to
+    * stay hash-comparable with the batch op. */
+  def chunkDedupStream(chunks: Dataset[ChunkOcc],
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+
+    def update(hash: String, batch: Iterator[ChunkOcc],
+        state: GroupState[ChunkState]): Iterator[ChunkAgg] = {
+      var s = state.getOption.getOrElse(ChunkState(Set.empty, 0L, Long.MaxValue))
+      batch.foreach { o =>
+        s = ChunkState(s.docIds + o.doc_id, s.nOcc + 1,
+          math.min(s.keepDoc, o.doc_id))
+      }
+      state.update(s)
+      Iterator.single(ChunkAgg(hash, s.docIds.size.toLong, s.nOcc, s.keepDoc))
+    }
+
+    chunks
+      .groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
 }

@@ -52,6 +52,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming chunk dedup equals batch chunk dedup (stateful op)") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stage = java.nio.file.Files.createTempDirectory("graft-chunks")
+      .toString
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    val streamIn = spark.readStream.schema(docs.schema).parquet(stage)
+    val q = StreamingOps.chunkDedupStream(
+        TextPipeline.docChunks(streamIn)
+          .select("doc_id", "chunk_hash").as[StreamingOps.ChunkOcc],
+        spark)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("chunk_dedup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // latest emission per chunk = the one with the highest running
+    // occurrence count (strictly increasing across a key's emissions)
+    val streamed = spark.table("chunk_dedup_out")
+      .groupBy("chunk_hash")
+      .agg(max(struct(col("n_occurrences"), col("n_docs"), col("keep_doc")))
+        .as("s"))
+      .select(col("chunk_hash"), col("s.n_docs").as("n_docs"),
+        col("s.n_occurrences").as("n_occurrences"),
+        col("s.keep_doc").as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_hash").collect().map(_.toSeq).toList
+    val batch = TextPipeline.chunkDedup(docs)
+      .orderBy("chunk_hash").collect().map(_.toSeq).toList
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming L1 equals batch L1 on the same event log") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
