@@ -36,6 +36,18 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
     MarketOps.depthWindow(level3, spark, start, end)
   }
 
+  /** `_starting_depth` — the standing book at an instant (one row per
+    * (pair, side, price)). */
+  def startingDepth(atMicros: Long): DataFrame =
+    MarketOps.startingDepth(level3, atMicros)
+
+  /** The cacheable half of `get.depth`: depth changes in (start, end]
+    * without the starting snapshot (see [[GraftApi.CachedClient]]). */
+  private[graft] def depthChangesOnly(start: Long, end: Long): DataFrame = {
+    validateWindow(start, end)
+    MarketOps.depthChangesWindow(level3, spark, start, end)
+  }
+
   /** `obadiah::spread` — L1 best bid/ask stream (deduplicated). */
   def spread(): DataFrame = MarketOps.spread(level3, spark)
 
@@ -198,6 +210,16 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   def fixDuplicates(): DataFrame = DqFixOps.fixDuplicates(level3)
   def fixEternals(): DataFrame = DqFixOps.fixEternals(level3)
   def fixPrematureDeletes(): DataFrame = DqFixOps.fixPrematureDeletes(level3)
+
+  /** Client-side result cache over the windowed queries — the
+    * reference's R-client interval cache (`R/cache.R`,
+    * 15-min freshness bound at `R/obanalytics.R:220`). Results are
+    * collected to the driver (they are client-facing and bounded by
+    * [[validateWindow]]) and reused across overlapping windows; only
+    * uncovered gaps re-run Spark jobs. */
+  def cachedClient(clock: () => Long =
+      () => System.currentTimeMillis() * 1000L): GraftApi.CachedClient =
+    new GraftApi.CachedClient(this, clock)
 }
 
 object GraftApi {
@@ -214,4 +236,30 @@ object GraftApi {
   /** Wrap an existing level3 log (e.g. read from the parquet lake). */
   def apply(spark: SparkSession, level3: DataFrame): GraftApi =
     new GraftApi(spark, level3)
+
+  /** Period-keyed client cache over `get.depth`, split the way the
+    * reference's client splits it (`R/obanalytics.R:366-407`): the
+    * depth-CHANGE stream is interval-composable and cached; the
+    * starting snapshot at each request's `t0` is loaded per-request so
+    * it never distorts the cache. (The events query is NOT cached —
+    * its result embeds the starting book, which does not compose
+    * across intervals; the reference's own TODO at
+    * `R/obanalytics.R:623` records the same limitation.) */
+  final class CachedClient(api: GraftApi, clock: () => Long) {
+    import org.apache.spark.sql.Row
+
+    // loader is half-open [s, e): shift the reference's (t0, t1]
+    // replay convention by one µs tick
+    private val changesCache = new IntervalCache[Row](
+      (s, e) => api.depthChangesOnly(s - 1, e - 1).collect().toSeq,
+      (r: Row) => r.getAs[Long](r.fieldIndex("ts")), clock)
+
+    /** `get.depth`: starting book at `start` ∪ cached changes in
+      * (start, end]. */
+    def depth(start: Long, end: Long): Seq[Row] =
+      api.startingDepth(start).collect().toSeq ++
+        changesCache.get(start + 1, end + 1)
+
+    def cachedPeriods: Seq[(Long, Long)] = changesCache.cachedPeriods
+  }
 }

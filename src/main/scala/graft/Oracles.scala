@@ -2215,6 +2215,63 @@ object Oracles {
       |    AS BIGINT) AS sum_b
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.pngFeatures` (PNG pixel bytes
+    * `p(j) = (doc_id·11 + j·19) mod 256`, RGB row-major — the Spark
+    * side must round-trip the real deflate/CRC/filter container to
+    * reproduce these sums). */
+  def pipeMediaPng: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(range(0, 3*w*h), j -> j % 3 = 0),
+      |    j -> (doc_id*11 + j*19) % 256), 'sum') AS BIGINT) AS sum_r,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(range(0, 3*w*h), j -> j % 3 = 1),
+      |    j -> (doc_id*11 + j*19) % 256), 'sum') AS BIGINT) AS sum_g,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(range(0, 3*w*h), j -> j % 3 = 2),
+      |    j -> (doc_id*11 + j*19) % 256), 'sum') AS BIGINT) AS sum_b
+      |FROM dims ORDER BY doc_id""".stripMargin
+
+  /** Closed-form mirror of `Multimodal.y4mFeatures`: frame `f` payload
+    * byte `j` is `(doc_id·13 + f·7 + j·23) mod 256` over concatenated
+    * Y,U,V planes; only even frames are sampled (step 2). */
+  def pipeMediaY4m: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    4 + 2*(doc_id % 3) AS w, 4 + 2*(doc_id % 2) AS h,
+      |    3 + doc_id % 6 AS nf
+      |  FROM documents
+      |), planes AS (
+      |  SELECT doc_id, w, h, nf, w*h AS ysz, w*h//4 AS csz,
+      |    list_filter(range(0, nf), f -> f % 2 = 0) AS sampled
+      |  FROM dims
+      |)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(len(sampled) AS BIGINT) AS n_sampled,
+      |  CAST(list_aggregate(list_transform(sampled, f ->
+      |    list_aggregate(list_transform(range(0, ysz),
+      |      j -> (doc_id*13 + f*7 + j*23) % 256), 'sum')), 'sum')
+      |    AS BIGINT) AS sum_y,
+      |  CAST(list_aggregate(list_transform(sampled, f ->
+      |    list_aggregate(list_transform(range(ysz, ysz + csz),
+      |      j -> (doc_id*13 + f*7 + j*23) % 256), 'sum')), 'sum')
+      |    AS BIGINT) AS sum_u,
+      |  CAST(list_aggregate(list_transform(sampled, f ->
+      |    list_aggregate(list_transform(range(ysz + csz, ysz + 2*csz),
+      |      j -> (doc_id*13 + f*7 + j*23) % 256), 'sum')), 'sum')
+      |    AS BIGINT) AS sum_v
+      |FROM planes ORDER BY doc_id""".stripMargin
+
   def pipeDecontaminate: String = DocShinglesCte +
     """, bench AS (
       |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10

@@ -438,6 +438,12 @@ object SparkEntry {
     "pipe_media_ppm" -> ((s, d) =>
       pipeline.Multimodal.ppmFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    "pipe_media_png" -> ((s, d) =>
+      pipeline.Multimodal.pngFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
+    "pipe_media_y4m" -> ((s, d) =>
+      pipeline.Multimodal.y4mFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
     "pipe_chunk" -> ((s, d) =>
       pipeline.TrainingData.chunkSlices(Tables.load(s, d, "documents"))
         .orderBy("doc_id", "chunk_no")),
@@ -567,6 +573,8 @@ object SparkEntry {
     "pipe_multimodal" -> Oracles.pipeMultimodal,
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
+    "pipe_media_png" -> Oracles.pipeMediaPng,
+    "pipe_media_y4m" -> Oracles.pipeMediaY4m,
     "mkt_eps_draws" -> Oracles.mktEpsDraws,
     "mkt_strategy" -> Oracles.mktStrategy,
     "pipe_chunk" -> Oracles.pipeChunk,

@@ -210,15 +210,35 @@ object MarketOps {
     * overlapping (t0, t1] — slices entirely before t0 contribute only
     * through seed rows, so no replay outside the window. */
   def depthWindow(level3: DataFrame, spark: SparkSession,
-      t0: Long, t1: Long, sliceMicros: Long = DefaultSliceMicros): DataFrame = {
-    import spark.implicits._
-    val starting = level3
+      t0: Long, t1: Long, sliceMicros: Long = DefaultSliceMicros): DataFrame =
+    startingDepth(level3, t0)
+      .unionByName(depthChangesWindow(level3, spark, t0, t1, sliceMicros))
+
+  /** Reference `_starting_depth`: the standing book at `t0` as one
+    * depth row per (pair, side, price), stamped `ts = t0`. A
+    * declarative validity-interval snapshot (filter + groupBy — fully
+    * parallel, amounts are integral so summation order is
+    * immaterial). */
+  def startingDepth(level3: DataFrame, t0: Long): DataFrame =
+    level3
       .filter(col("microtimestamp") <= t0 && col("next_microtimestamp") > t0)
       .groupBy("pair_id", "side", "price")
       .agg(sum("amount").as("volume"))
-      .select(col("pair_id").cast("int").as("pair_id"),
-        lit(t0).as("ts"), col("side"), col("price"), col("volume"))
-    val changes = slicedEvents(level3, spark, sliceMicros)
+      .select(col("pair_id").cast("long").as("pair_id"),
+        lit(t0).as("ts"),
+        when(col("side") === "b", "bid").otherwise("ask").as("side"),
+        col("price"), col("volume"))
+
+  /** The change stream alone, in (t0, t1] — the cacheable part of
+    * `get.depth` (the reference's client caches exactly this split so
+    * the starting snapshot never distorts the interval cache,
+    * `R/obanalytics.R:366-407`): sliced L2 replay restricted to slices
+    * overlapping (t0, t1] — slices entirely before t0 contribute only
+    * through seed rows, so no replay outside the window. */
+  def depthChangesWindow(level3: DataFrame, spark: SparkSession,
+      t0: Long, t1: Long, sliceMicros: Long = DefaultSliceMicros): DataFrame = {
+    import spark.implicits._
+    slicedEvents(level3, spark, sliceMicros)
       // slice s owns episodes in (s·W, (s+1)·W] — keep s touching (t0, t1]
       .where(col("slice") >= t0 / sliceMicros &&
         col("slice") <= (t1 - 1) / sliceMicros)
@@ -228,8 +248,6 @@ object MarketOps {
       }
       .toDF()
       .filter(col("ts") > t0 && col("ts") <= t1)
-      .select("pair_id", "ts", "side", "price", "volume")
-    starting.unionByName(changes)
       .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
         when(col("side") === "b", "bid").otherwise("ask").as("side"),
         col("price"), col("volume"))

@@ -179,6 +179,230 @@ object Multimodal {
         sumR, sumG, sumB)
     }
 
+  case class PngFeatures(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+  case class Y4mFeatures(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, n_sampled: Long, sum_y: Long, sum_u: Long, sum_v: Long)
+
+  /** Synthesize a real PNG (8-bit RGB, non-interlaced): signature,
+    * IHDR, one zlib-deflated IDAT, IEND — each chunk CRC32-stamped.
+    * Scanlines use filter 0 (None) on the first row and filter 2 (Up)
+    * afterwards, so the decoder must genuinely de-filter. Pixel bytes
+    * `p(j) = (doc_id·11 + j·19) mod 256` over the row-major RGB
+    * stream, `w = 3 + doc_id mod 6`, `h = 2 + doc_id mod 5`. */
+  def pngPayload(docId: Long): Array[Byte] = {
+    val w = (3 + docId % 6).toInt
+    val h = (2 + docId % 5).toInt
+    val stride = 3 * w
+    // raw pixels, then filtered scanlines (row 0: None, rest: Up)
+    val px = Array.tabulate(stride * h)(j => ((docId * 11 + j * 19) % 256).toByte)
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (stride + 1)) = if (y == 0) 0 else 2
+      var x = 0
+      while (x < stride) {
+        val cur = px(y * stride + x) & 0xff
+        val up = if (y == 0) 0 else px((y - 1) * stride + x) & 0xff
+        raw(y * (stride + 1) + 1 + x) =
+          (if (y == 0) cur else (cur - up) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!deflater.finished())
+      zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = zOut.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit, RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate/adaptive/none
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+  }
+
+  /** Decode a PNG from its bytes alone: verify the signature, walk the
+    * chunks (validating each CRC32), parse IHDR, inflate the IDAT
+    * stream, undo scanline filters None/Sub/Up, then accumulate exact
+    * per-channel sums. Supports 8-bit RGB non-interlaced — the profile
+    * `pngPayload` writes. */
+  def decodePng(batch: Iterator[MediaRow]): Iterator[PngFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      val bb = java.nio.ByteBuffer.wrap(bytes) // PNG is big-endian
+      val sig = new Array[Byte](8); bb.get(sig)
+      require(sig(0) == 0x89.toByte && sig(1) == 'P' && sig(2) == 'N' &&
+        sig(3) == 'G', "not a PNG")
+      var w = 0; var h = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && bb.remaining() >= 12) {
+        val len = bb.getInt()
+        val typBytes = new Array[Byte](4); bb.get(typBytes)
+        val typ = new String(typBytes, "US-ASCII")
+        val data = new Array[Byte](len); bb.get(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typBytes); crc.update(data)
+        require(crc.getValue.toInt == bb.getInt(), s"bad CRC in $typ")
+        typ match {
+          case "IHDR" =>
+            val ib = java.nio.ByteBuffer.wrap(data)
+            w = ib.getInt(); h = ib.getInt()
+            require(ib.get() == 8 && ib.get() == 2,
+              "only 8-bit RGB supported")
+            ib.get(); ib.get()
+            require(ib.get() == 0, "interlaced PNG not supported")
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _      => () // ancillary chunk — skip
+        }
+      }
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val stride = 3 * w
+      val raw = new Array[Byte]((stride + 1) * h)
+      var off = 0
+      while (!inflater.finished() && off < raw.length)
+        off += inflater.inflate(raw, off, raw.length - off)
+      inflater.end()
+      require(off == raw.length, "truncated IDAT stream")
+      // de-filter into recovered pixels
+      val px = new Array[Int](stride * h)
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (stride + 1)) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (stride + 1) + 1 + x) & 0xff
+          val left = if (x >= 3) px(y * stride + x - 3) else 0
+          val up = if (y > 0) px((y - 1) * stride + x) else 0
+          px(y * stride + x) = (filter: @annotation.switch) match {
+            case 0 => v
+            case 1 => (v + left) & 0xff
+            case 2 => (v + up) & 0xff
+            case _ => sys.error(s"unsupported PNG filter $filter")
+          }
+          x += 1
+        }
+        y += 1
+      }
+      var (sumR, sumG, sumB) = (0L, 0L, 0L)
+      var j = 0
+      while (j < px.length) {
+        (j % 3: @annotation.switch) match {
+          case 0 => sumR += px(j)
+          case 1 => sumG += px(j)
+          case _ => sumB += px(j)
+        }
+        j += 1
+      }
+      PngFeatures(r.doc_id, w.toLong, h.toLong, (w * h).toLong,
+        sumR, sumG, sumB)
+    }
+
+  /** Synthesize a real YUV4MPEG2 (Y4M) clip: ASCII stream header, then
+    * per-frame `FRAME\n` markers + planar YUV 4:2:0 bytes. Frame `f`'s
+    * payload byte `j` (over the concatenated Y,U,V planes, length
+    * `w·h·3/2`) is `(doc_id·13 + f·7 + j·23) mod 256`;
+    * `w = 4 + 2·(doc_id mod 3)`, `h = 4 + 2·(doc_id mod 2)`,
+    * `n_frames = 3 + doc_id mod 6`. */
+  def y4mPayload(docId: Long): Array[Byte] = {
+    val w = (4 + 2 * (docId % 3)).toInt
+    val h = (4 + 2 * (docId % 2)).toInt
+    val nFrames = (3 + docId % 6).toInt
+    val frameLen = w * h * 3 / 2
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < nFrames) {
+      out.write(marker, 0, marker.length)
+      var j = 0
+      while (j < frameLen) {
+        out.write(((docId * 13 + f * 7 + j * 23) % 256).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a Y4M clip and FRAME-SAMPLE it: parse the stream header
+    * for W/H, walk the `FRAME` markers, and accumulate exact per-plane
+    * sums over every `step`-th frame only — the distributed shape of
+    * video keyframe extraction (decode is per-row, sampling drops work
+    * before any shuffle). */
+  def decodeY4m(step: Int)(batch: Iterator[MediaRow]): Iterator[Y4mFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      var pos = 0
+      def line(): String = {
+        val s = pos
+        while (bytes(pos) != '\n') pos += 1
+        pos += 1
+        new String(bytes, s, pos - 1 - s, "US-ASCII")
+      }
+      val header = line().split(' ')
+      require(header(0) == "YUV4MPEG2", "not a Y4M stream")
+      val w = header.collectFirst { case p if p.startsWith("W") => p.tail.toInt }.get
+      val h = header.collectFirst { case p if p.startsWith("H") => p.tail.toInt }.get
+      val ySize = w * h
+      val cSize = ySize / 4
+      val frameLen = ySize + 2 * cSize
+      var nFrames = 0L; var nSampled = 0L
+      var sumY = 0L; var sumU = 0L; var sumV = 0L
+      while (pos < bytes.length) {
+        require(line().startsWith("FRAME"), "bad FRAME marker")
+        if (nFrames % step == 0) {
+          nSampled += 1
+          var j = 0
+          while (j < frameLen) {
+            val v = (bytes(pos + j) & 0xff).toLong
+            if (j < ySize) sumY += v
+            else if (j < ySize + cSize) sumU += v
+            else sumV += v
+            j += 1
+          }
+        }
+        pos += frameLen
+        nFrames += 1
+      }
+      Y4mFeatures(r.doc_id, w.toLong, h.toLong, nFrames, nSampled,
+        sumY, sumU, sumV)
+    }
+
+  /** Docs → real PNG bytes → chunk-walk + inflate + de-filter → exact
+    * per-channel sums. */
+  def pngFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, pngPayload(id)))
+      .mapPartitions(decodePng).toDF()
+  }
+
+  /** Docs → real Y4M bytes → frame-sampled decode (every 2nd frame). */
+  def y4mFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, y4mPayload(id)))
+      .mapPartitions(decodeY4m(2)).toDF()
+  }
+
   /** Docs → real WAV bytes → header+sample decode → exact features. */
   def wavFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
