@@ -143,9 +143,59 @@ object TradeMatching {
         col("s_eno"), col("s_fill"), col("dist"), col("srn"))
   }
 
-  private def renameSell(d: DataFrame, p: String): DataFrame =
-    Seq("s_ts", "s_oid", "s_eno", "s_fill", "dist", "srn")
-      .foldLeft(d)((x, c) => x.withColumnRenamed(c, p + c.stripPrefix("s_")))
+  /** Per-buy candidate arrays: the capped matchable set collected into
+    * one row per buy event, sorted by rank — the shape that lets
+    * subset enumeration happen per-row with codegen'd array
+    * expressions instead of k-way self-joins (whose pre-filter
+    * intermediates explode combinatorially and whose shuffle plans
+    * are AQE-unstable). One shuffle total; each row then carries ≤
+    * `setCap` candidates, so the per-row combination count is a small
+    * constant (C(10,3) = 120). */
+  private def candidateSets(level3: DataFrame, toleranceMicros: Long,
+      setCap: Int): DataFrame =
+    matchableSells(level3, toleranceMicros, setCap)
+      .groupBy("pair_id", "b_ts", "b_oid", "b_eno", "b_fill")
+      .agg(sort_array(collect_list(struct(
+        col("srn"), col("dist"), col("s_ts"), col("s_oid"),
+        col("s_eno"), col("s_fill")))).as("cands"))
+
+  /** All index k-subsets of `0 until cap` as a literal array column —
+    * driver-side enumeration of a small constant (≤ C(10,3)); rows
+    * filter it to `max index < size(cands)`. */
+  private def indexCombos(cap: Int, k: Int) = {
+    val combos = (0 until cap).combinations(k).toSeq
+    array(combos.map(c =>
+      struct(c.zipWithIndex.map { case (idx, pos) =>
+        lit(idx).as(s"i$pos") }: _*)): _*)
+  }
+
+  private def subsetSumMatch(level3: DataFrame, toleranceMicros: Long,
+      setCap: Int, k: Int): DataFrame = {
+    val prefixes = (1 to k).map(i => s"s$i")
+    val sets = candidateSets(level3, toleranceMicros, setCap)
+    val cand = sets
+      .withColumn("combo", explode(indexCombos(setCap, k)))
+      .filter(col(s"combo.i${k - 1}") < size(col("cands")))
+      .select(Seq(col("pair_id"), col("b_ts"), col("b_oid"), col("b_eno"),
+        col("b_fill")) ++
+        prefixes.zipWithIndex.map { case (p, i) =>
+          col("cands").getItem(col(s"combo.i$i")).as(p) }: _*)
+      .filter(prefixes.map(p => col(s"$p.s_fill")).reduce(_ + _) ===
+        col("b_fill"))
+      .withColumn("dist", prefixes.map(p => col(s"$p.dist")).reduce(_ + _))
+    val w = Window.partitionBy("pair_id", "b_oid", "b_eno")
+      .orderBy(col("dist") +:
+        prefixes.flatMap(p => Seq(col(s"$p.s_ts"), col(s"$p.s_oid"),
+          col(s"$p.s_eno"))): _*)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(Seq(col("pair_id"), col("b_ts"), col("b_oid"), col("b_eno"),
+        col("b_fill").as("fill")) ++
+        prefixes.flatMap(p => Seq(
+          col(s"$p.s_ts").as(s"${p}_ts"), col(s"$p.s_oid").as(s"${p}_oid"),
+          col(s"$p.s_eno").as(s"${p}_eno"),
+          col(s"$p.s_fill").as(s"${p}_fill"))): _*)
+  }
 
   /** Subset-sum trade matching, 2-subsets (reference
     * `bitfinex.match_price_and_sum_of_fill_exact`,
@@ -154,60 +204,15 @@ object TradeMatching {
     * candidate per buy event wins. */
   def matchSumOfTwo(level3: DataFrame,
       toleranceMicros: Long = DefaultToleranceMicros,
-      setCap: Int = DefaultSetCap): DataFrame = {
-    // both subset positions draw from the same matchable set —
-    // evaluate the band join + rank window once
-    val ms = matchableSells(level3, toleranceMicros, setCap)
-      .localCheckpoint(false)
-    val s1 = renameSell(ms, "s1_")
-    val s2 = renameSell(ms
-      .drop("b_fill"), "s2_")
-    val buyKey = Seq("pair_id", "b_ts", "b_oid", "b_eno")
-    val cand = s1.join(s2, buyKey)
-      .filter(col("s1_srn") < col("s2_srn") &&
-        col("s1_fill") + col("s2_fill") === col("b_fill"))
-      .withColumn("dist", col("s1_dist") + col("s2_dist"))
-    val w = Window.partitionBy("pair_id", "b_oid", "b_eno")
-      .orderBy(col("dist"), col("s1_ts"), col("s1_oid"), col("s1_eno"),
-        col("s2_ts"), col("s2_oid"), col("s2_eno"))
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("pair_id"),
-        col("b_ts"), col("b_oid"), col("b_eno"), col("b_fill").as("fill"),
-        col("s1_ts"), col("s1_oid"), col("s1_eno"), col("s1_fill"),
-        col("s2_ts"), col("s2_oid"), col("s2_eno"), col("s2_fill"))
-  }
+      setCap: Int = DefaultSetCap): DataFrame =
+    subsetSumMatch(level3, toleranceMicros, setCap, 2)
 
   /** Subset-sum trade matching, 3-subsets — the reference's default
     * `p_max_group_size = 3` (`db/bitfinex_schema.sql:577`). */
   def matchSumOfThree(level3: DataFrame,
       toleranceMicros: Long = DefaultToleranceMicros,
-      setCap: Int = DefaultSetCap): DataFrame = {
-    // all three subset positions draw from the same matchable set
-    val ms = matchableSells(level3, toleranceMicros, setCap)
-      .localCheckpoint(false)
-    val s1 = renameSell(ms, "s1_")
-    val s2 = renameSell(ms.drop("b_fill"), "s2_")
-    val s3 = renameSell(ms.drop("b_fill"), "s3_")
-    val buyKey = Seq("pair_id", "b_ts", "b_oid", "b_eno")
-    val cand = s1.join(s2, buyKey)
-      .filter(col("s1_srn") < col("s2_srn"))
-      .join(s3, buyKey)
-      .filter(col("s2_srn") < col("s3_srn") &&
-        col("s1_fill") + col("s2_fill") + col("s3_fill") === col("b_fill"))
-      .withColumn("dist", col("s1_dist") + col("s2_dist") + col("s3_dist"))
-    val w = Window.partitionBy("pair_id", "b_oid", "b_eno")
-      .orderBy(col("dist"), col("s1_ts"), col("s1_oid"), col("s1_eno"),
-        col("s2_ts"), col("s2_oid"), col("s2_eno"),
-        col("s3_ts"), col("s3_oid"), col("s3_eno"))
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("pair_id"),
-        col("b_ts"), col("b_oid"), col("b_eno"), col("b_fill").as("fill"),
-        col("s1_ts"), col("s1_oid"), col("s1_eno"), col("s1_fill"),
-        col("s2_ts"), col("s2_oid"), col("s2_eno"), col("s2_fill"),
-        col("s3_ts"), col("s3_oid"), col("s3_eno"), col("s3_fill"))
-  }
+      setCap: Int = DefaultSetCap): DataFrame =
+    subsetSumMatch(level3, toleranceMicros, setCap, 3)
 
   /** `get.trades` projection (reference `db/get_schema.sql:688-723`):
     * maker/taker resolved by trade side, event uuids attached. */
