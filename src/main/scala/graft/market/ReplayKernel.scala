@@ -47,12 +47,22 @@ final class OrderBook {
   private val orders = mutable.LongMap.empty[(Boolean, Double, Double)]
   private val bids = mutable.TreeMap.empty[Double, Double]
   private val asks = mutable.TreeMap.empty[Double, Double]
+  // Per-side running totals (qty, cost in integer cents) so whole-book
+  // VWAP is O(1) per episode instead of an O(depth) ladder walk.
+  // Amounts are integral (reference rounds by fmu), so delta summation
+  // is exact and order-independent — same cents arithmetic as tpWalk.
+  private val sumQty = Array(0L, 0L)
+  private val sumCostCents = Array(0L, 0L)
 
   private def levelAdd(isBid: Boolean, price: Double, delta: Double): Unit = {
     val m = if (isBid) bids else asks
     val nv = m.getOrElse(price, 0.0) + delta
     // amounts are exact in Double here; drop empty levels
     if (nv <= 0.0) m.remove(price) else m.update(price, nv)
+    val i = if (isBid) 1 else 0
+    val d = math.round(delta)
+    sumQty(i) += d
+    sumCostCents(i) += d * math.round(price * 100)
   }
 
   /** Apply one event: replace the order's previous state; a deletion
@@ -85,6 +95,9 @@ final class OrderBook {
     if (isBid) bids.iterator.toSeq.reverseIterator else asks.iterator
   def bidLevels: Int = bids.size
   def askLevels: Int = asks.size
+  def totalQty(isBid: Boolean): Long = sumQty(if (isBid) 1 else 0)
+  def totalCostCents(isBid: Boolean): Long =
+    sumCostCents(if (isBid) 1 else 0)
 }
 
 /** Book event tagged with its replay slice (see
@@ -228,16 +241,11 @@ object Replay {
     if (volumeUnits == 0L)
       return (if (isBid) book.bestBid else book.bestAsk).map(_._1)
     if (volumeUnits == WholeBook) {
-      var costCents = 0L
-      var total = 0L
-      val it = book.depth(isBid)
-      while (it.hasNext) {
-        val (price, qty) = it.next()
-        costCents += qty.toLong * math.round(price * 100)
-        total += qty.toLong
-      }
+      // O(1): the book maintains per-side (qty, cost-cents) running
+      // sums — identical cents arithmetic to the explicit ladder walk
+      val total = book.totalQty(isBid)
       return if (total == 0L) None
-      else Some(costCents.toDouble / (100.0 * total))
+      else Some(book.totalCostCents(isBid).toDouble / (100.0 * total))
     }
     var remaining = volumeUnits
     var costCents = 0L
