@@ -1582,6 +1582,81 @@ object Oracles {
       |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Mirror of `VectorOps.annRecall`: exact top-5 and LSH top-5 both
+    * recomputed (the same chains as pipeAnnTopK / pipeAnnLsh, renamed),
+    * then recall = |exact ∩ approx| / |exact| per query. */
+  def pipeAnnRecall: String = QuantEmbCte +
+    """, qd_e AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot
+      |  FROM ev q JOIN ev c
+      |    ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, c.vec_id
+      |), cc_e AS (
+      |  SELECT query_id, qd_e.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd_e JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd_e.vec_id
+      |), rr_e AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM cc_e
+      |), nb AS (
+      |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
+      |    AS BIGINT)) AS bits
+      |  FROM embeddings
+      |), proj AS (
+      |  SELECT e.vec_id, j,
+      |    SUM((CASE WHEN ascii(substr(md5(j || '#' || e.i), 1, 1)) % 2 = 1
+      |      THEN 1 ELSE -1 END) * e.q) AS proj
+      |  FROM ev e, range(0, 64) t(j), nb WHERE j < nb.bits
+      |  GROUP BY e.vec_id, j
+      |), bkt AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN proj > 0
+      |    THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id
+      |), cand AS (
+      |  SELECT qa.vec_id AS query_id, cb.vec_id AS vec_id
+      |  FROM bkt qa JOIN bkt cb
+      |    ON qa.bucket = cb.bucket AND qa.vec_id < 5 AND cb.vec_id <> qa.vec_id
+      |), qd_l AS (
+      |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
+      |  FROM cand
+      |  JOIN ev a ON a.vec_id = query_id
+      |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = a.i
+      |  GROUP BY query_id, cand.vec_id
+      |), cc_l AS (
+      |  SELECT query_id, qd_l.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd_l JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd_l.vec_id
+      |), rr_l AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM cc_l
+      |)
+      |SELECT e.query_id AS query_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
+      |  CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      |FROM (SELECT * FROM rr_e WHERE rnk <= 5) e
+      |LEFT JOIN (SELECT * FROM rr_l WHERE rnk <= 5) l
+      |  ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      |GROUP BY e.query_id
+      |ORDER BY query_id""".stripMargin
+
+  /** Mirror of `TextPipeline.corpusProfile`. */
+  def pipeProfile: String =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  MIN(doc_id) AS first_doc,
+      |  MAX(doc_id) AS last_doc,
+      |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   def pipeAnnIvf: String = QuantEmbCte +
     """, cents AS (
       |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < 16
@@ -2480,6 +2555,26 @@ object Oracles {
         |SELECT doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
         |FROM dw JOIN s$nMerges s USING (word) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of `TrainingData.bpeEncode`: ordered token streams — words
+    * in document order, each word's merged symbols in sequence. */
+  def pipeBpeEncode(nMerges: Int = 8): String =
+    bpeChain(nMerges) +
+      s"""
+        |, dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |, dwi AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS word_no, ws
+        |          FROM dw)
+        |, dww AS (SELECT doc_id, word_no, ws[word_no] AS word FROM dwi)
+        |, dt AS (SELECT d.doc_id, d.word_no, s.syms
+        |         FROM dww d JOIN s$nMerges s USING (word))
+        |, dts AS (SELECT doc_id, word_no,
+        |            unnest(range(1, len(syms) + 1)) AS j, syms
+        |          FROM dt)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY word_no, j) AS BIGINT) AS token_no,
+        |  syms[j] AS token
+        |FROM dts ORDER BY doc_id, token_no""".stripMargin
 
   def mktFixCrossed: String = Level3Cte + QuoteCte +
     """, quote_cf2 AS (

@@ -475,6 +475,16 @@ object SparkEntry {
       pipeline.TrainingData.bpeTokenCounts(Tables.load(s, d, "documents"), s,
           pipeline.TrainingData.mergePairs(trainedBpe(s, d)))
         .orderBy("doc_id")),
+    "pipe_bpe_encode" -> ((s, d) =>
+      pipeline.TrainingData.bpeEncode(Tables.load(s, d, "documents"), s,
+          pipeline.TrainingData.mergePairs(trainedBpe(s, d)))
+        .orderBy("doc_id", "token_no")),
+    "pipe_ann_recall" -> ((s, d) =>
+      pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id")),
+    "pipe_profile" -> ((s, d) =>
+      pipeline.TextPipeline.corpusProfile(Tables.load(s, d, "documents"))
+        .orderBy("source")),
   )
 
   /** Train-once memo for the BPE merge table (per data dir): the merge
@@ -585,5 +595,8 @@ object SparkEntry {
     "pipe_pack64" -> Oracles.pipePack(nShards = 64),
     "pipe_bpe" -> Oracles.pipeBpe(),
     "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
+    "pipe_bpe_encode" -> Oracles.pipeBpeEncode(),
+    "pipe_ann_recall" -> Oracles.pipeAnnRecall,
+    "pipe_profile" -> Oracles.pipeProfile,
   )
 }

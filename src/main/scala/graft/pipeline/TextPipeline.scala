@@ -312,6 +312,26 @@ object TextPipeline {
         "bucket", "split")
   }
 
+  /** Per-source corpus profile — the training-data analogue of the
+    * market tier's `data_overview`: document/byte/token volumes, the
+    * language mix, and the exact-duplicate rate per source, in one
+    * groupBy pass (plus the md5 needed for the distinct-content
+    * count). The dashboard a curation run reads before deciding
+    * per-source sampling weights. All-integer outputs. */
+  def corpusProfile(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_distinct"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_ws_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("n_exact_dups", col("n_docs") - col("n_distinct"))
+
   /** Corpus vocabulary: top-N words by occurrence count. */
   def vocabTop(docs: DataFrame, topN: Int = 20): DataFrame = {
     val w = Window.orderBy(col("n").desc, col("word"))

@@ -280,4 +280,23 @@ object TrainingData {
   def bpeTokenCounts(docs: DataFrame, spark: SparkSession,
       nMerges: Int): DataFrame =
     bpeTokenCounts(docs, spark, mergePairs(bpeTrain(docs, spark, nMerges)))
+
+  /** Tokenize the corpus into ordered token STREAMS — the actual
+    * "text → training tokens" pass (counts tell you the budget; this
+    * is what gets packed and fed to the trainer). One per-row map +
+    * posexplode, no shuffle; the merge table is tiny driver state
+    * broadcast inside the UDF closure. */
+  def bpeEncode(docs: DataFrame, spark: SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encUdf = udf((text: String) =>
+      text.split(" ").flatMap { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        syms
+      })
+    docs.select(col("doc_id"),
+        posexplode(encUdf(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("token_no"),
+        col("token"))
+  }
 }

@@ -164,4 +164,22 @@ object VectorOps {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("vec_id"), col("cos"))
   }
+
+  /** ANN quality evaluation: recall@k of the LSH path against the
+    * exact brute-force top-k, per query — the self-measuring metric
+    * that decides the bit/bucket budget before an index is trusted at
+    * corpus scale (run it on a sample, tune `bits`, then index the
+    * full collection). Integer numerator/denominator; the one double
+    * division is deterministic. */
+  def annRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val exact = annTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = annLsh(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
 }

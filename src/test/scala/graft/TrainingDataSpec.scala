@@ -92,6 +92,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(counts(2L) == 1L)
   }
 
+  test("bpeEncode streams are ordered and sum to bpeTokenCounts") {
+    val d = docs((1L, "aaab ab"), (2L, "b"))
+    val merges = TrainingData.mergePairs(
+      TrainingData.bpeTrain(d, spark, nMerges = 1))
+    val enc = TrainingData.bpeEncode(d, spark, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // merge (a,a): "aaab ab" -> aa,a,b | a,b ; token_no dense from 1
+    assert(enc.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("aa", "a", "b", "a", "b"))
+    assert(enc.filter(_._1 == 2L).map(_._3).toSeq == Seq("b"))
+    val counts = TrainingData.bpeTokenCounts(d, spark, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(enc.groupBy(_._1).view.mapValues(_.length.toLong).toMap == counts)
+  }
+
   test("sourceMix keeps higher-weight sources at twice the rate bound") {
     val d = Seq((1L, "srcA", "x"), (2L, "src3", "y"), (3L, "src15", "z"))
       .toDF("doc_id", "source", "text")
