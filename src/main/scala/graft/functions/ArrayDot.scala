@@ -76,4 +76,12 @@ object GraftFunctions {
   /** Column wrapper for [[StringPolyHash]]. */
   def stringPolyHash(s: Column): Column =
     ColumnBridge.column(StringPolyHash(ColumnBridge.expression(s)))
+
+  /** Column wrapper for [[LongArrayMaxAbs]]. */
+  def longArrayMaxAbs(a: Column): Column =
+    ColumnBridge.column(LongArrayMaxAbs(ColumnBridge.expression(a)))
+
+  /** Column wrapper for [[QuantizeInt8]]. */
+  def quantizeInt8Col(a: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(a)))
 }

@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         StringPolyHash(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("long_array_max_abs"),
+      new ExpressionInfo(classOf[LongArrayMaxAbs].getName, "long_array_max_abs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayMaxAbs(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizeInt8(exprs(0))))
     // band joins (abs(l.ts - r.ts) <= c) rewrite to bucketed equi joins
     e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }

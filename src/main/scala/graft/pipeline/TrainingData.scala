@@ -56,20 +56,16 @@ object TrainingData {
     * `sign(q)·((|q|·254 + max_abs) div (2·max_abs))` — round half away
     * from zero without any float division, so the quantized vector is
     * identical on every engine. max_abs = 0 (the zero vector) quantizes
-    * to zeros. */
+    * to zeros. Both columns are codegen'd custom expressions
+    * ([[graft.functions.QuantizeInt8]] — one two-pass primitive loop
+    * per row) rather than the interpreted transform/array_max/CASE
+    * HOF chain: quantization is the per-row hot path when indexing
+    * billions of embeddings. */
   private def withQ8(d: DataFrame): DataFrame =
-    d.withColumn("max_abs", expr("array_max(transform(q, x -> abs(x)))"))
-      // `max_abs` is bound to the lambda variable `m` of a 1-element
-      // outer transform: even after projection collapse inlines the
-      // max_abs expression, it is evaluated ONCE per row — referencing
-      // the column directly inside the per-element lambda lets Catalyst
-      // inline the array_max(...) tree into the element loop, turning
-      // the quantization into O(d²) interpreted work per row.
-      .withColumn("q8", expr(
-        """element_at(transform(array(max_abs), m ->
-          |  transform(q, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-          |    WHEN x < 0 THEN -((-x * 254 + m) div (2 * m))
-          |    ELSE (x * 254 + m) div (2 * m) END)), 1)""".stripMargin))
+    d.withColumn("max_abs",
+        graft.functions.GraftFunctions.longArrayMaxAbs(col("q")))
+      .withColumn("q8",
+        graft.functions.GraftFunctions.quantizeInt8Col(col("q")))
 
   /** Int8 quantization report: per-vector scale (max |milli| value),
     * dimension count, exact integer sum / squared norm of the quantized

@@ -43,6 +43,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e == 7L)
   }
 
+  test("quantize_int8 == interpreted HOF formulation") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_int8", exprs => graft.functions.QuantizeInt8(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_array_max_abs",
+      exprs => graft.functions.LongArrayMaxAbs(exprs(0)), "built-in")
+    val r = spark.sql(
+      """SELECT q, quantize_int8(q) AS fast, long_array_max_abs(q) AS m_fast,
+        |  element_at(transform(array(array_max(transform(q, x -> abs(x)))),
+        |    m -> transform(q, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+        |      WHEN x < 0 THEN -((-x * 254 + m) div (2 * m))
+        |      ELSE (x * 254 + m) div (2 * m) END)), 1) AS slow,
+        |  array_max(transform(q, x -> abs(x))) AS m_slow
+        |FROM VALUES (array(1000L, -250L, 3L, 0L)),
+        |            (array(0L, 0L)),
+        |            (array(-5L)),
+        |            (array(127L, -127L, 64L, -64L, 1L, -1L)) AS t(q)""".stripMargin)
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[Long](1) == row.getSeq[Long](3), s"q=${row.getSeq[Long](0)}")
+      assert(row.getLong(2) == row.getLong(4))
+    }
+    // spot-check the rounding: 1000 -> 127, -250 -> -32 (round .75 up), 3 -> 0
+    val first = r(0).getSeq[Long](1)
+    assert(first == Seq(127L, -32L, 0L, 0L))
+  }
+
   test("band-join rule rewrites theta band joins to bucketed equi joins") {
     import spark.implicits._
     val a = (0L until 200L).map(i => (i, i * 1000L)).toDF("ida", "tsa")
