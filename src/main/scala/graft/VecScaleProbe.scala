@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{TrainingData, VectorOps}
+
+/** Scale probe for the vector tier: replicates the sf0.1 embeddings
+  * k× (each copy rotated by a per-copy offset so vectors stay
+  * distinct) and measures quantization + the three index paths. The
+  * claims under test for 100 TB:
+  *
+  *   - quantization is a pure per-row map (codegen'd
+  *     `QuantizeInt8`) → vectors/sec flat in collection size;
+  *   - LSH keeps bucket occupancy ~constant (`scaledBits` grows the
+  *     bit count with the collection) → query cost flat-ish;
+  *   - IVF probes O(√n) cells → grows slowly;
+  *   - brute top-k is the O(n) baseline the others must beat as k
+  *     rises.
+  *
+  * Usage: VecScaleProbe [k]   (default 10)
+  */
+object VecScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val copies = broadcast((0 until k).toDF("copy"))
+    // rotate each copy's vector by `copy` positions: distinct vectors,
+    // same norm distribution, no artificial near-dup collapse
+    val emb = base.crossJoin(copies)
+      .select((col("vec_id") * k + col("copy")).as("vec_id"),
+        expr("concat(slice(embedding, copy + 1, size(embedding) - copy), " +
+          "slice(embedding, 1, copy))").as("embedding"))
+      .localCheckpoint()
+    val n = emb.count()
+
+    def timed(f: => Long): (Long, Double) = {
+      val t = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t) / 1e9)
+    }
+
+    TrainingData.quantizeInt8(emb).rdd.count() // JIT warmup
+
+    val (nQ, tQ) = timed(TrainingData.quantizeInt8(emb).rdd.count())
+    val (nB, tB) = timed(VectorOps.annTopK(emb).rdd.count())
+    val (nL, tL) = timed(VectorOps.annLsh(emb).rdd.count())
+    val (nI, tI) = timed(VectorOps.annIvf(emb).rdd.count())
+    // index build and probe timed apart: the index is built once and
+    // persisted in real usage; the probe is the per-query cost
+    val (nIdx, tIdx) = timed {
+      val idx = TrainingData.q8Index(emb).localCheckpoint()
+      idx.count()
+    }
+    val q8 = TrainingData.q8Index(emb).localCheckpoint()
+    val (nQ8, tQ8) = timed(TrainingData.annQ8FromIndex(q8).rdd.count())
+
+    def rate(t: Double) = (n / t).toLong
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f}}""")
+    spark.stop()
+  }
+}

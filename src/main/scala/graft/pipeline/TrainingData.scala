@@ -87,18 +87,27 @@ object TrainingData {
     * the index fits in a quarter of the float32 footprint). Same shape
     * as [[VectorOps.annTopK]] so recall against the exact baseline is a
     * join away. */
-  def annQ8(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    // Materialize the quantization once: without the checkpoint, projection
-    // collapse inlines the interpreted HOF chain (milli transform →
-    // array_max → CASE transform) into BOTH sides of the self-join and
-    // re-evaluates it per (query × candidate) row — the single-evaluation
-    // rule of docs/PLANS.md ("self-joins silently re-evaluate their input
-    // sub-plan"), same as its siblings annIvf/annLsh.
-    val q8 = withQ8(milli(emb))
+  /** The persistable int8 index: (vec_id, q8, n8) for every non-zero
+    * vector — build once, probe many. */
+  def q8Index(emb: DataFrame): DataFrame =
+    withQ8(milli(emb))
       .withColumn("n8", longArrayDot(col("q8"), col("q8")))
       .filter(col("n8") > 0)
       .select("vec_id", "q8", "n8")
-      .localCheckpoint(false)
+
+  def annQ8(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    // Materialize the quantization once: without the checkpoint, projection
+    // collapse inlines the quantization chain into BOTH sides of the
+    // self-join and re-evaluates it per (query × candidate) row — the
+    // single-evaluation rule of docs/PLANS.md ("self-joins silently
+    // re-evaluate their input sub-plan"), same as its siblings
+    // annIvf/annLsh.
+    annQ8FromIndex(q8Index(emb).localCheckpoint(false), nQueries, k)
+  }
+
+  /** Probe an already-built (persisted/checkpointed) [[q8Index]]. */
+  def annQ8FromIndex(q8: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
     val queries = q8.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q8").as("qa"), col("n8").as("na"))
     val cands = q8.select(col("vec_id").as("vb"), col("q8").as("qb"), col("n8").as("nb"))

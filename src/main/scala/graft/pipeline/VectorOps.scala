@@ -70,29 +70,33 @@ object VectorOps {
     math.max(6, math.ceil(
       math.log(math.max(1L, n / targetBucket).toDouble) / math.log(2.0)).toInt)
 
+  /** The ±1 hyperplane weight for (hyperplane j, 1-based dim i) — the
+    * driver-side twin of the SQL formula
+    * `ascii(substring(md5(concat_ws('#', j, i)), 1, 1)) % 2 = 1`:
+    * signs depend only on (j, i), so they are computed once here
+    * instead of n·d·bits times inside a per-row aggregate. */
+  private[pipeline] def lshSign(j: Int, i: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j#$i".getBytes("UTF-8"))
+    val firstHexChar = "%02x".format(digest(0) & 0xff).charAt(0)
+    if (firstHexChar.toInt % 2 == 1) 1L else -1L
+  }
+
   /** Random-hyperplane LSH buckets: `bits` hyperplanes with ±1 weights
     * derived from md5 parity (deterministic, engine-portable); bucket =
-    * Σ bit_j·2^j. The scale path: vectors are bucketed once (one shuffle
-    * on a uniform key), queries probe only their own bucket. */
+    * Σ bit_j·2^j. The scale path: vectors are bucketed once, each
+    * projection is one codegen'd dot against a constant ±1 sign vector
+    * (the md5-derived matrix is bits×d driver-side literals — no
+    * per-row hashing), queries probe only their own bucket. */
   def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame = {
     val q = quantized(emb)
-    // all `bits` projections in one aggregation pass over the unnested
-    // rows (no per-hyperplane row explosion, one shuffle on vec_id);
-    // the vector payload is joined back once at the end
-    def wsign(j: Int) =
-      when(ascii(substring(md5(concat_ws("#", lit(j), col("i"))), 1, 1)) % 2 === 1,
-        col("x")).otherwise(-col("x"))
-    val projCols = (0 until bits).map(j => sum(wsign(j)).as(s"p$j"))
-    val bucket = (0 until bits)
-      .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    val buckets = q
-      .select(col("vec_id"), posexplode(col("q")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
-      .groupBy("vec_id")
-      .agg(projCols.head, projCols.tail: _*)
-      .select(col("vec_id"), bucket.as("bucket"))
-    buckets.join(q, Seq("vec_id"))
+    // dimension count read once from the data (vectors are fixed-width)
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val bucket = (0 until bits).map { j =>
+      val signs = array((1 to d).map(i => lit(lshSign(j, i))): _*)
+      when(longArrayDot(col("q"), signs) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    q.withColumn("bucket", bucket)
   }
 
   /** IVF-Flat approximate top-k: a coarse quantizer of `nCells`
