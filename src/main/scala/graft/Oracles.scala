@@ -1399,15 +1399,44 @@ object Oracles {
       |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  def pipeMinhash: String = DocShinglesCte +
-    """, hh AS (
-      |  SELECT doc_id, j, MIN(md5(j || '#' || shingle)) AS mh
-      |  FROM sh, range(1, 10) t(j) GROUP BY doc_id, j
+  /** One hex half (8 nibbles) of an md5 column as a BIGINT — the
+    * DuckDB spelling of Spark's `conv(substring(dig, start, 8), 16, 10)`. */
+  private def hexHalf(start: Int): String =
+    (0 until 8).map { o =>
+      val mult = 1L << (4 * (7 - o))
+      s"(strpos('0123456789abcdef', substr(dig, ${start + o}, 1)) - 1) * " +
+        s"CAST($mult AS BIGINT)"
+    }.mkString(" + ")
+
+  /** The MinHash signature/band CTEs (`hh`, `bnd`), mirroring
+    * `TextPipeline.minhashCandidates`: ONE md5 per shingle, k integer
+    * permutations over its two 32-bit halves — coefficients come from
+    * the same `mhCoef` the Spark side uses, so both engines derive
+    * identical signatures. Expects a preceding `sh(doc_id, shingle)`. */
+  private def MinhashHhBnd: String = {
+    val P = graft.pipeline.TextPipeline.MinhashP
+    val vals = (1 to 9).map { j =>
+      val (a, b) = graft.pipeline.TextPipeline.mhCoef(j)
+      s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))"
+    }.mkString(", ")
+    s""", hx AS (
+      |  SELECT doc_id, md5(shingle) AS dig FROM sh
+      |), hv AS (
+      |  SELECT doc_id, (${hexHalf(1)}) % $P AS h1,
+      |    (${hexHalf(9)}) % $P AS h2
+      |  FROM hx
+      |), hh AS (
+      |  SELECT doc_id, j, MIN((h1 * a + h2 * b) % $P) AS mh
+      |  FROM hv, (VALUES $vals) t(j, a, b) GROUP BY doc_id, j
       |), bnd AS (
       |  SELECT doc_id, (j-1) // 3 AS band,
-      |    string_agg(mh, '#' ORDER BY j) AS key
+      |    string_agg(CAST(mh AS VARCHAR), '#' ORDER BY j) AS key
       |  FROM hh GROUP BY doc_id, (j-1) // 3
-      |)
+      |)""".stripMargin
+  }
+
+  def pipeMinhash: String = DocShinglesCte + MinhashHhBnd +
+    """
       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |FROM bnd a JOIN bnd c
       |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
@@ -1443,14 +1472,7 @@ object Oracles {
 
   /** The MinHash signature/band CTEs with a caller-supplied tail. */
   private def pipeMinhashBody(tail: String): String = DocShinglesCte +
-    s""", hh AS (
-      |  SELECT doc_id, j, MIN(md5(j || '#' || shingle)) AS mh
-      |  FROM sh, range(1, 10) t(j) GROUP BY doc_id, j
-      |), bnd AS (
-      |  SELECT doc_id, (j-1) // 3 AS band,
-      |    string_agg(mh, '#' ORDER BY j) AS key
-      |  FROM hh GROUP BY doc_id, (j-1) // 3
-      |), $tail""".stripMargin
+    MinhashHhBnd + s", $tail"
 
   def pipeNgramJaccard: String = DocShinglesCte +
     """, shc AS (
@@ -2196,14 +2218,7 @@ object Oracles {
       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(words)-1),
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
       |  FROM w
-      |), hh AS (
-      |  SELECT doc_id, j, MIN(md5(j || '#' || shingle)) AS mh
-      |  FROM sh, range(1, 10) t(j) GROUP BY doc_id, j
-      |), bnd AS (
-      |  SELECT doc_id, (j-1) // 3 AS band,
-      |    string_agg(mh, '#' ORDER BY j) AS key
-      |  FROM hh GROUP BY doc_id, (j-1) // 3
-      |), cand AS (
+      |)""".stripMargin + MinhashHhBnd + """, cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |  FROM bnd a JOIN bnd c
       |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id

@@ -43,12 +43,32 @@ object TextPipeline {
     * bands of r rows; docs sharing a full band collide. The signature
     * is built with portable primitives (min of keyed md5 per shingle)
     * so any engine reproduces it bit-for-bit. */
+  /** Modulus and per-permutation coefficients of the MinHash family:
+    * `mh_j = ((h1 mod P)·a_j + (h2 mod P)·b_j) mod P` over the two
+    * 32-bit halves of ONE md5 per shingle — one hash + k integer
+    * permutations instead of k md5 calls per shingle (the hashing term
+    * is the dominant cost of signature computation at corpus scale).
+    * P < 2^30 keeps every product below 2^61: exact in int64 on any
+    * engine. Shared with the DuckDB oracle so both derive identical
+    * signatures. */
+  val MinhashP: Long = 1073741789L // largest prime < 2^30
+  def mhCoef(j: Int): (Long, Long) =
+    (((2654435761L * j) % MinhashP) | 1L,
+      ((40503L * j * j + 17L) % MinhashP) | 1L)
+
   def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame = {
     // all k signature mins in ONE aggregation over the shingles (no k×
     // row explosion), band keys assembled from the signature columns
     val sh = shingled(docs)
-    val sigCols = (1 to k).map(j =>
-      min(md5(concat_ws("#", lit(j), col("shingle")))).as(s"mh$j"))
+      .withColumn("dig", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("dig"), 1, 8), 16, 10)
+        .cast("long") % MinhashP)
+      .withColumn("h2", conv(substring(col("dig"), 9, 8), 16, 10)
+        .cast("long") % MinhashP)
+    val sigCols = (1 to k).map { j =>
+      val (a, b) = mhCoef(j)
+      min((col("h1") * a + col("h2") * b) % MinhashP).as(s"mh$j")
+    }
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until k / r).map { band =>
       val key = concat_ws("#",
