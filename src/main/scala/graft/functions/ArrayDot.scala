@@ -84,4 +84,8 @@ object GraftFunctions {
   /** Column wrapper for [[QuantizeInt8]]. */
   def quantizeInt8Col(a: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(a)))
+
+  /** Column wrapper for [[FloatArrayMilli]]. */
+  def floatArrayMilli(a: Column): Column =
+    ColumnBridge.column(FloatArrayMilli(ColumnBridge.expression(a)))
 }

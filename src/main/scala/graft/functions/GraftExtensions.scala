@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         QuantizeInt8(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("float_array_milli"),
+      new ExpressionInfo(classOf[FloatArrayMilli].getName, "float_array_milli"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatArrayMilli(exprs(0))))
     // band joins (abs(l.ts - r.ts) <= c) rewrite to bucketed equi joins
     e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }

@@ -55,6 +55,77 @@ case class LongArrayMaxAbs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd milli quantization of a FLOAT/DOUBLE vector:
+  * `out[i] = round(x[i] · 1000)` as BIGINT (half-up, matching Spark's
+  * `ROUND(CAST(x AS DOUBLE) * 1000)`) — the exact-integer base every
+  * vector operator computes on. Replaces the interpreted
+  * `transform(embedding, x -> CAST(ROUND(...) AS BIGINT))` lambda on
+  * the input path of quantization, similarity search and LSH.
+  */
+case class FloatArrayMilli(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"float_array_milli expects ARRAY<FLOAT|DOUBLE>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "float_array_milli"
+
+  /** Spark's ROUND(double) = RoundHalfUp on BigDecimal; for our range
+    * (|x·1000| well under 2^52) `Math.floor(v + 0.5)` is identical for
+    * positive values and `-Math.floor(-v + 0.5)`... NOT identical for
+    * negatives: HALF_UP rounds away from zero. So: sign-split floor. */
+  private def roundHalfAwayFromZero(v: Double): Long =
+    if (v >= 0) math.floor(v + 0.5d).toLong
+    else -math.floor(-v + 0.5d).toLong
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * 1000d
+      out(i) = roundHalfAwayFromZero(v)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("len")
+      val k = ctx.freshName("idx")
+      val v = ctx.freshName("val")
+      val out = ctx.freshName("out")
+      val get = if (isFloat) s"(double) $a.getFloat($k)" else s"$a.getDouble($k)"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $k = 0; $k < $n; $k++) {
+         |  double $v = ($get) * 1000.0d;
+         |  $out[$k] = $v >= 0 ? (long) java.lang.Math.floor($v + 0.5d)
+         |                     : -(long) java.lang.Math.floor(-$v + 0.5d);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd symmetric int8 quantization of a BIGINT (milli) vector:
   * `q8[i] = round(q[i]·127 / max|q|)`, round-half-away-from-zero in
   * pure integer math — `sign(x)·((|x|·254 + m) / (2m))` — so results

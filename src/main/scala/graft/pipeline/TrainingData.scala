@@ -48,8 +48,7 @@ object TrainingData {
     * cf. [[VectorOps]]). */
   private def milli(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("q"))
+      graft.functions.GraftFunctions.floatArrayMilli(col("embedding")).as("q"))
 
   /** Per-vector symmetric int8 quantization in pure integer math:
     * `q8 = round(q·127 / max_abs)` computed as

@@ -19,8 +19,7 @@ object VectorOps {
   /** (vec_id, q: Array[Long] quantized, nq: Long squared norm). */
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("q"))
+      graft.functions.GraftFunctions.floatArrayMilli(col("embedding")).as("q"))
       .withColumn("nq", longArrayDot(col("q"), col("q")))
 
   private def cosine = {

@@ -71,6 +71,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(first == Seq(127L, -32L, 0L, 0L))
   }
 
+  test("float_array_milli == ROUND HOF formulation on float arrays") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_array_milli",
+      exprs => graft.functions.FloatArrayMilli(exprs(0)), "built-in")
+    val r = spark.sql(
+      """SELECT float_array_milli(q) AS fast,
+        |  transform(q, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |    AS slow
+        |FROM VALUES (array(CAST(0.1234 AS FLOAT), CAST(-0.98765 AS FLOAT),
+        |                   CAST(0.0005 AS FLOAT), CAST(-0.0005 AS FLOAT),
+        |                   CAST(0 AS FLOAT), CAST(1.9999 AS FLOAT))) t(q)
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("band-join rule rewrites theta band joins to bucketed equi joins") {
     import spark.implicits._
     val a = (0L until 200L).map(i => (i, i * 1000L)).toDF("ida", "tsa")
