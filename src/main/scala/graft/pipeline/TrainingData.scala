@@ -155,9 +155,10 @@ object TrainingData {
     * scale `nShards` rises with the cluster (a real knob: shard =
     * 16-bit hash prefix mod nShards), and shard sizes are uniform by
     * construction (content-hash deal). */
-  def packSequences(docs: DataFrame, spark: SparkSession,
-      capacity: Long = 256, nShards: Int = 16): DataFrame = {
-    import spark.implicits._
+  /** The packing prologue shared by the batch and streaming packers:
+    * (sample_hash, doc_id, toks, shard) per document. */
+  def packInputs(docs: DataFrame, capacity: Long = 256,
+      nShards: Int = 16): DataFrame = {
     require(nShards >= 1 && nShards <= 65536,
       "shard = 16-bit md5 prefix mod nShards; 1..65536 shards")
     // Value of the first 4 hex digits of md5(text) — engine-portable
@@ -173,6 +174,12 @@ object TrainingData {
         least(size(split(col("text"), " ")).cast("long"), lit(capacity))
           .as("toks"))
       .withColumn("shard", expr(s"($hexPrefix) % $nShards").cast("int"))
+  }
+
+  def packSequences(docs: DataFrame, spark: SparkSession,
+      capacity: Long = 256, nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    packInputs(docs, capacity, nShards)
       .as[PackDoc]
       .groupByKey(_.shard)
       .flatMapSortedGroups($"sample_hash", $"doc_id") { (shard, it) =>

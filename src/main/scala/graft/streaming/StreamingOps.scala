@@ -261,4 +261,51 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(update)
       .toDF()
   }
+
+  /** One document entering the streaming packer (the
+    * [[graft.pipeline.TrainingData.packInputs]] projection). */
+  case class PackIn(shard: Int, sample_hash: String, doc_id: Long, toks: Long)
+
+  /** Per-shard packing state: current bin, its fill, docs packed. */
+  case class PackState(bin: Long, fill: Long, pos: Long)
+
+  /** A packed document (same shape as the batch packer's output). */
+  case class PackOut(shard: Int, doc_id: Long, pos: Long, toks: Long,
+      bin_no: Long, bin_offset: Long)
+
+  /** Streaming twin of [[graft.pipeline.TrainingData.packSequences]]:
+    * documents are packed first-fit into token bins AS THEY ARRIVE,
+    * with the running (bin, fill, position) carried per shard in
+    * `GroupState` — training sequences materialize while the corpus
+    * lands instead of in a second full pass. Within a micro-batch,
+    * docs pack in (sample_hash, doc_id) order — the batch packer's
+    * shard order — so a stream delivered in that order produces
+    * byte-identical packing to the batch op (asserted by
+    * `StreamingSpec`); an arbitrary arrival order is still a valid
+    * greedy packing, just a different one (packing is inherently
+    * order-defined). */
+  def packStream(docs: Dataset[PackIn], capacity: Long,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+
+    def update(shard: Int, batch: Iterator[PackIn],
+        state: GroupState[PackState]): Iterator[PackOut] = {
+      var s = state.getOption.getOrElse(PackState(1L, 0L, 0L))
+      val out = batch.toSeq.sortBy(d => (d.sample_hash, d.doc_id)).map { d =>
+        var bin = s.bin; var fill = s.fill
+        if (fill + d.toks > capacity && fill > 0) { bin += 1; fill = 0 }
+        val packed = PackOut(shard, d.doc_id, s.pos + 1, d.toks, bin, fill)
+        s = PackState(bin, fill + d.toks, s.pos + 1)
+        packed
+      }
+      state.update(s)
+      out.iterator
+    }
+
+    docs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
 }

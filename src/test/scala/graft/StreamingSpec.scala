@@ -52,6 +52,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming packer equals batch packSequences on ordered arrival") {
+    import spark.implicits._
+    import graft.pipeline.TrainingData
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val capacity = 256L
+
+    // deliver docs in the batch packer's per-shard order (global sort
+    // by (hash, doc_id): any consecutive split keeps each shard's
+    // subsequence sorted), across three micro-batches
+    val inputs = TrainingData.packInputs(docs, capacity)
+      .select(col("shard"), col("sample_hash"), col("doc_id"), col("toks"))
+      .as[StreamingOps.PackIn]
+      .collect().sortBy(d => (d.sample_hash, d.doc_id))
+    val stream = MemoryStream[StreamingOps.PackIn](spark, 1)
+    val q = StreamingOps.packStream(stream.toDS(), capacity, spark)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("packed_out")
+      .start()
+    inputs.grouped(math.max(1, inputs.length / 3 + 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("packed_out")
+      .select("shard", "doc_id", "pos", "toks", "bin_no", "bin_offset")
+      .orderBy("shard", "pos").collect().map(_.toSeq).toList
+    val batch = TrainingData.packSequences(docs, spark, capacity)
+      .select(col("shard").cast("int").as("shard"), col("doc_id"),
+        col("pos"), col("toks"), col("bin_no"), col("bin_offset"))
+      .orderBy("shard", "pos").collect().map(_.toSeq).toList
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming chunk dedup equals batch chunk dedup (stateful op)") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
