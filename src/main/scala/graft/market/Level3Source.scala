@@ -259,6 +259,13 @@ object Level3Source {
     * (pair_id, era, level3) with era = first µs of the era and
     * level3 = last µs (high-watermark, cf. `obanalytics.level3_eras`). */
   def eras(level3Df: DataFrame): DataFrame = {
+    // Single-task-per-pair window, accepted deliberately: the scan is
+    // two thin columns (pair_id, µs), runs once per lake build, and
+    // era detection is a prefix-sum over gaps — the same class as the
+    // sliced as-of sites but ~50× narrower rows and off every query
+    // path. If a pair's full history ever exceeds one task, apply the
+    // AsofSlicing seed pattern to the gap flags (a gap never spans a
+    // slice boundary unseen: the seed row carries prev_ts).
     val wPair = Window.partitionBy("pair_id").orderBy("microtimestamp")
     level3Df
       .select("pair_id", "microtimestamp")
