@@ -1666,6 +1666,14 @@ object Oracles {
       |GROUP BY e.query_id
       |ORDER BY query_id""".stripMargin
 
+  /** Mirror of `TrainingData.shuffleOrder`: the bucket-offset rank
+    * equals the plain global rank (bucket = key prefix). */
+  def pipeShuffle: String =
+    """SELECT doc_id, md5('epoch0#' || text) AS shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch0#' || text), doc_id)
+      |    AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Mirror of `TextPipeline.corpusProfile`. */
   def pipeProfile: String =
     """SELECT source,

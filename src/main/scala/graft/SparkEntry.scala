@@ -485,6 +485,9 @@ object SparkEntry {
     "pipe_profile" -> ((s, d) =>
       pipeline.TextPipeline.corpusProfile(Tables.load(s, d, "documents"))
         .orderBy("source")),
+    "pipe_shuffle" -> ((s, d) =>
+      pipeline.TrainingData.shuffleOrder(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
   )
 
   /** Train-once memo for the BPE merge table (per data dir): the merge
@@ -598,5 +601,6 @@ object SparkEntry {
     "pipe_bpe_encode" -> Oracles.pipeBpeEncode(),
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_profile" -> Oracles.pipeProfile,
+    "pipe_shuffle" -> Oracles.pipeShuffle,
   )
 }

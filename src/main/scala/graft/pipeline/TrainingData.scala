@@ -121,6 +121,36 @@ object TrainingData {
         col("vb").as("vec_id"), col("cos"))
   }
 
+  /** Deterministic global corpus shuffle — the "randomize training
+    * order" pass: every document gets a shuffle key (md5 of a salted
+    * content hash, so reshuffling with a different salt is a new
+    * permutation) and its global position under that order. At scale
+    * this is one distributed sort — exactly what a trainer's data
+    * loader shards by — and the key is reproducible from the content
+    * alone, so any two runs agree without coordination. */
+  def shuffleOrder(docs: DataFrame, salt: String = "epoch0"): DataFrame = {
+    // global rank WITHOUT a global single-task window: bucket by the
+    // key's 12-bit prefix (prefix order ⊆ key order, so
+    // bucket-offset + within-bucket rank == global rank), cumulate the
+    // ≤4096 bucket counts in a tiny window, rank within buckets in
+    // parallel — the distributed-sort shape a data loader shards by
+    val keyed = docs.select(col("doc_id"),
+        md5(concat(lit(salt), lit("#"), col("text"))).as("shuffle_key"))
+      .withColumn("bucket",
+        expr("conv(substring(shuffle_key, 1, 3), 16, 10)").cast("long"))
+    val offsets = keyed.groupBy("bucket").count()
+      .withColumn("bucket_offset",
+        sum("count").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"),
+        coalesce(col("bucket_offset"), lit(0L)).as("bucket_offset"))
+    val wIn = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    keyed.join(broadcast(offsets), "bucket")
+      .withColumn("shuffle_pos",
+        (col("bucket_offset") + row_number().over(wIn)).cast("long"))
+      .select("doc_id", "shuffle_key", "shuffle_pos")
+  }
+
   // -------------------------------------------------------- source mixing
 
   /** Source-mixture rebalancing: each source gets a configured mixing
