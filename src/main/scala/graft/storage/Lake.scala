@@ -40,6 +40,28 @@ object Lake {
       .withColumn("pair_id", col("pair_id").cast("int"))
       .drop("month")
 
+  /** Write the level3 log as a BUCKETED table: `nBuckets` buckets on
+    * `pair_id`, files sorted by (microtimestamp, order_id, event_no)
+    * within each bucket. On a cluster this is the layout that makes
+    * every pair-keyed aggregation/join over the lake SHUFFLE-FREE —
+    * the bucketed scan reports its partitioning to Catalyst, so
+    * `groupBy(pair_id)` / level3⋈matches on pair_id skip the Exchange
+    * entirely (asserted by `LakeSpec`). Month partitioning on top
+    * keeps the incremental month-at-a-time build: each batch
+    * overwrites only its month partition. */
+  def writeLevel3Bucketed(level3: DataFrame, table: String,
+      nBuckets: Int = 64): Unit =
+    level3
+      .withColumn("month",
+        date_format(timestamp_micros(col("microtimestamp")), "yyyy-MM"))
+      .write
+      .partitionBy("month")
+      .bucketBy(nBuckets, "pair_id")
+      .sortBy("microtimestamp", "order_id", "event_no")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Write a curated corpus (`TextPipeline.curate` output joined back
     * to its text) partitioned by split — the training-data sink
     * shape: a trainer reads `split=train` alone and partition pruning

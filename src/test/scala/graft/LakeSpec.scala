@@ -52,6 +52,31 @@ class LakeSpec extends AnyFunSuite {
         .contains("split"))
   }
 
+  test("bucketed lake: pair-keyed aggregation runs shuffle-free") {
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    // default warehouse dir (static conf); the managed table is
+    // dropped (files deleted) in the finally below
+    Lake.writeLevel3Bucketed(l3, "l3_bucketed", nBuckets = 8)
+    try {
+      val back = spark.table("l3_bucketed")
+      assert(back.count() == l3.count())
+      // the bucketed scan reports hash partitioning on pair_id, so the
+      // aggregate needs NO Exchange — the shuffle-free property that
+      // makes pair-keyed work free at lake scale
+      val agg = back.groupBy("pair_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(pair_id"),
+        s"aggregate still shuffles:\n$plan")
+      agg.collect() // and it executes
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS l3_bucketed")
+    }
+  }
+
   test("pair filter prunes lake partitions") {
     val dir = "/root/testdata/sf0.001"
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
