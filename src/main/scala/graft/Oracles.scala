@@ -1428,10 +1428,15 @@ object Oracles {
       |), hh AS (
       |  SELECT doc_id, j, MIN((h1 * a + h2 * b) % $P) AS mh
       |  FROM hv, (VALUES $vals) t(j, a, b) GROUP BY doc_id, j
-      |), bnd AS (
+      |), bnd0 AS (
       |  SELECT doc_id, (j-1) // 3 AS band,
       |    string_agg(CAST(mh AS VARCHAR), '#' ORDER BY j) AS key
       |  FROM hh GROUP BY doc_id, (j-1) // 3
+      |), bnd AS (
+      |  SELECT b.* FROM bnd0 b
+      |  JOIN (SELECT band, key FROM bnd0 GROUP BY band, key
+      |        HAVING COUNT(*) <= ${graft.pipeline.TextPipeline.BandBucketCap}
+      |       ) ok USING (band, key)
       |)""".stripMargin
   }
 
@@ -1506,10 +1511,16 @@ object Oracles {
       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
       |    THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
       |  FROM bitsum GROUP BY doc_id
-      |), blocks AS (
+      |), blocks0 AS (
       |  SELECT doc_id, sig, b,
       |    (sig // CAST(POW(2, 15*b) AS BIGINT)) % 32768 AS bv
       |  FROM sg, range(0, 4) t(b)
+      |), blocks AS (
+      |  SELECT x.* FROM blocks0 x
+      |  JOIN (SELECT b, bv FROM blocks0 GROUP BY b, bv
+      |        HAVING COUNT(*) <= """.stripMargin +
+    graft.pipeline.TextPipeline.BandBucketCap +
+    """) ok USING (b, bv)
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
       |    a.sig AS sig_a, c.sig AS sig_b

@@ -81,12 +81,29 @@ object TextPipeline {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint(false)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    // Oversized-bucket guard: a band key shared by B docs yields B²
+    // candidate pairs — a boilerplate-heavy corpus can put millions of
+    // near-identical docs in one bucket and melt the join. Buckets
+    // past `bucketCap` are dropped (standard LSH-dedup practice:
+    // their members are exact-dup-level similar and caught by the
+    // exact pass, or still pair via their other k/r−1 bands).
+    val capped = bands.join(
+      bands.groupBy("band", "key").count()
+        .filter(col("count") <= TextPipeline.BandBucketCap)
+        .select("band", "key"),
+      Seq("band", "key"), "left_semi")
+    val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Max docs sharing one LSH band bucket (or SimHash block bucket)
+    * before the bucket is skipped — bounds candidate generation at
+    * bucket²·cap⁻¹… i.e. O(n·cap) total, like `ngramJaccard`'s dfCap.
+    * Mirrored by the DuckDB oracles. */
+  val BandBucketCap: Long = 200L
 
   /** Near-duplicate cluster formation: connected components over
     * candidate pairs (MinHash/SimHash output), labelling every document
@@ -237,8 +254,15 @@ object TextPipeline {
       .withColumn("blk_val",
         expr("(sig div CAST(pow(2, 15*blk) AS BIGINT)) % 32768"))
       .select("doc_id", "blk", "blk_val")
-    val a = blocks.select(col("doc_id").as("doc_a"), col("blk"), col("blk_val"))
-    val b = blocks.select(col("doc_id").as("doc_b"), col("blk"), col("blk_val"))
+    // same oversized-bucket guard as the MinHash bands (see
+    // [[BandBucketCap]]): B docs in one 15-bit block value → B² pairs
+    val capped = blocks.join(
+      blocks.groupBy("blk", "blk_val").count()
+        .filter(col("count") <= BandBucketCap)
+        .select("blk", "blk_val"),
+      Seq("blk", "blk_val"), "left_semi")
+    val a = capped.select(col("doc_id").as("doc_a"), col("blk"), col("blk_val"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("blk"), col("blk_val"))
     // dedupe candidate ids first (narrow rows), then join the signature
     // table back for the hamming computation
     a.join(b, Seq("blk", "blk_val"))

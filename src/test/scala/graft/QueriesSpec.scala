@@ -68,6 +68,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("oversized LSH buckets are skipped (viral-boilerplate guard)") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val cap = TextPipeline.BandBucketCap.toInt
+    def corpus(n: Int) = (1 to n)
+      .map(i => (i.toLong, "common boiler plate text shared by every doc"))
+      .toDF("doc_id", "text")
+    // below the cap: identical docs pair up through their shared bands
+    assert(TextPipeline.minhashCandidates(corpus(5)).count() > 0)
+    assert(TextPipeline.simhashPairs(corpus(5)).count() > 0)
+    // past the cap: the bucket would emit O(cap²) pairs — skipped
+    // (these docs are exact duplicates; the exact pass owns them)
+    assert(TextPipeline.minhashCandidates(corpus(cap + 20)).count() == 0)
+    assert(TextPipeline.simhashPairs(corpus(cap + 20)).count() == 0)
+  }
+
   test("order-book snapshot parameter surface: side / only_makers / check_takers") {
     import org.apache.spark.sql.functions._
     import graft.market.{Level3Source, MarketOps}
