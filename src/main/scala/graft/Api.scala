@@ -88,10 +88,20 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
     GridOps.depthSummary(level3, instants, bpsStep, maxBps)
 
   /** `obadiah::queues` — bucketed book queues at grid instants (ticks
-    * anchored at the best opposite price, as the reference). */
+    * anchored at the best opposite price, as the reference).
+    * `scale = "ABSOLUTE" | "LOGRELATIVE"` selects the reference's two
+    * tick-shape modes (`db/c/obadiah_db/obadiah_db.cpp:633-731`). */
   def queues(instants: Seq[Long], tickSize: Double = 5.0,
-      nTicks: Int = 10): DataFrame =
-    GridOps.queues(level3, instants, tickSize, nTicks = nTicks)
+      nTicks: Int = 10, scale: String = "ABSOLUTE"): DataFrame =
+    scale.toUpperCase match {
+      case "ABSOLUTE" =>
+        GridOps.queues(level3, instants, tickSize, nTicks = nTicks)
+      case "LOGRELATIVE" =>
+        GridOps.queuesLogRelative(level3, instants, tickSize, nTicks = nTicks)
+      case other =>
+        throw new IllegalArgumentException(
+          s"scale must be ABSOLUTE or LOGRELATIVE, got $other")
+    }
 
   /** `obadiah::queues` wide shape — `(ts, bid.price, ask.price, b[],
     * a[])` with dense per-bucket volume arrays (the SRF's result rows,

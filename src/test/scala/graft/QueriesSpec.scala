@@ -68,6 +68,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("api queues scale parameter dispatches both reference modes") {
+    import graft.market.{GridOps, Level3Source}
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    val api = GraftApi(spark, l3)
+    val bounds = l3.agg(org.apache.spark.sql.functions.min("microtimestamp"))
+      .head().getLong(0)
+    val instants = Seq(bounds + 3600L * 1000000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("pair_id", "ts", "side", "tick").collect().map(_.toSeq).toList
+    assert(rows(api.queues(instants)) ==
+      rows(GridOps.queues(l3, instants)))
+    assert(rows(api.queues(instants, tickSize = 0.05, scale = "LOGRELATIVE")) ==
+      rows(GridOps.queuesLogRelative(l3, instants, 0.05)))
+    intercept[IllegalArgumentException] {
+      api.queues(instants, scale = "NOPE")
+    }
+  }
+
   test("oversized LSH buckets are skipped (viral-boilerplate guard)") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
