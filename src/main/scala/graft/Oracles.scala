@@ -2348,6 +2348,32 @@ object Oracles {
       |    j -> (doc_id*11 + j*19) % 256), 'sum') AS BIGINT) AS sum_b
       |FROM dims ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.ppmResizeFeatures`:
+    * nearest-neighbor half resize maps target pixel (x, y) to source
+    * byte `3·(2y·w + 2x) + c`, so the resized sums are computable from
+    * the source formula `p(j) = (doc_id·7 + j·13) mod 256` alone. */
+  def pipeMediaResize: String = {
+    def chan(c: Int) =
+      s"""CAST(list_aggregate(flatten(list_transform(range(0, h2), y ->
+         |    list_transform(range(0, w2), x ->
+         |      (doc_id*7 + (3*(2*y*w + 2*x) + $c)*13) % 256))),
+         |    'sum') AS BIGINT)""".stripMargin
+    s"""WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |    GREATEST(1, (4 + doc_id % 5) // 2) AS w2,
+      |    GREATEST(1, (3 + doc_id % 4) // 2) AS h2
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(w2 AS BIGINT) AS width,
+      |  CAST(h2 AS BIGINT) AS height,
+      |  CAST(w2 * h2 AS BIGINT) AS n_pixels,
+      |  ${chan(0)} AS sum_r,
+      |  ${chan(1)} AS sum_g,
+      |  ${chan(2)} AS sum_b
+      |FROM dims ORDER BY doc_id""".stripMargin
+  }
+
   /** Closed-form mirror of `Multimodal.y4mFeatures`: frame `f` payload
     * byte `j` is `(doc_id·13 + f·7 + j·23) mod 256` over concatenated
     * Y,U,V planes; only even frames are sampled (step 2). */

@@ -444,6 +444,9 @@ object SparkEntry {
     "pipe_media_y4m" -> ((s, d) =>
       pipeline.Multimodal.y4mFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    "pipe_media_resize" -> ((s, d) =>
+      pipeline.Multimodal.ppmResizeFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
     "pipe_chunk" -> ((s, d) =>
       pipeline.TrainingData.chunkSlices(Tables.load(s, d, "documents"))
         .orderBy("doc_id", "chunk_no")),
@@ -588,6 +591,7 @@ object SparkEntry {
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "pipe_media_png" -> Oracles.pipeMediaPng,
     "pipe_media_y4m" -> Oracles.pipeMediaY4m,
+    "pipe_media_resize" -> Oracles.pipeMediaResize,
     "mkt_eps_draws" -> Oracles.mktEpsDraws,
     "mkt_strategy" -> Oracles.mktStrategy,
     "pipe_chunk" -> Oracles.pipeChunk,

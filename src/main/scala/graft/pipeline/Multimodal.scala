@@ -403,6 +403,56 @@ object Multimodal {
       .mapPartitions(decodeY4m(2)).toDF()
   }
 
+  /** Nearest-neighbor downscale of a decoded P6 PPM: target
+    * `(max(1, w/2), max(1, h/2))`, source pixel = `(2x, 2y)` —
+    * RE-ENCODED to genuine container bytes, so the output of the
+    * resize stage is itself a valid PPM (the shape of a real
+    * image-preprocessing pipeline: decode → transform → encode). */
+  def resizePpmHalf(payload: Array[Byte]): Array[Byte] = {
+    val bytes = payload
+    var pos = 0
+    def token(): String = {
+      while (Character.isWhitespace(bytes(pos))) pos += 1
+      val s = pos
+      while (!Character.isWhitespace(bytes(pos))) pos += 1
+      new String(bytes, s, pos - s, "US-ASCII")
+    }
+    require(token() == "P6", "not a P6 PPM")
+    val w = token().toInt
+    val h = token().toInt
+    require(token() == "255", "only 8-bit PPM supported")
+    pos += 1
+    val w2 = math.max(1, w / 2)
+    val h2 = math.max(1, h / 2)
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](3 * w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var c = 0
+        while (c < 3) {
+          out(3 * (y * w2 + x) + c) = bytes(pos + 3 * (2 * y * w + 2 * x) + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    header ++ out
+  }
+
+  /** Docs → real PPM bytes → nearest-neighbor half resize (re-encoded
+    * container) → decode of the RESIZED bytes → exact features. Any
+    * bug in the resize index math or the re-encode breaks the
+    * closed-form oracle. */
+  def ppmResizeFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, resizePpmHalf(ppmPayload(id))))
+      .mapPartitions(decodePpm).toDF()
+  }
+
   /** Docs → real WAV bytes → header+sample decode → exact features. */
   def wavFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
