@@ -33,6 +33,40 @@ object Lake {
       .mode("overwrite")
       .parquet(path)
 
+  /** Compact a level3 lake in place: incremental month-at-a-time
+    * builds leave many small files per partition (each batch append is
+    * its own file set); small files kill scan throughput at lake scale
+    * (driver listing, per-file open cost, broken row-group locality).
+    * Rewrites each `(exchange, pair, month)` partition into
+    * `targetFilesPerPartition` time-sorted files and atomically swaps
+    * the directory. Content is byte-preserved (asserted by LakeSpec).
+    * Run it as the standing maintenance job after each incremental
+    * append. */
+  def compactLevel3(spark: SparkSession, path: String,
+      targetFilesPerPartition: Int = 1): Unit = {
+    val tmp = path + ".compact_tmp"
+    // hash-repartition on the partition columns (+ a salt when more
+    // than one file per partition is wanted): each (exchange, pair,
+    // month, salt) lands in exactly one task, so each output directory
+    // gets exactly `targetFilesPerPartition` time-sorted files
+    spark.read.parquet(path)
+      .repartition(col("exchange_id"), col("pair_id"), col("month"),
+        pmod(hash(col("microtimestamp")), lit(targetFilesPerPartition)))
+      .sortWithinPartitions("microtimestamp", "order_id", "event_no")
+      .write
+      .partitionBy(PartitionCols: _*)
+      .mode("overwrite")
+      .parquet(tmp)
+    // atomic-ish swap: rename old out, tmp in, drop old
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
+  }
+
   /** Read the lake back (partition columns restored to their types). */
   def readLevel3(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -77,6 +77,39 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction collapses small files, content byte-preserved") {
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint(false)
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate many incremental appends: 6 fragmented writes
+    (0 until 6).foreach { i =>
+      l3.filter(org.apache.spark.sql.functions.pmod(col("order_id"), lit(6)) === i)
+        .withColumn("month", org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.timestamp_micros(col("microtimestamp")),
+          "yyyy-MM"))
+        .repartition(4)
+        .write.partitionBy(Lake.PartitionCols: _*)
+        .mode("append").parquet(path)
+    }
+    def parquetFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      if (d.isDirectory) d.listFiles.map(f => parquetFiles(f.getPath)).sum
+      else if (d.getName.endsWith(".parquet")) 1 else 0
+    }
+    val before = parquetFiles(path)
+    val rowsBefore = spark.read.parquet(path).drop("month")
+      .orderBy("microtimestamp", "order_id", "event_no")
+      .collect().map(_.toSeq).toList
+    Lake.compactLevel3(spark, path)
+    val after = parquetFiles(path)
+    val rowsAfter = spark.read.parquet(path).drop("month")
+      .orderBy("microtimestamp", "order_id", "event_no")
+      .collect().map(_.toSeq).toList
+    assert(after < before / 2, s"compaction ineffective: $before -> $after")
+    assert(rowsAfter == rowsBefore)
+  }
+
   test("pair filter prunes lake partitions") {
     val dir = "/root/testdata/sf0.001"
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
