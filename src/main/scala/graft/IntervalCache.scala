@@ -21,8 +21,8 @@ final class IntervalCache[T](
     clock: () => Long,
     freshnessUs: Long = 15L * 60 * 1000000L) {
 
-  private final case class Entry(s: Long, e: Long, data: Vector[T])
-  private var entries: Vector[Entry] = Vector.empty
+  import IntervalCache.Entry
+  private var entries: Vector[Entry[T]] = Vector.empty
 
   /** Cached periods, for diagnostics — `getCachedPeriods`
     * (`R/cache.R:27-39`). */
@@ -74,4 +74,8 @@ final class IntervalCache[T](
         data
     }
   }
+}
+
+object IntervalCache {
+  private final case class Entry[T](s: Long, e: Long, data: Vector[T])
 }

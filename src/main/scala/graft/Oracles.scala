@@ -1615,10 +1615,9 @@ object Oracles {
       |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
-  /** Mirror of `VectorOps.annRecall`: exact top-5 and LSH top-5 both
-    * recomputed (the same chains as pipeAnnTopK / pipeAnnLsh, renamed),
-    * then recall = |exact ∩ approx| / |exact| per query. */
-  def pipeAnnRecall: String = QuantEmbCte +
+  /** The exact top-k chain (`qd_e`/`cc_e`/`rr_e`), shared by the two
+    * recall oracles. Expects `ev`/`nrm` from [[QuantEmbCte]]. */
+  private def ExactChainE: String =
     """, qd_e AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot
       |  FROM ev q JOIN ev c
@@ -1633,7 +1632,27 @@ object Oracles {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, vec_id) AS rnk
       |  FROM cc_e
-      |), nb AS (
+      |)""".stripMargin
+
+  /** recall = |exact ∩ approx| / |exact| per query, over `rr_e` and an
+    * approximate ranking CTE (both rnk ≤ 5). */
+  private def RecallSelect(approxRr: String): String =
+    s"""
+      |SELECT e.query_id AS query_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
+      |  CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      |FROM (SELECT * FROM rr_e WHERE rnk <= 5) e
+      |LEFT JOIN (SELECT * FROM $approxRr WHERE rnk <= 5) l
+      |  ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      |GROUP BY e.query_id
+      |ORDER BY query_id""".stripMargin
+
+  /** Mirror of `VectorOps.annRecall`: exact top-5 and LSH top-5 both
+    * recomputed (the same chains as pipeAnnTopK / pipeAnnLsh, renamed),
+    * then recall = |exact ∩ approx| / |exact| per query. */
+  def pipeAnnRecall: String = QuantEmbCte + ExactChainE +
+    """, nb AS (
       |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
       |    AS BIGINT)) AS bits
       |  FROM embeddings
@@ -1666,16 +1685,11 @@ object Oracles {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, vec_id) AS rnk
       |  FROM cc_l
-      |)
-      |SELECT e.query_id AS query_id,
-      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
-      |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
-      |  CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-      |FROM (SELECT * FROM rr_e WHERE rnk <= 5) e
-      |LEFT JOIN (SELECT * FROM rr_l WHERE rnk <= 5) l
-      |  ON l.query_id = e.query_id AND l.vec_id = e.vec_id
-      |GROUP BY e.query_id
-      |ORDER BY query_id""".stripMargin
+      |)""".stripMargin + RecallSelect("rr_l")
+
+  /** Mirror of `VectorOps.annRecallIvf`: the IVF chain (as pipeAnnIvf)
+    * joined against the shared exact top-5. */
+  def pipeAnnRecallIvf: String = IvfChain + ExactChainE + RecallSelect("rr")
 
   /** Mirror of `TrainingData.shuffleOrder`: the bucket-offset rank
     * equals the plain global rank (bucket = key prefix). */
@@ -1698,7 +1712,14 @@ object Oracles {
       |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  def pipeAnnIvf: String = QuantEmbCte +
+  def pipeAnnIvf: String = IvfChain +
+    """
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** The IVF candidate/ranking chain (`cents` … `rr`), shared by
+    * pipeAnnIvf and pipeAnnRecallIvf. */
+  private def IvfChain: String = QuantEmbCte +
     """, cents AS (
       |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < 16
       |), cnrm AS (
@@ -1740,9 +1761,7 @@ object Oracles {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
       |  FROM cc
-      |)
-      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
-      |ORDER BY query_id, rnk""".stripMargin
+      |)""".stripMargin
 
   def pipeRepetition: String =
     """WITH w AS (

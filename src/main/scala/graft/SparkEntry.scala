@@ -485,6 +485,9 @@ object SparkEntry {
     "pipe_ann_recall" -> ((s, d) =>
       pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
+    "pipe_ann_recall_ivf" -> ((s, d) =>
+      pipeline.VectorOps.annRecallIvf(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id")),
     "pipe_profile" -> ((s, d) =>
       pipeline.TextPipeline.corpusProfile(Tables.load(s, d, "documents"))
         .orderBy("source")),
@@ -604,6 +607,7 @@ object SparkEntry {
     "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
     "pipe_bpe_encode" -> Oracles.pipeBpeEncode(),
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
+    "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,
     "pipe_shuffle" -> Oracles.pipeShuffle,
   )

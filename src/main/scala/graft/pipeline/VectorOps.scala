@@ -174,12 +174,24 @@ object VectorOps {
     * corpus scale (run it on a sample, tune `bits`, then index the
     * full collection). Integer numerator/denominator; the one double
     * division is deterministic. */
-  def annRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+  def annRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame =
+    recallAgainstExact(emb, annLsh(emb, nQueries, k), nQueries, k)
+
+  /** Recall@k of the IVF index against the same exact baseline. */
+  def annRecallIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame =
+    recallAgainstExact(emb, annIvf(emb, nQueries, k), nQueries, k)
+
+  /** Shared harness: |exact ∩ approx| / |exact| per query for ANY
+    * approximate result in the (query_id, vec_id) shape — the way a
+    * new index variant gets admitted (measure on a sample, compare,
+    * then trust). */
+  private def recallAgainstExact(emb: DataFrame, approx: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val exact = annTopK(emb, nQueries, k)
       .select(col("query_id"), col("vec_id"))
-    val approx = annLsh(emb, nQueries, k)
-      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "vec_id"), "left")
+    exact.join(
+        approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
       .withColumn("recall",

@@ -107,6 +107,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(enc.groupBy(_._1).view.mapValues(_.length.toLong).toMap == counts)
   }
 
+  test("applyMerge is lossless for any merge sequence (property)") {
+    // tokenization must never alter content: concatenating the symbol
+    // sequence always rebuilds the word, under any merge chain
+    val rnd = new scala.util.Random(1234)
+    (1 to 200).foreach { _ =>
+      val word = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      var syms: Seq[String] = word.map(_.toString)
+      (1 to (1 + rnd.nextInt(4))).foreach { _ =>
+        val l = ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(2))
+        val r = ('a' + rnd.nextInt(3)).toChar.toString
+        syms = TrainingData.applyMerge(syms, l, r)
+        assert(syms.mkString == word, s"lossy merge ($l,$r) on $word")
+      }
+    }
+  }
+
   test("sourceMix keeps higher-weight sources at twice the rate bound") {
     val d = Seq((1L, "srcA", "x"), (2L, "src3", "y"), (3L, "src15", "z"))
       .toDF("doc_id", "source", "text")
