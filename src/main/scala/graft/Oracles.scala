@@ -1699,6 +1699,26 @@ object Oracles {
       |    AS BIGINT) AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.distinctShingleEstimate`: identical KMV
+    * sketch (48-bit md5-prefix hashes, k ascending minima). */
+  def pipeDistinctEst: String = {
+    val hv = (1 to 12).map { i =>
+      val mult = 1L << (4 * (12 - i))
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString(" + ")
+    DocShinglesCte +
+      s""", hs AS (
+        |  SELECT DISTINCT md5(shingle) AS h FROM sh
+        |), hv AS (
+        |  SELECT ($hv) AS hv FROM hs ORDER BY hv LIMIT 256
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_minima,
+        |  MAX(hv) AS kth_hash,
+        |  CAST(COUNT(*) - 1 AS DOUBLE) * 281474976710656
+        |    / CAST(MAX(hv) AS DOUBLE) AS est_distinct
+        |FROM hv""".stripMargin
+  }
+
   /** Mirror of `TextPipeline.corpusProfile`. */
   def pipeProfile: String =
     """SELECT source,

@@ -494,6 +494,9 @@ object SparkEntry {
     "pipe_shuffle" -> ((s, d) =>
       pipeline.TrainingData.shuffleOrder(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    "pipe_distinct_est" -> ((s, d) =>
+      pipeline.TextPipeline.distinctShingleEstimate(
+        Tables.load(s, d, "documents"))),
   )
 
   /** Train-once memo for the BPE merge table (per data dir): the merge
@@ -610,5 +613,6 @@ object SparkEntry {
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,
     "pipe_shuffle" -> Oracles.pipeShuffle,
+    "pipe_distinct_est" -> Oracles.pipeDistinctEst,
   )
 }

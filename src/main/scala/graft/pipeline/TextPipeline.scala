@@ -376,6 +376,34 @@ object TextPipeline {
         max(col("doc_id")).as("last_doc"))
       .withColumn("n_exact_dups", col("n_docs") - col("n_distinct"))
 
+  /** KMV (k-minimum-values) distinct-shingle estimator: the k smallest
+    * shingle hashes determine `(k-1) / h_k` (hash mapped to [0,1)) —
+    * a cardinality estimate from k rows of state instead of a full
+    * distinct. Deterministic (md5 order, no RNG), so the DuckDB oracle
+    * reproduces it exactly — the sketch that sizes dedup/shuffle work
+    * before running it at corpus scale. One shuffle: distributed
+    * ascending top-k of the hash (TakeOrderedAndProject). */
+  def distinctShingleEstimate(docs: DataFrame, k: Int = 256): DataFrame = {
+    // 48-bit integer hash from the md5 prefix: exact in int64 on both
+    // engines, fine-grained enough that ties are ~impossible
+    val hex = "0123456789abcdef"
+    val hBits = (1 to 12).map { i =>
+      val mult = 1L << (4 * (12 - i))
+      expr(s"(locate(substring(h, $i, 1), '$hex') - 1) * ${mult}L")
+    }.reduce(_ + _)
+    val mins = shingled(docs)
+      .select(md5(col("shingle")).as("h")).distinct()
+      .select(hBits.as("hv"))
+      .orderBy("hv").limit(k)
+    val space = math.pow(16, 12)
+    mins.agg(
+        count(lit(1)).as("k_minima"),
+        max(col("hv")).as("kth_hash"))
+      .select(col("k_minima"), col("kth_hash"),
+        ((col("k_minima") - 1).cast("double") * space /
+          col("kth_hash").cast("double")).as("est_distinct"))
+  }
+
   /** Corpus vocabulary: top-N words by occurrence count. */
   def vocabTop(docs: DataFrame, topN: Int = 20): DataFrame = {
     val w = Window.orderBy(col("n").desc, col("word"))
