@@ -22,7 +22,7 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   /** Reference `get._validate_parameters` (`db/get_schema.sql:150-159`):
     * every windowed request is capped at one month + one minute — the
     * reference's only result-size guard. */
-  private def validateWindow(start: Long, end: Long): Unit = {
+  private[graft] def validateWindow(start: Long, end: Long): Unit = {
     val max = GraftApi.MaximumPeriodMicros
     require(end - start <= max,
       s"[${start}, ${end}) exceeds the maximum request period of " +
@@ -265,10 +265,15 @@ object GraftApi {
       (r: Row) => r.getAs[Long](r.fieldIndex("ts")), clock)
 
     /** `get.depth`: starting book at `start` ∪ cached changes in
-      * (start, end]. */
-    def depth(start: Long, end: Long): Seq[Row] =
+      * (start, end]. Validated HERE, not only inside the loader:
+      * a cache-covered request must obey the same 1-month cap as the
+      * uncached path (and a cold-cache violation would otherwise
+      * surface with the loader's ±1 µs-shifted bounds). */
+    def depth(start: Long, end: Long): Seq[Row] = {
+      api.validateWindow(start, end)
       api.startingDepth(start).collect().toSeq ++
         changesCache.get(start + 1, end + 1)
+    }
 
     def cachedPeriods: Seq[(Long, Long)] = changesCache.cachedPeriods
   }

@@ -33,7 +33,12 @@ object AsofSlicing {
   def carry(stream: DataFrame, carryCols: Seq[String],
       sliceMicros: Long = MarketOps.DefaultSliceMicros): DataFrame = {
     val W = sliceMicros
+    // the input feeds TWO plan branches (the per-slice aggregate and
+    // the union with seed rows); production call sites pass replay-
+    // kernel streams, which would silently re-execute per branch —
+    // the single-evaluation rule of docs/PLANS.md
     val s = stream.withColumn("__slice", expr(s"ts div ${W}L"))
+      .localCheckpoint(false)
 
     // Last non-null value of each carry column within (pair, slice),
     // by (ts, kind) order — max_by skips rows where the ordering key is

@@ -60,7 +60,10 @@ final class OrderBook {
     // amounts are exact in Double here; drop empty levels
     if (nv <= 0.0) m.remove(price) else m.update(price, nv)
     val i = if (isBid) 1 else 0
-    val d = math.round(delta)
+    // symmetric rounding: Math.round is half-toward-+inf, so +0.5 and
+    // -0.5 deltas would not cancel and totals would drift on any
+    // non-integral amount; sign-split keeps add/delete pairs exact
+    val d = if (delta >= 0) math.round(delta) else -math.round(-delta)
     sumQty(i) += d
     sumCostCents(i) += d * math.round(price * 100)
   }

@@ -164,6 +164,12 @@ object TradeMatching {
     * filter it to `max index < size(cands)`. */
   private def indexCombos(cap: Int, k: Int) = {
     val combos = (0 until cap).combinations(k).toSeq
+    // every combo is a literal struct in the plan: bound it so a large
+    // cap can't blow up analysis/codegen (the reference's own caps are
+    // group ≤ 3 over set ≤ 10 → 120 combos)
+    require(combos.size <= 2048,
+      s"C($cap, $k) = ${combos.size} index combinations exceed the plan " +
+        "literal budget (2048); reduce setCap or use a join formulation")
     array(combos.map(c =>
       struct(c.zipWithIndex.map { case (idx, pos) =>
         lit(idx).as(s"i$pos") }: _*)): _*)

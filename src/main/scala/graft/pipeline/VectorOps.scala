@@ -89,8 +89,12 @@ object VectorOps {
     * per-row hashing), queries probe only their own bucket. */
   def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame = {
     val q = quantized(emb)
-    // dimension count read once from the data (vectors are fixed-width)
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    // dimension count read once from the data (vectors are fixed-width);
+    // empty input keeps the schema and yields an empty result instead
+    // of crashing on head()
+    val first = emb.select(size(col("embedding"))).head(1)
+    if (first.isEmpty) return q.withColumn("bucket", lit(0L)).limit(0)
+    val d = first(0).getInt(0)
     val bucket = (0 until bits).map { j =>
       val signs = array((1 to d).map(i => lit(lshSign(j, i))): _*)
       when(longArrayDot(col("q"), signs) > 0, lit(1L << j)).otherwise(0L)

@@ -165,7 +165,11 @@ object CapturePump {
     val buf = new Reorderer[String](delayUs)
     val live = pump.flatMap { f =>
       val (ets, prio) = key(f.message)
-      buf.offer(Ordered(ets, prio, f.localTs, f.message))
+      val out = buf.offer(Ordered(ets, prio, f.localTs, f.message))
+      // the reorder buffer is the pump's internal queue: its depth is
+      // the backpressure signal the reference's QueueSizeLogger tracks
+      pump.backlogLog.log(buf.buffered)
+      out
     }
     live ++ new Iterator[Ordered[String]] {
       private var tail: Iterator[Ordered[String]] = null

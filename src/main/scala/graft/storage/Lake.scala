@@ -57,13 +57,23 @@ object Lake {
       .partitionBy(PartitionCols: _*)
       .mode("overwrite")
       .parquet(tmp)
-    // atomic-ish swap: rename old out, tmp in, drop old
+    // swap with failure checks: Hadoop rename reports failure by
+    // returning false, not throwing — an unchecked swap that falls
+    // through to the delete would destroy the only remaining copy.
+    // The backup is deleted ONLY after the new data is in place.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    fs.rename(p, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    require(!fs.exists(old),
+      s"$old exists — a prior compaction crashed mid-swap; recover it first")
+    require(fs.rename(p, old), s"could not move $p aside to $old")
+    if (!fs.rename(tmpP, p)) {
+      // roll back: put the original lake back before failing
+      fs.rename(old, p)
+      sys.error(s"could not move compacted data $tmp into place at $p")
+    }
     fs.delete(old, true)
   }
 
