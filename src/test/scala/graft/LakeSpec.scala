@@ -110,6 +110,22 @@ class LakeSpec extends AnyFunSuite {
     assert(rowsAfter == rowsBefore)
   }
 
+  test("compaction refuses to run over a crashed prior run's backup") {
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+    val path = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    Lake.writeLevel3(l3, path)
+    // a stale backup means a previous swap died halfway: recovery is a
+    // human decision, not something to silently delete
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(path + ".compact_old"))
+    intercept[IllegalArgumentException] {
+      Lake.compactLevel3(spark, path)
+    }
+    // the lake itself is untouched
+    assert(spark.read.parquet(path).count() == l3.count())
+  }
+
   test("pair filter prunes lake partitions") {
     val dir = "/root/testdata/sf0.001"
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
