@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatArrayMilli(exprs(0))))
     // band joins (abs(l.ts - r.ts) <= c) rewrite to bucketed equi joins
     e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    // the AsOfJoin logical operator lowers to the slice-parallel
+    // carry plan (never a one-task-per-key window)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinExpansion)
   }
 }

@@ -31,7 +31,8 @@ object AsofSlicing {
     * (true for replay-kernel L1 outputs: one tick per episode).
     */
   def carry(stream: DataFrame, carryCols: Seq[String],
-      sliceMicros: Long = MarketOps.DefaultSliceMicros): DataFrame = {
+      sliceMicros: Long = MarketOps.DefaultSliceMicros,
+      partCols: Seq[String] = Seq("pair_id")): DataFrame = {
     val W = sliceMicros
     // the input feeds TWO plan branches (the per-slice aggregate and
     // the union with seed rows); production call sites pass replay-
@@ -47,13 +48,13 @@ object AsofSlicing {
       max_by(col(c), when(col(c).isNotNull, struct(col("ts"), col("kind"))))
         .as(s"__v_$c")
     }
-    val sliceAggs = s.groupBy(col("pair_id"), col("__slice"))
+    val sliceAggs = s.groupBy((partCols :+ "__slice").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
     // Seed for slice s = last non-null per-slice value over earlier
     // slices. One row per (pair, slice): the cross-slice window is
     // sequential per pair but over slice-count rows, not event-count.
-    val wCarry = Window.partitionBy("pair_id").orderBy("__slice")
+    val wCarry = Window.partitionBy(partCols.map(col): _*).orderBy("__slice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val seeded = carryCols.foldLeft(sliceAggs) { (d, c) =>
       d.withColumn(s"__seed_$c",
@@ -65,7 +66,7 @@ object AsofSlicing {
       .filter(carryCols.map(c => col(s"__seed_$c").isNotNull).reduce(_ || _))
       .select(s.schema.fields.map { f =>
         f.name match {
-          case "pair_id" | "__slice" => col(f.name)
+          case n if partCols.contains(n) || n == "__slice" => col(f.name)
           case "ts" => (col("__slice") * W).cast(f.dataType).as("ts")
           case "kind" => lit(-1).cast(f.dataType).as("kind")
           case c if carryCols.contains(c) =>
@@ -74,7 +75,7 @@ object AsofSlicing {
         }
       }.toIndexedSeq: _*)
 
-    val wAsof = Window.partitionBy("pair_id", "__slice")
+    val wAsof = Window.partitionBy((partCols :+ "__slice").map(col): _*)
       .orderBy("ts", "kind")
       .rowsBetween(Window.unboundedPreceding, 0)
     carryCols.foldLeft(s.unionByName(seedRows)) { (d, c) =>

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+import graft.market.AsofSlicing
+
+/** A whole-operator extension (SURVEY §7.3 preference (c)): AS-OF JOIN
+  * as a first-class logical operator.
+  *
+  * `AsOfJoin(left, right, keys, leftTs, rightTs, carry)` enriches each
+  * left row with the latest `carry` values from the right side whose
+  * `rightTs` ≤ the row's `leftTs`, per key — the prevailing-quote
+  * pattern the reference leans on throughout (`db/get_schema.sql:
+  * 363-366`, pgxn `last()` as-of aggregation). The node carries only
+  * names and its schema; [[AsOfJoinExpansion]] (an injectable rule,
+  * same mechanism as [[BandJoinRule]]) lowers it to the slice-parallel
+  * carry plan of [[AsofSlicing]] — so every SQL/DataFrame user of the
+  * operator gets the scalable physical shape, never a
+  * one-task-per-key window.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keys: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    carry: Seq[String]) extends BinaryNode {
+
+  /** Left columns pass through; each carried right column appears once
+    * more (nullable — a row before any right match carries null). */
+  override val output: Seq[Attribute] = left.output ++ carry.map { c =>
+    val src = right.output.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"carry column $c not found on the right side"))
+    AttributeReference(c + "_asof", src.dataType, nullable = true)()
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Lowers [[AsOfJoin]] to the slice-parallel union+carry plan. Runs in
+  * the optimizer (injectable at runtime like [[BandJoinRule]]); the
+  * expansion is wrapped in a Project that aliases back to the node's
+  * original output attribute ids, so downstream references stay
+  * resolved. */
+object AsOfJoinExpansion extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case aj: AsOfJoin if aj.childrenResolved => expand(aj)
+    }
+
+  private def expand(aj: AsOfJoin): LogicalPlan = {
+    val spark = SparkSession.active
+    val ldf = PlanBridge.ofRows(spark, aj.left)
+    val rdf = PlanBridge.ofRows(spark, aj.right)
+
+    // union shape for AsofSlicing.carry: right rows (kind 0) carry the
+    // values; left rows (kind 1) receive them — at equal ts the right
+    // row orders first, so the join is ties-inclusive (rightTs ≤ leftTs)
+    val leftCols = ldf.columns.toSeq
+    val rightSide = rdf.select(
+      (aj.keys.map(col) :+ col(aj.rightTs).cast("long").as("ts") :+
+        lit(0).as("kind")) ++
+        aj.carry.map(col) ++
+        leftCols.filterNot(aj.keys.contains)
+          .map(c => lit(null).cast(ldf.schema(c).dataType).as(s"__l_$c")): _*)
+    val leftSide = ldf.select(
+      (aj.keys.map(col) :+ col(aj.leftTs).cast("long").as("ts") :+
+        lit(1).as("kind")) ++
+        aj.carry.map(c => lit(null).cast(rdf.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(aj.keys.contains)
+          .map(c => col(c).as(s"__l_$c")): _*)
+
+    val carried = AsofSlicing.carry(rightSide.unionByName(leftSide),
+        aj.carry, partCols = aj.keys)
+      .filter(col("kind") === 1)
+    // restore the left schema + the carried columns, in output order
+    // (the left ts travels as __l_<ts> with its original type; "ts" is
+    // only the ordering key)
+    val restored = carried.select(
+      leftCols.map { c =>
+        if (aj.keys.contains(c)) col(c)
+        else col(s"__l_$c").as(c)
+      } ++ aj.carry.map(c => col(s"${c}_asof")): _*)
+
+    // re-anchor the expansion to the node's original attribute ids
+    val expanded = PlanBridge.plan(restored)
+    val aliases: Seq[NamedExpression] = aj.output.zip(expanded.output).map {
+      case (orig, now) => Alias(now, orig.name)(exprId = orig.exprId)
+    }
+    Project(aliases, expanded)
+  }
+}
+
+/** Public construction surface for the operator. */
+object AsOfJoinOps {
+  /** left ⟕asof right: latest `carry` values with
+    * `right.rightTs ≤ left.leftTs` per `keys` (ties inclusive). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    val spark = SparkSession.active
+    PlanBridge.ofRows(spark,
+      AsOfJoin(PlanBridge.plan(left), PlanBridge.plan(right),
+        keys, leftTs, rightTs, carry))
+  }
+}

@@ -110,6 +110,43 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoin operator expands to the sliced carry plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, last}
+    import org.apache.spark.sql.expressions.Window
+    // trades to enrich (left) + quotes to carry (right), two keys,
+    // quote gaps and ties included
+    val trades = (1 to 300).map(i =>
+      (i % 3, i * 1000L + (i % 7), s"trade_$i")).toDF("k", "t_ts", "tag")
+    val quotes = (1 to 80).map(i =>
+      (i % 3, i * 3700L, i * 1.5)).toDF("k", "q_ts", "px")
+    spark.experimental.extraOptimizations = Seq(graft.plans.AsOfJoinExpansion)
+    try {
+      val got = graft.plans.AsOfJoinOps.asofJoin(trades, quotes,
+          keys = Seq("k"), leftTs = "t_ts", rightTs = "q_ts",
+          carry = Seq("px"))
+        .orderBy("k", "t_ts").collect().map(_.toSeq).toList
+      // monolithic as-of reference: union + one window per key
+      val u = quotes.select(col("k"), col("q_ts").as("ts"),
+          org.apache.spark.sql.functions.lit(0).as("kind"), col("px"),
+          org.apache.spark.sql.functions.lit(null).cast("long").as("t_ts"),
+          org.apache.spark.sql.functions.lit(null).cast("string").as("tag"))
+        .unionByName(trades.select(col("k"), col("t_ts").as("ts"),
+          org.apache.spark.sql.functions.lit(1).as("kind"),
+          org.apache.spark.sql.functions.lit(null).cast("double").as("px"),
+          col("t_ts"), col("tag")))
+      val w = Window.partitionBy("k").orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = u.withColumn("px_asof", last("px", ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select("k", "t_ts", "tag", "px_asof")
+        .orderBy("k", "t_ts").collect().map(_.toSeq).toList
+      assert(got.nonEmpty && got == want)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("GraftExtensions injects without error") {
     // the injection target is inert here (no session is built from it),
     // but a broken identifier/builder would throw at apply time
