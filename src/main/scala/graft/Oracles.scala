@@ -142,6 +142,32 @@ object Oracles {
       |FROM enriched WHERE is_event = 1
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Mirror of `CoreQueries.asofEnrichOperator` (the AsOfJoin logical
+    * operator): unique right key per (customer, day), ties-inclusive
+    * as-of. */
+  def q07AsofOperator: String =
+    """WITH o AS (
+      |  SELECT o_custkey % 1500 AS key, epoch_us(o_orderdate) AS t,
+      |         MAX(o_totalprice) AS best_price
+      |  FROM orders GROUP BY 1, 2
+      |), u AS (
+      |  SELECT key, t, CAST(NULL AS BIGINT) AS event_id, best_price,
+      |         0 AS kind
+      |  FROM o
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), event_id, CAST(NULL AS DOUBLE), 1
+      |  FROM events
+      |), enriched AS (
+      |  SELECT *, LAST_VALUE(best_price IGNORE NULLS) OVER (
+      |    PARTITION BY key ORDER BY t, kind
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS best_price_asof
+      |  FROM u
+      |)
+      |SELECT key AS user_id, t AS ts, event_id, best_price_asof
+      |FROM enriched WHERE kind = 1
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** Deduplicated L1 stream (`spread_ticks`) on top of [[QuoteCte]]. */
   private def DedupSpreadCte: String =
     """, dedup AS (

@@ -30,6 +30,7 @@ object SparkEntry {
     "q04_top_orders" -> ((s, d) => CoreQueries.topOrdersPerSegment(s, d)),
     "q05_asof_enrich" -> ((s, d) => CoreQueries.asofEnrich(s, d)),
     "q06_json_props" -> ((s, d) => CoreQueries.jsonProps(s, d)),
+    "q07_asof_operator" -> ((s, d) => CoreQueries.asofEnrichOperator(s, d)),
     "mkt_spread" -> ((s, d) =>
       MarketOps.spread(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -524,6 +525,7 @@ object SparkEntry {
     "q04_top_orders" -> Oracles.q04TopOrders,
     "q05_asof_enrich" -> Oracles.q05AsofEnrich,
     "q06_json_props" -> Oracles.q06JsonProps,
+    "q07_asof_operator" -> Oracles.q07AsofOperator,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,

@@ -29,20 +29,44 @@ case class AsOfJoin(
     keys: Seq[String],
     leftTs: String,
     rightTs: String,
-    carry: Seq[String]) extends BinaryNode {
+    carry: Seq[String],
+    carryOutput: Seq[Attribute]) extends BinaryNode {
 
   /** Left columns pass through; each carried right column appears once
-    * more (nullable — a row before any right match carries null). */
-  override val output: Seq[Attribute] = left.output ++ carry.map { c =>
-    val src = right.output.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(
-        s"carry column $c not found on the right side"))
-    AttributeReference(c + "_asof", src.dataType, nullable = true)()
-  }
+    * more (nullable — a row before any right match carries null). The
+    * carried attributes are pinned in the constructor so their exprIds
+    * survive node copies during optimizer transforms (a recomputed
+    * output would mint fresh ids and orphan parent references). */
+  override def output: Seq[Attribute] = left.output ++ carryOutput
+
+  /** The operator consumes every left column (all pass through) and
+    * the right side's keys + timestamp + carried columns. Declared
+    * explicitly (the names live as Strings, so the default
+    * expression-derived references would be EMPTY and generic rules
+    * like ColumnPruning would prune the children to nothing). */
+  override lazy val references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output.filter(a =>
+        keys.contains(a.name) || a.name == rightTs || carry.contains(a.name)))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Construction surface: derives the carried output attributes once
+    * (types from the right side, fresh stable exprIds). */
+  def apply(left: LogicalPlan, right: LogicalPlan, keys: Seq[String],
+      leftTs: String, rightTs: String, carry: Seq[String]): AsOfJoin = {
+    val attrs = carry.map { c =>
+      val src = right.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"carry column $c not found on the right side"))
+      AttributeReference(c + "_asof", src.dataType, nullable = true)()
+    }
+    AsOfJoin(left, right, keys, leftTs, rightTs, carry, attrs)
+  }
 }
 
 /** Lowers [[AsOfJoin]] to the slice-parallel union+carry plan. Runs in
@@ -107,6 +131,11 @@ object AsOfJoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
     val spark = SparkSession.active
+    // self-register the lowering rule for sessions built without
+    // GraftExtensions (idempotent)
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinExpansion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinExpansion
     PlanBridge.ofRows(spark,
       AsOfJoin(PlanBridge.plan(left), PlanBridge.plan(right),
         keys, leftTs, rightTs, carry))

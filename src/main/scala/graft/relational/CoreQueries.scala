@@ -128,6 +128,27 @@ object CoreQueries {
     * order of the same user-as-customer — the `last(value, ignoreNulls)`
     * over a unioned stream pattern the reference uses for prevailing
     * spread (`db/get_schema.sql:363-366`). */
+  /** The same as-of enrichment expressed through the [[graft.plans.AsOfJoin]]
+    * LOGICAL OPERATOR (extension tier (c)): left = events, right = the
+    * per-(customer, day) max order price (unique right key, so the
+    * ties-inclusive operator semantics are deterministic). The
+    * optimizer lowers the node to the slice-parallel carry plan. */
+  def asofEnrichOperator(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("key"), tsMicros(col("ts")).as("t"),
+        col("event_id"))
+    val o = Tables.load(spark, dir, "orders")
+      .groupBy((col("o_custkey") % 1500).as("key"),
+        tsMicros(col("o_orderdate")).as("ot"))
+      .agg(max(col("o_totalprice")).as("best_price"))
+    graft.plans.AsOfJoinOps.asofJoin(ev, o,
+        keys = Seq("key"), leftTs = "t", rightTs = "ot",
+        carry = Seq("best_price"))
+      .select(col("key").as("user_id"), col("t").as("ts"), col("event_id"),
+        col("best_price_asof"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   def asofEnrich(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id").as("key"), tsMicros(col("ts")).as("t"),
