@@ -130,6 +130,14 @@ object AsOfJoinOps {
     * `right.rightTs ≤ left.leftTs` per `keys` (ties inclusive). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSet
+    val rCols = right.columns.toSet
+    (keys :+ leftTs).foreach(c => require(lCols(c),
+      s"left side is missing column $c (has: ${lCols.mkString(", ")})"))
+    (keys ++ carry :+ rightTs).foreach(c => require(rCols(c),
+      s"right side is missing column $c (has: ${rCols.mkString(", ")})"))
+    require(carry.forall(c => !lCols(c + "_asof")),
+      "left side already has a *_asof column that the join would add")
     val spark = SparkSession.active
     // self-register the lowering rule for sessions built without
     // GraftExtensions (idempotent)

@@ -142,6 +142,17 @@ class ExtensionsSpec extends AnyFunSuite {
         .select("k", "t_ts", "tag", "px_asof")
         .orderBy("k", "t_ts").collect().map(_.toSeq).toList
       assert(got.nonEmpty && got == want)
+      // misuse is rejected at the API with a column-level message
+      intercept[IllegalArgumentException] {
+        graft.plans.AsOfJoinOps.asofJoin(trades, quotes,
+          keys = Seq("nope"), leftTs = "t_ts", rightTs = "q_ts",
+          carry = Seq("px"))
+      }
+      intercept[IllegalArgumentException] {
+        graft.plans.AsOfJoinOps.asofJoin(trades, quotes,
+          keys = Seq("k"), leftTs = "t_ts", rightTs = "q_ts",
+          carry = Seq("missing_col"))
+      }
     } finally {
       spark.experimental.extraOptimizations = Nil
     }
