@@ -1715,7 +1715,7 @@ object Oracles {
 
   /** Mirror of `VectorOps.annRecallIvf`: the IVF chain (as pipeAnnIvf)
     * joined against the shared exact top-5. */
-  def pipeAnnRecallIvf: String = IvfChain + ExactChainE + RecallSelect("rr")
+  def pipeAnnRecallIvf: String = IvfChain() + ExactChainE + RecallSelect("rr")
 
   /** Mirror of `TrainingData.shuffleOrder`: the bucket-offset rank
     * equals the plain global rank (bucket = key prefix). */
@@ -1758,16 +1758,16 @@ object Oracles {
       |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  def pipeAnnIvf: String = IvfChain +
+  def pipeAnnIvf(nCells: Int = 16): String = IvfChain(nCells) +
     """
       |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
   /** The IVF candidate/ranking chain (`cents` … `rr`), shared by
     * pipeAnnIvf and pipeAnnRecallIvf. */
-  private def IvfChain: String = QuantEmbCte +
-    """, cents AS (
-      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < 16
+  private def IvfChain(nCells: Int = 16): String = QuantEmbCte +
+    s""", cents AS (
+      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $nCells
       |), cnrm AS (
       |  SELECT cent_id, SUM(q*q) AS cnq FROM cents GROUP BY cent_id
       |), adot AS (

@@ -402,6 +402,11 @@ object SparkEntry {
     "pipe_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
+    // same operator at a different coarse-quantizer size - proves
+    // nCells is a real knob (the scale rule is cells ~ sqrt(n))
+    "pipe_ann_ivf32" -> ((s, d) =>
+      VectorOps.annIvf(Tables.load(s, d, "embeddings"), nCells = 32)
+        .orderBy("query_id", "rnk")),
     "pipe_ann_lsh" -> ((s, d) =>
       VectorOps.annLsh(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
@@ -586,7 +591,8 @@ object SparkEntry {
     "pipe_embed_neardup" -> Oracles.pipeEmbedNearDup,
     "pipe_ann_topk" -> Oracles.pipeAnnTopK,
     "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
-    "pipe_ann_ivf" -> Oracles.pipeAnnIvf,
+    "pipe_ann_ivf" -> Oracles.pipeAnnIvf(),
+    "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
     "pipe_langid" -> Oracles.pipeLangId,
     "pipe_quality" -> Oracles.pipeQuality,
     "pipe_tokens" -> Oracles.pipeTokens,
