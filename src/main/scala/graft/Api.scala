@@ -70,12 +70,21 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
 
   /** `obadiah::events` — classified order events in a window.
     * `referenceParity` reproduces the reference's buy-side
-    * aggressiveness denominator for differential testing. */
+    * aggressiveness denominator for differential testing.
+    * `frequencyMicros` is the reference's `p_frequency` (`db/
+    * get_schema.sql:307,339-341`): when set, the prevailing spread is
+    * the grid-resampled L1 stream (right-closed buckets) rather than
+    * every tick — the spread context a client plotting at that
+    * frequency would see. */
   def events(start: Long, end: Long,
-      referenceParity: Boolean = false): DataFrame = {
+      referenceParity: Boolean = false,
+      frequencyMicros: Option[Long] = None): DataFrame = {
     validateWindow(start, end)
-    EventsQuery.events(level3, MarketOps.spread(level3, spark), start, end,
-      referenceParity)
+    val ticks = frequencyMicros match {
+      case Some(f) => Resampling.spreadResampled(level3, spark, f)
+      case None => MarketOps.spread(level3, spark)
+    }
+    EventsQuery.events(level3, ticks, start, end, referenceParity)
   }
 
   /** `obadiah::trades` — inferred/matched trades. */

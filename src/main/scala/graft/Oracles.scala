@@ -301,8 +301,20 @@ object Oracles {
   /** `parity = true` mirrors the reference's buy-side aggressiveness
     * denominator (best_ask for both sides, `db/get_schema.sql:435-438`)
     * rather than the side-correct best_bid. */
-  def mktEventsWith(parity: Boolean): String = Level3Cte + QuoteCte +
-    s""", quote_cf AS (
+  def mktEventsWith(parity: Boolean): String =
+    Level3Cte + QuoteCte + InferredMatchCte +
+    s""", conn AS (
+      |  SELECT pair_id, b_ts AS microtimestamp, b_oid AS order_id,
+      |    b_eno AS event_no,
+      |    md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1)) AS matching_event
+      |  FROM m
+      |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
+      |  UNION ALL
+      |  SELECT pair_id, s_ts, s_oid, s_eno,
+      |    md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
+      |  FROM m
+      |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
+      |), quote_cf AS (
       |  SELECT pair_id, ts,
       |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
       |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_cf,
@@ -354,6 +366,7 @@ object Oracles {
       |       ELSE 'deleted' END AS action,
       |  CASE side WHEN 'b' THEN 'bid' ELSE 'ask' END AS direction,
       |  CASE WHEN fill > 0 THEN fill ELSE 0.0 END AS fill,
+      |  matching_event,
       |  CASE WHEN is_price_ever_changed THEN 'pacman'
       |       WHEN is_ever_resting AND NOT is_ever_aggressor
       |         AND NOT is_ever_filled AND ord_is_deleted THEN 'flashed-limit'
@@ -385,6 +398,7 @@ object Oracles {
       |  best_ask_price,
       |  pair_id
       |FROM flg2
+      |LEFT JOIN conn USING (pair_id, microtimestamp, order_id, event_no)
       |ORDER BY ts_us, id, event_no""".stripMargin
 
   /** Mirror of TradeMatching.inferredMatches up to the mutual-best

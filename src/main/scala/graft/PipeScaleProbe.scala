@@ -59,8 +59,18 @@ object PipeScaleProbe {
     val (nSim, tSim) = timed(TextPipeline.simhashPairs(docs).count())
     val (nCur, tCur) = timed(TextPipeline.curate(docs).count())
 
+    // decontamination under a deliberately VIRAL shingle: the appended
+    // trigram "vvv vvv vvv" appears in 100% of docs (bench and corpus),
+    // the worst case for any per-shingle partitioning — its posting
+    // list is the whole corpus. The broadcast semi-join shape must stay
+    // flat per-doc here; a per-shingle window would serialize on it.
+    val viral = docs.withColumn("text",
+      concat(col("text"), lit(" vvv vvv vvv")))
+    val (nDecon, tDecon) = timed(
+      TextPipeline.decontaminate(viral, benchMax = 10L * k).rdd.count())
+
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}}}""")
     spark.stop()
   }
 }

@@ -82,10 +82,15 @@ case class FloatArrayMilli(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "float_array_milli"
 
-  /** Spark's ROUND(double) = RoundHalfUp on BigDecimal; for our range
-    * (|x·1000| well under 2^52) `Math.floor(v + 0.5)` is identical for
-    * positive values and `-Math.floor(-v + 0.5)`... NOT identical for
-    * negatives: HALF_UP rounds away from zero. So: sign-split floor. */
+  /** Half-away-from-zero rounding via sign-split binary floor.
+    * Near-equivalent to Spark's ROUND(double) (BigDecimal HALF_UP on
+    * the shortest decimal string), with one known divergence: a double
+    * one ULP below a .5 boundary (e.g. 0.49999999999999994) reads as
+    * "0.5" in shortest-decimal form, so Spark rounds it up while
+    * floor(v + 0.5) correctly stays down. That edge cannot arise from
+    * the milli-scaled values this expression is used on in-library
+    * (float inputs widened to double), but callers feeding raw doubles
+    * at .5-boundary-adjacent values will see the one-ULP difference. */
   private def roundHalfAwayFromZero(v: Double): Long =
     if (v >= 0) math.floor(v + 0.5d).toLong
     else -math.floor(-v + 0.5d).toLong

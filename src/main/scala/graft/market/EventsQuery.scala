@@ -26,9 +26,13 @@ object EventsQuery {
     *   insensitive to dedupe.
     * @param referenceParity reproduce the reference's buy-side
     *   aggressiveness denominator (best_ask, `db/get_schema.sql:438`)
-    *   instead of the side-correct best_bid. */
+    *   instead of the side-correct best_bid.
+    * @param matches the trades table connecting fill events
+    *   ([[TradeMatching.inferredMatches]] shape); `None` infers it from
+    *   `level3` — pass a precomputed frame to reuse an existing one. */
   def events(level3: DataFrame, spreadTicks: DataFrame,
-      t0: Long, t1: Long, referenceParity: Boolean = false): DataFrame = {
+      t0: Long, t1: Long, referenceParity: Boolean = false,
+      matches: Option[DataFrame] = None): DataFrame = {
 
     // active events: in-window rows ∪ the book standing at t0 (kept with
     // their original timestamps, as the reference does via order_book()).
@@ -118,7 +122,34 @@ object EventsQuery {
       .otherwise(
         round((col("price") - col("best_bid_price")) / buyDenominator * 10000))
 
-    flagged.select(
+    // event connection (`db/get_schema.sql:390-402,449`): each fill
+    // event carries the uuid of the OPPOSITE event of its trade. One
+    // trade contributes two connection rows (buy→sell uuid, sell→buy
+    // uuid); the match is mutual-best so each (order_id, event_no)
+    // appears at most once per side — the left join is 1:1, no row
+    // multiplication. Trades are window-filtered on the trade
+    // timestamp, as the reference's `trades` CTE is: an initial-book
+    // fill whose trade predates the window connects to nothing.
+    val m = matches.getOrElse(TradeMatching.inferredMatches(level3))
+      .filter(col("microtimestamp") > t0 && col("microtimestamp") <= t1)
+    def connSide(oTs: String, oOid: String, oEno: String,
+        mTs: String, mOid: String, mEno: String) = m.select(
+      col("pair_id").cast("long").as("pair_id"),
+      col(oTs).as("microtimestamp"),
+      col(oOid).as("order_id"),
+      col(oEno).as("event_no"),
+      eventUuid(col(mTs), col(mOid), col(mEno), col("pair_id"),
+        col("exchange_id")).as("matching_event"))
+    val connections = connSide("buy_microtimestamp", "buy_order_id",
+        "buy_event_no", "sell_microtimestamp", "sell_order_id",
+        "sell_event_no")
+      .unionByName(connSide("sell_microtimestamp", "sell_order_id",
+        "sell_event_no", "buy_microtimestamp", "buy_order_id",
+        "buy_event_no"))
+    val connected = flagged.join(connections,
+      Seq("pair_id", "microtimestamp", "order_id", "event_no"), "left")
+
+    connected.select(
       eventUuid(col("microtimestamp"), col("order_id"), col("event_no"),
         col("pair_id"), col("exchange_id")).as("event_id"),
       col("order_id").as("id"),
@@ -131,6 +162,7 @@ object EventsQuery {
         .otherwise("deleted").as("action"),
       when(col("side") === "b", "bid").otherwise("ask").as("direction"),
       when(col("fill") > 0.0, col("fill")).otherwise(lit(0.0)).as("fill"),
+      col("matching_event"),
       orderType.as("type"),
       aggressiveness.as("aggressiveness_bps"),
       col("event_no").cast("long").as("event_no"),

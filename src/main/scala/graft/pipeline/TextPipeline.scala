@@ -140,13 +140,17 @@ object TextPipeline {
       // min over the closed neighbourhood + the node's own previous
       // label in one aggregation: convergence is read off the
       // checkpointed result without a second join
+      // lazy checkpoints: the convergence count below is the round's
+      // single action and materializes both tables in one job (eager
+      // checkpoints here ran three jobs per round — pure scheduling
+      // overhead that dominated at small scale)
       val next = labels
         .select(col("doc_id"), col("label"), lit(true).as("own"))
         .union(viaEdge)
         .groupBy("doc_id")
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // pointer jumping: follow the label one hop (label := label(label))
       // so path-shaped clusters converge in O(log diameter) rounds
       // instead of O(diameter) — labels only decrease and stay inside
@@ -159,7 +163,7 @@ object TextPipeline {
           least(col("label"), coalesce(col("hop_label"), col("label")))
             .as("label"),
           col("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = jumped.filter(col("label") < col("prev")).count()
       labels = jumped.select(col("doc_id"), col("label"))
     }
@@ -282,18 +286,21 @@ object TextPipeline {
     * the n-gram-overlap decontamination step of training-data
     * pipelines. */
   def decontaminate(docs: DataFrame, benchMax: Long = 10): DataFrame = {
-    // one evaluation of the shingle explosion: mark each (doc, shingle)
-    // row with "some benchmark doc has this shingle" via a per-shingle
-    // bool_or window, then count per corpus doc — two shuffles total
-    // (by shingle, then by doc), vs. three shingle scans + a semi-join
-    // in the naive bench-set/corpus/sizes decomposition
-    val marked = shingled(docs).withColumn("in_bench",
-      max(when(col("doc_id") < benchMax, 1).otherwise(0))
-        .over(Window.partitionBy("shingle")))
-    marked.filter(col("doc_id") >= benchMax)
+    // the benchmark set is tiny by construction, so its distinct
+    // shingle set broadcasts; a broadcast left join marks corpus
+    // shingles in a single skew-proof pass. (A per-shingle window here
+    // would put each shingle's full posting list on one task — a
+    // boilerplate trigram in 10% of the corpus melts that task down,
+    // the same skew dfCap/BandBucketCap guard against elsewhere.)
+    val sh = shingled(docs)
+    val benchShingles = sh.filter(col("doc_id") < benchMax)
+      .select(col("shingle")).distinct()
+      .withColumn("in_bench", lit(1))
+    sh.filter(col("doc_id") >= benchMax)
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum("in_bench").as("n_overlap"))
+        sum(coalesce(col("in_bench"), lit(0))).as("n_overlap"))
       .withColumn("is_contaminated",
         col("n_overlap") * 10 >= col("n_shingles"))
   }

@@ -138,12 +138,29 @@ object AsOfJoinOps {
       s"right side is missing column $c (has: ${rCols.mkString(", ")})"))
     require(carry.forall(c => !lCols(c + "_asof")),
       "left side already has a *_asof column that the join would add")
+    // "ts" and "kind" are reserved by the lowered union shape
+    // (AsOfJoinExpansion synthesizes them); a key or carry column with
+    // either name would produce an ambiguous-reference failure deep in
+    // the expansion, far from this call — reject it here instead.
+    // (The ts columns themselves may be named "ts": left columns travel
+    // under a __l_ prefix.)
+    (keys ++ carry).foreach(c => require(c != "ts" && c != "kind",
+      s"""column name "$c" is reserved by the as-of lowering; rename it
+         | before joining (keys/carry may not be named "ts" or "kind")"""
+        .stripMargin.replaceAll("\n", "")))
     val spark = SparkSession.active
-    // self-register the lowering rule for sessions built without
-    // GraftExtensions (idempotent)
-    if (!spark.experimental.extraOptimizations.contains(AsOfJoinExpansion))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AsOfJoinExpansion
+    // Self-register the lowering rule for sessions built without
+    // GraftExtensions. NOTE: this mutates session-global
+    // spark.experimental.extraOptimizations as a side effect of
+    // DataFrame construction (documented; prefer GraftExtensions for
+    // explicit registration). The lock makes concurrent asofJoin calls
+    // safe; it cannot defend against a concurrent EXTERNAL writer of
+    // extraOptimizations, which is inherently last-write-wins.
+    AsOfJoinOps.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(AsOfJoinExpansion))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsOfJoinExpansion
+    }
     PlanBridge.ofRows(spark,
       AsOfJoin(PlanBridge.plan(left), PlanBridge.plan(right),
         keys, leftTs, rightTs, carry))

@@ -61,9 +61,12 @@ object Lake {
     // returning false, not throwing — an unchecked swap that falls
     // through to the delete would destroy the only remaining copy.
     // The backup is deleted ONLY after the new data is in place.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // Resolve the filesystem FROM THE LAKE PATH, not fs.defaultFS: on a
+    // deployment whose default FS differs from the lake's store (s3a://
+    // lake with HDFS default), FileSystem.get(conf) would probe/rename
+    // on the wrong store after the data was already rewritten.
     val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
     require(!fs.exists(old),
