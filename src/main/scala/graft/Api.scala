@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import graft.market._
 
 /** The user-facing API surface — one function per entry point of the
@@ -90,6 +90,28 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   /** `obadiah::trades` — inferred/matched trades. */
   def trades(): DataFrame =
     TradeMatching.trades(TradeMatching.inferredMatches(level3))
+
+  /** `get.available_exchanges` (`db/get_schema.sql:168-178`) — names
+    * of exchanges with data. */
+  def availableExchanges(): DataFrame =
+    Analytics.catalog(level3, spark)
+      .select(functions.col("exchange")).distinct()
+
+  /** `get.available_pairs` (`db/get_schema.sql:183-192`) — names of
+    * pairs with data on an exchange. */
+  def availablePairs(exchangeId: Int): DataFrame =
+    Analytics.catalog(level3, spark)
+      .filter(functions.col("exchange_id") === exchangeId)
+      .select(functions.col("pair")).distinct()
+
+  /** `get.available_period` (`db/get_schema.sql:197-209`) — (s, e)
+    * covered period of a pair on an exchange. */
+  def availablePeriod(exchangeId: Int, pairId: Int): DataFrame =
+    Analytics.catalog(level3, spark)
+      .filter(functions.col("exchange_id") === exchangeId &&
+        functions.col("pair_id") === pairId)
+      .select(functions.col("period_start").as("s"),
+        functions.col("period_end").as("e"))
 
   /** `obadiah::depth.summary` — bps-ladder depth at grid instants. */
   def depthSummary(instants: Seq[Long], bpsStep: Int = 25,

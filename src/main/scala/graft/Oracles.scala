@@ -197,6 +197,9 @@ object Oracles {
   val T0: Long = 1704844800000000L
   val T1: Long = 1705708800000000L
 
+  /** Grid step of the `p_frequency` events entry point (1 hour). */
+  val EventsFreqMicros: Long = 3600000000L
+
   /** Unpivoted validity intervals → per-(price,ts) net deltas → running
     * depth (the declarative twin of the replay kernel's L2 stream). */
   private def DepthRunCte: String =
@@ -298,10 +301,72 @@ object Oracles {
 
   def mktEvents: String = mktEventsWith(parity = false)
 
+  def mktEventsFreq: String =
+    mktEventsWith(parity = false, freqMicros = Some(EventsFreqMicros))
+
   /** `parity = true` mirrors the reference's buy-side aggressiveness
     * denominator (best_ask for both sides, `db/get_schema.sql:435-438`)
-    * rather than the side-correct best_bid. */
-  def mktEventsWith(parity: Boolean): String =
+    * rather than the side-correct best_bid. `freqMicros` mirrors the
+    * `p_frequency` entry point: the prevailing spread comes from the
+    * right-closed grid-resampled L1 stream instead of every tick. */
+  def mktEventsWith(parity: Boolean,
+      freqMicros: Option[Long] = None): String = {
+    // per-variant prevailing-spread source, resolved to a
+    // `spread_before(pair_id, ts, bb, ba)` CTE keyed by event ts
+    val spreadSrc = freqMicros match {
+      case None =>
+        // every-tick: carry-forward over the quote stream, shifted one
+        // tick ahead (strictly-before semantics)
+        """, quote_cf AS (
+          |  SELECT pair_id, ts,
+          |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
+          |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_cf,
+          |    LAST_VALUE(ask_price IGNORE NULLS) OVER (PARTITION BY pair_id
+          |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ask_cf
+          |  FROM quote
+          |), spread_before AS (
+          |  SELECT pair_id, LEAD(ts) OVER (PARTITION BY pair_id ORDER BY ts) AS ts,
+          |    bid_cf AS bb, ask_cf AS ba
+          |  FROM quote_cf
+          |)""".stripMargin
+      case Some(f) =>
+        // grid-resampled: last deduped tick per right-closed bucket
+        // (mirror of Resampling.spreadResampled), carry-forward over
+        // the grid, then per event ts the latest grid row strictly
+        // before it
+        DedupSpreadCte + s""", bucketed AS (
+          |  SELECT *,
+          |    ((ts + ${f - 1}) // $f) * $f AS bucket_ts,
+          |    ROW_NUMBER() OVER (PARTITION BY pair_id,
+          |      ((ts + ${f - 1}) // $f) * $f
+          |      ORDER BY ts DESC) AS rnb
+          |  FROM spread_ticks
+          |), rs AS (
+          |  SELECT pair_id, bucket_ts AS ts, bid_price AS bb0,
+          |    ask_price AS ba0
+          |  FROM bucketed WHERE rnb = 1
+          |), rs_cf AS (
+          |  SELECT pair_id, ts,
+          |    LAST_VALUE(bb0 IGNORE NULLS) OVER wg AS bb,
+          |    LAST_VALUE(ba0 IGNORE NULLS) OVER wg AS ba
+          |  FROM rs WINDOW wg AS (PARTITION BY pair_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), ev_ts AS (
+          |  SELECT DISTINCT pair_id, microtimestamp AS ts FROM active
+          |), spread_before AS (
+          |  SELECT pair_id, ts, bb, ba FROM (
+          |    SELECT e.pair_id, e.ts, r.bb, r.ba,
+          |      ROW_NUMBER() OVER (PARTITION BY e.pair_id, e.ts
+          |        ORDER BY r.ts DESC) AS rr
+          |    FROM ev_ts e JOIN rs_cf r
+          |      ON r.pair_id = e.pair_id AND r.ts < e.ts
+          |  ) WHERE rr = 1
+          |)""".stripMargin
+    }
+    // the freq variant's spread_before reads `active`, so active must
+    // precede it; the every-tick variant's reads only `quote`
+    val (beforeActive, afterActive) =
+      if (freqMicros.isEmpty) (spreadSrc, "") else ("", spreadSrc)
     Level3Cte + QuoteCte + InferredMatchCte +
     s""", conn AS (
       |  SELECT pair_id, b_ts AS microtimestamp, b_oid AS order_id,
@@ -314,24 +379,15 @@ object Oracles {
       |    md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
       |  FROM m
       |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
-      |), quote_cf AS (
-      |  SELECT pair_id, ts,
-      |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
-      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_cf,
-      |    LAST_VALUE(ask_price IGNORE NULLS) OVER (PARTITION BY pair_id
-      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ask_cf
-      |  FROM quote
-      |), spread_before AS (
-      |  SELECT pair_id, LEAD(ts) OVER (PARTITION BY pair_id ORDER BY ts) AS ts,
-      |    bid_cf AS bb, ask_cf AS ba
-      |  FROM quote_cf
-      |), active AS (
+      |)""".stripMargin + beforeActive +
+    s""", active AS (
       |  SELECT *, FALSE AS is_initial FROM level3
       |  WHERE microtimestamp > $T0 AND microtimestamp <= $T1
       |  UNION ALL
       |  SELECT *, TRUE FROM level3
       |  WHERE microtimestamp <= $T0 AND next_microtimestamp > $T0
-      |), base AS (
+      |)""".stripMargin + afterActive +
+    s""", base AS (
       |  SELECT a.*,
       |    CASE WHEN a.is_initial THEN NULL ELSE s.bb END AS best_bid_price,
       |    CASE WHEN a.is_initial THEN NULL ELSE s.ba END AS best_ask_price
@@ -400,6 +456,7 @@ object Oracles {
       |FROM flg2
       |LEFT JOIN conn USING (pair_id, microtimestamp, order_id, event_no)
       |ORDER BY ts_us, id, event_no""".stripMargin
+  }
 
   /** Mirror of TradeMatching.inferredMatches up to the mutual-best
     * matches (`m`) — shared by mktTrades and the Bitstamp-tier oracles. */
@@ -2225,6 +2282,26 @@ object Oracles {
       |  MIN(k) AS min_k, MAX(k) AS max_k,
       |  COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_null
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def mktCatalog: String = Level3Cte + ErasCte +
+    """, exch AS (
+      |  SELECT * FROM (VALUES (1, 'bitfinex'), (2, 'bitstamp'),
+      |    (3, 'coinbase'), (4, 'moex')) AS t(exchange_id, exchange)
+      |), prs AS (
+      |  SELECT * FROM (VALUES (1, 'BTCUSD'), (2, 'LTCUSD'), (3, 'ETHUSD'),
+      |    (4, 'XRPUSD'), (5, 'BCHUSD'), (6, 'BTCEUR'), (7, 'ETHBTC'),
+      |    (8, 'SBERRUB'), (9, 'VTBRRUB'), (10, 'LKOHRUB'),
+      |    (11, 'GAZPRUB')) AS t(pair_id, pair)
+      |)
+      |SELECT e.exchange, l.exchange_id, p.pair, l.pair_id,
+      |  COUNT(DISTINCT l.era_no) AS n_eras,
+      |  MIN(l.microtimestamp) AS period_start,
+      |  MAX(l.microtimestamp) AS period_end
+      |FROM l3e l
+      |LEFT JOIN exch e ON e.exchange_id = l.exchange_id
+      |LEFT JOIN prs p ON p.pair_id = l.pair_id
+      |GROUP BY e.exchange, l.exchange_id, p.pair, l.pair_id
+      |ORDER BY l.exchange_id, l.pair_id""".stripMargin
 
   def mktOverview: String = Level3Cte +
     """

@@ -67,6 +67,15 @@ object SparkEntry {
         referenceParity = true)
         .orderBy("ts_us", "id", "event_no")
     }),
+    // the p_frequency entry point: prevailing spread from the
+    // grid-resampled L1 stream, through the API facade
+    "mkt_events_freq" -> ((s, d) => {
+      val l3 = level3(s, d).localCheckpoint(false)
+      new GraftApi(s, l3)
+        .events(Oracles.T0, Oracles.T1,
+          frequencyMicros = Some(Oracles.EventsFreqMicros))
+        .orderBy("ts_us", "id", "event_no")
+    }),
     "mkt_trades" -> ((s, d) =>
       TradeMatching.trades(TradeMatching.inferredMatches(level3(s, d)))
         .select(col("ts"), col("price"), col("volume"), col("direction"),
@@ -250,6 +259,13 @@ object SparkEntry {
           col("first_event"), col("last_event"), col("n_events"),
           col("n_orders"), col("n_price_levels"))
         .orderBy("pair_id")),
+    "mkt_catalog" -> ((s, d) =>
+      Analytics.catalog(level3(s, d), s)
+        .select(col("exchange"),
+          col("exchange_id").cast("long").as("exchange_id"),
+          col("pair"), col("pair_id").cast("long").as("pair_id"),
+          col("n_eras"), col("period_start"), col("period_end"))
+        .orderBy("exchange_id", "pair_id")),
     "mkt_ob_ladders" -> ((s, d) =>
       Analytics.orderBookLadders(level3(s, d), Oracles.SnapshotMicros)
         .select(col("pair_id").cast("long").as("pair_id"), col("side"),
@@ -538,6 +554,7 @@ object SparkEntry {
     "mkt_depth_api" -> Oracles.mktDepthApi,
     "mkt_events" -> Oracles.mktEvents,
     "mkt_events_parity" -> Oracles.mktEventsWith(parity = true),
+    "mkt_events_freq" -> Oracles.mktEventsFreq,
     "mkt_trades" -> Oracles.mktTrades,
     "mkt_summary" -> Oracles.mktSummary,
     "mkt_intervals" -> Oracles.mktIntervals,
@@ -560,6 +577,7 @@ object SparkEntry {
     "mkt_dq_fix_eternals" -> Oracles.mktDqFixEternals,
     "mkt_dq_fix_premature" -> Oracles.mktDqFixPremature,
     "mkt_overview" -> Oracles.mktOverview,
+    "mkt_catalog" -> Oracles.mktCatalog,
     "mkt_ob_ladders" -> Oracles.mktObLadders,
     "mkt_book_diff" -> Oracles.mktBookDiff,
     "mkt_spread_at" -> Oracles.mktSpreadAt,

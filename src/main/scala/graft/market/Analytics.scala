@@ -84,6 +84,29 @@ object Analytics {
         countDistinct("order_id").as("n_orders"),
         countDistinct("price").as("n_price_levels"))
 
+  /** Catalog lookups (reference `get.available_exchanges` /
+    * `available_pairs` / `available_period`,
+    * `db/get_schema.sql:168-209`) combined: one row per
+    * (exchange, pair) present in the data, with the dimension names and
+    * the covered period (min era start, max era high-watermark — which
+    * equal the min/max event timestamps since eras tile the stream).
+    * The three reference functions are projections of this; the
+    * dimension joins are broadcast (the dims are seeded constants). */
+  def catalog(level3: DataFrame, spark: SparkSession): DataFrame =
+    Level3Source.level3WithEras(level3)
+      .groupBy("exchange_id", "pair_id")
+      .agg(
+        countDistinct("era_no").as("n_eras"),
+        min("microtimestamp").as("period_start"),
+        max("microtimestamp").as("period_end"))
+      .join(broadcast(Dimensions.exchangesDf(spark)),
+        Seq("exchange_id"), "left")
+      .join(broadcast(Dimensions.pairsDf(spark).select("pair_id", "pair")),
+        Seq("pair_id"), "left")
+      .select(col("exchange"), col("exchange_id"), col("pair"),
+        col("pair_id"), col("n_eras"), col("period_start"),
+        col("period_end"))
+
   /** Nested per-side book ladders at an instant — the shape of the R
     * client's `order_book()` result (`{timestamp, asks, bids}`,
     * `R/obanalytics.R:1004-1008`): one row per (pair, side) with the

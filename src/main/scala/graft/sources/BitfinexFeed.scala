@@ -122,7 +122,13 @@ object BitfinexFeed {
     transient
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(abs(col("qty")).as("amount"), col("price"),
+      .select(
+        // `round(abs(qty), fmu), round(price, price_precision)` —
+        // reference `db/bitfinex_schema.sql:487`
+        graft.market.Dimensions.roundAmount(col("pair_id"),
+          abs(col("qty"))).as("amount"),
+        graft.market.Dimensions.roundPrice(col("pair_id"), col("price"))
+          .as("price"),
         when(col("qty") < 0, "s").otherwise("b").as("side"),
         col("exchange_timestamp").as("microtimestamp"),
         col("local_timestamp"), col("pair_id"),
@@ -140,7 +146,16 @@ object BitfinexFeed {
   def level3FromRaw(raw: DataFrame): DataFrame = {
     val wOrd0 = Window.partitionBy("pair_id", "order_id")
       .orderBy("episode_timestamp", "local_timestamp")
+    // capture-time R0/fmu normalization (reference rounds price by the
+    // pair's price precision and amount by its fmu on ingest,
+    // `db/bitfinex_schema.sql:352`) — a real feed carries
+    // sub-precision float noise; everything downstream (price chains,
+    // fill arithmetic, dedupe) assumes normalized values
     val base = raw
+      .withColumn("price",
+        graft.market.Dimensions.roundPrice(col("pair_id"), col("price")))
+      .withColumn("amount",
+        graft.market.Dimensions.roundAmount(col("pair_id"), col("amount")))
       .withColumn("del_flag", when(col("price") === 0.0, 1).otherwise(0))
       .withColumn("incarnation",
         coalesce(sum("del_flag").over(

@@ -71,7 +71,14 @@ object BitstampFeed {
   def level3FromLiveOrders(orders: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("pair_id", "order_id")
       .orderBy("microtimestamp", "local_timestamp")
+    // capture-time R0/fmu normalization, as the Bitfinex path
+    // (`db/bitfinex_schema.sql:352`; pairs seed
+    // `db/obanalytics_pairs.sql:63-74`)
     val evt = orders
+      .withColumn("price",
+        graft.market.Dimensions.roundPrice(col("pair_id"), col("price")))
+      .withColumn("amount",
+        graft.market.Dimensions.roundAmount(col("pair_id"), col("amount")))
       .withColumn("del_flag",
         when(col("event") === "order_deleted", 1).otherwise(0))
       .withColumn("event_no", row_number().over(wOrd))

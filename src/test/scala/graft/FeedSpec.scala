@@ -140,4 +140,43 @@ class FeedSpec extends AnyFunSuite {
       col("is_deleted")).collect()
     assert(del.length == 1)
   }
+
+  test("wire R0/fmu rounding: sub-precision feed noise normalizes on ingest") {
+    // BTCUSD (pair 1): R0 = 2 (price to cents), fmu = 8 — reference
+    // rounding rule db/bitfinex_schema.sql:352,487, seed
+    // db/obanalytics_pairs.sql:63-74. Half-up at the boundary digit:
+    // -2.49999999949 carries up to 2.5 at 8 dp.
+    val noisy = Seq(
+      (1, 17082, 1000L,
+        s"""[17082, [[5001, 7989.004999, 1.000000004], [5002, 7990.2349999, -2.49999999949]], $t0]"""))
+      .toDF("pair_id", "channel_id", "local_timestamp", "message")
+    val l3 = BitfinexFeed.level3FromRaw(BitfinexFeed.rawBookEvents(noisy))
+      .orderBy("order_id").collect()
+    assert(l3(0).getAs[Double]("price") == 7989.0)
+    assert(l3(0).getAs[Double]("amount") == 1.0)
+    assert(l3(0).getAs[String]("side") == "b")
+    assert(l3(1).getAs[Double]("price") == 7990.23)
+    assert(l3(1).getAs[Double]("amount") == 2.5)
+    assert(l3(1).getAs[String]("side") == "s")
+
+    // trades channel rounds by the same rule
+    val tf = Seq(
+      (1, 18000, 1000L,
+        s"""[18000, [[411, $t0, 0.123456789012, 7990.129999]], $t0]"""))
+      .toDF("pair_id", "channel_id", "local_timestamp", "message")
+    val tr = BitfinexFeed.captureTrades(BitfinexFeed.parseTradeFrames(tf))
+      .collect()
+    assert(tr(0).getAs[Double]("amount") == 0.12345679)
+    assert(tr(0).getAs[Double]("price") == 7990.13)
+
+    // unseeded pair: no precision metadata -> values pass through
+    val foreign = Seq(
+      (99, 17082, 1000L,
+        s"""[17082, [[5003, 123.456789, 1.000000004]], $t0]"""))
+      .toDF("pair_id", "channel_id", "local_timestamp", "message")
+    val fl3 = BitfinexFeed.level3FromRaw(BitfinexFeed.rawBookEvents(foreign))
+      .collect()
+    assert(fl3(0).getAs[Double]("price") == 123.456789)
+    assert(fl3(0).getAs[Double]("amount") == 1.000000004)
+  }
 }
