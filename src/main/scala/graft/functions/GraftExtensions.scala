@@ -42,5 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the AsOfJoin logical operator lowers to the slice-parallel
     // carry plan (never a one-task-per-key window)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinExpansion)
+    // SQL surface for the operator: SELECT * FROM asof_join('l', 'r',
+    // 'k1,k2', 'left_ts', 'right_ts', 'c1,c2') — the table function
+    // parses to an UnresolvedAsOfJoin marker, which the injected
+    // resolution rule lowers to the typed AsOfJoin once the two
+    // relations resolve
+    e.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[graft.plans.AsOfJoin].getName, "asof_join"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.AsOfJoinOps.sqlTableFunction(exprs)))
+    e.injectResolutionRule(_ => graft.plans.AsOfJoinResolution)
   }
 }

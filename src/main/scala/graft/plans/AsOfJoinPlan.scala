@@ -124,14 +124,48 @@ object AsOfJoinExpansion extends Rule[LogicalPlan] {
   }
 }
 
+/** SQL-surface marker: `SELECT * FROM asof_join(l, r, keys, lts, rts,
+  * carry)` parses to this node over two [[org.apache.spark.sql.catalyst
+  * .analysis.UnresolvedRelation]]s; [[AsOfJoinResolution]] replaces it
+  * with the typed [[AsOfJoin]] in the analyzer's resolution fixed point
+  * (the carried output attributes need the right side's schema, so the
+  * typed node cannot be built at parse time). */
+case class UnresolvedAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keys: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    carry: Seq[String]) extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Analyzer rule (injected via `GraftExtensions.injectResolutionRule`):
+  * lowers the SQL marker to the typed operator once both relations are
+  * resolved, with the same name validation as the DataFrame surface. */
+object AsOfJoinResolution extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedAsOfJoin if u.childrenResolved =>
+        AsOfJoinOps.validateNames(
+          u.left.output.map(_.name).toSet,
+          u.right.output.map(_.name).toSet,
+          u.keys, u.leftTs, u.rightTs, u.carry)
+        AsOfJoin(u.left, u.right, u.keys, u.leftTs, u.rightTs, u.carry)
+    }
+}
+
 /** Public construction surface for the operator. */
 object AsOfJoinOps {
-  /** left ⟕asof right: latest `carry` values with
-    * `right.rightTs ≤ left.leftTs` per `keys` (ties inclusive). */
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
-    val lCols = left.columns.toSet
-    val rCols = right.columns.toSet
+
+  /** Shared name validation for the DataFrame and SQL surfaces. */
+  private[plans] def validateNames(lCols: Set[String], rCols: Set[String],
+      keys: Seq[String], leftTs: String, rightTs: String,
+      carry: Seq[String]): Unit = {
     (keys :+ leftTs).foreach(c => require(lCols(c),
       s"left side is missing column $c (has: ${lCols.mkString(", ")})"))
     (keys ++ carry :+ rightTs).foreach(c => require(rCols(c),
@@ -141,13 +175,48 @@ object AsOfJoinOps {
     // "ts" and "kind" are reserved by the lowered union shape
     // (AsOfJoinExpansion synthesizes them); a key or carry column with
     // either name would produce an ambiguous-reference failure deep in
-    // the expansion, far from this call — reject it here instead.
+    // the expansion, far from the user's call — reject it here.
     // (The ts columns themselves may be named "ts": left columns travel
     // under a __l_ prefix.)
     (keys ++ carry).foreach(c => require(c != "ts" && c != "kind",
       s"""column name "$c" is reserved by the as-of lowering; rename it
          | before joining (keys/carry may not be named "ts" or "kind")"""
         .stripMargin.replaceAll("\n", "")))
+  }
+
+  /** Builder behind the `asof_join` SQL table function:
+    * `asof_join('left_table', 'right_table', 'k1,k2', 'left_ts',
+    * 'right_ts', 'c1,c2')`. All six arguments are string literals;
+    * key/carry lists are comma-separated. */
+  def sqlTableFunction(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    require(exprs.length == 6,
+      "asof_join takes 6 string arguments: " +
+        "(left_table, right_table, keys_csv, left_ts, right_ts, carry_csv)")
+    def str(i: Int): String = {
+      val e = exprs(i)
+      require(e.foldable &&
+        e.dataType == org.apache.spark.sql.types.StringType,
+        s"asof_join argument ${i + 1} must be a string literal")
+      val v = e.eval(null)
+      require(v != null, s"asof_join argument ${i + 1} must not be null")
+      v.toString
+    }
+    def csv(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def rel(name: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+        name.split('.').toSeq)
+    UnresolvedAsOfJoin(rel(str(0)), rel(str(1)),
+      csv(str(2)), str(3), str(4), csv(str(5)))
+  }
+  /** left ⟕asof right: latest `carry` values with
+    * `right.rightTs ≤ left.leftTs` per `keys` (ties inclusive). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    validateNames(left.columns.toSet, right.columns.toSet,
+      keys, leftTs, rightTs, carry)
     val spark = SparkSession.active
     // Self-register the lowering rule for sessions built without
     // GraftExtensions. NOTE: this mutates session-global

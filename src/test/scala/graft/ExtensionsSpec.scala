@@ -163,4 +163,50 @@ class ExtensionsSpec extends AnyFunSuite {
     // but a broken identifier/builder would throw at apply time
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("asof_join is drivable from SQL text through GraftExtensions") {
+    // a fresh session on the shared context, built WITH the extensions
+    // (the suite-shared session predates them); restored in finally so
+    // later suites see the original session
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+        .toDF("pair_id", "ets", "tag")
+      val r = Seq((1L, 5L, 1.0), (1L, 20L, 2.0), (2L, 30L, 9.0))
+        .toDF("pair_id", "qts", "quote")
+      l.createOrReplaceTempView("l_t")
+      r.createOrReplaceTempView("r_t")
+      val out = s2.sql("SELECT * FROM asof_join('l_t', 'r_t', 'pair_id', " +
+          "'ets', 'qts', 'quote')")
+        .orderBy("pair_id", "ets").collect()
+      // (1,10) <- qts 5; (1,20) <- qts 20 (ties inclusive); (2,15) <- none
+      assert(out.map(row => Option(row.getAs[Any]("quote_asof"))).toSeq ==
+        Seq(Some(1.0), Some(2.0), None))
+      // SQL result == DataFrame-surface result, same lowered operator
+      val viaApi = graft.plans.AsOfJoinOps.asofJoin(l, r,
+          keys = Seq("pair_id"), leftTs = "ets", rightTs = "qts",
+          carry = Seq("quote"))
+        .orderBy("pair_id", "ets").collect()
+      assert(out.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
+      // name validation reaches the SQL surface too
+      intercept[Exception] {
+        s2.sql("SELECT * FROM asof_join('l_t', 'r_t', 'nope', " +
+          "'ets', 'qts', 'quote')").collect()
+      }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
