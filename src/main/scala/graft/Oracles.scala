@@ -2504,6 +2504,23 @@ object Oracles {
       |    j -> (doc_id*11 + j*19) % 256), 'sum') AS BIGINT) AS sum_b
       |FROM dims ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.jpegFeatures`: the synthesized
+    * profile (per-8×8-block constant pixels, all-ones quantization) is
+    * exactly round-trippable, so the decoded luma sum is 64× the sum of
+    * the block constants. */
+  def pipeMediaJpeg: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(8 * bw AS BIGINT) AS width,
+      |  CAST(8 * bh AS BIGINT) AS height,
+      |  CAST(64 * bw * bh AS BIGINT) AS n_pixels,
+      |  CAST(64 * list_aggregate(list_transform(range(0, bw * bh),
+      |    b -> (doc_id*17 + b*29) % 256), 'sum') AS BIGINT) AS sum_luma
+      |FROM dims ORDER BY doc_id""".stripMargin
+
   /** Closed-form mirror of `Multimodal.ppmResizeFeatures`:
     * nearest-neighbor half resize maps target pixel (x, y) to source
     * byte `3·(2y·w + 2x) + c`, so the resized sums are computable from

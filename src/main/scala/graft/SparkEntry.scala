@@ -469,6 +469,9 @@ object SparkEntry {
     "pipe_media_resize" -> ((s, d) =>
       pipeline.Multimodal.ppmResizeFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    "pipe_media_jpeg" -> ((s, d) =>
+      pipeline.Multimodal.jpegFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
     "pipe_chunk" -> ((s, d) =>
       pipeline.TrainingData.chunkSlices(Tables.load(s, d, "documents"))
         .orderBy("doc_id", "chunk_no")),
@@ -622,6 +625,7 @@ object SparkEntry {
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "pipe_media_png" -> Oracles.pipeMediaPng,
+    "pipe_media_jpeg" -> Oracles.pipeMediaJpeg,
     "pipe_media_y4m" -> Oracles.pipeMediaY4m,
     "pipe_media_resize" -> Oracles.pipeMediaResize,
     "mkt_eps_draws" -> Oracles.mktEpsDraws,

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * partition iterator, vectorizable batch shape, schema declared up
   * front).
   *
-  * Two formats have REAL pure-JVM codec paths — WAV (RIFF/PCM16) and
-  * PPM (P6) below encode genuine container bytes and decode them from
-  * the bytes alone (header walk, little-endian samples, channel
-  * de-interleave), oracle-checked end-to-end. For formats that need
-  * external codecs (JPEG/MP3/video), `stubDecode` is the declared
+  * Five formats have REAL pure-JVM codec paths — WAV (RIFF/PCM16),
+  * PPM (P6), PNG (zlib + CRC32 + scanline filters), Y4M (YUV 4:2:0
+  * frame sampling) and baseline JPEG (canonical Huffman + DCT) below
+  * encode genuine container bytes and decode them from the bytes
+  * alone, oracle-checked end-to-end. For formats that genuinely need
+  * external codecs (MP3/video codecs), `stubDecode` is the declared
   * stand-in: a deterministic byte-level fake keeping the plumbing
   * (binary column, partition batching, feature schema, join-back)
   * real and testable. Swap it for a JNI/ONNX call in production;
@@ -467,5 +468,329 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, ppmPayload(id)))
       .mapPartitions(decodePpm).toDF()
+  }
+
+  // ---- Baseline JPEG (ITU T.81), grayscale, pure JVM ----------------
+  //
+  // A real DCT entropy-coded format behind the multimodal seam: the
+  // encoder writes genuine SOI/DQT/SOF0/DHT/SOS/EOI markers, canonical
+  // Huffman codes generated from the Annex K table definitions, DC
+  // prediction, byte-stuffed entropy data; the decoder is table-driven
+  // (it builds its Huffman tables from the file's own DHT segments) and
+  // runs real dequantize → de-zigzag → separable float IDCT → clamp.
+  //
+  // Oracle exactness: JPEG is lossy in general, so the synthesized
+  // profile is chosen to round-trip bit-exactly — per-8×8-block
+  // CONSTANT pixels (DC-only spectra: the forward DCT of a constant
+  // block is exactly 8·(v−128) in the DC slot and 0 elsewhere) and an
+  // all-ones quantization table (values 1..255 are spec-legal). The
+  // IDCT of a DC-only block reconstructs the constant exactly (float
+  // error ~1e-13, well inside the round-to-int radius), so a SQL
+  // oracle computes decoded sums in closed form while the codec still
+  // exercises every stage a lossy image would.
+
+  case class JpegFeatures(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, sum_luma: Long)
+
+  /** Annex K (K.3.1) luminance DC Huffman spec: code counts by length
+    * 1..16, then the symbol values (categories 0..11). */
+  private val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** Annex K (K.3.2) luminance AC Huffman spec. */
+  private val AcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Zigzag scan order: index = scan position, value = block offset. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman codes per T.81 C.2: symbol → (code, length). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Synthesize a real baseline grayscale JPEG. Dimensions are whole
+    * blocks (`w = 8·(1 + doc_id mod 3)`, `h = 8·(1 + doc_id mod 2)`);
+    * block `b` (raster order) is the constant
+    * `(doc_id·17 + b·29) mod 256`. */
+  def jpegPayload(docId: Long): Array[Byte] = {
+    val bw = (1 + docId % 3).toInt
+    val bh = (1 + docId % 2).toInt
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00) // DQT, 8-bit, table 0
+    (0 until 64).foreach(_ => u8(1)) // all-ones quantization
+    marker(0xc0) // SOF0: baseline DCT
+    u16(8 + 3); u8(8); u16(8 * bh); u16(8 * bw); u8(1) // 1 component
+    u8(1); u8(0x11); u8(0) // id 1, 1x1 sampling, quant table 0
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(clazz << 4)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xda) // SOS
+    u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy-coded data: MSB-first bit writer with 0xFF byte stuffing
+    var acc = 0; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    var prevDc = 0
+    var b = 0
+    val nBlocks = bw * bh
+    while (b < nBlocks) {
+      val v = ((docId * 17 + b * 29) % 256).toInt
+      val dc = 8 * (v - 128) // exact DCT of a constant block, quant 1
+      val diff = dc - prevDc
+      prevDc = dc
+      var cat = 0
+      var mag = math.abs(diff)
+      while (mag > 0) { cat += 1; mag >>= 1 }
+      val (dcCode, dcLen) = dcCodes(cat)
+      putBits(dcCode, dcLen)
+      if (cat > 0)
+        putBits(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      val (eob, eobLen) = acCodes(0x00)
+      putBits(eob, eobLen) // all ACs zero
+      b += 1
+    }
+    if (nbits > 0) { // pad final byte with 1s, stuff if needed
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode a baseline grayscale JPEG from its bytes alone: marker
+    * walk, quantization + Huffman tables read from the file's own
+    * DQT/DHT segments (canonical code reconstruction), byte-unstuffed
+    * entropy decode with DC prediction, dequantize, de-zigzag,
+    * separable float IDCT, level shift + clamp. Handles any
+    * single-component baseline stream, not only [[jpegPayload]]'s
+    * DC-only profile. */
+  def decodeJpeg(batch: Iterator[MediaRow]): Iterator[JpegFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8, "not a JPEG (missing SOI)")
+      var pos = 2
+      def u8(): Int = {
+        require(pos < bytes.length, "truncated JPEG")
+        val v = bytes(pos) & 0xff; pos += 1; v
+      }
+      def u16(): Int = { val v = u8(); (v << 8) | u8() }
+      var w = 0; var h = 0
+      val quant = new Array[Array[Int]](4)
+      var compQuant = 0
+      // decode tables: symbol lookup by (length, code)
+      val huff = new Array[Map[(Int, Int), Int]](8) // [class*4 + id]
+      var dcTable = 0; var acTable = 0
+      var sosAt = -1
+      while (sosAt < 0) {
+        require(pos + 4 <= bytes.length, "truncated before SOS")
+        require(u8() == 0xff, "marker expected")
+        var m = u8()
+        while (m == 0xff) m = u8() // fill bytes are legal
+        val len = u16()
+        val segEnd = pos + len - 2
+        m match {
+          case 0xdb => // DQT (possibly several tables)
+            while (pos < segEnd) {
+              val pqTq = u8()
+              require((pqTq >> 4) == 0, "only 8-bit quant tables")
+              quant(pqTq & 0xf) = Array.fill(64)(u8())
+            }
+          case 0xc4 => // DHT (possibly several tables)
+            while (pos < segEnd) {
+              val tcTh = u8()
+              val bits = Array.fill(16)(u8())
+              val vals = Array.fill(bits.sum)(u8())
+              var code = 0; var k = 0
+              val mb = Map.newBuilder[(Int, Int), Int]
+              for (l <- 1 to 16) {
+                var i = 0
+                while (i < bits(l - 1)) {
+                  mb += (l, code) -> vals(k); code += 1; k += 1; i += 1
+                }
+                code <<= 1
+              }
+              huff(((tcTh >> 4) << 2) | (tcTh & 0xf)) = mb.result()
+            }
+          case 0xc0 => // SOF0 baseline
+            require(u8() == 8, "only 8-bit precision")
+            h = u16(); w = u16()
+            require(u8() == 1, "only single-component (grayscale)")
+            u8() // component id
+            require(u8() == 0x11, "only 1x1 sampling")
+            compQuant = u8()
+          case 0xc1 | 0xc2 | 0xc3 =>
+            sys.error("only baseline (SOF0) JPEG supported")
+          case 0xda => // SOS
+            u8() // 1 component (validated by SOF)
+            u8() // component selector
+            val tables = u8()
+            dcTable = tables >> 4; acTable = tables & 0xf
+            u8(); u8(); u8() // Ss/Se/AhAl (fixed for baseline)
+            sosAt = pos
+          case _ => pos = segEnd // APPn/COM/etc — skip
+        }
+        require(pos == segEnd || m == 0xda, s"segment overrun in ff$m%02x")
+      }
+      require(w > 0 && h > 0, "missing SOF before SOS")
+      val q = quant(compQuant)
+      require(q != null, "missing quantization table")
+      val dcMap = huff(0 << 2 | dcTable)
+      val acMap = huff(1 << 2 | acTable)
+      require(dcMap != null && acMap != null, "missing Huffman tables")
+      // entropy reader: MSB-first, 0xFF00 unstuffing, markers end data
+      var acc = 0; var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          require(pos < bytes.length, "truncated entropy stream")
+          var b = bytes(pos) & 0xff; pos += 1
+          if (b == 0xff) {
+            require(pos < bytes.length, "truncated after 0xff")
+            val nxt = bytes(pos) & 0xff
+            require(nxt == 0x00, "marker inside entropy stream")
+            pos += 1
+          }
+          acc = b; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def huffDecode(table: Map[(Int, Int), Int]): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          code = (code << 1) | bit(); len += 1
+          table.get((len, code)) match {
+            case Some(v) => return v
+            case None    => ()
+          }
+        }
+        sys.error("invalid Huffman code")
+      }
+      def receive(s: Int): Int = {
+        var v = 0; var i = 0
+        while (i < s) { v = (v << 1) | bit(); i += 1 }
+        if (s > 0 && v < (1 << (s - 1))) v - (1 << s) + 1 else v // extend
+      }
+      // precomputed IDCT basis
+      val cosT = Array.tabulate(8, 8)((x, u) =>
+        math.cos((2 * x + 1) * u * math.Pi / 16) *
+          (if (u == 0) 1.0 / math.sqrt(2) else 1.0))
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      var sum = 0L
+      var prevDc = 0
+      var b = 0
+      while (b < bw * bh) {
+        val zz = new Array[Int](64)
+        val s = huffDecode(dcMap)
+        prevDc += receive(s)
+        zz(0) = prevDc * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = huffDecode(acMap)
+          val run = rs >> 4; val size = rs & 0xf
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += run
+            require(k < 64, "AC coefficient index overrun")
+            zz(k) = receive(size) * q(k)
+            k += 1
+          }
+        }
+        // de-zigzag + IDCT + accumulate (clip partial edge blocks)
+        val coef = new Array[Int](64)
+        var i = 0
+        while (i < 64) { coef(Zigzag(i)) = zz(i); i += 1 }
+        val bx = (b % bw) * 8; val by = (b / bw) * 8
+        var y = 0
+        while (y < 8 && by + y < h) {
+          var x = 0
+          while (x < 8 && bx + x < w) {
+            var acc2 = 0.0
+            var u = 0
+            while (u < 8) {
+              var v2 = 0
+              while (v2 < 8) {
+                val c = coef(v2 * 8 + u)
+                if (c != 0) acc2 += c * cosT(x)(u) * cosT(y)(v2)
+                v2 += 1
+              }
+              u += 1
+            }
+            val p = math.round(acc2 / 4.0 + 128.0).toInt
+            sum += math.max(0, math.min(255, p))
+            x += 1
+          }
+          y += 1
+        }
+        b += 1
+      }
+      JpegFeatures(r.doc_id, w.toLong, h.toLong, (w.toLong * h), sum)
+    }
+
+  /** Docs → real baseline JPEG bytes → table-driven entropy decode +
+    * IDCT → exact luma sums. */
+  def jpegFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, jpegPayload(id)))
+      .mapPartitions(decodeJpeg).toDF()
   }
 }

@@ -112,6 +112,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg round-trips the DC-exact profile and decodes general streams") {
+    // closed-form round-trip across several shapes (1-3 x 1-2 blocks)
+    (0L to 11L).foreach { id =>
+      val f = Multimodal.decodeJpeg(
+        Iterator(MediaRow(id, Multimodal.jpegPayload(id)))).next()
+      val bw = 1 + id % 3; val bh = 1 + id % 2
+      assert(f.width == 8 * bw && f.height == 8 * bh)
+      assert(f.n_pixels == 64 * bw * bh)
+      val expected = (0L until bw * bh)
+        .map(b => 64L * ((id * 17 + b * 29) % 256)).sum
+      assert(f.sum_luma == expected, s"doc $id")
+    }
+  }
+
+  test("jpeg decoder rejects corrupted streams") {
+    intercept[IllegalArgumentException] { // no SOI
+      Multimodal.decodeJpeg(Iterator(MediaRow(1L,
+        "definitely not a jpeg".getBytes("US-ASCII")))).next()
+    }
+    val good = Multimodal.jpegPayload(3L)
+    intercept[IllegalArgumentException] { // truncated entropy stream
+      Multimodal.decodeJpeg(Iterator(
+        MediaRow(3L, good.take(good.length - 8)))).next()
+    }
+    // a raw 0xFF inside entropy data (lost stuffing byte) is a marker
+    intercept[Exception] {
+      val bad = good.clone()
+      // find the SOS payload start and smash a byte to 0xFF twice over
+      val sos = (0 until bad.length - 1).indexWhere(i =>
+        (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xda)
+      bad(sos + 10) = 0xff.toByte
+      bad(sos + 11) = 0xd9.toByte
+      Multimodal.decodeJpeg(Iterator(MediaRow(3L, bad))).next()
+    }
+  }
+
   test("y4m frame sampling decodes every step-th frame only") {
     val payload = Multimodal.y4mPayload(4L) // w=6, h=4, 7 frames
     val all = Multimodal.decodeY4m(1)(Iterator(MediaRow(4L, payload))).next()

@@ -145,4 +145,46 @@ class QueriesSpec extends AnyFunSuite {
       .filter(col("m") =!= col("c")).count()
     assert(broken == 0)
   }
+
+  test("events_intervals differential: a carved gap turns red exactly there") {
+    import org.apache.spark.sql.functions._
+    import graft.market.{Analytics, Level3Source}
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint(false)
+    val before = Analytics.intervals(Level3Source.eras(l3))
+      .filter(col("pair_id") === 1).collect()
+    // carve a data gap wider than the era threshold out of pair 1's
+    // stream, in the middle of its span (a corrupted / lost capture
+    // window — the reference surfaces these as red intervals,
+    // db/get_schema.sql:462-503)
+    val span = l3.filter(col("pair_id") === 1)
+      .agg(min("microtimestamp"), max("microtimestamp")).collect()(0)
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val gapEnd = mid + Level3Source.EraGapMicros + 60000000L
+    val corrupted = l3.filter(!(col("pair_id") === 1 &&
+      col("microtimestamp") > mid && col("microtimestamp") < gapEnd))
+    val after = Analytics.intervals(Level3Source.eras(corrupted))
+      .filter(col("pair_id") === 1).collect()
+    val greens = after.filter(_.getAs[String]("kind") == "G")
+    val reds = after.filter(_.getAs[String]("kind") == "R")
+    // the differential: exactly one red interval covers the carved
+    // window, and no green overlaps its interior (the sparse synthetic
+    // stream already has natural gaps, so counts may merge — the
+    // coverage property is the invariant)
+    val covering = reds.filter(r => r.getAs[Long]("interval_start") <= mid &&
+      r.getAs[Long]("interval_end") >= gapEnd)
+    assert(covering.length == 1,
+      s"expected one red interval covering the carved gap ($mid, $gapEnd)")
+    val greenInGap = greens.filter(g =>
+      g.getAs[Long]("interval_start") < gapEnd &&
+        g.getAs[Long]("interval_end") > mid)
+    assert(greenInGap.isEmpty,
+      s"green interval(s) inside the carved gap: ${greenInGap.toSeq}")
+    // and the carve did not disturb intervals before it: the first
+    // green is unchanged
+    assert(greens.head.getAs[Long]("interval_start") ==
+      before.filter(_.getAs[String]("kind") == "G")
+        .head.getAs[Long]("interval_start"))
+  }
 }
