@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bound the in-memory status stores: 200+ retained executions of
+      // plan metadata are pure driver-heap ballast in a benchmark JVM
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup on the smoke SF so the first measured query
@@ -34,15 +40,20 @@ object Bench {
       // produced phantom per-query regressions in recorded benches —
       // the min of two is a far more stable plan-cost estimate
       def once(): Double = {
+        // ~200 query executions in one JVM accumulate dead state that
+        // poisons the tail of the run (generated-class code cache,
+        // weak-ref-cleaned shuffle/broadcast state, checkpoint
+        // blocks): unpersist SYNCHRONOUSLY and force a GC before each
+        // timed run so the ContextCleaner and class unloading actually
+        // reclaim it. Measured: without this, late-alphabet queries
+        // recorded up to 16x their standalone time; with it they match
+        // standalone probes. The GC is outside the timed section.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries pin localCheckpoint blocks; drop them so 2x98 runs in
-        // one JVM don't accumulate storage-memory pressure that
-        // distorts later measurements
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        dt
+        (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
     }

@@ -684,7 +684,8 @@ object Multimodal {
             sosAt = pos
           case _ => pos = segEnd // APPn/COM/etc — skip
         }
-        require(pos == segEnd || m == 0xda, s"segment overrun in ff$m%02x")
+        require(pos == segEnd || m == 0xda,
+          f"segment overrun in marker ff$m%02x")
       }
       require(w > 0 && h > 0, "missing SOF before SOS")
       val q = quant(compQuant)

@@ -129,8 +129,15 @@ object TextPipeline {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // seed each node with its closed-neighborhood minimum — exactly
+    // what the first loop round would compute from identity labels, so
+    // the fixpoint is unchanged but one full round (and its action) is
+    // saved; every node appears as src because edges are symmetric
+    var labels = edges.groupBy(col("src"))
+      .agg(min("dst").as("nmin"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nmin")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val viaEdge = edges
