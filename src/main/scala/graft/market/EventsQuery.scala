@@ -132,20 +132,27 @@ object EventsQuery {
     // fill whose trade predates the window connects to nothing.
     val m = matches.getOrElse(TradeMatching.inferredMatches(level3))
       .filter(col("microtimestamp") > t0 && col("microtimestamp") <= t1)
-    def connSide(oTs: String, oOid: String, oEno: String,
-        mTs: String, mOid: String, mEno: String) = m.select(
-      col("pair_id").cast("long").as("pair_id"),
+    // both connection rows of a trade come from ONE pass over m (an
+    // exploded 2-struct array, not a union of two selects — a union
+    // would evaluate the band join + mutual-best windows behind
+    // inferredMatches once per branch, and a checkpoint barrier to
+    // dedupe them measures slower than the explode)
+    def side(oTs: String, oOid: String, oEno: String,
+        mTs: String, mOid: String, mEno: String) = struct(
       col(oTs).as("microtimestamp"),
       col(oOid).as("order_id"),
       col(oEno).as("event_no"),
       eventUuid(col(mTs), col(mOid), col(mEno), col("pair_id"),
         col("exchange_id")).as("matching_event"))
-    val connections = connSide("buy_microtimestamp", "buy_order_id",
-        "buy_event_no", "sell_microtimestamp", "sell_order_id",
-        "sell_event_no")
-      .unionByName(connSide("sell_microtimestamp", "sell_order_id",
-        "sell_event_no", "buy_microtimestamp", "buy_order_id",
-        "buy_event_no"))
+    val connections = m.select(col("pair_id").cast("long").as("pair_id"),
+        explode(array(
+          side("buy_microtimestamp", "buy_order_id", "buy_event_no",
+            "sell_microtimestamp", "sell_order_id", "sell_event_no"),
+          side("sell_microtimestamp", "sell_order_id", "sell_event_no",
+            "buy_microtimestamp", "buy_order_id", "buy_event_no")))
+          .as("c"))
+      .select(col("pair_id"), col("c.microtimestamp"), col("c.order_id"),
+        col("c.event_no"), col("c.matching_event"))
     val connected = flagged.join(connections,
       Seq("pair_id", "microtimestamp", "order_id", "event_no"), "left")
 
