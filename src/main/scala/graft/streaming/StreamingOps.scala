@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -203,6 +205,113 @@ object StreamingOps {
       .groupByKey(_.pairId)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+
+  /** One order event entering the streaming classifier (the
+    * `get.events` input shape + the fill amount). */
+  case class OrderEvt(pairId: Int, ts: Long, orderId: Long, eventNo: Int,
+      side: String, price: Double, amount: Double, fill: Double,
+      isDeleted: Boolean)
+
+  /** Per-live-order flag accumulators (the `bool_or ... over (partition
+    * by order_id)` windows of the batch query, folded incrementally). */
+  case class OrderFlags(orderId: Long, everResting: Boolean,
+      everAggressor: Boolean, everFilled: Boolean, priceChanged: Boolean,
+      firstPrice: Double)
+
+  /** Classifier state: the live book (for the prevailing quote) plus
+    * flags for live orders — O(live orders), same bound as the book
+    * state itself. */
+  case class ClassifyState(orders: List[(Long, String, Double, Double)],
+      flags: List[OrderFlags])
+
+  /** A completed order's classification. */
+  case class OrderTypeRow(pair_id: Int, order_id: Long, deleted_ts: Long,
+      order_type: String)
+
+  /** Streaming twin of the batch `EventsQuery.events` order-type state
+    * machine (reference `db/get_schema.sql:423-434`): each micro-batch
+    * is applied to the persistent book per pair; every event's
+    * aggressor flag is judged against the quote PREVAILING BEFORE ITS
+    * EPISODE (all events of one microtimestamp see the same pre-episode
+    * best bid/ask, as the batch as-of does), flags accumulate per
+    * order, and an order emits its final type the moment its deletion
+    * event arrives — orders still resting emit nothing (their type can
+    * still change). Caveat shared with [[l1Stream]]: an episode split
+    * across micro-batches would see a mid-episode quote; the watermark
+    * plus within-batch sort make that a bounded-disorder concern, not a
+    * steady-state one. */
+  def orderTypeStream(events: Dataset[OrderEvt], spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+
+    def classify(f: OrderFlags): String =
+      if (f.priceChanged) "pacman"
+      else if (f.everResting && !f.everAggressor && !f.everFilled)
+        "flashed-limit" // resting, never hit, deleted unfilled
+      else if (f.everResting && !f.everAggressor) "resting-limit"
+      else if (!f.everResting && f.everAggressor && f.everFilled) "market"
+      else if (!f.everResting && f.everAggressor) "flashed-limit"
+      else if (f.everResting && f.everAggressor) "market-limit"
+      else "unknown"
+
+    def update(pairId: Int, batch: Iterator[OrderEvt],
+        state: GroupState[ClassifyState]): Iterator[OrderTypeRow] = {
+      val st = state.getOption.getOrElse(ClassifyState(Nil, Nil))
+      val book = new OrderBook
+      st.orders.foreach { case (oid, side, price, amount) =>
+        book.apply(BookEvent(pairId, 0L, oid, side, price, amount,
+          isDeleted = false))
+      }
+      val flags = mutable.LongMap.empty[OrderFlags]
+      st.flags.foreach(f => flags.update(f.orderId, f))
+      val out = mutable.ListBuffer.empty[OrderTypeRow]
+      val evs = batch.toSeq.sortBy(e => (e.ts, e.orderId, e.eventNo))
+      var i = 0
+      while (i < evs.length) {
+        val t = evs(i).ts
+        // quote prevailing before this episode
+        val bb = book.bestBid.map(_._1)
+        val ba = book.bestAsk.map(_._1)
+        while (i < evs.length && evs(i).ts == t) {
+          val e = evs(i)
+          val isAggr =
+            if (e.side == "s") bb.exists(e.price <= _)
+            else ba.exists(e.price >= _)
+          val prev = flags.getOrElse(e.orderId,
+            OrderFlags(e.orderId, everResting = false,
+              everAggressor = false, everFilled = false,
+              priceChanged = false, firstPrice = e.price))
+          val cur = prev.copy(
+            everResting = prev.everResting || !isAggr,
+            everAggressor = prev.everAggressor || isAggr,
+            everFilled = prev.everFilled || e.fill > 0.0,
+            priceChanged = prev.priceChanged || e.price != prev.firstPrice)
+          if (e.isDeleted) {
+            out += OrderTypeRow(pairId, e.orderId, e.ts, classify(cur))
+            flags.remove(e.orderId)
+          } else flags.update(e.orderId, cur)
+          book.apply(BookEvent(pairId, e.ts, e.orderId, e.side, e.price,
+            e.amount, e.isDeleted))
+          i += 1
+        }
+      }
+      val live = mutable.ListBuffer.empty[(Long, String, Double, Double)]
+      book.liveOrders.foreach { case (oid, (isBid, price, amount)) =>
+        live += ((oid, if (isBid) "b" else "s", price, amount))
+      }
+      state.update(ClassifyState(live.toList, flags.values.toList))
+      out.iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "2 minutes")
+      .as[OrderEvt]
+      .groupByKey(_.pairId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
       .toDF()
   }
 

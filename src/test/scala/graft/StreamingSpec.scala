@@ -157,4 +157,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming order classification equals batch get.events types") {
+    import spark.implicits._
+    import graft.market.EventsQuery
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint(false)
+    val events = l3.select(
+      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("event_no").as("eventNo"),
+      col("side"), col("price"), col("amount"),
+      coalesce(col("fill"), lit(0.0)).as("fill"),
+      col("is_deleted").as("isDeleted"))
+
+    val stage = java.nio.file.Files.createTempDirectory("graft-ots")
+      .toString
+    events.write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(events.schema).parquet(stage)
+      .as[StreamingOps.OrderEvt]
+    val q = StreamingOps.orderTypeStream(streamIn, spark)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ots_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ots_out")
+      .select("pair_id", "order_id", "order_type")
+      .orderBy("pair_id", "order_id")
+      .collect().map(_.toSeq).toList
+
+    // batch reference: the full-span events query; deleted orders carry
+    // their final order-level type on every row — one distinct row each
+    val span = l3.agg(min("microtimestamp"), max("microtimestamp"))
+      .collect()(0)
+    val batch = EventsQuery.events(l3, MarketOps.spread(l3, spark),
+        span.getLong(0) - 1, span.getLong(1))
+      .filter(col("is_deleted"))
+      .select(col("pair_id").cast("int").as("pair_id"),
+        col("id").as("order_id"), col("type").as("order_type"))
+      .distinct()
+      .orderBy("pair_id", "order_id")
+      .collect().map(_.toSeq).toList
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
