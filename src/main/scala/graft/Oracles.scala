@@ -1639,6 +1639,122 @@ object Oracles {
       |  SELECT vec_id, SUM(q*q) AS nq FROM ev GROUP BY vec_id
       |)""".stripMargin
 
+  /** Mirror of `VectorOps.pqTrain` + `pqCodes`: m=8 × k=16 codebook,
+    * 2 integer-exact Lloyd iterations (assign by squared L2, ties to
+    * the lower code; recenter by floor-division — FLOOR on doubles
+    * mirrors Java floorDiv for negatives, exact at these magnitudes,
+    * while DuckDB's `//` truncates toward zero; an emptied cluster
+    * keeps its previous centroid). */
+  private def PqCte(m: Int = 8, k: Int = 16, L: Int = 8): String = {
+    def assign(cb: String): String =
+      s"""SELECT vec_id, s, j FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+         |    FROM (SELECT v.vec_id, v.s, cb.j,
+         |        SUM((v.q - cb.c) * (v.q - cb.c)) AS dist
+         |      FROM sv v JOIN $cb cb ON cb.s = v.s AND cb.p = v.p
+         |      GROUP BY v.vec_id, v.s, cb.j))
+         |  WHERE rn = 1""".stripMargin
+    def recenter(asg: String, cb: String): String =
+      s"""SELECT $cb.s, $cb.j, $cb.p, COALESCE(u.c, $cb.c) AS c
+         |  FROM $cb LEFT JOIN (
+         |    SELECT a.s, a.j, v.p,
+         |      CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |    FROM $asg a JOIN sv v ON v.vec_id = a.vec_id AND v.s = a.s
+         |    GROUP BY a.s, a.j, v.p
+         |  ) u ON u.s = $cb.s AND u.j = $cb.j AND u.p = $cb.p""".stripMargin
+    QuantEmbCte +
+    s""", sv AS (
+      |  SELECT vec_id, CAST((i - 1) // $L AS INT) AS s,
+      |    (i - 1) % $L AS p, q
+      |  FROM ev
+      |), cb0 AS (
+      |  SELECT s, CAST(vec_id AS INT) AS j, p, q AS c
+      |  FROM sv WHERE vec_id < $k
+      |), asg1 AS (
+      |  ${assign("cb0")}
+      |), cb1 AS (
+      |  ${recenter("asg1", "cb0")}
+      |), asg2 AS (
+      |  ${assign("cb1")}
+      |), cb2 AS (
+      |  ${recenter("asg2", "cb1")}
+      |), codes AS (
+      |  ${assign("cb2")}
+      |)""".stripMargin
+  }
+
+  def pipePqCodes: String = PqCte() +
+    """
+      |SELECT vec_id,
+      |  CAST(SUM(j * CAST(POW(16, s) AS BIGINT)) AS BIGINT) AS code_word
+      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ADC preselection + exact re-rank, mirroring `VectorOps.annPq`:
+    * ends in CTE `rr2(query_id, vec_id, l2sq, rnk)` with the exact
+    * squared distance over the top `topK·rerank` ADC survivors. */
+  private def PqAdcCte(nQueries: Int, topK: Int, rerank: Int): String =
+    PqCte() +
+    s""", qtab AS (
+      |  SELECT qs.vec_id AS query_id, cb2.s, cb2.j AS code,
+      |    CAST(SUM((qs.q - cb2.c) * (qs.q - cb2.c)) AS BIGINT) AS pdist
+      |  FROM sv qs JOIN cb2 ON cb2.s = qs.s AND cb2.p = qs.p
+      |  WHERE qs.vec_id < $nQueries
+      |  GROUP BY qs.vec_id, cb2.s, cb2.j
+      |), adc AS (
+      |  SELECT t.query_id, c.vec_id, CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
+      |  FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.j
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY t.query_id, c.vec_id
+      |), pre AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      |    FROM adc) WHERE rnk <= ${topK * rerank}
+      |), rl AS (
+      |  SELECT p.query_id, p.vec_id,
+      |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS l2sq
+      |  FROM pre p
+      |  JOIN ev a ON a.vec_id = p.query_id
+      |  JOIN ev b ON b.vec_id = p.vec_id AND b.i = a.i
+      |  GROUP BY p.query_id, p.vec_id
+      |), rr2 AS (
+      |  SELECT query_id, vec_id, l2sq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY l2sq, vec_id) AS BIGINT) AS rnk
+      |  FROM rl
+      |)""".stripMargin
+
+  def pipeAnnPq(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4): String = PqAdcCte(nQueries, topK, rerank) +
+    s"""
+      |SELECT query_id, rnk, vec_id, l2sq FROM rr2 WHERE rnk <= $topK
+      |ORDER BY query_id, rnk""".stripMargin
+
+  def pipeAnnRecallPq(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4): String = PqAdcCte(nQueries, topK, rerank) +
+    s""", l2 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    SUM((q.q - c.q) * (q.q - c.q)) AS l2sq
+      |  FROM ev q JOIN ev c
+      |    ON q.i = c.i AND q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, c.vec_id
+      |), ex AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY l2sq, vec_id) AS rn
+      |    FROM l2) WHERE rn <= $topK
+      |)
+      |SELECT ex.query_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(hit.vec_id) AS BIGINT) AS n_hit,
+      |  CAST(COUNT(hit.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS recall
+      |FROM ex LEFT JOIN (SELECT query_id, vec_id FROM rr2
+      |  WHERE rnk <= $topK) hit
+      |  ON hit.query_id = ex.query_id AND hit.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   def pipeEmbedNearDup: String = QuantEmbCte +
     """, d AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot

@@ -426,6 +426,16 @@ object SparkEntry {
     "pipe_ann_lsh" -> ((s, d) =>
       VectorOps.annLsh(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
+    // PQ/ADC: codes under the integer-exact trained codebook, and the
+    // asymmetric-distance top-k through the broadcast distance table
+    "pipe_pq_codes" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      VectorOps.pqCodeWords(emb, VectorOps.pqTrain(emb))
+        .orderBy("vec_id")
+    }),
+    "pipe_ann_pq" -> ((s, d) =>
+      VectorOps.annPq(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
     "pipe_langid" -> ((s, d) =>
       TextPipeline.langId(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -512,6 +522,9 @@ object SparkEntry {
         .orderBy("query_id")),
     "pipe_ann_recall_ivf" -> ((s, d) =>
       pipeline.VectorOps.annRecallIvf(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id")),
+    "pipe_ann_recall_pq" -> ((s, d) =>
+      pipeline.VectorOps.annRecallPq(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
     "pipe_profile" -> ((s, d) =>
       pipeline.TextPipeline.corpusProfile(Tables.load(s, d, "documents"))
@@ -614,6 +627,9 @@ object SparkEntry {
     "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
     "pipe_ann_ivf" -> Oracles.pipeAnnIvf(),
     "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
+    "pipe_pq_codes" -> Oracles.pipePqCodes,
+    "pipe_ann_pq" -> Oracles.pipeAnnPq(),
+    "pipe_ann_recall_pq" -> Oracles.pipeAnnRecallPq(),
     "pipe_langid" -> Oracles.pipeLangId,
     "pipe_quality" -> Oracles.pipeQuality,
     "pipe_tokens" -> Oracles.pipeTokens,

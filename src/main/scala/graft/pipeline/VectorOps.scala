@@ -201,4 +201,215 @@ object VectorOps {
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
+
+  // ---- Product quantization (IVF-PQ's second stage) -----------------
+  //
+  // The standard trillion-scale ANN memory layout: each vector is
+  // compressed to m sub-codes (here m=8 subspaces × k=16 centroids →
+  // 8 nibbles per 64-dim vector), and queries score candidates with
+  // ADC (asymmetric distance computation): a per-query distance TABLE
+  // to every centroid, so a candidate costs m table lookups + a sum
+  // instead of a d-dim dot product. Numeric discipline matches the
+  // rest of this module: everything is exact integer arithmetic on
+  // milli-quantized vectors — Lloyd centroids use floor-division
+  // (`sum div count`, exact and engine-portable) instead of float
+  // means, so training, codes, and ADC ranks are reproducible
+  // bit-for-bit in any engine.
+
+  /** Trained codebook: `codebook(s)(j)` = centroid j of subspace s
+    * (subLen longs); `norms(s)(j)` = its squared norm. */
+  case class PqModel(m: Int, k: Int, subLen: Int,
+      codebook: Array[Array[Array[Long]]], norms: Array[Array[Long]])
+
+  /** Integer-exact Lloyd training. Init: centroid j of subspace s =
+    * subvector of vector j (the same deterministic seeding as
+    * [[annIvf]]'s coarse quantizer); `iters` refinement rounds of
+    * assign (argmin squared L2, ties to the lower code) + recenter
+    * (element-wise `sum div count`; an emptied cluster keeps its old
+    * centroid). The per-iteration corpus work is one explode + one
+    * aggregation; the codebook (m·k·subLen longs) is bounded driver
+    * state like the BPE merge table. At lake scale, train on a sample
+    * (the model is an argument to the encode/search passes). */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2): PqModel = {
+    val q = quantized(emb)
+    val first = emb.select(size(col("embedding"))).head(1)
+    require(first.nonEmpty, "cannot train PQ on an empty collection")
+    val d = first(0).getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val L = d / m
+    var codebook: Array[Array[Array[Long]]] = q.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+      .map(v => Array.tabulate(m)(s => v.slice(s * L, s * L + L)))
+      .transpose // [s][j][i]
+    require(codebook.headOption.exists(_.length == k),
+      s"collection smaller than k=$k codebook seeds")
+    var t = 0
+    while (t < iters) {
+      // one pass: per (vector, subspace), the argmin code under the
+      // current codebook, then element-wise sums per (subspace, code)
+      val assigned = q.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("q"), s * L + 1, L)): _*)).as(Seq("s", "subq")))
+        .withColumn("code", bestCode(codebook, col("s"), col("subq")))
+      val sums = assigned.groupBy("s", "code")
+        .agg(count(lit(1)).as("n"),
+          array((0 until L).map(i =>
+            sum(element_at(col("subq"), i + 1))): _*).as("sums"))
+        .collect()
+      val next = codebook.map(_.map(identity)) // copy, keep for empties
+      sums.foreach { r =>
+        val (s, j, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        val ss = r.getSeq[Long](3)
+        next(s)(j) = Array.tabulate(L)(i => Math.floorDiv(ss(i), n))
+      }
+      codebook = next
+      t += 1
+    }
+    val norms = codebook.map(_.map(c => c.map(x => x * x).sum))
+    PqModel(m, k, L, codebook, norms)
+  }
+
+  /** Argmin centroid code for one subvector under a literal codebook:
+    * an array of (dist, code) structs reduced by array_min — ties fall
+    * to the lower code because the struct orders by dist first. */
+  private def bestCode(codebook: Array[Array[Array[Long]]],
+      s: org.apache.spark.sql.Column,
+      subq: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = codebook.length
+    val k = codebook(0).length
+    val selfDot = longArrayDot(subq, subq)
+    // dist(s, j) = ||subq||² + ||c||² − 2·subq·c ; ||subq||² is rank-
+    // invariant per row but kept so dists are true squared distances
+    val perS = (0 until m).map { sIdx =>
+      array((0 until k).map { j =>
+        val c = codebook(sIdx)(j)
+        val dot = longArrayDot(subq,
+          array(c.map(lit(_)).toIndexedSeq: _*))
+        struct(
+          (selfDot + lit(c.map(x => x * x).sum) - lit(2L) * dot).as("d"),
+          lit(j).as("code"))
+      }: _*)
+    }
+    (0 until m).foldRight(lit(null).cast("int")) { (sIdx, acc) =>
+      when(s === sIdx, array_min(perS(sIdx)).getField("code"))
+        .otherwise(acc)
+    }.cast("int")
+  }
+
+  /** Per-vector PQ codes under a trained model: one expression pass,
+    * no shuffle — the encode step that turns a 64-dim vector into m
+    * sub-codes. */
+  def pqCodes(emb: DataFrame, model: PqModel): DataFrame = {
+    val q = quantized(emb)
+    val codes = array((0 until model.m).map { s =>
+      bestCode(model.codebook, lit(s),
+        slice(col("q"), s * model.subLen + 1, model.subLen)).cast("long")
+    }: _*)
+    q.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** The packed representation a PQ index actually stores: one word of
+    * m base-k digits per vector (m=8, k=16 → a 32-bit word for a
+    * 64-dim float vector, a 64× compression). */
+  def pqCodeWords(emb: DataFrame, model: PqModel): DataFrame =
+    pqCodes(emb, model).select(col("vec_id"),
+      expr(s"aggregate(zip_with(codes, sequence(0, ${model.m - 1}), " +
+        s"(c, s) -> c * CAST(pow(${model.k}, s) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)").as("code_word"))
+
+  /** PQ/ADC approximate top-k with exact re-ranking — the standard
+    * two-stage retrieval. Stage 1 (ADC): the query side collapses to a
+    * distance TABLE — (query, subspace, code) → partial squared
+    * distance, m·k rows per query, computed driver-side from the
+    * collected query vectors — broadcast-joined against the
+    * candidates' exploded codes and summed: a candidate costs m
+    * lookups + one aggregation row, never a d-dim product. Stage 2:
+    * the top `topK·rerank` ADC survivors per query are re-scored with
+    * the exact integer squared distance (PQ distances are compressed
+    * approximations; a small refinement pass restores recall at a cost
+    * proportional to the preselection, not the collection). All
+    * arithmetic exact-integer; ties to the lower vec_id. */
+  def annPq(emb: DataFrame, nQueries: Int = 5, topK: Int = 5,
+      m: Int = 8, kCent: Int = 16, iters: Int = 2,
+      rerank: Int = 4): DataFrame = {
+    val model = pqTrain(emb, m, kCent, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb)
+    val L = model.subLen
+    val queryVecs = q.filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val table = queryVecs.flatMap { case (qid, v) =>
+      (0 until model.m).flatMap { s =>
+        val sub = v.slice(s * L, s * L + L)
+        val subNorm = sub.map(x => x * x).sum
+        (0 until model.k).map { j =>
+          val c = model.codebook(s)(j)
+          val dot = sub.zip(c).map { case (a, b) => a * b }.sum
+          (qid, s, j.toLong, subNorm + model.norms(s)(j) - 2L * dot)
+        }
+      }
+    }.toSeq.toDF("query_id", "s", "code", "pdist")
+    val cands = pqCodes(emb, model)
+      .select(col("vec_id").as("vb"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("vb"))
+    val preselected = cands.join(broadcast(table), Seq("s", "code"))
+      .filter(col("query_id") =!= col("vb"))
+      .groupBy("query_id", "vb")
+      .agg(sum("pdist").as("adc_dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK * rerank)
+      .select("query_id", "vb")
+    // exact refinement over the preselection only
+    val qDf = queryVecs.toSeq.toDF("query_id", "qa")
+      .withColumn("na", longArrayDot(col("qa"), col("qa")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("l2sq"), col("vb"))
+    preselected
+      .join(q.select(col("vec_id").as("vb"), col("q").as("qb"),
+        col("nq").as("nb")), Seq("vb"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("l2sq",
+        col("na") + col("nb") - lit(2L) * longArrayDot(col("qa"), col("qb")))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("l2sq"))
+  }
+
+  /** Exact L2 top-k (the baseline PQ approximates): squared distance
+    * on the milli integers, fully exact. */
+  def annTopKL2(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val queries = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val cands = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
+    val dist = col("na") + col("nb") - lit(2L) * longArrayDot(col("qa"), col("qb"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2sq"), col("vb"))
+    broadcast(queries).join(cands, col("query_id") =!= col("vb"))
+      .withColumn("l2sq", dist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("l2sq"))
+  }
+
+  /** Recall@k of the PQ/ADC index against the exact-L2 baseline. */
+  def annRecallPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val exact = annTopKL2(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    exact.join(
+        annPq(emb, nQueries, k)
+          .select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
 }
