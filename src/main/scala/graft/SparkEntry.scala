@@ -428,13 +428,12 @@ object SparkEntry {
         .orderBy("query_id", "rnk")),
     // PQ/ADC: codes under the integer-exact trained codebook, and the
     // asymmetric-distance top-k through the broadcast distance table
-    "pipe_pq_codes" -> ((s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      VectorOps.pqCodeWords(emb, VectorOps.pqTrain(emb))
-        .orderBy("vec_id")
-    }),
+    "pipe_pq_codes" -> ((s, d) =>
+      VectorOps.pqCodeWords(Tables.load(s, d, "embeddings"), trainedPq(s, d))
+        .orderBy("vec_id")),
     "pipe_ann_pq" -> ((s, d) =>
-      VectorOps.annPq(Tables.load(s, d, "embeddings"))
+      VectorOps.annPq(Tables.load(s, d, "embeddings"),
+          trained = Some(trainedPq(s, d)))
         .orderBy("query_id", "rnk")),
     "pipe_langid" -> ((s, d) =>
       TextPipeline.langId(Tables.load(s, d, "documents"))
@@ -524,7 +523,8 @@ object SparkEntry {
       pipeline.VectorOps.annRecallIvf(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
     "pipe_ann_recall_pq" -> ((s, d) =>
-      pipeline.VectorOps.annRecallPq(Tables.load(s, d, "embeddings"))
+      pipeline.VectorOps.annRecallPq(Tables.load(s, d, "embeddings"),
+          trained = Some(trainedPq(s, d)))
         .orderBy("query_id")),
     "pipe_profile" -> ((s, d) =>
       pipeline.TextPipeline.corpusProfile(Tables.load(s, d, "documents"))
@@ -543,6 +543,15 @@ object SparkEntry {
     * re-running the training loop. */
   private val bpeMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, String, String, Long)]]
+
+  /** Train-once memo for the PQ codebook (per data dir) — the index
+    * artifact every PQ query reuses, same rationale as [[bpeMemo]]. */
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[String, VectorOps.PqModel]
+
+  private def trainedPq(s: SparkSession, d: String): VectorOps.PqModel =
+    pqMemo.getOrElseUpdate(d,
+      VectorOps.pqTrain(Tables.load(s, d, "embeddings")))
 
   private def trainedBpe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

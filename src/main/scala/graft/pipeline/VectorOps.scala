@@ -333,8 +333,8 @@ object VectorOps {
     * arithmetic exact-integer; ties to the lower vec_id. */
   def annPq(emb: DataFrame, nQueries: Int = 5, topK: Int = 5,
       m: Int = 8, kCent: Int = 16, iters: Int = 2,
-      rerank: Int = 4): DataFrame = {
-    val model = pqTrain(emb, m, kCent, iters)
+      rerank: Int = 4, trained: Option[PqModel] = None): DataFrame = {
+    val model = trained.getOrElse(pqTrain(emb, m, kCent, iters))
     val spark = emb.sparkSession
     import spark.implicits._
     val q = quantized(emb)
@@ -400,11 +400,12 @@ object VectorOps {
   }
 
   /** Recall@k of the PQ/ADC index against the exact-L2 baseline. */
-  def annRecallPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+  def annRecallPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      trained: Option[PqModel] = None): DataFrame = {
     val exact = annTopKL2(emb, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     exact.join(
-        annPq(emb, nQueries, k)
+        annPq(emb, nQueries, k, trained = trained)
           .select(col("query_id"), col("vec_id"), lit(1).as("hit")),
         Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")

@@ -133,4 +133,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(m(2L).getAs[Long]("weight") == 2L)
     assert(m(3L).getAs[Long]("weight") == 1L)
   }
+
+  test("pq invariants: code range, word round-trip, re-ranked order") {
+    import graft.pipeline.VectorOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = VectorOps.pqTrain(emb)
+    assert(model.m == 8 && model.k == 16 && model.subLen == 8)
+    val codes = VectorOps.pqCodes(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(cs =>
+      cs.length == model.m && cs.forall(c => c >= 0 && c < model.k)))
+    // the packed word decodes back to the code digits (base k)
+    val words = VectorOps.pqCodeWords(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    words.foreach { case (vid, w) =>
+      val decoded = Iterator.iterate(w)(_ / model.k)
+        .take(model.m).map(_ % model.k).toSeq
+      assert(decoded == codes(vid), s"vec $vid word $w")
+    }
+    // annPq output is ordered by exact distance within each query and
+    // never contains the query itself
+    val res = VectorOps.annPq(emb, nQueries = 3, topK = 5,
+        trained = Some(model))
+      .orderBy("query_id", "rnk").collect()
+    res.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val dists = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(dists.sameElements(dists.sorted), s"query $qid unsorted")
+      assert(rows.forall(_.getLong(2) != qid))
+    }
+  }
 }
