@@ -169,7 +169,8 @@ object Replay {
 
   /** Silently apply the leading seed rows; returns the seeded book and
     * whether the slice has prior history for this pair. */
-  private def seedBook(buf: BufferedIterator[SlicedEvent]): (OrderBook, Boolean) = {
+  private def seedBook(
+      buf: scala.collection.BufferedIterator[SlicedEvent]): (OrderBook, Boolean) = {
     val hasHistory = buf.hasNext && buf.head.hasHistory
     val book = new OrderBook
     while (buf.hasNext && buf.head.seed) book.apply(buf.next().toBookEvent)
