@@ -92,26 +92,34 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
     TradeMatching.trades(TradeMatching.inferredMatches(level3))
 
   /** `get.available_exchanges` (`db/get_schema.sql:168-178`) — names
-    * of exchanges with data. */
+    * of exchanges with data. A distinct over two thin columns + a
+    * broadcast dim join; the era window of the full `catalog` report
+    * is not needed for any of the three lookups (min(era)/max(level3)
+    * over the era table equal min/max(microtimestamp), since eras tile
+    * the stream). */
   def availableExchanges(): DataFrame =
-    Analytics.catalog(level3, spark)
-      .select(functions.col("exchange")).distinct()
+    level3.select(functions.col("exchange_id")).distinct()
+      .join(functions.broadcast(Dimensions.exchangesDf(spark)),
+        Seq("exchange_id"))
+      .select(functions.col("exchange"))
 
   /** `get.available_pairs` (`db/get_schema.sql:183-192`) — names of
     * pairs with data on an exchange. */
   def availablePairs(exchangeId: Int): DataFrame =
-    Analytics.catalog(level3, spark)
-      .filter(functions.col("exchange_id") === exchangeId)
-      .select(functions.col("pair")).distinct()
+    level3.filter(functions.col("exchange_id") === exchangeId)
+      .select(functions.col("pair_id")).distinct()
+      .join(functions.broadcast(
+        Dimensions.pairsDf(spark).select("pair_id", "pair")), Seq("pair_id"))
+      .select(functions.col("pair"))
 
   /** `get.available_period` (`db/get_schema.sql:197-209`) — (s, e)
-    * covered period of a pair on an exchange. */
+    * covered period of a pair on an exchange: a min/max scan, no era
+    * detection. */
   def availablePeriod(exchangeId: Int, pairId: Int): DataFrame =
-    Analytics.catalog(level3, spark)
-      .filter(functions.col("exchange_id") === exchangeId &&
+    level3.filter(functions.col("exchange_id") === exchangeId &&
         functions.col("pair_id") === pairId)
-      .select(functions.col("period_start").as("s"),
-        functions.col("period_end").as("e"))
+      .agg(functions.min("microtimestamp").as("s"),
+        functions.max("microtimestamp").as("e"))
 
   /** `obadiah::depth.summary` — bps-ladder depth at grid instants. */
   def depthSummary(instants: Seq[Long], bpsStep: Int = 25,

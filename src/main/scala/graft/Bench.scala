@@ -39,7 +39,11 @@ object Bench {
       // shows 2-5x hypervisor jitter on single runs, which has twice
       // produced phantom per-query regressions in recorded benches —
       // the min of two is a far more stable plan-cost estimate
-      def once(): Double = {
+      // a FAILED run must never publish its (near-zero) wall time as
+      // the query's result — min-of-two would make the failure win and
+      // a broken query would masquerade as the fastest in the run;
+      // failures record as -1 so the report is unambiguous
+      def once(): Option[Double] = {
         // ~200 query executions in one JVM accumulate dead state that
         // poisons the tail of the run (generated-class code cache,
         // weak-ref-cleaned shuffle/broadcast state, checkpoint
@@ -52,10 +56,12 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> math.min(once(), once())
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -648,11 +648,14 @@ object Multimodal {
             while (pos < segEnd) {
               val pqTq = u8()
               require((pqTq >> 4) == 0, "only 8-bit quant tables")
+              require((pqTq & 0xf) < 4, s"quant table id ${pqTq & 0xf} > 3")
               quant(pqTq & 0xf) = Array.fill(64)(u8())
             }
           case 0xc4 => // DHT (possibly several tables)
             while (pos < segEnd) {
               val tcTh = u8()
+              require((tcTh >> 4) <= 1 && (tcTh & 0xf) < 4,
+                f"invalid DHT class/id byte $tcTh%02x")
               val bits = Array.fill(16)(u8())
               val vals = Array.fill(bits.sum)(u8())
               var code = 0; var k = 0
@@ -673,6 +676,7 @@ object Multimodal {
             u8() // component id
             require(u8() == 0x11, "only 1x1 sampling")
             compQuant = u8()
+            require(compQuant < 4, s"quant table id $compQuant > 3")
           case 0xc1 | 0xc2 | 0xc3 =>
             sys.error("only baseline (SOF0) JPEG supported")
           case 0xda => // SOS
@@ -680,6 +684,8 @@ object Multimodal {
             u8() // component selector
             val tables = u8()
             dcTable = tables >> 4; acTable = tables & 0xf
+            require(dcTable < 4 && acTable < 4,
+              f"invalid SOS table selector byte $tables%02x")
             u8(); u8(); u8() // Ss/Se/AhAl (fixed for baseline)
             sosAt = pos
           case _ => pos = segEnd // APPn/COM/etc — skip

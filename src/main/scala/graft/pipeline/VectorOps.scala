@@ -44,22 +44,30 @@ object VectorOps {
     top.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
-  /** Brute-force cosine top-k for each query vector (vec_id < nQueries):
-    * the exact baseline an ANN variant is validated against. */
-  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** Shared brute-force scan: broadcast queries × all candidates,
+    * ranked by `score` (ascending or descending), ties to the lower
+    * vec_id — the one exact-baseline shape both metrics use. */
+  private def bruteTopK(emb: DataFrame, nQueries: Int, k: Int,
+      score: org.apache.spark.sql.Column, ascending: Boolean,
+      outName: String): DataFrame = {
     val q = quantized(emb)
     val queries = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
     val cands = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vb"))
+    val ord = if (ascending) col(outName).asc else col(outName).desc
+    val w = Window.partitionBy("query_id").orderBy(ord, col("vb"))
     broadcast(queries).join(cands, col("query_id") =!= col("vb"))
-      .withColumn("cos", cosine)
+      .withColumn(outName, score)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("vb").as("vec_id"), col("cos"))
+        col("vb").as("vec_id"), col(outName))
   }
+
+  /** Brute-force cosine top-k for each query vector (vec_id < nQueries):
+    * the exact baseline an ANN variant is validated against. */
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    bruteTopK(emb, nQueries, k, cosine, ascending = false, "cos")
 
   /** Collection-size-scaled hyperplane count: enough bits that the
     * expected bucket holds ~`targetBucket` vectors (fixed bits ⇒ bucket
@@ -188,19 +196,21 @@ object VectorOps {
   /** Shared harness: |exact ∩ approx| / |exact| per query for ANY
     * approximate result in the (query_id, vec_id) shape — the way a
     * new index variant gets admitted (measure on a sample, compare,
-    * then trust). */
-  private def recallAgainstExact(emb: DataFrame, approx: DataFrame,
-      nQueries: Int, k: Int): DataFrame = {
-    val exact = annTopK(emb, nQueries, k)
-      .select(col("query_id"), col("vec_id"))
-    exact.join(
+    * then trust). The exact baseline is an argument: cosine for the
+    * cosine-ranked indexes, L2 for the PQ path. */
+  private def recallAgainst(exact: DataFrame, approx: DataFrame)
+      : DataFrame =
+    exact.select(col("query_id"), col("vec_id")).join(
         approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
         Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
-  }
+
+  private def recallAgainstExact(emb: DataFrame, approx: DataFrame,
+      nQueries: Int, k: Int): DataFrame =
+    recallAgainst(annTopK(emb, nQueries, k), approx)
 
   // ---- Product quantization (IVF-PQ's second stage) -----------------
   //
@@ -384,33 +394,14 @@ object VectorOps {
 
   /** Exact L2 top-k (the baseline PQ approximates): squared distance
     * on the milli integers, fully exact. */
-  def annTopKL2(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val q = quantized(emb)
-    val queries = q.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
-    val cands = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
-    val dist = col("na") + col("nb") - lit(2L) * longArrayDot(col("qa"), col("qb"))
-    val w = Window.partitionBy("query_id").orderBy(col("l2sq"), col("vb"))
-    broadcast(queries).join(cands, col("query_id") =!= col("vb"))
-      .withColumn("l2sq", dist)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("vb").as("vec_id"), col("l2sq"))
-  }
+  def annTopKL2(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    bruteTopK(emb, nQueries, k,
+      col("na") + col("nb") - lit(2L) * longArrayDot(col("qa"), col("qb")),
+      ascending = true, "l2sq")
 
   /** Recall@k of the PQ/ADC index against the exact-L2 baseline. */
   def annRecallPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      trained: Option[PqModel] = None): DataFrame = {
-    val exact = annTopKL2(emb, nQueries, k)
-      .select(col("query_id"), col("vec_id"))
-    exact.join(
-        annPq(emb, nQueries, k, trained = trained)
-          .select(col("query_id"), col("vec_id"), lit(1).as("hit")),
-        Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
-      .withColumn("recall",
-        col("n_hit").cast("double") / col("n_exact").cast("double"))
-  }
+      trained: Option[PqModel] = None): DataFrame =
+    recallAgainst(annTopKL2(emb, nQueries, k),
+      annPq(emb, nQueries, k, trained = trained))
 }

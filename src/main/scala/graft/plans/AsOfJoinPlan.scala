@@ -182,6 +182,13 @@ object AsOfJoinOps {
       s"""column name "$c" is reserved by the as-of lowering; rename it
          | before joining (keys/carry may not be named "ts" or "kind")"""
         .stripMargin.replaceAll("\n", "")))
+    // a column listed as both key and carry (or listed twice) would be
+    // projected twice by the expansion and fail there with an
+    // ambiguous-reference error far from the call — reject it here
+    val all = keys ++ carry
+    require(all.distinct.size == all.size,
+      s"keys and carry must be disjoint and duplicate-free " +
+        s"(got keys=${keys.mkString(",")} carry=${carry.mkString(",")})")
   }
 
   /** Builder behind the `asof_join` SQL table function:
