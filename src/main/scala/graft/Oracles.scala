@@ -1690,11 +1690,23 @@ object Oracles {
       |  CAST(SUM(j * CAST(POW(16, s) AS BIGINT)) AS BIGINT) AS code_word
       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** ADC preselection + exact re-rank, mirroring `VectorOps.annPq`:
+  /** ADC preselection + exact re-rank, mirroring `VectorOps.adcSearch`:
     * ends in CTE `rr2(query_id, vec_id, l2sq, rnk)` with the exact
-    * squared distance over the top `topK·rerank` ADC survivors. */
-  private def PqAdcCte(nQueries: Int, topK: Int, rerank: Int): String =
-    PqCte() +
+    * squared distance over the top `topK·rerank` ADC survivors.
+    * `restrictToCand = true` scans only the IVF `cand` pairs (the
+    * IVF-PQ composition; `IvfCoarseCte` must precede), else the whole
+    * code table. */
+  private def PqAdcTail(nQueries: Int, topK: Int, rerank: Int,
+      restrictToCand: Boolean = false): String = {
+    val adcFrom =
+      if (restrictToCand)
+        """FROM cand k
+          |  JOIN codes c ON c.vec_id = k.vec_id
+          |  JOIN qtab t ON t.query_id = k.query_id
+          |    AND t.s = c.s AND t.code = c.j""".stripMargin
+      else
+        """FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.j
+          |  WHERE c.vec_id <> t.query_id""".stripMargin
     s""", qtab AS (
       |  SELECT qs.vec_id AS query_id, cb2.s, cb2.j AS code,
       |    CAST(SUM((qs.q - cb2.c) * (qs.q - cb2.c)) AS BIGINT) AS pdist
@@ -1703,8 +1715,7 @@ object Oracles {
       |  GROUP BY qs.vec_id, cb2.s, cb2.j
       |), adc AS (
       |  SELECT t.query_id, c.vec_id, CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
-      |  FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.j
-      |  WHERE c.vec_id <> t.query_id
+      |  $adcFrom
       |  GROUP BY t.query_id, c.vec_id
       |), pre AS (
       |  SELECT query_id, vec_id FROM (
@@ -1724,15 +1735,25 @@ object Oracles {
       |      ORDER BY l2sq, vec_id) AS BIGINT) AS rnk
       |  FROM rl
       |)""".stripMargin
+  }
 
   def pipeAnnPq(nQueries: Int = 5, topK: Int = 5,
-      rerank: Int = 4): String = PqAdcCte(nQueries, topK, rerank) +
+      rerank: Int = 4): String =
+    PqCte() + PqAdcTail(nQueries, topK, rerank) +
     s"""
       |SELECT query_id, rnk, vec_id, l2sq FROM rr2 WHERE rnk <= $topK
       |ORDER BY query_id, rnk""".stripMargin
 
-  def pipeAnnRecallPq(nQueries: Int = 5, topK: Int = 5,
-      rerank: Int = 4): String = PqAdcCte(nQueries, topK, rerank) +
+  def pipeAnnIvfPq(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16): String =
+    PqCte() + IvfCoarseCte(nCells) +
+      PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
+    s"""
+      |SELECT query_id, rnk, vec_id, l2sq FROM rr2 WHERE rnk <= $topK
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Recall tail against the exact-L2 baseline over `rr2`. */
+  private def pqRecallTail(nQueries: Int, topK: Int): String =
     s""", l2 AS (
       |  SELECT q.vec_id AS query_id, c.vec_id,
       |    SUM((q.q - c.q) * (q.q - c.q)) AS l2sq
@@ -1754,6 +1775,17 @@ object Oracles {
       |  WHERE rnk <= $topK) hit
       |  ON hit.query_id = ex.query_id AND hit.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  def pipeAnnRecallPq(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4): String =
+    PqCte() + PqAdcTail(nQueries, topK, rerank) +
+      pqRecallTail(nQueries, topK)
+
+  def pipeAnnRecallIvfPq(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16): String =
+    PqCte() + IvfCoarseCte(nCells) +
+      PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
+      pqRecallTail(nQueries, topK)
 
   def pipeEmbedNearDup: String = QuantEmbCte +
     """, d AS (
@@ -1952,7 +1984,29 @@ object Oracles {
 
   /** The IVF candidate/ranking chain (`cents` … `rr`), shared by
     * pipeAnnIvf and pipeAnnRecallIvf. */
-  private def IvfChain(nCells: Int = 16): String = QuantEmbCte +
+  private def IvfChain(nCells: Int = 16): String =
+    QuantEmbCte + IvfCoarseCte(nCells) +
+    """, qd AS (
+      |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
+      |  FROM cand
+      |  JOIN ev a ON a.vec_id = query_id
+      |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = a.i
+      |  GROUP BY query_id, cand.vec_id
+      |), cc AS (
+      |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd.vec_id
+      |), rr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cc
+      |)""".stripMargin
+
+  /** The coarse-quantizer part alone (`cents` … `cand`) — composable
+    * behind either the exact within-cell ranking (IVF-Flat) or the
+    * PQ/ADC scan (IVF-PQ); requires `ev`/`nrm` to be defined. */
+  private def IvfCoarseCte(nCells: Int = 16): String =
     s""", cents AS (
       |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $nCells
       |), cnrm AS (
@@ -1979,21 +2033,6 @@ object Oracles {
       |  SELECT DISTINCT p.query_id, a.vb AS vec_id
       |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
       |  WHERE a.vb <> p.query_id
-      |), qd AS (
-      |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
-      |  FROM cand
-      |  JOIN ev a ON a.vec_id = query_id
-      |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = a.i
-      |  GROUP BY query_id, cand.vec_id
-      |), cc AS (
-      |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /
-      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
-      |  FROM qd JOIN nrm n1 ON n1.vec_id = query_id
-      |  JOIN nrm n2 ON n2.vec_id = qd.vec_id
-      |), rr AS (
-      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-      |  FROM cc
       |)""".stripMargin
 
   def pipeRepetition: String =

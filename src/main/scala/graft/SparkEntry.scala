@@ -435,6 +435,12 @@ object SparkEntry {
       VectorOps.annPq(Tables.load(s, d, "embeddings"),
           trained = Some(trainedPq(s, d)))
         .orderBy("query_id", "rnk")),
+    // the composed index: coarse cells bound the scan, PQ codes bound
+    // the memory, the exact re-rank bounds the error
+    "pipe_ann_ivfpq" -> ((s, d) =>
+      VectorOps.annIvfPq(Tables.load(s, d, "embeddings"),
+          trained = Some(trainedPq(s, d)))
+        .orderBy("query_id", "rnk")),
     "pipe_langid" -> ((s, d) =>
       TextPipeline.langId(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -524,6 +530,10 @@ object SparkEntry {
         .orderBy("query_id")),
     "pipe_ann_recall_pq" -> ((s, d) =>
       pipeline.VectorOps.annRecallPq(Tables.load(s, d, "embeddings"),
+          trained = Some(trainedPq(s, d)))
+        .orderBy("query_id")),
+    "pipe_ann_recall_ivfpq" -> ((s, d) =>
+      pipeline.VectorOps.annRecallIvfPq(Tables.load(s, d, "embeddings"),
           trained = Some(trainedPq(s, d)))
         .orderBy("query_id")),
     "pipe_profile" -> ((s, d) =>
@@ -638,7 +648,9 @@ object SparkEntry {
     "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
     "pipe_pq_codes" -> Oracles.pipePqCodes,
     "pipe_ann_pq" -> Oracles.pipeAnnPq(),
+    "pipe_ann_ivfpq" -> Oracles.pipeAnnIvfPq(),
     "pipe_ann_recall_pq" -> Oracles.pipeAnnRecallPq(),
+    "pipe_ann_recall_ivfpq" -> Oracles.pipeAnnRecallIvfPq(),
     "pipe_langid" -> Oracles.pipeLangId,
     "pipe_quality" -> Oracles.pipeQuality,
     "pipe_tokens" -> Oracles.pipeTokens,

@@ -119,8 +119,13 @@ object VectorOps {
     * inverted-file structure is the standard scale path when
     * hyperplane LSH recall is insufficient: cells ≈ √n keeps probe
     * cost O(√n) per query. */
-  def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+  /** Coarse quantizer shared by IVF-Flat and IVF-PQ: every vector
+    * assigned to its best cell, queries to their `nProbe` best —
+    * (assign(vb, cent_id, qb, nb), probes(query_id, cent_id, qa, na)),
+    * one broadcast of the tiny centroid table + one checkpointed
+    * scoring pass feeding both outputs. */
+  private def coarseCells(emb: DataFrame, nQueries: Int, nCells: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val q = quantized(emb)
     val cents = q.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"),
@@ -142,6 +147,12 @@ object VectorOps {
       col("crn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cent_id"),
         col("q").as("qa"), col("nq").as("na"))
+    (assign, probes)
+  }
+
+  def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vb"))
     probes.join(assign, Seq("cent_id"))
@@ -345,6 +356,35 @@ object VectorOps {
       m: Int = 8, kCent: Int = 16, iters: Int = 2,
       rerank: Int = 4, trained: Option[PqModel] = None): DataFrame = {
     val model = trained.getOrElse(pqTrain(emb, m, kCent, iters))
+    adcSearch(emb, model, nQueries, topK, rerank, restrict = None)
+  }
+
+  /** IVF-PQ: the composed index both pieces exist for — the coarse
+    * quantizer partitions the collection so a query touches only its
+    * `nProbe` cells (O(√n) of the data), PQ codes compress what gets
+    * scanned there (ADC lookups instead of d-dim products), and the
+    * exact re-rank restores precision over the small preselection.
+    * This is the standard layout for billion-vector collections: cells
+    * bound the scan, codes bound the memory, the refinement bounds the
+    * error. */
+  def annIvfPq(emb: DataFrame, nQueries: Int = 5, topK: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2,
+      m: Int = 8, kCent: Int = 16, iters: Int = 2,
+      rerank: Int = 4, trained: Option[PqModel] = None): DataFrame = {
+    val model = trained.getOrElse(pqTrain(emb, m, kCent, iters))
+    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe)
+    val candPairs = probes.select("query_id", "cent_id")
+      .join(assign.select("vb", "cent_id"), Seq("cent_id"))
+      .filter(col("query_id") =!= col("vb"))
+      .select("query_id", "vb")
+    adcSearch(emb, model, nQueries, topK, rerank, restrict = Some(candPairs))
+  }
+
+  /** Shared ADC + exact-re-rank tail. `restrict` (query_id, vb) limits
+    * the scan to an index's candidate set (IVF probed cells); `None`
+    * scans the whole code table. */
+  private def adcSearch(emb: DataFrame, model: PqModel, nQueries: Int,
+      topK: Int, rerank: Int, restrict: Option[DataFrame]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = quantized(emb)
@@ -363,13 +403,18 @@ object VectorOps {
         }
       }
     }.toSeq.toDF("query_id", "s", "code", "pdist")
-    val cands = pqCodes(emb, model)
+    val codesEx = pqCodes(emb, model)
       .select(col("vec_id").as("vb"),
         posexplode(col("codes")).as(Seq("s", "code")))
+    val scored = restrict match {
+      case Some(r) => r.join(codesEx, Seq("vb"))
+        .join(broadcast(table), Seq("query_id", "s", "code"))
+      case None => codesEx.join(broadcast(table), Seq("s", "code"))
+        .filter(col("query_id") =!= col("vb"))
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist"), col("vb"))
-    val preselected = cands.join(broadcast(table), Seq("s", "code"))
-      .filter(col("query_id") =!= col("vb"))
+    val preselected = scored
       .groupBy("query_id", "vb")
       .agg(sum("pdist").as("adc_dist"))
       .withColumn("rnk", row_number().over(w))
@@ -404,4 +449,10 @@ object VectorOps {
       trained: Option[PqModel] = None): DataFrame =
     recallAgainst(annTopKL2(emb, nQueries, k),
       annPq(emb, nQueries, k, trained = trained))
+
+  /** Recall@k of the composed IVF-PQ index against the same baseline. */
+  def annRecallIvfPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      trained: Option[PqModel] = None): DataFrame =
+    recallAgainst(annTopKL2(emb, nQueries, k),
+      annIvfPq(emb, nQueries, k, trained = trained))
 }
