@@ -171,16 +171,22 @@ class StreamingSpec extends AnyFunSuite {
       coalesce(col("fill"), lit(0.0)).as("fill"),
       col("is_deleted").as("isDeleted"))
 
-    val stage = java.nio.file.Files.createTempDirectory("graft-ots")
-      .toString
-    events.write.mode("overwrite").parquet(stage)
-    val streamIn = spark.readStream.schema(events.schema).parquet(stage)
-      .as[StreamingOps.OrderEvt]
-    val q = StreamingOps.orderTypeStream(streamIn, spark)
+    // three CHRONOLOGICAL chunks through a MemoryStream, one
+    // micro-batch each: the book + flag state must survive the
+    // GroupState round-trip between batches, not just within one
+    val allEvents = events.as[StreamingOps.OrderEvt].collect()
+      .sortBy(e => (e.ts, e.orderId, e.eventNo))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.OrderEvt](spark)
+    val q = StreamingOps.orderTypeStream(ms.toDS(), spark)
       .writeStream.outputMode("append")
       .format("memory").queryName("ots_out")
       .start()
-    q.processAllAvailable()
+    allEvents.grouped(math.max(1, allEvents.length / 3 + 1)).foreach {
+      chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+    }
     q.stop()
     val streamed = spark.table("ots_out")
       .select("pair_id", "order_id", "order_type")
