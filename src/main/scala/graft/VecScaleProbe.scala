@@ -64,8 +64,21 @@ object VecScaleProbe {
     val q8 = TrainingData.q8Index(emb).localCheckpoint()
     val (nQ8, tQ8) = timed(TrainingData.annQ8FromIndex(q8).rdd.count())
 
+    // PQ family: train cost (full vs 10% content-hash sample), then
+    // query passes under an already-trained model — the split that
+    // shows IVF-PQ's probed-cell scan beating the whole-collection ADC
+    // once training is out of the timed path
+    val (_, tTrainFull) = timed { VectorOps.pqTrain(emb); 1L }
+    val (_, tTrainSamp) = timed {
+      VectorOps.pqTrain(emb, sampleFraction = 0.1); 1L }
+    val model = VectorOps.pqTrain(emb, sampleFraction = 0.1)
+    val (nPq, tPq) = timed(
+      VectorOps.annPq(emb, trained = Some(model)).rdd.count())
+    val (nIvfPq, tIvfPq) = timed(
+      VectorOps.annIvfPq(emb, trained = Some(model)).rdd.count())
+
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f}}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f}}""")
     spark.stop()
   }
 }

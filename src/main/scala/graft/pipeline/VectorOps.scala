@@ -44,9 +44,42 @@ object VectorOps {
     top.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Distributed top-k per query — the two-stage shape every search
+    * path here shares so that no task ever materializes one query's
+    * full candidate list. Stage 1 ranks within (query, salt) where
+    * salt = hash(candidate id) mod `spark.sql.shuffle.partitions`: a
+    * deterministic content-hash split (plan-friendly — a
+    * `spark_partition_id()` salt would be nondeterministic and block
+    * expression collapse around the scoring projections), sized so a
+    * group holds ~one shuffle partition's worth of one query's
+    * candidates — the same memory bound every other shuffle in the job
+    * assumes, and it scales with the cluster knob. Stage 2 ranks the
+    * ≤ nSalt·k survivors per query — k× the salt count, never the
+    * collection. Each stage-1 group keeps its own top-k under the same
+    * total order (`ord` must be total — callers break ties on vec_id),
+    * so the survivors are a superset of the global top-k and the
+    * result is identical to a single global window. */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      ord: org.apache.spark.sql.Column*): DataFrame = {
+    val nSalt = scored.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    val partial = Window.partitionBy(col("query_id"), col("_salt"))
+      .orderBy(ord: _*)
+    val fin = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored.withColumn("_salt", pmod(hash(col("vb")), lit(nSalt)))
+      .withColumn("_prnk", row_number().over(partial))
+      .filter(col("_prnk") <= k)
+      .withColumn("rnk", row_number().over(fin))
+      .filter(col("rnk") <= k)
+      .drop("_salt", "_prnk")
+  }
+
   /** Shared brute-force scan: broadcast queries × all candidates,
     * ranked by `score` (ascending or descending), ties to the lower
-    * vec_id — the one exact-baseline shape both metrics use. */
+    * vec_id — the one exact-baseline shape both metrics use. The O(n)
+    * score pass is the documented baseline cost; the ranking is the
+    * two-stage [[topKPerQuery]], so even the exact baseline survives
+    * collection scale. */
   private def bruteTopK(emb: DataFrame, nQueries: Int, k: Int,
       score: org.apache.spark.sql.Column, ascending: Boolean,
       outName: String): DataFrame = {
@@ -55,11 +88,9 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
     val cands = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
     val ord = if (ascending) col(outName).asc else col(outName).desc
-    val w = Window.partitionBy("query_id").orderBy(ord, col("vb"))
-    broadcast(queries).join(cands, col("query_id") =!= col("vb"))
+    val scored = broadcast(queries).join(cands, col("query_id") =!= col("vb"))
       .withColumn(outName, score)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, k, ord, col("vb"))
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("vec_id"), col(outName))
   }
@@ -153,13 +184,10 @@ object VectorOps {
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vb"))
-    probes.join(assign, Seq("cent_id"))
+    val scored = probes.join(assign, Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos", cosine)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, k, col("cos").desc, col("vb"))
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("vec_id"), col("cos"))
   }
@@ -180,13 +208,10 @@ object VectorOps {
     val cands = buckets
       .select(col("vec_id").as("vb"), col("bucket"),
         col("q").as("qb"), col("nq").as("nb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vb"))
-    queries.join(cands, Seq("bucket"))
+    val scored = queries.join(cands, Seq("bucket"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos", cosine)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, k, col("cos").desc, col("vb"))
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("vec_id"), col("cos"))
   }
@@ -249,17 +274,38 @@ object VectorOps {
     * (element-wise `sum div count`; an emptied cluster keeps its old
     * centroid). The per-iteration corpus work is one explode + one
     * aggregation; the codebook (m·k·subLen longs) is bounded driver
-    * state like the BPE merge table. At lake scale, train on a sample
-    * (the model is an argument to the encode/search passes). */
+    * state like the BPE merge table.
+    *
+    * `sampleFraction` < 1 trains on a deterministic content-hash
+    * Bernoulli sample of the collection (md5 of the vec_id — stable
+    * under re-partitioning and re-runs, the same scheme as
+    * [[TextPipeline.splitAssign]]): the lake-scale path, where Lloyd
+    * refinement sees ~fraction·n vectors per pass instead of all of
+    * them. Codebook quality needs only a representative sample; the
+    * encode/search passes take the trained model as an argument and
+    * always cover the full collection. Seeds (vectors 0..k−1) are
+    * unaffected, so fraction = 1 reproduces the unsampled model
+    * bit-for-bit. */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 2): PqModel = {
-    val q = quantized(emb)
+      iters: Int = 2, sampleFraction: Double = 1.0): PqModel = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction in (0, 1]")
+    val qAll = quantized(emb)
+    val q =
+      if (sampleFraction >= 1.0) qAll
+      else {
+        // 16-bit md5 prefix of the id (uniform over 0..65535): keep
+        // when below fraction·65536
+        val h = md5(concat(lit("pqtrain#"), col("vec_id")))
+        val bucket = conv(substring(h, 1, 4), 16, 10).cast("long")
+        qAll.filter(bucket < lit((sampleFraction * 65536).toLong))
+      }
     val first = emb.select(size(col("embedding"))).head(1)
     require(first.nonEmpty, "cannot train PQ on an empty collection")
     val d = first(0).getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val L = d / m
-    var codebook: Array[Array[Array[Long]]] = q.filter(col("vec_id") < k)
+    var codebook: Array[Array[Array[Long]]] = qAll.filter(col("vec_id") < k)
       .orderBy("vec_id").select("q").collect()
       .map(_.getSeq[Long](0).toArray)
       .map(v => Array.tabulate(m)(s => v.slice(s * L, s * L + L)))
@@ -403,24 +449,30 @@ object VectorOps {
         }
       }
     }.toSeq.toDF("query_id", "s", "code", "pdist")
+    // the exploded code table IS the stored index (n·m tiny rows — what
+    // a PQ deployment persists); checkpointing it here (lazily) both
+    // reflects that and keeps the very large encode expression tree out
+    // of every downstream plan — the optimizer re-walks the full tree
+    // per action, which dominates wall-clock once windows stack above it
     val codesEx = pqCodes(emb, model)
       .select(col("vec_id").as("vb"),
         posexplode(col("codes")).as(Seq("s", "code")))
+      .localCheckpoint(false)
     val scored = restrict match {
       case Some(r) => r.join(codesEx, Seq("vb"))
         .join(broadcast(table), Seq("query_id", "s", "code"))
       case None => codesEx.join(broadcast(table), Seq("s", "code"))
         .filter(col("query_id") =!= col("vb"))
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist"), col("vb"))
-    val preselected = scored
-      .groupBy("query_id", "vb")
-      .agg(sum("pdist").as("adc_dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK * rerank)
+    // two-stage preselect: without an IVF restriction the ADC scores
+    // cover the whole collection per query, so the ranking must never
+    // collapse one query onto one task — same shape as the brute paths
+    val preselected = topKPerQuery(
+      scored.groupBy("query_id", "vb").agg(sum("pdist").as("adc_dist")),
+      topK * rerank, col("adc_dist"), col("vb"))
       .select("query_id", "vb")
-    // exact refinement over the preselection only
+    // exact refinement over the preselection only — ≤ topK·rerank rows
+    // per query by construction, so a plain per-query window is bounded
     val qDf = queryVecs.toSeq.toDF("query_id", "qa")
       .withColumn("na", longArrayDot(col("qa"), col("qa")))
     val w2 = Window.partitionBy("query_id")
