@@ -56,10 +56,17 @@ object TextPipeline {
     (((2654435761L * j) % MinhashP) | 1L,
       ((40503L * j * j + 17L) % MinhashP) | 1L)
 
-  def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame =
+    minhashCandidatesFromShingles(shingled(docs), k, r)
+
+  /** [[minhashCandidates]] over a pre-computed `(doc_id, shingle)`
+    * frame — the seam that lets a composed pipeline (see [[curate]])
+    * shingle the corpus once and feed several shingle consumers. */
+  private def minhashCandidatesFromShingles(shinglesDf: DataFrame,
+      k: Int, r: Int): DataFrame = {
     // all k signature mins in ONE aggregation over the shingles (no k×
     // row explosion), band keys assembled from the signature columns
-    val sh = shingled(docs)
+    val sh = shinglesDf
       .withColumn("dig", md5(col("shingle")))
       .withColumn("h1", conv(substring(col("dig"), 1, 8), 16, 10)
         .cast("long") % MinhashP)
@@ -158,19 +165,22 @@ object TextPipeline {
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint(false)
-      // pointer jumping: follow the label one hop (label := label(label))
-      // so path-shaped clusters converge in O(log diameter) rounds
+      // pointer jumping, two hops per round (label := label(label(label)))
+      // so path-shaped clusters converge in O(log₃ diameter) rounds
       // instead of O(diameter) — labels only decrease and stay inside
       // the component, so the fixpoint (= component minimum) is the
-      // same; the extra join is over the just-checkpointed node table
-      val jumped = next
+      // same. Both hops join against the SAME just-checkpointed node
+      // table inside the round's single job: the second hop costs one
+      // more cheap join, where a second ROUND would cost a whole
+      // scheduling cycle (the dominant per-round cost at small scale)
+      def hop(d: DataFrame): DataFrame = d
         .join(next.select(col("label").as("hop_label"),
           col("doc_id").as("label")), Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("hop_label"), col("label")))
             .as("label"),
           col("prev"))
-        .localCheckpoint(false)
+      val jumped = hop(hop(next)).localCheckpoint(false)
       changed = jumped.filter(col("label") < col("prev")).count()
       labels = jumped.select(col("doc_id"), col("label"))
     }
@@ -292,19 +302,30 @@ object TextPipeline {
     * their trigrams with a benchmark set (here: doc_id < benchMax) —
     * the n-gram-overlap decontamination step of training-data
     * pipelines. */
-  def decontaminate(docs: DataFrame, benchMax: Long = 10): DataFrame = {
+  def decontaminate(docs: DataFrame, benchMax: Long = 10): DataFrame =
+    decontaminateFromShingles(shingled(docs), benchMax)
+
+  /** [[decontaminate]] over a pre-computed `(doc_id, shingle)` frame
+    * (see [[minhashCandidatesFromShingles]] for the rationale). */
+  private def decontaminateFromShingles(sh: DataFrame,
+      benchMax: Long): DataFrame = {
     // the benchmark set is tiny by construction, so its distinct
-    // shingle set broadcasts; a broadcast left join marks corpus
-    // shingles in a single skew-proof pass. (A per-shingle window here
-    // would put each shingle's full posting list on one task — a
-    // boilerplate trigram in 10% of the corpus melts that task down,
-    // the same skew dfCap/BandBucketCap guard against elsewhere.)
-    val sh = shingled(docs)
+    // shingle set broadcasts and the left join marks corpus shingles
+    // in a single skew-proof pass. (A per-shingle window here would
+    // put each shingle's full posting list on one task — a boilerplate
+    // trigram in 10% of the corpus melts that task down, the same skew
+    // dfCap/BandBucketCap guard against elsewhere.) The broadcast is
+    // AQE's size-based decision, not a forced hint: benchShingles sits
+    // behind its distinct() exchange, so the runtime size picks the
+    // strategy — the normal bench set broadcasts exactly as before,
+    // while a caller-supplied pathological one (benchMax is caller
+    // data) degrades to a skew-aware shuffle join instead of blowing
+    // the driver's broadcast budget.
     val benchShingles = sh.filter(col("doc_id") < benchMax)
       .select(col("shingle")).distinct()
       .withColumn("in_bench", lit(1))
     sh.filter(col("doc_id") >= benchMax)
-      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .join(benchShingles, Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("in_bench"), lit(0))).as("n_overlap"))
@@ -352,13 +373,26 @@ object TextPipeline {
     val uniq = kept.join(
       exactDedup(kept).filter(!col("is_dup")).select("doc_id"), "doc_id")
       .localCheckpoint(false)
-    val canon = dedupClusters(uniq, minhashCandidates(uniq))
+    // ONE shingle pass for the whole composition: minhash banding and
+    // decontamination both consume the same (doc_id, shingle) frame —
+    // exploding the corpus into trigrams is the pipeline's widest
+    // intermediate, so it is computed once and checkpointed, not once
+    // per consumer
+    val shUniq = shingled(uniq).localCheckpoint(false)
+    val canon = dedupClusters(uniq,
+        minhashCandidatesFromShingles(shUniq, k = 9, r = 3))
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("cluster_size"))
     val canonDocs = uniq.join(canon, "doc_id").localCheckpoint(false)
-    val clean = decontaminate(
-      docs.filter(col("doc_id") < benchMax).select("doc_id", "text")
-        .unionByName(canonDocs.select("doc_id", "text")), benchMax)
+    // decontaminate sees bench shingles (tiny fresh pass — bench docs
+    // are not in uniq) ∪ the canonical survivors' already-computed
+    // shingles
+    val benchSh = shingled(
+      docs.filter(col("doc_id") < benchMax).select("doc_id", "text"))
+    val clean = decontaminateFromShingles(
+      benchSh.unionByName(
+        shUniq.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")),
+      benchMax)
       .filter(!col("is_contaminated")).select("doc_id")
     canonDocs.join(clean, "doc_id")
       .join(qual, "doc_id")

@@ -242,8 +242,8 @@ object StreamingOps {
     * across micro-batches would see a mid-episode quote; the watermark
     * plus within-batch sort make that a bounded-disorder concern, not a
     * steady-state one. */
-  def orderTypeStream(events: Dataset[OrderEvt], spark: SparkSession)
-      : DataFrame = {
+  def orderTypeStream(events: Dataset[OrderEvt], spark: SparkSession,
+      idleTtlMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
 
     def classify(f: OrderFlags): String =
@@ -258,6 +258,13 @@ object StreamingOps {
 
     def update(pairId: Int, batch: Iterator[OrderEvt],
         state: GroupState[ClassifyState]): Iterator[OrderTypeRow] = {
+      // idle-pair eviction (only reachable with idleTtlMs set): a pair
+      // silent past the TTL drops its book + flag state — the streaming
+      // analogue of the reference starting a NEW ERA after a data gap
+      // (`db/bitfinex_schema.sql:279`: 2 s without events ⇒ book rebuilt
+      // from empty); without it a long-lived stream holds state for
+      // every pair ever seen
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val st = state.getOption.getOrElse(ClassifyState(Nil, Nil))
       val book = new OrderBook
       st.orders.foreach { case (oid, side, price, amount) =>
@@ -302,6 +309,12 @@ object StreamingOps {
         live += ((oid, if (isBid) "b" else "s", price, amount))
       }
       state.update(ClassifyState(live.toList, flags.values.toList))
+      idleTtlMs.foreach { ttl =>
+        val maxEvMs = if (evs.nonEmpty) evs.map(_.ts).max / 1000L else 0L
+        // the engine rejects a timeout at/behind the watermark
+        state.setTimeoutTimestamp(
+          math.max(maxEvMs + ttl, state.getCurrentWatermarkMs() + 1L))
+      }
       out.iterator
     }
 
@@ -311,7 +324,8 @@ object StreamingOps {
       .as[OrderEvt]
       .groupByKey(_.pairId)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+        if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
       .toDF()
   }
 
@@ -348,7 +362,10 @@ object StreamingOps {
     * `n_docs`, matching the batch `countDistinct`. At corpus scale the
     * doc-id set of a pathological viral chunk is the knob (cap it and
     * report `≥ cap`, or swap in a sketch); exactness is kept here to
-    * stay hash-comparable with the batch op. */
+    * stay hash-comparable with the batch op. This unbounded form is
+    * right for bounded replays (the state IS the dedup table); for a
+    * long-lived stream use [[chunkDedupStreamTtl]], which expires idle
+    * keys on event time. */
   def chunkDedupStream(chunks: Dataset[ChunkOcc],
       spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -368,6 +385,53 @@ object StreamingOps {
       .groupByKey(_.chunk_hash)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** A chunk occurrence with its ingest event time (µs) — the input
+    * shape of the TTL-bounded dedup variant. */
+  case class ChunkOccT(doc_id: Long, chunk_hash: String, ts: Long)
+
+  /** TTL-bounded streaming chunk dedup: [[chunkDedupStream]] with an
+    * event-time expiry, for long-lived 100 TB streams where "every
+    * distinct chunk ever seen" is unbounded executor state. A chunk
+    * hash unseen for `ttlMs` of event time past its last occurrence is
+    * evicted once the watermark passes (the `tradesStream`
+    * `EventTimeTimeout` pattern); a re-arrival after eviction starts a
+    * fresh count. Semantics: dedup against the TRAILING ttl WINDOW of
+    * the corpus rather than all history — the standard bounded-state
+    * trade-off, made explicit as a parameter instead of an implicit
+    * leak. Inside the window, emissions are identical to the unbounded
+    * op (`StreamingSpec` proves both halves). */
+  def chunkDedupStreamTtl(chunks: Dataset[ChunkOccT], spark: SparkSession,
+      ttlMs: Long, lateness: String = "2 minutes"): DataFrame = {
+    import spark.implicits._
+
+    def update(hash: String, batch: Iterator[ChunkOccT],
+        state: GroupState[ChunkState]): Iterator[ChunkAgg] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var s = state.getOption.getOrElse(
+        ChunkState(Set.empty, 0L, Long.MaxValue))
+      var maxTsUs = Long.MinValue
+      batch.foreach { o =>
+        maxTsUs = math.max(maxTsUs, o.ts)
+        s = ChunkState(s.docIds + o.doc_id, s.nOcc + 1,
+          math.min(s.keepDoc, o.doc_id))
+      }
+      state.update(s)
+      val maxEvMs = if (maxTsUs == Long.MinValue) 0L else maxTsUs / 1000L
+      state.setTimeoutTimestamp(
+        math.max(maxEvMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+      Iterator.single(ChunkAgg(hash, s.docIds.size.toLong, s.nOcc, s.keepDoc))
+    }
+
+    chunks
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[ChunkOccT]
+      .groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(update)
       .toDF()
   }
 

@@ -124,6 +124,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("TTL chunk dedup: state expires on event time, accumulates inside it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = 1_700_000_000_000_000L // µs
+    val min = 60_000_000L           // 1 minute in µs
+    val ttlMs = 5 * 60 * 1000L     // 5 minutes of event time
+    val ms = MemoryStream[StreamingOps.ChunkOccT](spark)
+    val q = StreamingOps.chunkDedupStreamTtl(ms.toDS(), spark, ttlMs)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("chunk_ttl_out")
+      .start()
+    // batch 1: chunk A twice (two docs), chunk B once
+    ms.addData(Seq(
+      StreamingOps.ChunkOccT(1L, "A", t0),
+      StreamingOps.ChunkOccT(2L, "A", t0 + min),
+      StreamingOps.ChunkOccT(3L, "B", t0 + min)))
+    q.processAllAvailable()
+    // batch 2: A again INSIDE its ttl → accumulates (n_occ=3)
+    ms.addData(Seq(StreamingOps.ChunkOccT(4L, "A", t0 + 4 * min)))
+    q.processAllAvailable()
+    // batch 3 moves the max event time far ahead; its end-of-batch
+    // watermark (max event − 2 min lateness) passes every timeout
+    ms.addData(Seq(StreamingOps.ChunkOccT(9L, "C", t0 + 60 * min)))
+    q.processAllAvailable()
+    // batch 4: timeouts fire only for keys WITHOUT data in the batch —
+    // this data-for-D-only batch runs under the advanced watermark and
+    // evicts A and B
+    ms.addData(Seq(StreamingOps.ChunkOccT(8L, "D", t0 + 62 * min)))
+    q.processAllAvailable()
+    // batch 5: B re-arrives AFTER eviction → fresh count, not 2
+    ms.addData(Seq(StreamingOps.ChunkOccT(5L, "B", t0 + 63 * min)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunk_ttl_out")
+      .select("chunk_hash", "n_docs", "n_occurrences", "keep_doc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    // inside the window A behaved exactly like the unbounded op
+    assert(rows.contains(("A", 3L, 3L, 1L)))
+    // B's post-eviction emission restarts from scratch: new keeper 5,
+    // single occurrence — state for the expired key was dropped
+    assert(rows.contains(("B", 1L, 1L, 3L)))
+    assert(rows.contains(("B", 1L, 1L, 5L)))
+    assert(!rows.exists(r => r._1 == "B" && r._3 == 2L))
+  }
+
+  test("order classifier idle-TTL evicts a silent pair's book and flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = 1_700_000_000_000_000L
+    val min = 60_000_000L
+    def evt(pair: Int, ts: Long, oid: Long, no: Int, side: String,
+        price: Double, amount: Double, fill: Double, del: Boolean) =
+      StreamingOps.OrderEvt(pair, ts, oid, no, side, price, amount, fill, del)
+
+    def run(ttl: Option[Long], name: String): List[(Int, Long, String)] = {
+      val ms = MemoryStream[StreamingOps.OrderEvt](spark)
+      val q = StreamingOps.orderTypeStream(ms.toDS(), spark, ttl)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      // pair 1: order 10 rests at 100; order 11 crosses it and fills
+      ms.addData(Seq(
+        evt(1, t0, 10L, 1, "b", 100.0, 5.0, 0.0, del = false),
+        evt(1, t0 + 1, 11L, 1, "s", 90.0, 5.0, 3.0, del = false)))
+      q.processAllAvailable()
+      // a different pair advances the watermark far past pair 1's TTL
+      ms.addData(Seq(
+        evt(2, t0 + 60 * min, 20L, 1, "b", 50.0, 1.0, 0.0, del = false)))
+      q.processAllAvailable()
+      // a second pair-2-only batch runs under the advanced watermark:
+      // pair 1 has no data in it, so its idle timeout fires (TTL run)
+      ms.addData(Seq(
+        evt(2, t0 + 62 * min, 21L, 1, "b", 51.0, 1.0, 0.0, del = false)))
+      q.processAllAvailable()
+      // pair 1's order 11 finally deletes: with state the book still
+      // holds bid 100 → the deletion is judged aggressive → "market";
+      // with the pair evicted the book is empty → "flashed-limit"
+      ms.addData(Seq(
+        evt(1, t0 + 63 * min, 11L, 2, "s", 90.0, 0.0, 0.0, del = true)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .select("pair_id", "order_id", "order_type")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+        .toList
+    }
+
+    val withTtl = run(Some(5 * 60 * 1000L), "ots_ttl_out")
+    val without = run(None, "ots_nottl_out")
+    assert(withTtl.contains((1, 11L, "flashed-limit"))) // state was dropped
+    assert(without.contains((1, 11L, "market")))        // state survived
+  }
+
   test("streaming L1 equals batch L1 on the same event log") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
