@@ -53,5 +53,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.AsOfJoinOps.sqlTableFunction(exprs)))
     e.injectResolutionRule(_ => graft.plans.AsOfJoinResolution)
+    // the engine's primary entry points as SQL table functions:
+    // SELECT * FROM depth('l3', s, e) / spread('l3') / events('l3', s, e)
+    // — macro-expanded at resolution time to the exact GraftApi plans
+    e.injectTableFunction((
+      new FunctionIdentifier("depth"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "depth"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.depthTvf(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("spread"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "spread"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.spreadTvf(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("events"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "events"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.eventsTvf(exprs)))
+    e.injectResolutionRule(_ => graft.plans.GraftCallResolution)
   }
 }

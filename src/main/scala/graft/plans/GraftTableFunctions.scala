@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** SQL table-function surface for the engine's primary entry points —
+  * the reference's `get.depth` / `get.spread` (`level1`) / `get.events`
+  * (`db/get_schema.sql:239,645,304`) reachable from plain SQL text:
+  *
+  * {{{
+  *   SELECT * FROM depth('l3_view', 1000000, 2000000)
+  *   SELECT * FROM spread('l3_view')
+  *   SELECT * FROM events('l3_view', 1000000, 2000000)
+  * }}}
+  *
+  * Each parses to an [[UnresolvedGraftCall]] marker over an
+  * `UnresolvedRelation` of the named level3 table; once the relation
+  * resolves, [[GraftCallResolution]] expands the marker into the SAME
+  * plan the Scala `GraftApi` method builds (macro expansion at
+  * resolution time — the proven [[UnresolvedAsOfJoin]] mechanism). SQL
+  * users therefore get the identical scalable physical shape: the
+  * sliced replay kernel, the as-of carry, never a one-task window.
+  *
+  * Unlike `asof_join` (a reusable *operator* with its own logical
+  * node), these are query macros: nothing downstream needs to pattern-
+  * match on them, so expanding directly to the API plan is the whole
+  * implementation.
+  */
+case class UnresolvedGraftCall(child: LogicalPlan, kind: String,
+    longArgs: Seq[Long]) extends UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): LogicalPlan = copy(child = newChild)
+}
+
+/** Analyzer rule (injected via `GraftExtensions.injectResolutionRule`):
+  * expands a [[UnresolvedGraftCall]] to the corresponding `GraftApi`
+  * plan once its level3 relation is resolved. */
+object GraftCallResolution extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedGraftCall if u.childrenResolved =>
+        val spark = SparkSession.active
+        val l3 = PlanBridge.ofRows(spark, u.child)
+        val api = new graft.GraftApi(spark, l3)
+        val df = u.kind match {
+          case "depth" => api.depth(u.longArgs(0), u.longArgs(1))
+          case "spread" => api.spread()
+          case "events" => api.events(u.longArgs(0), u.longArgs(1))
+          case other => throw new IllegalStateException(
+            s"unknown graft table function: $other")
+        }
+        PlanBridge.plan(df)
+    }
+}
+
+/** Parse-time builders behind the registered table functions. */
+object GraftTableFunctions {
+
+  private def strLit(exprs: Seq[Expression], i: Int, fn: String): String = {
+    val e = exprs(i)
+    require(e.foldable &&
+      e.dataType == org.apache.spark.sql.types.StringType,
+      s"$fn argument ${i + 1} must be a string literal (the level3 table name)")
+    val v = e.eval(null)
+    require(v != null, s"$fn argument ${i + 1} must not be null")
+    v.toString
+  }
+
+  private def longLit(exprs: Seq[Expression], i: Int, fn: String): Long = {
+    val e = exprs(i)
+    require(e.foldable && (e.dataType ==
+      org.apache.spark.sql.types.LongType ||
+      e.dataType == org.apache.spark.sql.types.IntegerType),
+      s"$fn argument ${i + 1} must be an integral literal (epoch µs)")
+    val v = e.eval(null)
+    require(v != null, s"$fn argument ${i + 1} must not be null")
+    v.asInstanceOf[Number].longValue()
+  }
+
+  private def rel(name: String): LogicalPlan =
+    UnresolvedRelation(name.split('.').toSeq)
+
+  /** `depth('l3', start_us, end_us)` — `GraftApi.depth`. */
+  def depthTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "depth takes (level3_table, start_us, end_us)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "depth")), "depth",
+      Seq(longLit(exprs, 1, "depth"), longLit(exprs, 2, "depth")))
+  }
+
+  /** `spread('l3')` — `GraftApi.spread` (the full L1 stream). */
+  def spreadTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "spread takes (level3_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "spread")), "spread", Nil)
+  }
+
+  /** `events('l3', start_us, end_us)` — `GraftApi.events`. */
+  def eventsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "events takes (level3_table, start_us, end_us)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "events")), "events",
+      Seq(longLit(exprs, 1, "events"), longLit(exprs, 2, "events")))
+  }
+}

@@ -164,6 +164,52 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("depth/spread/events are drivable from SQL text through GraftExtensions") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val l3 = graft.market.Level3Source.level3(
+        Tables.load(s2, "/root/testdata/sf0.001", "events"))
+        .localCheckpoint()
+      l3.createOrReplaceTempView("l3_tvf")
+      val api = new GraftApi(s2, l3)
+      val b = l3.agg(org.apache.spark.sql.functions.min("microtimestamp"),
+        org.apache.spark.sql.functions.max("microtimestamp")).head()
+      val (s0, e0) = (b.getLong(0), math.min(b.getLong(1), b.getLong(0) + 3600L * 1000000L))
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toList.sortBy(_.mkString("#"))
+
+      val sqlSpread = s2.sql("SELECT * FROM spread('l3_tvf')")
+      assert(rows(sqlSpread) == rows(api.spread()))
+
+      val sqlDepth = s2.sql(s"SELECT * FROM depth('l3_tvf', $s0, $e0)")
+      assert(rows(sqlDepth) == rows(api.depth(s0, e0)))
+
+      val sqlEvents = s2.sql(s"SELECT * FROM events('l3_tvf', $s0, $e0)")
+      assert(rows(sqlEvents) == rows(api.events(s0, e0)))
+      assert(sqlEvents.columns.sameElements(api.events(s0, e0).columns))
+
+      // literal-argument validation reaches the SQL surface
+      intercept[Exception] {
+        s2.sql("SELECT * FROM depth('l3_tvf', 'not_a_ts', 5)").collect()
+      }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("asof_join is drivable from SQL text through GraftExtensions") {
     // a fresh session on the shared context, built WITH the extensions
     // (the suite-shared session predates them); restored in finally so
