@@ -259,6 +259,41 @@ object Oracles {
       |SELECT pair_id, ts, side, price, volume FROM run
       |ORDER BY pair_id, ts, side, price""".stripMargin
 
+  /** Depth at precision tier p2 (mirror of
+    * `MarketOps.depthChangesAtPrecision(_, _, "p2")`): prices rounded
+    * two digits coarser than the pair's R0 before the same
+    * interval-delta / running-sum computation. The per-pair scale CASE
+    * is generated from the seeded pairs dimension, exactly like the
+    * Spark side's fold over `Dimensions.Pairs`. */
+  def mktDepthP2: String = {
+    val r0Case = "CASE pair_id " + graft.market.Dimensions.Pairs.map {
+      case (pid, _, r0, _) => s"WHEN $pid THEN ROUND(price, ${r0 - 2})"
+    }.mkString(" ") + " ELSE price END"
+    Level3Cte +
+      s""", level3p AS (
+        |  SELECT * REPLACE ($r0Case AS price) FROM level3
+        |), starts2 AS (
+        |  SELECT pair_id, microtimestamp AS ts, side, price, amount AS delta
+        |  FROM level3p
+        |), ends2 AS (
+        |  SELECT pair_id, next_microtimestamp AS ts, side, price,
+        |         -amount AS delta
+        |  FROM level3p WHERE next_microtimestamp < 4102444800000000
+        |), deltas2 AS (
+        |  SELECT pair_id, side, price, ts, SUM(delta) AS delta
+        |  FROM (SELECT * FROM starts2 UNION ALL SELECT * FROM ends2) u
+        |  GROUP BY pair_id, side, price, ts
+        |  HAVING SUM(delta) <> 0
+        |), run2 AS (
+        |  SELECT pair_id, ts, side, price,
+        |    SUM(delta) OVER (PARTITION BY pair_id, side, price ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume
+        |  FROM deltas2
+        |)
+        |SELECT pair_id, ts, side, price, volume FROM run2
+        |ORDER BY pair_id, ts, side, price""".stripMargin
+  }
+
   def mktDepthApi: String = Level3Cte + DepthRunCte +
     s""", snap AS (
       |  SELECT pair_id, side, price, SUM(amount) AS volume, $T0 AS ts
@@ -304,9 +339,12 @@ object Oracles {
   def mktEventsFreq: String =
     mktEventsWith(parity = false, freqMicros = Some(EventsFreqMicros))
 
-  /** `parity = true` mirrors the reference's buy-side aggressiveness
+  /** `parity = true` mirrors the reference exactly where the default
+    * deliberately improves on it: the buy-side aggressiveness
     * denominator (best_ask for both sides, `db/get_schema.sql:435-438`)
-    * rather than the side-correct best_bid. `freqMicros` mirrors the
+    * and the trade-connection rule (trade-timestamp keying, closed
+    * trades window, NULL event_id for unconnected events,
+    * `db/get_schema.sql:313,390-404`). `freqMicros` mirrors the
     * `p_frequency` entry point: the prevailing spread comes from the
     * right-closed grid-resampled L1 stream instead of every tick. */
   def mktEventsWith(parity: Boolean,
@@ -367,19 +405,41 @@ object Oracles {
     // precede it; the every-tick variant's reads only `quote`
     val (beforeActive, afterActive) =
       if (freqMicros.isEmpty) (spreadSrc, "") else ("", spreadSrc)
-    Level3Cte + QuoteCte + InferredMatchCte +
-    s""", conn AS (
-      |  SELECT pair_id, b_ts AS microtimestamp, b_oid AS order_id,
-      |    b_eno AS event_no,
-      |    md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1)) AS matching_event
-      |  FROM m
-      |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
-      |  UNION ALL
-      |  SELECT pair_id, s_ts, s_oid, s_eno,
-      |    md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
-      |  FROM m
-      |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
-      |)""".stripMargin + beforeActive +
+    // connection dialects (mirror of EventsQuery: see its scaladoc).
+    // default: keyed on each fill event's own ts, uuid names the
+    // opposite event, (T0, T1] trades window. parity: keyed on the
+    // TRADE's ts (= GREATEST of the sides), uuid from (trade_ts,
+    // opposite ids), closed [T0, T1] window — `db/get_schema.sql:
+    // 313,390-402`.
+    (Level3Cte + QuoteCte + InferredMatchCte +
+    (if (parity)
+      s""", conn AS (
+        |  SELECT pair_id, GREATEST(b_ts, s_ts) AS microtimestamp,
+        |    b_oid AS order_id, b_eno AS event_no,
+        |    md5(concat_ws('#', GREATEST(b_ts, s_ts), s_oid, s_eno,
+        |      pair_id, 1)) AS matching_event
+        |  FROM m
+        |  WHERE GREATEST(b_ts, s_ts) >= $T0 AND GREATEST(b_ts, s_ts) <= $T1
+        |  UNION ALL
+        |  SELECT pair_id, GREATEST(b_ts, s_ts), s_oid, s_eno,
+        |    md5(concat_ws('#', GREATEST(b_ts, s_ts), b_oid, b_eno,
+        |      pair_id, 1))
+        |  FROM m
+        |  WHERE GREATEST(b_ts, s_ts) >= $T0 AND GREATEST(b_ts, s_ts) <= $T1
+        |)""".stripMargin
+    else
+      s""", conn AS (
+        |  SELECT pair_id, b_ts AS microtimestamp, b_oid AS order_id,
+        |    b_eno AS event_no,
+        |    md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1)) AS matching_event
+        |  FROM m
+        |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
+        |  UNION ALL
+        |  SELECT pair_id, s_ts, s_oid, s_eno,
+        |    md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
+        |  FROM m
+        |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
+        |)""".stripMargin)) + beforeActive +
     s""", active AS (
       |  SELECT *, FALSE AS is_initial FROM level3
       |  WHERE microtimestamp > $T0 AND microtimestamp <= $T1
@@ -410,8 +470,13 @@ object Oracles {
       |  WINDOW o AS (PARTITION BY pair_id, order_id)
       |)
       |SELECT
-      |  md5(concat_ws('#', microtimestamp, order_id, event_no, pair_id,
-      |    exchange_id)) AS event_id,
+      |  ${if (parity)
+           "CASE WHEN matching_event IS NOT NULL THEN " +
+           "md5(concat_ws('#', microtimestamp, order_id, event_no, " +
+           "pair_id, exchange_id)) END"
+         else
+           "md5(concat_ws('#', microtimestamp, order_id, event_no, " +
+           "pair_id, exchange_id))"} AS event_id,
       |  order_id AS id,
       |  microtimestamp AS ts_us,
       |  price_microtimestamp AS exchange_timestamp,
@@ -1641,10 +1706,11 @@ object Oracles {
 
   /** Mirror of `VectorOps.pqTrain` + `pqCodes`: m=8 × k=16 codebook,
     * 2 integer-exact Lloyd iterations (assign by squared L2, ties to
-    * the lower code; recenter by floor-division — FLOOR on doubles
-    * mirrors Java floorDiv for negatives, exact at these magnitudes,
-    * while DuckDB's `//` truncates toward zero; an emptied cluster
-    * keeps its previous centroid). */
+    * the lower code; recenter by floor-division computed in EXACT
+    * integer arithmetic — `(s − pmod(s, n)) // n` on BIGINT/HUGEINT
+    * mirrors Java floorDiv at any magnitude, where a double round-trip
+    * would silently diverge past 2^53; an emptied cluster keeps its
+    * previous centroid). */
   private def PqCte(m: Int = 8, k: Int = 16, L: Int = 8): String = {
     def assign(cb: String): String =
       s"""SELECT vec_id, s, j FROM (
@@ -1659,7 +1725,8 @@ object Oracles {
       s"""SELECT $cb.s, $cb.j, $cb.p, COALESCE(u.c, $cb.c) AS c
          |  FROM $cb LEFT JOIN (
          |    SELECT a.s, a.j, v.p,
-         |      CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |      CAST((SUM(v.q) - ((SUM(v.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+         |        // COUNT(*) AS BIGINT) AS c
          |    FROM $asg a JOIN sv v ON v.vec_id = a.vec_id AND v.s = a.s
          |    GROUP BY a.s, a.j, v.p
          |  ) u ON u.s = $cb.s AND u.j = $cb.j AND u.p = $cb.p""".stripMargin

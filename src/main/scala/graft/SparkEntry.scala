@@ -47,6 +47,13 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
+    // the level2 precision-tier materialization option: depth at p2 =
+    // prices two digits coarser than the pair's R0 before replay
+    "mkt_depth_p2" -> ((s, d) =>
+      MarketOps.depthChangesAtPrecision(level3(s, d), s, "p2")
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("price"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "price")),
     "mkt_depth_chains" -> ((s, d) =>
       MarketOps.depthChangeChains(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -585,6 +592,7 @@ object SparkEntry {
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,
+    "mkt_depth_p2" -> Oracles.mktDepthP2,
     "mkt_depth_chains" -> Oracles.mktDepthChains,
     "mkt_depth_api" -> Oracles.mktDepthApi,
     "mkt_events" -> Oracles.mktEvents,

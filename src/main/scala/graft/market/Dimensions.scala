@@ -61,6 +61,20 @@ object Dimensions {
       acc.when(pairId === pid, round(amount, fmu))
     }.otherwise(amount)
 
+  /** Price rounded `digitsCoarser` digits COARSER than the pair's
+    * native `R0` scale — the level2 precision-tier grid (`p1`..`p4`,
+    * `db/obanalytics_schema.sql:234-316`): tier pN aggregates depth at
+    * round(price, R0−N), so p0 is the native (unrounded-beyond-wire)
+    * scale the reference's own depth engine runs at
+    * (`db/obanalytics_schema.sql:1244` "Precision of depth is P0") and
+    * each higher tier is a 10× coarser ladder. Unseeded pairs pass
+    * through unrounded, as [[roundPrice]]. */
+  def roundPriceCoarser(pairId: Column, price: Column,
+      digitsCoarser: Int): Column =
+    Pairs.foldLeft(when(lit(false), price)) { case (acc, (pid, _, r0, _)) =>
+      acc.when(pairId === pid, round(price, r0 - digitsCoarser))
+    }.otherwise(price)
+
   /** Price-rounding scale for a pair (digits after the point). */
   def r0(pairId: Int): Int = Pairs.find(_._1 == pairId)
     .map(_._3).getOrElse(

@@ -13,11 +13,20 @@ import TradeMatching.eventUuid
   *
   * Pure Catalyst: window functions (`last(_, ignoreNulls)` as-of over a
   * unioned stream, `bool_or` per order), a `when` chain for the state
-  * machine, `md5` uuids. One deliberate divergence from the reference:
-  * by default `aggressiveness_bps` uses the side-correct denominator
-  * (the reference divides by best_ask for both sides,
-  * `db/get_schema.sql:435-438`); pass `referenceParity = true` for
-  * bit-compatible differential testing against a live obadiah.
+  * machine, `md5` uuids. Two deliberate default divergences from the
+  * reference, both reverted by `referenceParity = true` for
+  * bit-compatible differential testing against a live obadiah:
+  *   - `aggressiveness_bps` uses the side-correct denominator (the
+  *     reference divides by best_ask for both sides,
+  *     `db/get_schema.sql:435-438`);
+  *   - the trade connection keys on each fill event's own timestamp and
+  *     the matching uuid names the opposite EVENT, so both sides of a
+  *     tolerance-matched trade connect and every uuid resolves to a
+  *     level3 row (the reference keys on the trade's timestamp —
+  *     `db/get_schema.sql:390-402,449` — which silently drops the
+  *     earlier side of a tolerance match and mints uuids that may name
+  *     no stored event; it also nulls `event.id` for unconnected
+  *     events and uses a closed [t0, t1] trades window).
   */
 object EventsQuery {
 
@@ -127,11 +136,26 @@ object EventsQuery {
     // trade contributes two connection rows (buy→sell uuid, sell→buy
     // uuid); the match is mutual-best so each (order_id, event_no)
     // appears at most once per side — the left join is 1:1, no row
-    // multiplication. Trades are window-filtered on the trade
-    // timestamp, as the reference's `trades` CTE is: an initial-book
-    // fill whose trade predates the window connects to nothing.
+    // multiplication.
+    //
+    // Two connection dialects:
+    //   - default (improvement, documented deviation): a connection row
+    //     keys on the fill EVENT's own timestamp and the matching uuid
+    //     names the opposite EVENT (its own ts) — so BOTH sides of a
+    //     tolerance-matched trade connect, and every uuid denotes a row
+    //     that exists in the level3 log. Trades window (t0, t1].
+    //   - referenceParity: the reference's exact rule
+    //     (`db/get_schema.sql:390-402`) — connection rows key on the
+    //     TRADE's microtimestamp (`using (microtimestamp, event_no,
+    //     order_id)` against the event, so the earlier side of a
+    //     tolerance match, whose own ts ≠ trade ts, connects to
+    //     NOTHING), the matching uuid is built from (trade_ts,
+    //     opposite order_id/event_no), the trades window is closed
+    //     [t0, t1] (`:313`), and `event.id` is NULL for unconnected
+    //     events (`:403-404`).
     val m = matches.getOrElse(TradeMatching.inferredMatches(level3))
-      .filter(col("microtimestamp") > t0 && col("microtimestamp") <= t1)
+      .filter((if (referenceParity) col("microtimestamp") >= t0
+        else col("microtimestamp") > t0) && col("microtimestamp") <= t1)
     // both connection rows of a trade come from ONE pass over m (an
     // exploded 2-struct array, not a union of two selects — a union
     // would evaluate the band join + mutual-best windows behind
@@ -139,10 +163,13 @@ object EventsQuery {
     // dedupe them measures slower than the explode)
     def side(oTs: String, oOid: String, oEno: String,
         mTs: String, mOid: String, mEno: String) = struct(
-      col(oTs).as("microtimestamp"),
+      (if (referenceParity) col("microtimestamp") else col(oTs))
+        .as("microtimestamp"),
       col(oOid).as("order_id"),
       col(oEno).as("event_no"),
-      eventUuid(col(mTs), col(mOid), col(mEno), col("pair_id"),
+      eventUuid(
+        if (referenceParity) col("microtimestamp") else col(mTs),
+        col(mOid), col(mEno), col("pair_id"),
         col("exchange_id")).as("matching_event"))
     val connections = m.select(col("pair_id").cast("long").as("pair_id"),
         explode(array(
@@ -156,9 +183,12 @@ object EventsQuery {
     val connected = flagged.join(connections,
       Seq("pair_id", "microtimestamp", "order_id", "event_no"), "left")
 
+    val selfUuid = eventUuid(col("microtimestamp"), col("order_id"),
+      col("event_no"), col("pair_id"), col("exchange_id"))
     connected.select(
-      eventUuid(col("microtimestamp"), col("order_id"), col("event_no"),
-        col("pair_id"), col("exchange_id")).as("event_id"),
+      (if (referenceParity)
+        when(col("matching_event").isNotNull, selfUuid)
+       else selfUuid).as("event_id"),
       col("order_id").as("id"),
       col("microtimestamp").as("ts_us"),
       col("price_microtimestamp").as("exchange_timestamp"),

@@ -124,6 +124,35 @@ object MarketOps {
       .toDF()
   }
 
+  /** [[depthChanges]] at a level2 precision tier — the reference's
+    * `precision` storage dimension (`r0|p0..p4` LIST partitions of
+    * `level2`, `db/obanalytics_schema.sql:234-316`) as a
+    * materialization option on the depth writer. The reference
+    * provisions the tiers but its own query surface reads only `r0`
+    * (`:1658`) and its depth engine emits p0 = unrounded prices
+    * (`:1244`); semantics here: `r0`/`p0` = the pair's native wire
+    * scale (this is [[depthChanges]] unchanged), `pN` (N = 1..4) =
+    * prices rounded N digits coarser than the pair's `R0`
+    * (`round(price, R0−N)`) BEFORE replay, so each coarse level
+    * aggregates its member orders' volume — the zoomed-out depth
+    * ladder a storage tier holds. Rounding before the replay keeps the
+    * tier a pure input transform: the kernel, slicing, and emission
+    * rules are identical at every precision. */
+  def depthChangesAtPrecision(level3: DataFrame, spark: SparkSession,
+      precision: String,
+      sliceMicros: Long = DefaultSliceMicros): DataFrame = {
+    val p = precision.toLowerCase
+    require(Set("r0", "p0", "p1", "p2", "p3", "p4")(p),
+      s"invalid precision: $precision. Valid values are r0, p0, p1, p2, p3, p4")
+    if (p == "r0" || p == "p0") depthChanges(level3, spark, sliceMicros)
+    else {
+      val n = p.substring(1).toInt
+      val rounded = level3.withColumn("price",
+        Dimensions.roundPriceCoarser(col("pair_id"), col("price"), n))
+      depthChanges(rounded, spark, sliceMicros)
+    }
+  }
+
   /** Single-group-per-pair twin of [[depthChanges]] (differential testing). */
   private[graft] def depthChangesUnsliced(level3: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
