@@ -523,6 +523,56 @@ object Oracles {
       |ORDER BY ts_us, id, event_no""".stripMargin
   }
 
+  /** Mirror of the STREAMING order-type classifier's emissions
+    * (`StreamingOps.orderTypeStream` replayed over the full log): the
+    * final type of every deleted order, derived declaratively — the
+    * prevailing-quote as-of, the per-order flag windows, and the
+    * `get.events` type state machine restricted to deleted orders
+    * (deletion is terminal per order_id, so full-order windows equal
+    * flags-at-deletion). */
+  def mktOrderTypesStream: String = Level3Cte + QuoteCte +
+    """, quote_cf AS (
+      |  SELECT pair_id, ts,
+      |    LAST_VALUE(bid_price IGNORE NULLS) OVER (PARTITION BY pair_id
+      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_cf,
+      |    LAST_VALUE(ask_price IGNORE NULLS) OVER (PARTITION BY pair_id
+      |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ask_cf
+      |  FROM quote
+      |), spread_before AS (
+      |  SELECT pair_id, LEAD(ts) OVER (PARTITION BY pair_id ORDER BY ts) AS ts,
+      |    bid_cf AS bb, ask_cf AS ba
+      |  FROM quote_cf
+      |), base AS (
+      |  SELECT l.*, s.bb AS best_bid_price, s.ba AS best_ask_price
+      |  FROM level3 l LEFT JOIN spread_before s
+      |    ON s.pair_id = l.pair_id AND s.ts = l.microtimestamp
+      |), flg AS (
+      |  SELECT *, CASE WHEN side = 's'
+      |      THEN price <= COALESCE(best_bid_price, price - 1)
+      |      ELSE price >= COALESCE(best_ask_price, price + 1) END AS is_aggressor
+      |  FROM base
+      |), flg2 AS (
+      |  SELECT *,
+      |    MAX(price) OVER o <> MIN(price) OVER o AS is_price_ever_changed,
+      |    BOOL_OR(NOT is_aggressor) OVER o AS is_ever_resting,
+      |    BOOL_OR(is_aggressor) OVER o AS is_ever_aggressor,
+      |    BOOL_OR(COALESCE(fill, 0) > 0) OVER o AS is_ever_filled
+      |  FROM flg
+      |  WINDOW o AS (PARTITION BY pair_id, order_id)
+      |)
+      |SELECT pair_id, order_id, microtimestamp AS deleted_ts,
+      |  CASE WHEN is_price_ever_changed THEN 'pacman'
+      |       WHEN is_ever_resting AND NOT is_ever_aggressor
+      |         AND NOT is_ever_filled THEN 'flashed-limit'
+      |       WHEN is_ever_resting AND NOT is_ever_aggressor THEN 'resting-limit'
+      |       WHEN NOT is_ever_resting AND is_ever_aggressor
+      |         AND is_ever_filled THEN 'market'
+      |       WHEN NOT is_ever_resting AND is_ever_aggressor THEN 'flashed-limit'
+      |       WHEN is_ever_resting AND is_ever_aggressor THEN 'market-limit'
+      |       ELSE 'unknown' END AS order_type
+      |FROM flg2 WHERE is_deleted
+      |ORDER BY pair_id, order_id""".stripMargin
+
   /** Mirror of TradeMatching.inferredMatches up to the mutual-best
     * matches (`m`) — shared by mktTrades and the Bitstamp-tier oracles. */
   private def InferredMatchCte: String =

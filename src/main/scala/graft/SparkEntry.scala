@@ -47,6 +47,15 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
+    // the streaming order-type classifier replayed through three real
+    // micro-batches — its emissions get a DuckDB oracle row, not just
+    // the StreamingSpec differential
+    "mkt_order_types_stream" -> ((s, d) =>
+      streaming.StreamingOps.orderTypesReplay(
+          level3(s, d).localCheckpoint(false), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("deleted_ts"), col("order_type"))
+        .orderBy("pair_id", "order_id")),
     // the level2 precision-tier materialization option: depth at p2 =
     // prices two digits coarser than the pair's R0 before replay
     "mkt_depth_p2" -> ((s, d) =>
@@ -593,6 +602,7 @@ object SparkEntry {
     "mkt_order_book" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,
     "mkt_depth_p2" -> Oracles.mktDepthP2,
+    "mkt_order_types_stream" -> Oracles.mktOrderTypesStream,
     "mkt_depth_chains" -> Oracles.mktDepthChains,
     "mkt_depth_api" -> Oracles.mktDepthApi,
     "mkt_events" -> Oracles.mktEvents,

@@ -77,8 +77,28 @@ object VecScaleProbe {
     val (nIvfPq, tIvfPq) = timed(
       VectorOps.annIvfPq(emb, trained = Some(model)).rdd.count())
 
+    // the deployment knob: nProbe trades recall for probe cost under a
+    // FIXED trained index. Ground truth computed once outside the
+    // loop. Recall only — at this collection size a per-setting wall
+    // time is dominated by fixed plan/JVM state, not the probed-cell
+    // count (the candidate count itself is (nProbe/nCells)·n by
+    // construction); ann_ivfpq_trained above is the representative
+    // end-to-end retrieval time.
+    val exactL2 = VectorOps.annTopKL2(emb, 5, 5)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val nProbeSweep = Seq(1, 2, 4).map { p =>
+      val approx = VectorOps.annIvfPq(emb, trained = Some(model),
+        nProbe = p).select(col("query_id"), col("vec_id"))
+      val rec = exactL2.join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg((count(col("hit")).cast("double") / count(lit(1))).as("r"))
+        .agg(avg("r")).head().getDouble(0)
+      f""""nprobe_$p":{"recall":$rec%.3f}"""
+    }.mkString(",")
+
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f}}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},$nProbeSweep}""")
     spark.stop()
   }
 }

@@ -502,9 +502,13 @@ object VectorOps {
     recallAgainst(annTopKL2(emb, nQueries, k),
       annPq(emb, nQueries, k, trained = trained))
 
-  /** Recall@k of the composed IVF-PQ index against the same baseline. */
+  /** Recall@k of the composed IVF-PQ index against the same baseline.
+    * `nProbe` is the recall/latency knob a deployment tunes with
+    * exactly this metric (see `VecScaleProbe`'s sweep). */
   def annRecallIvfPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      trained: Option[PqModel] = None): DataFrame =
+      trained: Option[PqModel] = None, nCells: Int = 16,
+      nProbe: Int = 2): DataFrame =
     recallAgainst(annTopKL2(emb, nQueries, k),
-      annIvfPq(emb, nQueries, k, trained = trained))
+      annIvfPq(emb, nQueries, k, nCells = nCells, nProbe = nProbe,
+        trained = trained))
 }

@@ -329,6 +329,43 @@ object StreamingOps {
       .toDF()
   }
 
+  /** The streaming classifier driven over a bounded level3 log in
+    * `nChunks` chronological micro-batches, returning the emitted
+    * classifications — the replay harness that gives
+    * [[orderTypeStream]] a driver-checkable oracle row (the VERIFY
+    * surface runs it against a DuckDB mirror of the batch type rules;
+    * `StreamingSpec` separately proves streaming ≡ batch per
+    * micro-batch boundary). The driver-side collect is inherent to
+    * replaying a bounded frame through a `MemoryStream`; a deployment
+    * reads a real stream source instead and never collects. */
+  def orderTypesReplay(level3: DataFrame, spark: SparkSession,
+      nChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val evts = level3.select(
+      col("pair_id").cast("int").as("pairId"),
+      col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("event_no").as("eventNo"),
+      col("side"), col("price"), col("amount"),
+      coalesce(col("fill"), lit(0.0)).as("fill"),
+      col("is_deleted").as("isDeleted"))
+      .as[OrderEvt].collect().sortBy(e => (e.ts, e.orderId, e.eventNo))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[OrderEvt](spark)
+    val q = orderTypeStream(ms.toDS(), spark)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_order_types_replay").start()
+    try {
+      evts.grouped(math.max(1, evts.length / nChunks + 1)).foreach { c =>
+        ms.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // pin the result before dropping the sink's backing view
+    val out = spark.table("graft_order_types_replay").localCheckpoint()
+    spark.catalog.dropTempView("graft_order_types_replay")
+    out
+  }
+
   /** Tumbling-window event-rate aggregation with watermarking — the
     * streaming twin of `obanalytics.summary`'s per-era rates. */
   def eventRates(raw: DataFrame, windowSec: Int = 3600): DataFrame =
