@@ -1863,7 +1863,7 @@ object Oracles {
 
   def pipeAnnIvfPq(nQueries: Int = 5, topK: Int = 5,
       rerank: Int = 4, nCells: Int = 16): String =
-    PqCte() + IvfCoarseCte(nCells) +
+    PqCte() + IvfCoarseCte(nCells.toString) +
       PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
     s"""
       |SELECT query_id, rnk, vec_id, l2sq FROM rr2 WHERE rnk <= $topK
@@ -1900,7 +1900,7 @@ object Oracles {
 
   def pipeAnnRecallIvfPq(nQueries: Int = 5, topK: Int = 5,
       rerank: Int = 4, nCells: Int = 16): String =
-    PqCte() + IvfCoarseCte(nCells) +
+    PqCte() + IvfCoarseCte(nCells.toString) +
       PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
       pqRecallTail(nQueries, topK)
 
@@ -2094,15 +2094,26 @@ object Oracles {
       |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  def pipeAnnIvf(nCells: Int = 16): String = IvfChain(nCells) +
+  def pipeAnnIvf(nCells: Int = 16): String = IvfChain(nCells.toString) +
+    """
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF with the √n-scaled cell count (mirror of
+    * `VectorOps.scaledCells`): the cell budget is computed from the
+    * collection inside the SQL, exactly as the Spark side computes it
+    * from `count()` — the deployment sizing rule as a checked query. */
+  def pipeAnnIvfSqrtN: String = IvfChain(
+    "(SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) " +
+      "FROM embeddings)") +
     """
       |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
   /** The IVF candidate/ranking chain (`cents` … `rr`), shared by
     * pipeAnnIvf and pipeAnnRecallIvf. */
-  private def IvfChain(nCells: Int = 16): String =
-    QuantEmbCte + IvfCoarseCte(nCells) +
+  private def IvfChain(cells: String = "16"): String =
+    QuantEmbCte + IvfCoarseCte(cells) +
     """, qd AS (
       |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
       |  FROM cand
@@ -2123,9 +2134,9 @@ object Oracles {
   /** The coarse-quantizer part alone (`cents` … `cand`) — composable
     * behind either the exact within-cell ranking (IVF-Flat) or the
     * PQ/ADC scan (IVF-PQ); requires `ev`/`nrm` to be defined. */
-  private def IvfCoarseCte(nCells: Int = 16): String =
+  private def IvfCoarseCte(cells: String = "16"): String =
     s""", cents AS (
-      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $nCells
+      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $cells
       |), cnrm AS (
       |  SELECT cent_id, SUM(q*q) AS cnq FROM cents GROUP BY cent_id
       |), adot AS (

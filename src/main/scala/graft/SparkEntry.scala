@@ -457,6 +457,13 @@ object SparkEntry {
       VectorOps.annIvfPq(Tables.load(s, d, "embeddings"),
           trained = Some(trainedPq(s, d)))
         .orderBy("query_id", "rnk")),
+    // the √n cell-sizing rule as a checked query: nCells grows with
+    // the collection (one cheap count), probe cost stays O(√n)
+    "pipe_ann_ivf_sqrtn" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      VectorOps.annIvf(emb, nCells = VectorOps.scaledCells(emb.count()))
+        .orderBy("query_id", "rnk")
+    }),
     "pipe_langid" -> ((s, d) =>
       TextPipeline.langId(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -664,6 +671,7 @@ object SparkEntry {
     "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
     "pipe_ann_ivf" -> Oracles.pipeAnnIvf(),
     "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
+    "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
     "pipe_pq_codes" -> Oracles.pipePqCodes,
     "pipe_ann_pq" -> Oracles.pipeAnnPq(),
     "pipe_ann_ivfpq" -> Oracles.pipeAnnIvfPq(),

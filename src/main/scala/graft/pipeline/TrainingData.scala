@@ -104,7 +104,10 @@ object TrainingData {
     annQ8FromIndex(q8Index(emb).localCheckpoint(false), nQueries, k)
   }
 
-  /** Probe an already-built (persisted/checkpointed) [[q8Index]]. */
+  /** Probe an already-built (persisted/checkpointed) [[q8Index]].
+    * Ranking goes through the shared two-stage
+    * [[VectorOps.topKPerQuery]] — like every other search path, no
+    * task ever holds one query's full score list. */
   def annQ8FromIndex(q8: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val queries = q8.filter(col("vec_id") < nQueries)
@@ -112,11 +115,9 @@ object TrainingData {
     val cands = q8.select(col("vec_id").as("vb"), col("q8").as("qb"), col("n8").as("nb"))
     val cos = longArrayDot(col("qa"), col("qb")).cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vb"))
-    broadcast(queries).join(cands, col("query_id") =!= col("vb"))
+    val scored = broadcast(queries).join(cands, col("query_id") =!= col("vb"))
       .withColumn("cos", cos)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    VectorOps.topKPerQuery(scored, k, col("cos").desc, col("vb"))
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("vec_id"), col("cos"))
   }

@@ -59,7 +59,7 @@ object VectorOps {
     * total order (`ord` must be total — callers break ties on vec_id),
     * so the survivors are a superset of the global top-k and the
     * result is identical to a single global window. */
-  private def topKPerQuery(scored: DataFrame, k: Int,
+  private[pipeline] def topKPerQuery(scored: DataFrame, k: Int,
       ord: org.apache.spark.sql.Column*): DataFrame = {
     val nSalt = scored.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
@@ -180,6 +180,14 @@ object VectorOps {
         col("q").as("qa"), col("nq").as("na"))
     (assign, probes)
   }
+
+  /** Collection-size-scaled coarse-cell count: ~√n cells keep the
+    * probed-candidate count (nProbe/nCells)·n ≈ nProbe·√n and the
+    * centroid table √n — the standard IVF sizing rule, the exact
+    * analogue of [[scaledBits]] for the hyperplane index. Never below
+    * the fixed-cell default of 16. One cheap `count()` sizes it. */
+  def scaledCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
 
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
