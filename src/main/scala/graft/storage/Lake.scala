@@ -109,6 +109,42 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write a level2 depth-change stream in the reference's level2
+    * storage layout — `PARTITION BY LIST(exchange) → pair → PRECISION
+    * → month` (`db/obanalytics_schema.sql:215-316`): each precision
+    * tier (`r0|p0..p4`, see `MarketOps.depthChangesAtPrecision`) lands
+    * in its own partition subtree, so a reader of one tier prunes
+    * every other tier at the directory level, exactly as the
+    * reference's LIST(precision) partitions do. Tiers are
+    * materialized independently (one writer run per tier); dynamic
+    * partition overwrite makes each run replace only its own tier's
+    * months, never its siblings. Input: the `(pair_id, ts, side,
+    * price, volume)` change stream of the depth writer. */
+  def writeLevel2(changes: DataFrame, path: String, precision: String,
+      exchangeId: Int = 1): Unit =
+    changes
+      .withColumn("exchange_id", lit(exchangeId))
+      .withColumn("precision", lit(precision))
+      .withColumn("month",
+        date_format(timestamp_micros(col("ts")), "yyyy-MM"))
+      .repartition(col("exchange_id"), col("pair_id"), col("month"))
+      .sortWithinPartitions("ts", "side", "price")
+      .write
+      .partitionBy("exchange_id", "pair_id", "precision", "month")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read one precision tier back (pruned to its subtree; partition
+    * columns restored to usable types, layout columns dropped). */
+  def readLevel2(spark: SparkSession, path: String,
+      precision: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("precision") === precision)
+      .withColumn("exchange_id", col("exchange_id").cast("int"))
+      .withColumn("pair_id", col("pair_id").cast("int"))
+      .drop("month", "precision")
+
   /** Write a curated corpus (`TextPipeline.curate` output joined back
     * to its text) partitioned by split — the training-data sink
     * shape: a trainer reads `split=train` alone and partition pruning

@@ -222,9 +222,25 @@ object StreamingOps {
 
   /** Classifier state: the live book (for the prevailing quote) plus
     * flags for live orders — O(live orders), same bound as the book
-    * state itself. */
-  case class ClassifyState(orders: List[(Long, String, Double, Double)],
-      flags: List[OrderFlags])
+    * state itself. Stored as parallel PRIMITIVE ARRAYS, not a
+    * `List[case class]`: GroupState round-trips the whole value through
+    * the encoder every micro-batch, and primitive-array fields are a
+    * bulk copy where nested lists deserialize element-by-element —
+    * measured >2× on the full-log replay once the live-order set grows
+    * to tens of thousands. */
+  case class ClassifyState(
+      ordIds: Array[Long], ordIsBid: Array[Boolean],
+      ordPrices: Array[Double], ordAmounts: Array[Double],
+      flagIds: Array[Long], flagResting: Array[Boolean],
+      flagAggr: Array[Boolean], flagFilled: Array[Boolean],
+      flagPriceChanged: Array[Boolean], flagFirstPrice: Array[Double])
+
+  private def emptyClassifyState = ClassifyState(
+    Array.emptyLongArray, Array.emptyBooleanArray,
+    Array.emptyDoubleArray, Array.emptyDoubleArray,
+    Array.emptyLongArray, Array.emptyBooleanArray,
+    Array.emptyBooleanArray, Array.emptyBooleanArray,
+    Array.emptyBooleanArray, Array.emptyDoubleArray)
 
   /** A completed order's classification. */
   case class OrderTypeRow(pair_id: Int, order_id: Long, deleted_ts: Long,
@@ -265,16 +281,27 @@ object StreamingOps {
       // from empty); without it a long-lived stream holds state for
       // every pair ever seen
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val st = state.getOption.getOrElse(ClassifyState(Nil, Nil))
+      val st = state.getOption.getOrElse(emptyClassifyState)
       val book = new OrderBook
-      st.orders.foreach { case (oid, side, price, amount) =>
-        book.apply(BookEvent(pairId, 0L, oid, side, price, amount,
-          isDeleted = false))
+      var si = 0
+      while (si < st.ordIds.length) {
+        book.apply(BookEvent(pairId, 0L, st.ordIds(si),
+          if (st.ordIsBid(si)) "b" else "s", st.ordPrices(si),
+          st.ordAmounts(si), isDeleted = false))
+        si += 1
       }
       val flags = mutable.LongMap.empty[OrderFlags]
-      st.flags.foreach(f => flags.update(f.orderId, f))
+      si = 0
+      while (si < st.flagIds.length) {
+        flags.update(st.flagIds(si), OrderFlags(st.flagIds(si),
+          st.flagResting(si), st.flagAggr(si), st.flagFilled(si),
+          st.flagPriceChanged(si), st.flagFirstPrice(si)))
+        si += 1
+      }
       val out = mutable.ListBuffer.empty[OrderTypeRow]
-      val evs = batch.toSeq.sortBy(e => (e.ts, e.orderId, e.eventNo))
+      // Array, not List: the episode loop below indexes evs(i), which
+      // is O(i) on a List — an O(n²) walk that dominated the replay
+      val evs = batch.toArray.sortBy(e => (e.ts, e.orderId, e.eventNo))
       var i = 0
       while (i < evs.length) {
         val t = evs(i).ts
@@ -304,11 +331,13 @@ object StreamingOps {
           i += 1
         }
       }
-      val live = mutable.ListBuffer.empty[(Long, String, Double, Double)]
-      book.liveOrders.foreach { case (oid, (isBid, price, amount)) =>
-        live += ((oid, if (isBid) "b" else "s", price, amount))
-      }
-      state.update(ClassifyState(live.toList, flags.values.toList))
+      val liveSeq = book.liveOrders.toArray
+      val fv = flags.values.toArray
+      state.update(ClassifyState(
+        liveSeq.map(_._1), liveSeq.map(_._2._1),
+        liveSeq.map(_._2._2), liveSeq.map(_._2._3),
+        fv.map(_.orderId), fv.map(_.everResting), fv.map(_.everAggressor),
+        fv.map(_.everFilled), fv.map(_.priceChanged), fv.map(_.firstPrice)))
       idleTtlMs.foreach { ttl =>
         val maxEvMs = if (evs.nonEmpty) evs.map(_.ts).max / 1000L else 0L
         // the engine rejects a timeout at/behind the watermark
@@ -351,9 +380,20 @@ object StreamingOps {
       .as[OrderEvt].collect().sortBy(e => (e.ts, e.orderId, e.eventNo))
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[OrderEvt](spark)
-    val q = orderTypeStream(ms.toDS(), spark)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("graft_order_types_replay").start()
+    // the replay's stateful shuffle width: state-store partitions are
+    // fixed at query start from spark.sql.shuffle.partitions, and every
+    // partition pays load/commit per micro-batch even when empty — at a
+    // handful of pair keys that's pure overhead (measured: 32-wide state
+    // more than doubled the replay). Narrowed for the replay only and
+    // restored after; deployments with many pairs size it like any
+    // other shuffle.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try orderTypeStream(ms.toDS(), spark)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_order_types_replay").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       evts.grouped(math.max(1, evts.length / nChunks + 1)).foreach { c =>
         ms.addData(c.toIndexedSeq)

@@ -52,6 +52,32 @@ class LakeSpec extends AnyFunSuite {
         .contains("split"))
   }
 
+  test("level2 precision tiers: independent writes, pruned reads, round-trip") {
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft-l2").toString
+    val r0 = MarketOps.depthChangesAtPrecision(l3, spark, "r0")
+    val p2 = MarketOps.depthChangesAtPrecision(l3, spark, "p2")
+    Lake.writeLevel2(r0, path, "r0")
+    Lake.writeLevel2(p2, path, "p2")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pair_id", "ts", "side", "price", "volume")
+        .orderBy("pair_id", "ts", "side", "price")
+        .collect().map(_.toSeq).toList
+    // each tier reads back exactly its own stream — the second write
+    // (dynamic partition overwrite) did not clobber the first tier
+    assert(rows(Lake.readLevel2(spark, path, "r0")) == rows(r0))
+    assert(rows(Lake.readLevel2(spark, path, "p2")) == rows(p2))
+    // and the tier filter prunes at the partition level
+    val plan = spark.read.parquet(path).filter(col("precision") === "p2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("precision"))
+  }
+
   test("bucketed lake: pair-keyed aggregation runs shuffle-free") {
     val dir = "/root/testdata/sf0.001"
     val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
