@@ -19,11 +19,38 @@ import graft.market.{BookEvent, L1Tick, OrderBook}
   * dropped (the reference's reorder buffer + delay give the same
   * guarantee, `python/obadiah/reorder.py:27-112`).
   */
-object StreamingOps {
+object StreamingOps extends Serializable {
 
-  /** Persisted order-book state between micro-batches. */
-  case class BookState(orders: List[(Long, String, Double, Double)],
+  /** Persisted order-book state between micro-batches. Live orders are
+    * parallel primitive arrays (bulk-copy through the GroupState
+    * encoder each batch — a `List[case class]` deserializes
+    * element-by-element; see [[ClassifyState]]). */
+  case class BookState(ordIds: Array[Long], ordIsBid: Array[Boolean],
+      ordPrices: Array[Double], ordAmounts: Array[Double],
       lastTick: Option[(Long, Option[Double], Option[Double], Option[Double], Option[Double])])
+
+  /** Rebuild a book from array state; returns the book. */
+  private def rebuildBook(pairId: Int, ids: Array[Long],
+      isBid: Array[Boolean], prices: Array[Double],
+      amounts: Array[Double]): OrderBook = {
+    val book = new OrderBook
+    var i = 0
+    while (i < ids.length) {
+      book.apply(BookEvent(pairId, 0L, ids(i),
+        if (isBid(i)) "b" else "s", prices(i), amounts(i),
+        isDeleted = false))
+      i += 1
+    }
+    book
+  }
+
+  /** Snapshot a book's live orders into the four parallel arrays. */
+  private def liveArrays(book: OrderBook): (Array[Long], Array[Boolean],
+      Array[Double], Array[Double]) = {
+    val live = book.liveOrders.toArray
+    (live.map(_._1), live.map(_._2._1), live.map(_._2._2),
+      live.map(_._2._3))
+  }
 
   /** Incremental L1 stream over a streaming level3-event source.
     * Each micro-batch's events are sorted by event time within the
@@ -35,16 +62,16 @@ object StreamingOps {
 
     def update(pairId: Int, batch: Iterator[BookEvent],
         state: GroupState[BookState]): Iterator[L1Tick] = {
-      val book = new OrderBook
-      val st = state.getOption.getOrElse(BookState(Nil, None))
-      st.orders.foreach { case (oid, side, price, amount) =>
-        book.apply(BookEvent(pairId, 0L, oid, side, price, amount, isDeleted = false))
-      }
+      val st = state.getOption.getOrElse(BookState(Array.emptyLongArray,
+        Array.emptyBooleanArray, Array.emptyDoubleArray,
+        Array.emptyDoubleArray, None))
+      val book = rebuildBook(pairId, st.ordIds, st.ordIsBid,
+        st.ordPrices, st.ordAmounts)
       var last = st.lastTick
       val out = scala.collection.mutable.ListBuffer.empty[L1Tick]
       // within-batch ordering is not guaranteed by the engine: sort the
       // watermark-bounded batch before applying
-      batch.toSeq.sortBy(e => (e.ts, e.orderId)).foreach { e =>
+      batch.toArray.sortBy(e => (e.ts, e.orderId)).foreach { e =>
         book.apply(e)
         val t = (e.ts, book.bestBid.map(_._1), book.bestBid.map(_._2),
           book.bestAsk.map(_._1), book.bestAsk.map(_._2))
@@ -56,11 +83,8 @@ object StreamingOps {
         }
       }
       // snapshot the live orders back into state
-      val live = scala.collection.mutable.ListBuffer.empty[(Long, String, Double, Double)]
-      book.liveOrders.foreach { case (oid, (isBid, price, amount)) =>
-        live += ((oid, if (isBid) "b" else "s", price, amount))
-      }
-      state.update(BookState(live.toList, last))
+      val (ids, isBid, prices, amounts) = liveArrays(book)
+      state.update(BookState(ids, isBid, prices, amounts, last))
       out.iterator
     }
 
@@ -83,19 +107,17 @@ object StreamingOps {
     import graft.market.L2Change
 
     def update(pairId: Int, batch: Iterator[BookEvent],
-        state: GroupState[List[(Long, String, Double, Double)]])
-        : Iterator[L2Change] = {
-      val book = new OrderBook
-      state.getOption.getOrElse(Nil).foreach {
-        case (oid, side, price, amount) =>
-          book.apply(BookEvent(pairId, 0L, oid, side, price, amount,
-            isDeleted = false))
-      }
+        state: GroupState[BookState]): Iterator[L2Change] = {
+      val st = state.getOption.getOrElse(BookState(Array.emptyLongArray,
+        Array.emptyBooleanArray, Array.emptyDoubleArray,
+        Array.emptyDoubleArray, None))
+      val book = rebuildBook(pairId, st.ordIds, st.ordIsBid,
+        st.ordPrices, st.ordAmounts)
       val prev = scala.collection.mutable.HashMap.empty[(Boolean, Double), Double]
       Seq(true, false).foreach(isBid => book.depth(isBid).foreach {
         case (price, vol) => prev.update((isBid, price), vol) })
       val out = scala.collection.mutable.ListBuffer.empty[L2Change]
-      batch.toSeq.sortBy(e => (e.ts, e.orderId))
+      batch.toArray.sortBy(e => (e.ts, e.orderId))
         .groupBy(_.ts).toSeq.sortBy(_._1).foreach { case (ts, episode) =>
           var touched: List[(Boolean, Double)] = Nil
           episode.foreach(e => touched = book.apply(e) ::: touched)
@@ -108,10 +130,8 @@ object StreamingOps {
             }
           }
         }
-      val live = book.liveOrders.map { case (oid, (isBid, price, amount)) =>
-        (oid, if (isBid) "b" else "s", price, amount)
-      }.toList
-      state.update(live)
+      val (ids, isBid, prices, amounts) = liveArrays(book)
+      state.update(BookState(ids, isBid, prices, amounts, None))
       out.iterator
     }
 
@@ -282,16 +302,10 @@ object StreamingOps {
       // every pair ever seen
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val st = state.getOption.getOrElse(emptyClassifyState)
-      val book = new OrderBook
-      var si = 0
-      while (si < st.ordIds.length) {
-        book.apply(BookEvent(pairId, 0L, st.ordIds(si),
-          if (st.ordIsBid(si)) "b" else "s", st.ordPrices(si),
-          st.ordAmounts(si), isDeleted = false))
-        si += 1
-      }
+      val book = rebuildBook(pairId, st.ordIds, st.ordIsBid,
+        st.ordPrices, st.ordAmounts)
       val flags = mutable.LongMap.empty[OrderFlags]
-      si = 0
+      var si = 0
       while (si < st.flagIds.length) {
         flags.update(st.flagIds(si), OrderFlags(st.flagIds(si),
           st.flagResting(si), st.flagAggr(si), st.flagFilled(si),
@@ -331,11 +345,9 @@ object StreamingOps {
           i += 1
         }
       }
-      val liveSeq = book.liveOrders.toArray
+      val (ids, isBid, prices, amounts) = liveArrays(book)
       val fv = flags.values.toArray
-      state.update(ClassifyState(
-        liveSeq.map(_._1), liveSeq.map(_._2._1),
-        liveSeq.map(_._2._2), liveSeq.map(_._2._3),
+      state.update(ClassifyState(ids, isBid, prices, amounts,
         fv.map(_.orderId), fv.map(_.everResting), fv.map(_.everAggressor),
         fv.map(_.everFilled), fv.map(_.priceChanged), fv.map(_.firstPrice)))
       idleTtlMs.foreach { ttl =>
