@@ -69,9 +69,9 @@ object VecScaleProbe {
     // shows IVF-PQ's probed-cell scan beating the whole-collection ADC
     // once training is out of the timed path
     val (_, tTrainFull) = timed { VectorOps.pqTrain(emb); 1L }
+    var model: VectorOps.PqModel = null
     val (_, tTrainSamp) = timed {
-      VectorOps.pqTrain(emb, sampleFraction = 0.1); 1L }
-    val model = VectorOps.pqTrain(emb, sampleFraction = 0.1)
+      model = VectorOps.pqTrain(emb, sampleFraction = 0.1); 1L }
     val (nPq, tPq) = timed(
       VectorOps.annPq(emb, trained = Some(model)).rdd.count())
     val (nIvfPq, tIvfPq) = timed(

@@ -320,7 +320,10 @@ object TextPipeline {
     // strategy — the normal bench set broadcasts exactly as before,
     // while a caller-supplied pathological one (benchMax is caller
     // data) degrades to a skew-aware shuffle join instead of blowing
-    // the driver's broadcast budget.
+    // the driver's broadcast budget. (This skew-proofing leans on AQE,
+    // which is default-on in Spark 3.2+/4.x; a session that disables
+    // it should restore an explicit broadcast hint here, or accept the
+    // hot-shingle task the old per-shingle window had.)
     val benchShingles = sh.filter(col("doc_id") < benchMax)
       .select(col("shingle")).distinct()
       .withColumn("in_bench", lit(1))

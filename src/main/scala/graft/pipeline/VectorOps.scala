@@ -58,7 +58,10 @@ object VectorOps {
     * collection. Each stage-1 group keeps its own top-k under the same
     * total order (`ord` must be total — callers break ties on vec_id),
     * so the survivors are a superset of the global top-k and the
-    * result is identical to a single global window. */
+    * result is identical to a single global window. Contract: the
+    * input must carry the query as `query_id` and the candidate id as
+    * `vb` (the salt hashes `vb`); every search path in this package
+    * normalizes to those names before ranking. */
   private[pipeline] def topKPerQuery(scored: DataFrame, k: Int,
       ord: org.apache.spark.sql.Column*): DataFrame = {
     val nSalt = scored.sparkSession.conf

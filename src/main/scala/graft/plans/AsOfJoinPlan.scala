@@ -201,21 +201,10 @@ object AsOfJoinOps {
     require(exprs.length == 6,
       "asof_join takes 6 string arguments: " +
         "(left_table, right_table, keys_csv, left_ts, right_ts, carry_csv)")
-    def str(i: Int): String = {
-      val e = exprs(i)
-      require(e.foldable &&
-        e.dataType == org.apache.spark.sql.types.StringType,
-        s"asof_join argument ${i + 1} must be a string literal")
-      val v = e.eval(null)
-      require(v != null, s"asof_join argument ${i + 1} must not be null")
-      v.toString
-    }
+    def str(i: Int): String = TvfArgs.strLit(exprs, i, "asof_join")
     def csv(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    def rel(name: String) =
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
-        name.split('.').toSeq)
-    UnresolvedAsOfJoin(rel(str(0)), rel(str(1)),
+    UnresolvedAsOfJoin(TvfArgs.rel(str(0)), TvfArgs.rel(str(1)),
       csv(str(2)), str(3), str(4), csv(str(5)))
   }
   /** left ⟕asof right: latest `carry` values with

@@ -59,20 +59,23 @@ object GraftCallResolution extends Rule[LogicalPlan] {
     }
 }
 
-/** Parse-time builders behind the registered table functions. */
-object GraftTableFunctions {
+/** Shared literal-argument extraction for every injected table
+  * function (`asof_join`, `depth`, `spread`, `events`): one place for
+  * the foldable/type/null validation and the dotted-name relation
+  * builder, so a parsing fix reaches every TVF. */
+private[plans] object TvfArgs {
 
-  private def strLit(exprs: Seq[Expression], i: Int, fn: String): String = {
+  def strLit(exprs: Seq[Expression], i: Int, fn: String): String = {
     val e = exprs(i)
     require(e.foldable &&
       e.dataType == org.apache.spark.sql.types.StringType,
-      s"$fn argument ${i + 1} must be a string literal (the level3 table name)")
+      s"$fn argument ${i + 1} must be a string literal")
     val v = e.eval(null)
     require(v != null, s"$fn argument ${i + 1} must not be null")
     v.toString
   }
 
-  private def longLit(exprs: Seq[Expression], i: Int, fn: String): Long = {
+  def longLit(exprs: Seq[Expression], i: Int, fn: String): Long = {
     val e = exprs(i)
     require(e.foldable && (e.dataType ==
       org.apache.spark.sql.types.LongType ||
@@ -83,8 +86,13 @@ object GraftTableFunctions {
     v.asInstanceOf[Number].longValue()
   }
 
-  private def rel(name: String): LogicalPlan =
+  def rel(name: String): LogicalPlan =
     UnresolvedRelation(name.split('.').toSeq)
+}
+
+/** Parse-time builders behind the registered table functions. */
+object GraftTableFunctions {
+  import TvfArgs.{longLit, rel, strLit}
 
   /** `depth('l3', start_us, end_us)` — `GraftApi.depth`. */
   def depthTvf(exprs: Seq[Expression]): LogicalPlan = {

@@ -253,14 +253,17 @@ object StreamingOps extends Serializable {
       ordPrices: Array[Double], ordAmounts: Array[Double],
       flagIds: Array[Long], flagResting: Array[Boolean],
       flagAggr: Array[Boolean], flagFilled: Array[Boolean],
-      flagPriceChanged: Array[Boolean], flagFirstPrice: Array[Double])
+      flagPriceChanged: Array[Boolean], flagFirstPrice: Array[Double],
+      carriedBid: Option[Double], carriedAsk: Option[Double],
+      maxSeenEvMs: Long)
 
   private def emptyClassifyState = ClassifyState(
     Array.emptyLongArray, Array.emptyBooleanArray,
     Array.emptyDoubleArray, Array.emptyDoubleArray,
     Array.emptyLongArray, Array.emptyBooleanArray,
     Array.emptyBooleanArray, Array.emptyBooleanArray,
-    Array.emptyBooleanArray, Array.emptyDoubleArray)
+    Array.emptyBooleanArray, Array.emptyDoubleArray,
+    None, None, 0L)
 
   /** A completed order's classification. */
   case class OrderTypeRow(pair_id: Int, order_id: Long, deleted_ts: Long,
@@ -316,12 +319,21 @@ object StreamingOps extends Serializable {
       // Array, not List: the episode loop below indexes evs(i), which
       // is O(i) on a List — an O(n²) walk that dominated the replay
       val evs = batch.toArray.sortBy(e => (e.ts, e.orderId, e.eventNo))
+      // prevailing quote = last NON-EMPTY best per side, carried across
+      // episodes (and batches, via state): the batch query's
+      // `last(best_*_price ignore nulls)` as-of — when a side empties,
+      // the stale best prevails until a new order restores the side,
+      // NOT None (a live-book-only read here would silently diverge
+      // from the batch/oracle semantics on any transiently one-sided
+      // book)
+      var cBb = st.carriedBid
+      var cBa = st.carriedAsk
       var i = 0
       while (i < evs.length) {
         val t = evs(i).ts
         // quote prevailing before this episode
-        val bb = book.bestBid.map(_._1)
-        val ba = book.bestAsk.map(_._1)
+        val bb = cBb
+        val ba = cBa
         while (i < evs.length && evs(i).ts == t) {
           val e = evs(i)
           val isAggr =
@@ -344,17 +356,26 @@ object StreamingOps extends Serializable {
             e.amount, e.isDeleted))
           i += 1
         }
+        // episode applied: refresh the carry from the (possibly
+        // one-sided) book, keeping the stale side where it emptied
+        cBb = book.bestBid.map(_._1).orElse(cBb)
+        cBa = book.bestAsk.map(_._1).orElse(cBa)
       }
+      // TTL clock: monotone max over ALL batches — a late
+      // (within-watermark) straggler must not regress an already-later
+      // timeout and evict state before the promised idle period
+      val maxSeen = math.max(st.maxSeenEvMs,
+        if (evs.nonEmpty) evs.map(_.ts).max / 1000L else 0L)
       val (ids, isBid, prices, amounts) = liveArrays(book)
       val fv = flags.values.toArray
       state.update(ClassifyState(ids, isBid, prices, amounts,
         fv.map(_.orderId), fv.map(_.everResting), fv.map(_.everAggressor),
-        fv.map(_.everFilled), fv.map(_.priceChanged), fv.map(_.firstPrice)))
+        fv.map(_.everFilled), fv.map(_.priceChanged), fv.map(_.firstPrice),
+        cBb, cBa, maxSeen))
       idleTtlMs.foreach { ttl =>
-        val maxEvMs = if (evs.nonEmpty) evs.map(_.ts).max / 1000L else 0L
         // the engine rejects a timeout at/behind the watermark
         state.setTimeoutTimestamp(
-          math.max(maxEvMs + ttl, state.getCurrentWatermarkMs() + 1L))
+          math.max(maxSeen + ttl, state.getCurrentWatermarkMs() + 1L))
       }
       out.iterator
     }
@@ -407,9 +428,20 @@ object StreamingOps extends Serializable {
         .queryName("graft_order_types_replay").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
-      evts.grouped(math.max(1, evts.length / nChunks + 1)).foreach { c =>
-        ms.addData(c.toIndexedSeq)
+      // chunk on EPISODE boundaries: a raw row-count split could cut a
+      // same-microtimestamp episode across micro-batches, and the
+      // second half would then be judged against a mid-episode quote —
+      // diverging from the oracle's pre-episode as-of. The harness
+      // controls chunking, so it extends each cut to the next ts change.
+      val target = math.max(1, evts.length / nChunks + 1)
+      var start = 0
+      while (start < evts.length) {
+        var end = math.min(start + target, evts.length)
+        while (end < evts.length && evts(end).ts == evts(end - 1).ts)
+          end += 1
+        ms.addData(evts.slice(start, end).toIndexedSeq)
         q.processAllAvailable()
+        start = end
       }
     } finally q.stop()
     // pin the result before dropping the sink's backing view
@@ -430,8 +462,10 @@ object StreamingOps extends Serializable {
   case class ChunkOcc(doc_id: Long, chunk_hash: String)
 
   /** Per-chunk dedup state: distinct docs seen, total occurrences,
-    * canonical keeper (min doc id). */
-  case class ChunkState(docIds: Set[Long], nOcc: Long, keepDoc: Long)
+    * canonical keeper (min doc id), max event time seen (ms — the
+    * monotone TTL clock of the TTL variant; 0 in the unbounded op). */
+  case class ChunkState(docIds: Set[Long], nOcc: Long, keepDoc: Long,
+      maxSeenEvMs: Long)
 
   /** Updated per-chunk aggregate emitted each micro-batch. */
   case class ChunkAgg(chunk_hash: String, n_docs: Long,
@@ -461,10 +495,11 @@ object StreamingOps extends Serializable {
 
     def update(hash: String, batch: Iterator[ChunkOcc],
         state: GroupState[ChunkState]): Iterator[ChunkAgg] = {
-      var s = state.getOption.getOrElse(ChunkState(Set.empty, 0L, Long.MaxValue))
+      var s = state.getOption.getOrElse(
+        ChunkState(Set.empty, 0L, Long.MaxValue, 0L))
       batch.foreach { o =>
         s = ChunkState(s.docIds + o.doc_id, s.nOcc + 1,
-          math.min(s.keepDoc, o.doc_id))
+          math.min(s.keepDoc, o.doc_id), 0L)
       }
       state.update(s)
       Iterator.single(ChunkAgg(hash, s.docIds.size.toLong, s.nOcc, s.keepDoc))
@@ -500,17 +535,18 @@ object StreamingOps extends Serializable {
         state: GroupState[ChunkState]): Iterator[ChunkAgg] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var s = state.getOption.getOrElse(
-        ChunkState(Set.empty, 0L, Long.MaxValue))
-      var maxTsUs = Long.MinValue
+        ChunkState(Set.empty, 0L, Long.MaxValue, 0L))
       batch.foreach { o =>
-        maxTsUs = math.max(maxTsUs, o.ts)
+        // TTL clock: monotone max over all batches — a late
+        // (within-watermark) straggler must not regress an
+        // already-later timeout and evict the key early
         s = ChunkState(s.docIds + o.doc_id, s.nOcc + 1,
-          math.min(s.keepDoc, o.doc_id))
+          math.min(s.keepDoc, o.doc_id),
+          math.max(s.maxSeenEvMs, o.ts / 1000L))
       }
       state.update(s)
-      val maxEvMs = if (maxTsUs == Long.MinValue) 0L else maxTsUs / 1000L
       state.setTimeoutTimestamp(
-        math.max(maxEvMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+        math.max(s.maxSeenEvMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
       Iterator.single(ChunkAgg(hash, s.docIds.size.toLong, s.nOcc, s.keepDoc))
     }
 

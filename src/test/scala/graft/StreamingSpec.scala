@@ -218,6 +218,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(without.contains((1, 11L, "market")))        // state survived
   }
 
+  test("classifier carries the stale best across an emptied side (batch as-of semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = 1_700_000_000_000_000L
+    def evt(ts: Long, oid: Long, no: Int, side: String, price: Double,
+        amount: Double, fill: Double, del: Boolean) =
+      StreamingOps.OrderEvt(1, ts, oid, no, side, price, amount, fill, del)
+    val ms = MemoryStream[StreamingOps.OrderEvt](spark)
+    val q = StreamingOps.orderTypeStream(ms.toDS(), spark)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ots_carry_out")
+      .start()
+    // batch 1: a bid rests, then deletes — the bid side EMPTIES, and
+    // the carried best (100) must survive the state round-trip
+    ms.addData(Seq(
+      evt(t0, 10L, 1, "b", 100.0, 5.0, 0.0, del = false),
+      evt(t0 + 1, 10L, 2, "b", 100.0, 0.0, 0.0, del = true)))
+    q.processAllAvailable()
+    // batch 2: a sell under the STALE bid arrives and fills — the
+    // batch `last(best_bid ignore nulls)` as-of judges it aggressive
+    // (prevailing bid 100), so its final type is "market"; a
+    // live-book-only quote (None) would have called it resting
+    ms.addData(Seq(
+      evt(t0 + 2, 11L, 1, "s", 95.0, 5.0, 2.0, del = false),
+      evt(t0 + 3, 11L, 2, "s", 95.0, 0.0, 0.0, del = true)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ots_carry_out")
+      .select("order_id", "order_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(rows.contains((10L, "flashed-limit")))
+    assert(rows.contains((11L, "market")))
+  }
+
   test("streaming L1 equals batch L1 on the same event log") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
