@@ -74,6 +74,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.getClass.getName, "events"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.GraftTableFunctions.eventsTvf(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("trades"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "trades"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.tradesTvf(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("order_book"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "order_book"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.orderBookTvf(exprs)))
     e.injectResolutionRule(_ => graft.plans.GraftCallResolution)
   }
 }

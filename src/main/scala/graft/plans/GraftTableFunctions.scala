@@ -52,6 +52,8 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "depth" => api.depth(u.longArgs(0), u.longArgs(1))
           case "spread" => api.spread()
           case "events" => api.events(u.longArgs(0), u.longArgs(1))
+          case "trades" => api.trades()
+          case "order_book" => api.orderBook(u.longArgs(0))
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -114,5 +116,19 @@ object GraftTableFunctions {
       "events takes (level3_table, start_us, end_us)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "events")), "events",
       Seq(longLit(exprs, 1, "events"), longLit(exprs, 2, "events")))
+  }
+
+  /** `trades('l3')` — `GraftApi.trades` (the inferred/matched trades). */
+  def tradesTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "trades takes (level3_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "trades")), "trades", Nil)
+  }
+
+  /** `order_book('l3', at_us)` — `GraftApi.orderBook` (liquidity, bps,
+    * levels). */
+  def orderBookTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2, "order_book takes (level3_table, at_us)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "order_book")), "order_book",
+      Seq(longLit(exprs, 1, "order_book")))
   }
 }

@@ -198,6 +198,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(sqlEvents) == rows(api.events(s0, e0)))
       assert(sqlEvents.columns.sameElements(api.events(s0, e0).columns))
 
+      val sqlTrades = s2.sql("SELECT * FROM trades('l3_tvf')")
+      assert(rows(sqlTrades) == rows(api.trades()))
+
+      val sqlBook = s2.sql(s"SELECT * FROM order_book('l3_tvf', $e0)")
+      assert(rows(sqlBook) == rows(api.orderBook(e0)))
+
       // literal-argument validation reaches the SQL surface
       intercept[Exception] {
         s2.sql("SELECT * FROM depth('l3_tvf', 'not_a_ts', 5)").collect()
