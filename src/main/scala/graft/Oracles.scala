@@ -1920,6 +1920,49 @@ object Oracles {
       |)
       |SELECT va, vb, cos, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin
 
+  /** Mirror of `VectorOps.nearDupPairs` (banded path, defaults): 8
+    * bands of collection-scaled bits, hyperplane (band t, bit u) =
+    * global md5-parity sign row j = t·bits + u; candidates = distinct
+    * pairs sharing any band's bucket; exact cosine inside candidates;
+    * top-100 by (cos desc, va, vb). */
+  def pipeEmbedNearDupLsh: String = QuantEmbCte +
+    """, nb AS (
+      |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
+      |    AS BIGINT)) AS bits
+      |  FROM embeddings
+      |), proj AS (
+      |  SELECT e.vec_id, t.j,
+      |    SUM((CASE WHEN ascii(substr(md5(t.j || '#' || e.i), 1, 1)) % 2 = 1
+      |      THEN 1 ELSE -1 END) * e.q) AS proj
+      |  FROM ev e, range(0, 512) t(j), nb WHERE t.j < 8 * nb.bits
+      |  GROUP BY e.vec_id, t.j
+      |), bkt AS (
+      |  SELECT vec_id, CAST(t.j // nb.bits AS INT) AS band,
+      |    CAST(SUM(CASE WHEN proj > 0
+      |      THEN CAST(POW(2, t.j % nb.bits) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj t, nb GROUP BY vec_id, t.j // nb.bits
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bkt a JOIN bkt b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), d AS (
+      |  SELECT va, vb, SUM(a.q * b.q) AS dot
+      |  FROM cand
+      |  JOIN ev a ON a.vec_id = va
+      |  JOIN ev b ON b.vec_id = vb AND b.i = a.i
+      |  GROUP BY va, vb
+      |), c AS (
+      |  SELECT va, vb, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb2.nq AS DOUBLE))) AS cos
+      |  FROM d JOIN nrm na ON na.vec_id = va JOIN nrm nb2 ON nb2.vec_id = vb
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, va, vb)
+      |    AS BIGINT) AS rnk
+      |  FROM c
+      |)
+      |SELECT va, vb, cos, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin
+
   def pipeAnnTopK: String = QuantEmbCte +
     """, qd AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot

@@ -425,7 +425,13 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
+    // exact all-pairs baseline (tiny-n oracle) and the production
+    // banded-LSH report — both oracle-checked; the banded path is the
+    // one that survives corpus scale (candidates O(bands·n·bucket))
     "pipe_embed_neardup" -> ((s, d) =>
+      VectorOps.nearDupPairsExact(Tables.load(s, d, "embeddings"))
+        .orderBy("rnk")),
+    "pipe_embed_neardup_lsh" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.load(s, d, "embeddings"))
         .orderBy("rnk")),
     "pipe_ann_topk" -> ((s, d) =>
@@ -667,6 +673,7 @@ object SparkEntry {
     "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,
     "pipe_simhash" -> Oracles.pipeSimhash,
     "pipe_embed_neardup" -> Oracles.pipeEmbedNearDup,
+    "pipe_embed_neardup_lsh" -> Oracles.pipeEmbedNearDupLsh,
     "pipe_ann_topk" -> Oracles.pipeAnnTopK,
     "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
     "pipe_ann_ivf" -> Oracles.pipeAnnIvf(),

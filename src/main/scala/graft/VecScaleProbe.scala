@@ -64,6 +64,12 @@ object VecScaleProbe {
     val q8 = TrainingData.q8Index(emb).localCheckpoint()
     val (nQ8, tQ8) = timed(TrainingData.annQ8FromIndex(q8).rdd.count())
 
+    // banded near-dup report: candidates and wall time must grow
+    // ~linearly in n (scaledBits keeps bucket occupancy ~constant) —
+    // the all-pairs exact baseline this replaced is Θ(n²) by definition
+    val (nCand, tCand) = timed(VectorOps.nearDupCandidates(emb).count())
+    val (nND, tND) = timed(VectorOps.nearDupPairs(emb).rdd.count())
+
     // PQ family: train cost (full vs 10% content-hash sample), then
     // query passes under an already-trained model — the split that
     // shows IVF-PQ's probed-cell scan beating the whole-collection ADC
@@ -98,7 +104,7 @@ object VecScaleProbe {
     }.mkString(",")
 
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},$nProbeSweep}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},$nProbeSweep}""")
     spark.stop()
   }
 }

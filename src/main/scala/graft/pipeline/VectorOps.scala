@@ -27,15 +27,92 @@ object VectorOps {
     dot.cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
   }
 
-  /** Top-N most similar pairs over the whole collection (the brute-force
-    * near-duplicate report; at scale the LSH path below prunes first). */
-  def nearDupPairs(emb: DataFrame, topN: Int = 100): DataFrame = {
+  /** Top-N most similar pairs by all-pairs scan — the EXACT baseline
+    * the banded report is validated against. The candidate space is
+    * O(n²) by definition, so this is a tiny-n oracle/test tool only;
+    * the production report is [[nearDupPairs]]. The ranking itself is
+    * scale-shaped (distributed TakeOrderedAndProject, never a
+    * single-partition window over the pair space). */
+  def nearDupPairsExact(emb: DataFrame, topN: Int = 100): DataFrame = {
     val q = quantized(emb)
     val a = q.select(col("vec_id").as("va"), col("q").as("qa"), col("nq").as("na"))
     val b = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
-    // distributed top-k (TakeOrderedAndProject), then rank the tiny result —
-    // never a single-partition window over the full O(n²) pair space
     val top = a.join(b, col("va") < col("vb"))
+      .withColumn("cos", cosine)
+      .select("va", "vb", "cos")
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+      .limit(topN)
+    val w = Window.orderBy(col("cos").desc, col("va"), col("vb"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Per-band hyperplane buckets: `bands` independent hash tables of
+    * `bitsPerBand` hyperplanes each; hyperplane (band t, bit u) is
+    * global index j = t·bitsPerBand + u under the same md5-parity sign
+    * matrix as [[lshBuckets]] (deterministic, engine-portable).
+    * Returns one row per (vector, band): (vec_id, q, nq, band,
+    * bucket). */
+  private[pipeline] def bandedBuckets(emb: DataFrame, bands: Int,
+      bitsPerBand: Int): DataFrame = {
+    val q = quantized(emb)
+    val first = emb.select(size(col("embedding"))).head(1)
+    if (first.isEmpty)
+      return q.withColumn("band", lit(0)).withColumn("bucket", lit(0L))
+        .limit(0)
+    val d = first(0).getInt(0)
+    val perBand = array((0 until bands).map { t =>
+      (0 until bitsPerBand).map { u =>
+        val j = t * bitsPerBand + u
+        val signs = array((1 to d).map(i => lit(lshSign(j, i))): _*)
+        when(longArrayDot(col("q"), signs) > 0, lit(1L << u)).otherwise(0L)
+      }.reduce(_ + _)
+    }: _*)
+    q.select(col("vec_id"), col("q"), col("nq"),
+      posexplode(perBand).as(Seq("band", "bucket")))
+  }
+
+  /** Banded-LSH candidate pairs (va < vb, one row per distinct pair —
+    * a pair colliding in several bands is deduped on the small id
+    * pairs before any vector work): the pruned pair space the
+    * production near-dup report scores, exposed so scale probes can
+    * measure candidate growth directly. */
+  def nearDupCandidates(emb: DataFrame, bands: Int = 8,
+      bitsPerBand: Int = -1): DataFrame = {
+    val bits = if (bitsPerBand > 0) bitsPerBand else scaledBits(emb.count())
+    // both sides of the bucket self-join — evaluate the bands·bits
+    // hyperplane projections once
+    val bb = bandedBuckets(emb, bands, bits)
+      .select("band", "bucket", "vec_id").localCheckpoint(false)
+    val left = bb.select(col("band"), col("bucket"), col("vec_id").as("va"))
+    val right = bb.select(col("band"), col("bucket"), col("vec_id").as("vb"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+  }
+
+  /** Production near-duplicate report: top-N most similar pairs among
+    * BANDED-LSH candidates — pairs sharing a bucket in at least one of
+    * `bands` independent hyperplane tables — with exact cosine scored
+    * only inside buckets and the same distributed two-level top-N tail
+    * as the exact baseline. `bitsPerBand` defaults to the
+    * collection-scaled [[scaledBits]], so expected bucket occupancy
+    * stays ~constant as the collection grows and the candidate count
+    * is O(bands · n · bucketSize) — linear in n, never the exact
+    * baseline's O(n²) pair space. Recall: a pair at cosine c collides
+    * in one band with probability (1 − θ(c)/π)^bitsPerBand, so true
+    * near-duplicates (c → 1) are caught at any bit count and `bands`
+    * is the recall knob for the marginal band; [[nearDupPairsExact]]
+    * is the tiny-n oracle that validates a parameter choice before an
+    * index is trusted at corpus scale. */
+  def nearDupPairs(emb: DataFrame, topN: Int = 100, bands: Int = 8,
+      bitsPerBand: Int = -1): DataFrame = {
+    val cand = nearDupCandidates(emb, bands, bitsPerBand)
+    val vecs = quantized(emb)
+    val top = cand
+      .join(vecs.select(col("vec_id").as("va"), col("q").as("qa"),
+        col("nq").as("na")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("q").as("qb"),
+        col("nq").as("nb")), Seq("vb"))
       .withColumn("cos", cosine)
       .select("va", "vb", "cos")
       .orderBy(col("cos").desc, col("va"), col("vb"))

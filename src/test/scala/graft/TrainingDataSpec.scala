@@ -162,4 +162,26 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(rows.forall(_.getLong(2) != qid))
     }
   }
+
+  test("banded near-dup report catches planted duplicates at any bit count") {
+    import graft.pipeline.VectorOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // plant exact duplicates of vectors 0..4 under fresh ids: a true
+    // near-dup (cos = 1) collides in EVERY band regardless of
+    // bitsPerBand, so the banded report must surface all five
+    val dups = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        col("embedding"), col("label"))
+    val withDups = emb.unionByName(dups)
+    val rows = VectorOps.nearDupPairs(withDups, topN = 10, bands = 4)
+      .orderBy("rnk").collect()
+    val top5 = rows.filter(_.getLong(3) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top5 == (0 until 5).map(i => (i.toLong, i + 10000L)).toSet)
+    rows.filter(_.getLong(3) <= 5).foreach(r => assert(r.getDouble(2) > 0.999))
+    // pairs are normalized (va < vb) and ranked by descending cosine
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val cosines = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
 }
