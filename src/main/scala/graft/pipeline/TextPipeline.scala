@@ -320,13 +320,18 @@ object TextPipeline {
     // strategy — the normal bench set broadcasts exactly as before,
     // while a caller-supplied pathological one (benchMax is caller
     // data) degrades to a skew-aware shuffle join instead of blowing
-    // the driver's broadcast budget. (This skew-proofing leans on AQE,
-    // which is default-on in Spark 3.2+/4.x; a session that disables
-    // it should restore an explicit broadcast hint here, or accept the
-    // hot-shingle task the old per-shingle window had.)
-    val benchShingles = sh.filter(col("doc_id") < benchMax)
+    // the driver's broadcast budget. That skew-proofing leans on AQE
+    // (default-on in Spark 3.2+/4.x), so when the session has AQE
+    // DISABLED we reinstate the explicit broadcast hint — without it a
+    // static planner picks a sort-merge join on `shingle`, and a
+    // boilerplate trigram melts one task down.
+    val aqeOn = sh.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    val benchShingles0 = sh.filter(col("doc_id") < benchMax)
       .select(col("shingle")).distinct()
       .withColumn("in_bench", lit(1))
+    val benchShingles =
+      if (aqeOn) benchShingles0 else broadcast(benchShingles0)
     sh.filter(col("doc_id") >= benchMax)
       .join(benchShingles, Seq("shingle"), "left")
       .groupBy("doc_id")

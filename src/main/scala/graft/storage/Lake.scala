@@ -117,9 +117,16 @@ object Lake {
     * every other tier at the directory level, exactly as the
     * reference's LIST(precision) partitions do. Tiers are
     * materialized independently (one writer run per tier); dynamic
-    * partition overwrite makes each run replace only its own tier's
-    * months, never its siblings. Input: the `(pair_id, ts, side,
-    * price, volume)` change stream of the depth writer. */
+    * partition overwrite replaces exactly the (exchange, pair,
+    * precision, MONTH) leaves PRESENT IN THE INCOMING DATA — the
+    * incremental month-at-a-time contract. The granularity is
+    * per-month, not per-tier: re-running a tier over a narrower time
+    * window rewrites only those months and leaves the tier's other
+    * months as they were (by design — that is what makes incremental
+    * appends safe); a full-tier refresh that must also DROP months no
+    * longer produced should delete the tier's `precision=` subtree
+    * first. Input: the `(pair_id, ts, side, price, volume)` change
+    * stream of the depth writer. */
   def writeLevel2(changes: DataFrame, path: String, precision: String,
       exchangeId: Int = 1): Unit =
     changes

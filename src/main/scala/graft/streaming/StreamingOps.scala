@@ -411,22 +411,21 @@ object StreamingOps extends Serializable {
       coalesce(col("fill"), lit(0.0)).as("fill"),
       col("is_deleted").as("isDeleted"))
       .as[OrderEvt].collect().sortBy(e => (e.ts, e.orderId, e.eventNo))
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[OrderEvt](spark)
     // the replay's stateful shuffle width: state-store partitions are
     // fixed at query start from spark.sql.shuffle.partitions, and every
     // partition pays load/commit per micro-batch even when empty — at a
     // handful of pair keys that's pure overhead (measured: 32-wide state
-    // more than doubled the replay). Narrowed for the replay only and
-    // restored after; deployments with many pairs size it like any
-    // other shuffle.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try orderTypeStream(ms.toDS(), spark)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_order_types_replay").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // more than doubled the replay). The override lives in a CLONED
+    // session (same SparkContext, own SQL conf/catalog), so queries
+    // planned concurrently on the caller's session keep their width;
+    // deployments with many pairs size it like any other shuffle.
+    val replaySpark = spark.newSession()
+    replaySpark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[OrderEvt](replaySpark)
+    val q = orderTypeStream(ms.toDS(), replaySpark)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_order_types_replay").start()
     try {
       // chunk on EPISODE boundaries: a raw row-count split could cut a
       // same-microtimestamp episode across micro-batches, and the
@@ -444,9 +443,10 @@ object StreamingOps extends Serializable {
         start = end
       }
     } finally q.stop()
-    // pin the result before dropping the sink's backing view
-    val out = spark.table("graft_order_types_replay").localCheckpoint()
-    spark.catalog.dropTempView("graft_order_types_replay")
+    // pin the result before dropping the sink's backing view (which
+    // lives in the cloned session's catalog)
+    val out = replaySpark.table("graft_order_types_replay").localCheckpoint()
+    replaySpark.catalog.dropTempView("graft_order_types_replay")
     out
   }
 
