@@ -488,9 +488,11 @@ object VectorOps {
     * arithmetic exact-integer; ties to the lower vec_id. */
   def annPq(emb: DataFrame, nQueries: Int = 5, topK: Int = 5,
       m: Int = 8, kCent: Int = 16, iters: Int = 2,
-      rerank: Int = 4, trained: Option[PqModel] = None): DataFrame = {
+      rerank: Int = 4, trained: Option[PqModel] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     val model = trained.getOrElse(pqTrain(emb, m, kCent, iters))
-    adcSearch(emb, model, nQueries, topK, rerank, restrict = None)
+    adcSearch(emb, model, nQueries, topK, rerank, restrict = None,
+      prebuilt = codes)
   }
 
   /** IVF-PQ: the composed index both pieces exist for — the coarse
@@ -504,21 +506,35 @@ object VectorOps {
   def annIvfPq(emb: DataFrame, nQueries: Int = 5, topK: Int = 5,
       nCells: Int = 16, nProbe: Int = 2,
       m: Int = 8, kCent: Int = 16, iters: Int = 2,
-      rerank: Int = 4, trained: Option[PqModel] = None): DataFrame = {
+      rerank: Int = 4, trained: Option[PqModel] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     val model = trained.getOrElse(pqTrain(emb, m, kCent, iters))
     val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe)
     val candPairs = probes.select("query_id", "cent_id")
       .join(assign.select("vb", "cent_id"), Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
       .select("query_id", "vb")
-    adcSearch(emb, model, nQueries, topK, rerank, restrict = Some(candPairs))
+    adcSearch(emb, model, nQueries, topK, rerank,
+      restrict = Some(candPairs), prebuilt = codes)
   }
+
+  /** The exploded `(vb, s, code)` PQ code table — the artifact a PQ
+    * deployment PERSISTS (n·m tiny rows beside the codebook): encode
+    * once, then every search is ADC lookups against the stored table.
+    * [[annPq]]/[[annIvfPq]] accept it prebuilt via `codes` so search
+    * cost excludes the encode pass, exactly as in deployment. */
+  def pqCodesExploded(emb: DataFrame, model: PqModel): DataFrame =
+    pqCodes(emb, model)
+      .select(col("vec_id").as("vb"),
+        posexplode(col("codes")).as(Seq("s", "code")))
 
   /** Shared ADC + exact-re-rank tail. `restrict` (query_id, vb) limits
     * the scan to an index's candidate set (IVF probed cells); `None`
-    * scans the whole code table. */
+    * scans the whole code table. `prebuilt` supplies a stored code
+    * table ([[pqCodesExploded]]); absent, it is encoded in-query. */
   private def adcSearch(emb: DataFrame, model: PqModel, nQueries: Int,
-      topK: Int, rerank: Int, restrict: Option[DataFrame]): DataFrame = {
+      topK: Int, rerank: Int, restrict: Option[DataFrame],
+      prebuilt: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = quantized(emb)
@@ -542,10 +558,8 @@ object VectorOps {
     // reflects that and keeps the very large encode expression tree out
     // of every downstream plan — the optimizer re-walks the full tree
     // per action, which dominates wall-clock once windows stack above it
-    val codesEx = pqCodes(emb, model)
-      .select(col("vec_id").as("vb"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .localCheckpoint(false)
+    val codesEx = prebuilt.getOrElse(
+      pqCodesExploded(emb, model).localCheckpoint(false))
     val scored = restrict match {
       case Some(r) => r.join(codesEx, Seq("vb"))
         .join(broadcast(table), Seq("query_id", "s", "code"))
@@ -586,17 +600,18 @@ object VectorOps {
 
   /** Recall@k of the PQ/ADC index against the exact-L2 baseline. */
   def annRecallPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      trained: Option[PqModel] = None): DataFrame =
+      trained: Option[PqModel] = None,
+      codes: Option[DataFrame] = None): DataFrame =
     recallAgainst(annTopKL2(emb, nQueries, k),
-      annPq(emb, nQueries, k, trained = trained))
+      annPq(emb, nQueries, k, trained = trained, codes = codes))
 
   /** Recall@k of the composed IVF-PQ index against the same baseline.
     * `nProbe` is the recall/latency knob a deployment tunes with
     * exactly this metric (see `VecScaleProbe`'s sweep). */
   def annRecallIvfPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       trained: Option[PqModel] = None, nCells: Int = 16,
-      nProbe: Int = 2): DataFrame =
+      nProbe: Int = 2, codes: Option[DataFrame] = None): DataFrame =
     recallAgainst(annTopKL2(emb, nQueries, k),
       annIvfPq(emb, nQueries, k, nCells = nCells, nProbe = nProbe,
-        trained = trained))
+        trained = trained, codes = codes))
 }
