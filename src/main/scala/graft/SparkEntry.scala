@@ -56,6 +56,27 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("deleted_ts"), col("order_type"))
         .orderBy("pair_id", "order_id")),
+    // the L1/L2/trades streaming twins replayed through real
+    // micro-batches — emissions hash-checked against the BATCH twins'
+    // DuckDB mirrors (same oracle SQL as mkt_spread/mkt_depth/
+    // mkt_trades), not just the StreamingSpec differentials
+    "mkt_l1_stream" -> ((s, d) =>
+      streaming.StreamingOps.l1Replay(level3(s, d).localCheckpoint(false), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
+        .orderBy("pair_id", "ts")),
+    "mkt_l2_stream" -> ((s, d) =>
+      streaming.StreamingOps.l2Replay(level3(s, d).localCheckpoint(false), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("price"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "price")),
+    "mkt_trades_stream" -> ((s, d) =>
+      TradeMatching.trades(streaming.StreamingOps.tradesReplay(
+          level3(s, d).localCheckpoint(false), s))
+        .select(col("ts"), col("price"), col("volume"), col("direction"),
+          col("maker_event_id"), col("taker_event_id"), col("maker"),
+          col("taker"), col("pair_id").cast("long").as("pair_id"))
+        .orderBy("ts", "maker", "taker")),
     // the level2 precision-tier materialization option: depth at p2 =
     // prices two digits coarser than the pair's R0 before replay
     "mkt_depth_p2" -> ((s, d) =>
@@ -649,6 +670,11 @@ object SparkEntry {
     "mkt_depth" -> Oracles.mktDepth,
     "mkt_depth_p2" -> Oracles.mktDepthP2,
     "mkt_order_types_stream" -> Oracles.mktOrderTypesStream,
+    // the streaming twins' replay rows share the batch twins' mirrors:
+    // the claim under test IS emissions ≡ batch
+    "mkt_l1_stream" -> Oracles.mktSpread,
+    "mkt_l2_stream" -> Oracles.mktDepth,
+    "mkt_trades_stream" -> Oracles.mktTrades,
     "mkt_depth_chains" -> Oracles.mktDepthChains,
     "mkt_depth_api" -> Oracles.mktDepthApi,
     "mkt_events" -> Oracles.mktEvents,

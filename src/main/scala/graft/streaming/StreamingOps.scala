@@ -411,43 +411,128 @@ object StreamingOps extends Serializable {
       coalesce(col("fill"), lit(0.0)).as("fill"),
       col("is_deleted").as("isDeleted"))
       .as[OrderEvt].collect().sortBy(e => (e.ts, e.orderId, e.eventNo))
-    // the replay's stateful shuffle width: state-store partitions are
-    // fixed at query start from spark.sql.shuffle.partitions, and every
-    // partition pays load/commit per micro-batch even when empty — at a
-    // handful of pair keys that's pure overhead (measured: 32-wide state
-    // more than doubled the replay). The override lives in a CLONED
-    // session (same SparkContext, own SQL conf/catalog), so queries
-    // planned concurrently on the caller's session keep their width;
-    // deployments with many pairs size it like any other shuffle.
+    replayChunked(spark, evts, (e: OrderEvt) => e.ts, nChunks,
+      "graft_order_types_replay",
+      (ds: Dataset[OrderEvt], sp: SparkSession) => orderTypeStream(ds, sp))
+  }
+
+  /** Shared bounded-replay harness behind the `mkt_*_stream` oracle
+    * rows: feed `rows` through a streaming op in `nChunks`
+    * CHRONOLOGICAL micro-batches — each cut extended to the next
+    * timestamp change, so a same-microtimestamp episode never splits
+    * across batches (a split tail would be judged against a
+    * mid-episode book, diverging from the batch twin) — then any
+    * `flushRows` one micro-batch each (watermark advancers for ops
+    * with decision horizons), returning the emitted rows. The
+    * driver-side collect is inherent to replaying a bounded frame
+    * through a `MemoryStream`; a deployment reads a real stream
+    * source instead and never collects.
+    *
+    * The replay's stateful shuffle width: state-store partitions are
+    * fixed at query start from spark.sql.shuffle.partitions, and every
+    * partition pays load/commit per micro-batch even when empty — at a
+    * handful of pair keys that's pure overhead (measured: 32-wide
+    * state more than doubled the replay). The override lives in a
+    * CLONED session (same SparkContext, own SQL conf/catalog), so
+    * queries planned concurrently on the caller's session keep their
+    * width; deployments with many pairs size it like any other
+    * shuffle. */
+  private def replayChunked[T](spark: SparkSession, rows: Array[T],
+      tsOf: T => Long, nChunks: Int, queryName: String,
+      build: (Dataset[T], SparkSession) => DataFrame,
+      flushRows: Seq[T] = Nil)
+      (implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     val replaySpark = spark.newSession()
     replaySpark.conf.set("spark.sql.shuffle.partitions", "4")
     val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[OrderEvt](replaySpark)
-    val q = orderTypeStream(ms.toDS(), replaySpark)
+      .MemoryStream[T](replaySpark)
+    val q = build(ms.toDS(), replaySpark)
       .writeStream.outputMode("append").format("memory")
-      .queryName("graft_order_types_replay").start()
+      .queryName(queryName).start()
     try {
-      // chunk on EPISODE boundaries: a raw row-count split could cut a
-      // same-microtimestamp episode across micro-batches, and the
-      // second half would then be judged against a mid-episode quote —
-      // diverging from the oracle's pre-episode as-of. The harness
-      // controls chunking, so it extends each cut to the next ts change.
-      val target = math.max(1, evts.length / nChunks + 1)
+      val target = math.max(1, rows.length / nChunks + 1)
       var start = 0
-      while (start < evts.length) {
-        var end = math.min(start + target, evts.length)
-        while (end < evts.length && evts(end).ts == evts(end - 1).ts)
+      while (start < rows.length) {
+        var end = math.min(start + target, rows.length)
+        while (end < rows.length && tsOf(rows(end)) == tsOf(rows(end - 1)))
           end += 1
-        ms.addData(evts.slice(start, end).toIndexedSeq)
+        ms.addData(rows.slice(start, end).toIndexedSeq)
         q.processAllAvailable()
         start = end
+      }
+      flushRows.foreach { fr =>
+        ms.addData(Seq(fr))
+        q.processAllAvailable()
       }
     } finally q.stop()
     // pin the result before dropping the sink's backing view (which
     // lives in the cloned session's catalog)
-    val out = replaySpark.table("graft_order_types_replay").localCheckpoint()
-    replaySpark.catalog.dropTempView("graft_order_types_replay")
+    val out = replaySpark.table(queryName).localCheckpoint()
+    replaySpark.catalog.dropTempView(queryName)
     out
+  }
+
+  /** Bounded replay of [[l1Stream]] over a level3 frame — the VERIFY
+    * harness that gives the streaming L1 twin a driver-checkable
+    * oracle row (its emissions equal `MarketOps.spread`, so the row is
+    * checked against the batch twin's DuckDB mirror). */
+  def l1Replay(level3: DataFrame, spark: SparkSession,
+      nChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val evts = level3.select(
+      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("side"), col("price"),
+      col("amount"), col("is_deleted").as("isDeleted"))
+      .as[BookEvent].collect().sortBy(e => (e.ts, e.orderId))
+    replayChunked(spark, evts, (e: BookEvent) => e.ts, nChunks,
+      "graft_l1_replay",
+      (ds: Dataset[BookEvent], sp: SparkSession) => l1Stream(ds, sp))
+  }
+
+  /** Bounded replay of [[l2Stream]] — emissions equal
+    * `MarketOps.depthChanges`, checked against its DuckDB mirror. */
+  def l2Replay(level3: DataFrame, spark: SparkSession,
+      nChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val evts = level3.select(
+      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("side"), col("price"),
+      col("amount"), col("is_deleted").as("isDeleted"))
+      .as[BookEvent].collect().sortBy(e => (e.ts, e.orderId))
+    replayChunked(spark, evts, (e: BookEvent) => e.ts, nChunks,
+      "graft_l2_replay",
+      (ds: Dataset[BookEvent], sp: SparkSession) => l2Stream(ds, sp))
+  }
+
+  /** Bounded replay of [[tradesStream]] over a level3 frame's fills —
+    * emissions equal `TradeMatching.inferredMatches`, so the shaped
+    * row is checked against the batch trades' DuckDB mirror. Two
+    * far-future sentinel fills (pair 999, 4 h and 8 h past the last
+    * real fill, i.e. beyond every buy's 2·band decision horizon at the
+    * default 1 h band) advance the watermark one batch apart so every
+    * real buy's event-time timeout fires and decides; the sentinel is
+    * a lone unmatched buy (emits nothing) and is filtered from the
+    * result regardless. */
+  def tradesReplay(level3: DataFrame, spark: SparkSession,
+      nChunks: Int = 4,
+      bandMicros: Long = graft.market.TradeMatching.DefaultToleranceMicros)
+      : DataFrame = {
+    import spark.implicits._
+    val fills = level3.filter(col("fill") > 0).select(
+      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+      col("order_id").as("orderId"), col("event_no").as("eventNo"),
+      col("side"), col("price"), col("fill"),
+      col("price_microtimestamp").as("priceTs"))
+      .as[PairFill].collect().sortBy(e => (e.ts, e.orderId, e.eventNo))
+    require(fills.nonEmpty, "no fills to replay")
+    val maxTs = fills.map(_.ts).max
+    val flush = Seq(4L, 8L).map(h =>
+      PairFill(999, maxTs + h * 3600L * 1000000L, 0L, 1, "b", 0.0, 1.0, 0L))
+    replayChunked(spark, fills, (e: PairFill) => e.ts, nChunks,
+      "graft_trades_replay",
+      (ds: Dataset[PairFill], sp: SparkSession) =>
+        tradesStream(ds, sp, bandMicros), flushRows = flush)
+      .filter(col("pair_id") =!= 999)
   }
 
   /** Tumbling-window event-rate aggregation with watermarking — the
