@@ -84,6 +84,16 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
+    // the same p2 tier answered FROM THE LAKE: written once through
+    // Lake.writeLevel2 (exchange/pair/precision/month layout, beside a
+    // sibling r0 tier), read back through readLevel2 — the scan's
+    // PartitionFilters prune the sibling tier at the directory level
+    // (plan snippet in docs/PLANS.md)
+    "mkt_depth_p2_lake" -> ((s, d) =>
+      storage.Lake.readLevel2(s, level2Lake(s, d), "p2")
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("price"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "price")),
     "mkt_depth_chains" -> ((s, d) =>
       MarketOps.depthChangeChains(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -646,6 +656,26 @@ object SparkEntry {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Build-once memo for a level2 tier lake (per data dir): TWO
+    * precision tiers (p2 and r0) written through `Lake.writeLevel2`
+    * into the reference's exchange/pair/PRECISION/month layout, so a
+    * one-tier read has sibling tiers to PRUNE — the load-bearing
+    * storage feature (`db/obanalytics_schema.sql:215-316`) exercised
+    * by an oracle row (`mkt_depth_p2_lake`), not just `LakeSpec`. */
+  private val level2LakeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def level2Lake(s: SparkSession, d: String): String =
+    level2LakeMemo.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_l2_lake")
+        .toString
+      val l3 = level3(s, d).localCheckpoint(false)
+      storage.Lake.writeLevel2(
+        MarketOps.depthChangesAtPrecision(l3, s, "p2"), p, "p2")
+      storage.Lake.writeLevel2(MarketOps.depthChanges(l3, s), p, "r0")
+      p
+    })
+
   private def trainedBpe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = bpeMemo.getOrElseUpdate(d,
@@ -669,6 +699,9 @@ object SparkEntry {
     "mkt_order_book" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,
     "mkt_depth_p2" -> Oracles.mktDepthP2,
+    // the lake round-trip must reproduce the tier bit-for-bit: same
+    // mirror as the directly-computed row
+    "mkt_depth_p2_lake" -> Oracles.mktDepthP2,
     "mkt_order_types_stream" -> Oracles.mktOrderTypesStream,
     // the streaming twins' replay rows share the batch twins' mirrors:
     // the claim under test IS emissions ≡ batch
