@@ -36,6 +36,14 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
     MarketOps.depthWindow(level3, spark, start, end)
   }
 
+  /** [[depth]] at a coarser precision tier (`r0|p0..p4`) — the
+    * reference's `get.depth` precision parameter
+    * (`db/get_schema.sql:239-245`). */
+  def depth(start: Long, end: Long, precision: String): DataFrame = {
+    validateWindow(start, end)
+    MarketOps.depthWindowAtPrecision(level3, spark, start, end, precision)
+  }
+
   /** `_starting_depth` — the standing book at an instant (one row per
     * (pair, side, price)). */
   def startingDepth(atMicros: Long): DataFrame =

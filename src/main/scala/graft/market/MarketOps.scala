@@ -153,6 +153,28 @@ object MarketOps {
     }
   }
 
+  /** [[depthWindow]] at a coarser precision tier: prices rounded
+    * BEFORE replay exactly as [[depthChangesAtPrecision]] (the tier is
+    * a pure input transform — kernel, slicing and window rules are
+    * identical at every precision), then the same starting-book ∪
+    * changes window. The SQL TVF `depth('l3', t0, t1, 'p2')` lowers
+    * here (reference exposes precision as a `get.depth` parameter,
+    * `db/get_schema.sql:239-245`). */
+  def depthWindowAtPrecision(level3: DataFrame, spark: SparkSession,
+      t0: Long, t1: Long, precision: String,
+      sliceMicros: Long = DefaultSliceMicros): DataFrame = {
+    val p = precision.toLowerCase
+    require(Set("r0", "p0", "p1", "p2", "p3", "p4")(p),
+      s"invalid precision: $precision. Valid values are r0, p0, p1, p2, p3, p4")
+    if (p == "r0" || p == "p0") depthWindow(level3, spark, t0, t1, sliceMicros)
+    else {
+      val n = p.substring(1).toInt
+      val rounded = level3.withColumn("price",
+        Dimensions.roundPriceCoarser(col("pair_id"), col("price"), n))
+      depthWindow(rounded, spark, t0, t1, sliceMicros)
+    }
+  }
+
   /** Single-group-per-pair twin of [[depthChanges]] (differential testing). */
   private[graft] def depthChangesUnsliced(level3: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._

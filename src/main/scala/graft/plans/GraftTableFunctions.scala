@@ -31,7 +31,7 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * implementation.
   */
 case class UnresolvedGraftCall(child: LogicalPlan, kind: String,
-    longArgs: Seq[Long]) extends UnaryNode {
+    longArgs: Seq[Long], strArgs: Seq[String] = Nil) extends UnaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(
@@ -49,8 +49,15 @@ object GraftCallResolution extends Rule[LogicalPlan] {
         val l3 = PlanBridge.ofRows(spark, u.child)
         val api = new graft.GraftApi(spark, l3)
         val df = u.kind match {
+          case "depth" if u.strArgs.nonEmpty =>
+            api.depth(u.longArgs(0), u.longArgs(1), u.strArgs(0))
           case "depth" => api.depth(u.longArgs(0), u.longArgs(1))
+          case "spread" if u.longArgs.nonEmpty =>
+            api.spreadResampled(u.longArgs(0))
           case "spread" => api.spread()
+          case "events" if u.longArgs.length > 2 =>
+            api.events(u.longArgs(0), u.longArgs(1),
+              frequencyMicros = Some(u.longArgs(2)))
           case "events" => api.events(u.longArgs(0), u.longArgs(1))
           case "trades" => api.trades()
           case "order_book" => api.orderBook(u.longArgs(0))
@@ -96,26 +103,37 @@ private[plans] object TvfArgs {
 object GraftTableFunctions {
   import TvfArgs.{longLit, rel, strLit}
 
-  /** `depth('l3', start_us, end_us)` — `GraftApi.depth`. */
+  /** `depth('l3', start_us, end_us[, precision])` — `GraftApi.depth`;
+    * the optional 4th argument is a precision tier (`'r0'|'p0'..'p4'`,
+    * the reference's `get.depth` precision parameter). */
   def depthTvf(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 3,
-      "depth takes (level3_table, start_us, end_us)")
+    require(exprs.length == 3 || exprs.length == 4,
+      "depth takes (level3_table, start_us, end_us[, precision])")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "depth")), "depth",
-      Seq(longLit(exprs, 1, "depth"), longLit(exprs, 2, "depth")))
+      Seq(longLit(exprs, 1, "depth"), longLit(exprs, 2, "depth")),
+      if (exprs.length == 4) Seq(strLit(exprs, 3, "depth")) else Nil)
   }
 
-  /** `spread('l3')` — `GraftApi.spread` (the full L1 stream). */
+  /** `spread('l3'[, freq_us])` — `GraftApi.spread`, or
+    * `GraftApi.spreadResampled` when the optional grid frequency is
+    * given (the reference's `p_frequency`). */
   def spreadTvf(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 1, "spread takes (level3_table)")
-    UnresolvedGraftCall(rel(strLit(exprs, 0, "spread")), "spread", Nil)
+    require(exprs.length == 1 || exprs.length == 2,
+      "spread takes (level3_table[, freq_us])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "spread")), "spread",
+      if (exprs.length == 2) Seq(longLit(exprs, 1, "spread")) else Nil)
   }
 
-  /** `events('l3', start_us, end_us)` — `GraftApi.events`. */
+  /** `events('l3', start_us, end_us[, freq_us])` — `GraftApi.events`;
+    * the optional 4th argument is the reference's `p_frequency`
+    * (`db/get_schema.sql:307,339-341`): the prevailing spread becomes
+    * the grid-resampled L1 stream. */
   def eventsTvf(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 3,
-      "events takes (level3_table, start_us, end_us)")
+    require(exprs.length == 3 || exprs.length == 4,
+      "events takes (level3_table, start_us, end_us[, freq_us])")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "events")), "events",
-      Seq(longLit(exprs, 1, "events"), longLit(exprs, 2, "events")))
+      Seq(longLit(exprs, 1, "events"), longLit(exprs, 2, "events")) ++
+        (if (exprs.length == 4) Seq(longLit(exprs, 3, "events")) else Nil))
   }
 
   /** `trades('l3')` — `GraftApi.trades` (the inferred/matched trades). */

@@ -201,6 +201,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val sqlTrades = s2.sql("SELECT * FROM trades('l3_tvf')")
       assert(rows(sqlTrades) == rows(api.trades()))
 
+      // optional parameters reach the resampled / tiered variants
+      val sqlDepthP2 = s2.sql(
+        s"SELECT * FROM depth('l3_tvf', $s0, $e0, 'p2')")
+      assert(rows(sqlDepthP2) == rows(api.depth(s0, e0, "p2")))
+      assert(rows(sqlDepthP2) != rows(api.depth(s0, e0)))
+      val freq = 60L * 1000000L
+      val sqlSpreadF = s2.sql(s"SELECT * FROM spread('l3_tvf', $freq)")
+      assert(rows(sqlSpreadF) == rows(api.spreadResampled(freq)))
+      val sqlEventsF = s2.sql(
+        s"SELECT * FROM events('l3_tvf', $s0, $e0, $freq)")
+      assert(rows(sqlEventsF) ==
+        rows(api.events(s0, e0, frequencyMicros = Some(freq))))
+      assert(rows(sqlEventsF) != rows(api.events(s0, e0)))
+
       val sqlBook = s2.sql(s"SELECT * FROM order_book('l3_tvf', $e0)")
       assert(rows(sqlBook) == rows(api.orderBook(e0)))
 
