@@ -2154,9 +2154,13 @@ object Oracles {
       |ORDER BY query_id, rnk""".stripMargin
 
   /** The IVF candidate/ranking chain (`cents` … `rr`), shared by
-    * pipeAnnIvf and pipeAnnRecallIvf. */
-  private def IvfChain(cells: String = "16"): String =
-    QuantEmbCte + IvfCoarseCte(cells) +
+    * pipeAnnIvf and pipeAnnRecallIvf. `trained` prepends the Lloyd
+    * training CTEs and makes the coarse stage read THEIR `cents`. */
+  private def IvfChain(cells: String = "16",
+      trained: Boolean = false): String =
+    QuantEmbCte +
+      (if (trained) IvfTrainCte(cells) else "") +
+      IvfCoarseCte(cells, providedCents = trained) +
     """, qd AS (
       |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
       |  FROM cand
@@ -2177,10 +2181,70 @@ object Oracles {
   /** The coarse-quantizer part alone (`cents` … `cand`) — composable
     * behind either the exact within-cell ranking (IVF-Flat) or the
     * PQ/ADC scan (IVF-PQ); requires `ev`/`nrm` to be defined. */
-  private def IvfCoarseCte(cells: String = "16"): String =
-    s""", cents AS (
+  /** Mirror of `VectorOps.ivfTrain` (defaults: 2 Lloyd iterations at
+    * full dimension): seed `cb0` = the first `cells` vectors; each
+    * round assigns every vector to its max-cosine centroid (ties to
+    * the lower cell) and recenters element-wise with the EXACT
+    * integer floor division (the PqCte discipline — a double
+    * round-trip would diverge past 2^53); an emptied cell keeps its
+    * previous centroid. Ends with `cents(cent_id, i, q)`. */
+  private def IvfTrainCte(cells: String, iters: Int = 2): String = {
+    def round(idx: Int): String = {
+      val prev = s"cb${idx - 1}"
+      s""", cn_t$idx AS (
+        |  SELECT cent_id, SUM(q*q) AS cnq FROM $prev GROUP BY cent_id
+        |), ad_t$idx AS (
+        |  SELECT e.vec_id, c.cent_id, SUM(e.q * c.q) AS dot
+        |  FROM ev e JOIN $prev c ON c.i = e.i
+        |  GROUP BY e.vec_id, c.cent_id
+        |), rk_t$idx AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT a.vec_id, a.cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY a.vec_id ORDER BY CAST(a.dot AS DOUBLE) /
+        |        (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(cn.cnq AS DOUBLE)))
+        |        DESC, a.cent_id) AS crn
+        |    FROM ad_t$idx a JOIN nrm n ON n.vec_id = a.vec_id
+        |    JOIN cn_t$idx cn ON cn.cent_id = a.cent_id)
+        |  WHERE crn = 1
+        |), cb$idx AS (
+        |  SELECT p.cent_id, p.i, COALESCE(u.c, p.q) AS q
+        |  FROM $prev p LEFT JOIN (
+        |    SELECT a.cent_id, e.i,
+        |      CAST((SUM(e.q) - ((SUM(e.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+        |        // COUNT(*) AS BIGINT) AS c
+        |    FROM rk_t$idx a JOIN ev e ON e.vec_id = a.vec_id
+        |    GROUP BY a.cent_id, e.i
+        |  ) u ON u.cent_id = p.cent_id AND u.i = p.i
+        |)""".stripMargin
+    }
+    s""", cb0 AS (
       |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $cells
-      |), cnrm AS (
+      |)""".stripMargin +
+      (1 to iters).map(round).mkString +
+      s""", cents AS (
+      |  SELECT cent_id, i, q FROM cb$iters
+      |)""".stripMargin
+  }
+
+  /** Mirror of `VectorOps.annIvfKmeans` (trained coarse quantizer,
+    * same search as pipeAnnIvf). */
+  def pipeAnnIvfKmeans(nCells: Int = 16): String =
+    IvfChain(nCells.toString, trained = true) +
+    """
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Mirror of `VectorOps.annRecallIvfKmeans`. */
+  def pipeAnnRecallIvfKmeans: String =
+    IvfChain(trained = true) + ExactChainE + RecallSelect("rr")
+
+  private def IvfCoarseCte(cells: String = "16",
+      providedCents: Boolean = false): String =
+    (if (providedCents) ""
+     else s""", cents AS (
+      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $cells
+      |)""".stripMargin) +
+    s""", cnrm AS (
       |  SELECT cent_id, SUM(q*q) AS cnq FROM cents GROUP BY cent_id
       |), adot AS (
       |  SELECT e.vec_id, c.cent_id, SUM(e.q * c.q) AS dot

@@ -494,6 +494,16 @@ object SparkEntry {
       VectorOps.annIvfPq(Tables.load(s, d, "embeddings"),
           trained = Some(trainedPq(s, d)), codes = Some(pqIndex(s, d)))
         .orderBy("query_id", "rnk")),
+    // the k-means-TRAINED coarse quantizer at the same nCells/nProbe:
+    // better cells at equal probe cost (recall sweep in PLANS.md)
+    "pipe_ann_ivf_kmeans" -> ((s, d) =>
+      VectorOps.annIvfKmeans(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("query_id", "rnk")),
+    "pipe_ann_recall_ivf_kmeans" -> ((s, d) =>
+      VectorOps.annRecallIvfKmeans(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("query_id")),
     // the √n cell-sizing rule as a checked query: nCells grows with
     // the collection (one cheap count), probe cost stays O(√n)
     "pipe_ann_ivf_sqrtn" -> ((s, d) => {
@@ -618,6 +628,15 @@ object SparkEntry {
     * artifact every PQ query reuses, same rationale as [[bpeMemo]]. */
   private val pqMemo =
     scala.collection.concurrent.TrieMap.empty[String, VectorOps.PqModel]
+
+  /** Train-once memo for the k-means IVF coarse centroids (per data
+    * dir) — the same bounded-artifact class as the PQ codebook. */
+  private val ivfMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+
+  private def trainedIvf(s: SparkSession, d: String): Array[Array[Long]] =
+    ivfMemo.getOrElseUpdate(d,
+      VectorOps.ivfTrain(Tables.load(s, d, "embeddings")))
 
   private def trainedPq(s: SparkSession, d: String): VectorOps.PqModel =
     pqMemo.getOrElseUpdate(d,
@@ -771,6 +790,8 @@ object SparkEntry {
     "pipe_ann_ivf" -> Oracles.pipeAnnIvf(),
     "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
     "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
+    "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
+    "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
     "pipe_pq_codes" -> Oracles.pipePqCodes,
     "pipe_ann_pq" -> Oracles.pipeAnnPq(),
     "pipe_ann_ivfpq" -> Oracles.pipeAnnIvfPq(),

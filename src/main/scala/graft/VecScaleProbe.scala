@@ -83,6 +83,27 @@ object VecScaleProbe {
     val (nIvfPq, tIvfPq) = timed(
       VectorOps.annIvfPq(emb, trained = Some(model)).rdd.count())
 
+    // IVF-Flat coarse-quantizer training gain: recall@10 of the
+    // seeded vs k-means-trained quantizer at EQUAL probe cost (same
+    // nCells, same nProbe) — the read on whether Lloyd training of
+    // the coarse cells buys recall without touching the probe budget
+    val exactCos = VectorOps.annTopK(emb, 5, 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    var ivfCents: Array[Array[Long]] = null
+    val (_, tIvfTrain) = timed { ivfCents = VectorOps.ivfTrain(emb); 1L }
+    def rec10(approx: org.apache.spark.sql.DataFrame): Double =
+      exactCos.join(approx.select(col("query_id"), col("vec_id"))
+          .withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg((count(col("hit")).cast("double") / count(lit(1))).as("r"))
+        .agg(avg("r")).head().getDouble(0)
+    val ivfSweep = Seq(1, 2, 4).map { p =>
+      val u = rec10(VectorOps.annIvf(emb, 5, 10, nProbe = p))
+      val tr = rec10(VectorOps.annIvfKmeans(emb, 5, 10, nProbe = p,
+        trainedCents = Some(ivfCents)))
+      f""""ivf_nprobe_$p":{"recall_seeded":$u%.3f,"recall_kmeans":$tr%.3f}"""
+    }.mkString(",")
+
     // the deployment knob: nProbe trades recall for probe cost under a
     // FIXED trained index. Ground truth computed once outside the
     // loop. Recall only — at this collection size a per-setting wall
@@ -104,7 +125,7 @@ object VecScaleProbe {
     }.mkString(",")
 
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},$nProbeSweep}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},$nProbeSweep}""")
     spark.stop()
   }
 }

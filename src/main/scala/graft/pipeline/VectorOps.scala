@@ -236,11 +236,20 @@ object VectorOps {
     * one broadcast of the tiny centroid table + one checkpointed
     * scoring pass feeding both outputs. */
   private def coarseCells(emb: DataFrame, nQueries: Int, nCells: Int,
-      nProbe: Int): (DataFrame, DataFrame) = {
+      nProbe: Int, trained: Option[Array[Array[Long]]] = None)
+      : (DataFrame, DataFrame) = {
     val q = quantized(emb)
-    val cents = q.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-        col("nq").as("cnq"))
+    val cents = trained match {
+      case Some(cs) =>
+        val spark = emb.sparkSession
+        import spark.implicits._
+        cs.zipWithIndex.map { case (c, j) =>
+          (j.toLong, c.toSeq, c.map(x => x * x).sum)
+        }.toSeq.toDF("cent_id", "cq", "cnq")
+      case None => q.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nq").as("cnq"))
+    }
     val centCos = (longArrayDot(col("q"), col("cq")).cast("double") /
       (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double"))))
       .as("ccos")
@@ -270,8 +279,14 @@ object VectorOps {
     math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
 
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe)
+      nCells: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfSearch(emb, nQueries, k, nCells, nProbe, trained = None)
+
+  private def ivfSearch(emb: DataFrame, nQueries: Int, k: Int,
+      nCells: Int, nProbe: Int,
+      trained: Option[Array[Array[Long]]]): DataFrame = {
+    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe,
+      trained)
     val scored = probes.join(assign, Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos", cosine)
@@ -279,6 +294,89 @@ object VectorOps {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("vec_id"), col("cos"))
   }
+
+  /** Integer-exact Lloyd training of the IVF coarse quantizer — the
+    * [[pqTrain]] discipline at FULL dimension: seed = the first
+    * `nCells` vectors by id (so `iters = 0` reproduces the untrained
+    * quantizer bit-for-bit), each round assigns every vector to its
+    * max-cosine centroid (ties to the lower cell — cosine because
+    * that is the assignment the search path uses; it is scale-free,
+    * so the un-normalized floor-div mean is a valid spherical-k-means
+    * centroid) and recenters element-wise by exact `floorDiv` (an
+    * emptied cell keeps its centroid). `sampleFraction` < 1 trains on
+    * the same deterministic md5 Bernoulli sample as [[pqTrain]] — the
+    * lake-scale path. Returns the centroid matrix: O(nCells·d) driver
+    * state, the same bounded-artifact class as the PQ codebook. */
+  def ivfTrain(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+      sampleFraction: Double = 1.0): Array[Array[Long]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction in (0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qAll = quantized(emb)
+    val q =
+      if (sampleFraction >= 1.0) qAll
+      else {
+        val h = md5(concat(lit("ivftrain#"), col("vec_id")))
+        val bucket = conv(substring(h, 1, 4), 16, 10).cast("long")
+        qAll.filter(bucket < lit((sampleFraction * 65536).toLong))
+      }
+    var cents: Array[Array[Long]] = qAll.filter(col("vec_id") < nCells)
+      .orderBy("vec_id").select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.length == nCells,
+      s"collection smaller than nCells=$nCells centroid seeds")
+    val d = cents(0).length
+    var t = 0
+    while (t < iters) {
+      val cDf = cents.zipWithIndex.map { case (c, j) =>
+        (j.toLong, c.toSeq, c.map(x => x * x).sum)
+      }.toSeq.toDF("cent_id", "cq", "cnq")
+      val ccos = (longArrayDot(col("q"), col("cq")).cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double"))))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val sums = q.join(broadcast(cDf))
+        .withColumn("ccos", ccos)
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n"),
+          array((0 until d).map(i =>
+            sum(element_at(col("q"), i + 1))): _*).as("sums"))
+        .collect()
+      val next = cents.map(identity) // emptied cells keep their centroid
+      sums.foreach { r =>
+        val (j, n) = (r.getLong(0).toInt, r.getLong(1))
+        val ss = r.getSeq[Long](2)
+        next(j) = Array.tabulate(d)(i => Math.floorDiv(ss(i), n))
+      }
+      cents = next
+      t += 1
+    }
+    cents
+  }
+
+  /** IVF-Flat under a k-means-TRAINED coarse quantizer: same search,
+    * better cells — trained centroids move to the data's modes, so at
+    * EQUAL probe cost (same nCells/nProbe) the probed cells hold more
+    * of each query's true neighbors (recall sweep in
+    * `VecScaleProbe` / PLANS.md). */
+  def annIvfKmeans(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2, iters: Int = 2,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame =
+    ivfSearch(emb, nQueries, k, nCells, nProbe,
+      Some(trainedCents.getOrElse(ivfTrain(emb, nCells, iters))))
+
+  /** Recall@k of the k-means-trained IVF against the exact baseline —
+    * compare with [[annRecallIvf]] at the same nCells/nProbe to read
+    * the training gain at equal probe cost. */
+  def annRecallIvfKmeans(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame =
+    recallAgainst(annTopK(emb, nQueries, k),
+      annIvfKmeans(emb, nQueries, k, nCells, nProbe,
+        trainedCents = trainedCents))
 
   /** LSH-bucketed approximate top-k: candidates share the query's
     * bucket; exact cosine ranking within the bucket. `bits` defaults to
