@@ -23,9 +23,9 @@ class QueriesSpec extends AnyFunSuite {
     // sparse at sf0.001 only: the trade-matching band finds no pairs
     // sparse at sf0.001 only: trade matching finds few or no pairs, and
     // the Bitstamp ops derive from those matches
-    val mayBeEmpty = Set("mkt_trades", "mkt_match_sum2", "mkt_match_sum3",
-      "mkt_crossed", "pipe_minhash", "pipe_simhash", "mkt_bst_reveal",
-      "mkt_bst_fix_aggr", "mkt_bst_match_seq")
+    val mayBeEmpty = Set("mkt_trades", "mkt_trades_stream", "mkt_match_sum2",
+      "mkt_match_sum3", "mkt_crossed", "pipe_minhash", "pipe_simhash",
+      "mkt_bst_reveal", "mkt_bst_fix_aggr", "mkt_bst_match_seq")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, dir).count()
     }
