@@ -479,14 +479,27 @@ object StreamingOps extends Serializable {
   def l1Replay(level3: DataFrame, spark: SparkSession,
       nChunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val evts = level3.select(
-      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
-      col("order_id").as("orderId"), col("side"), col("price"),
-      col("amount"), col("is_deleted").as("isDeleted"))
-      .as[BookEvent].collect().sortBy(e => (e.ts, e.orderId))
-    replayChunked(spark, evts, (e: BookEvent) => e.ts, nChunks,
-      "graft_l1_replay",
+    replayChunked(spark, bookEventsOrdered(level3, spark),
+      (e: BookEvent) => e.ts, nChunks, "graft_l1_replay",
       (ds: Dataset[BookEvent], sp: SparkSession) => l1Stream(ds, sp))
+  }
+
+  /** BookEvent array of a level3 log in TOTAL replay order
+    * (ts, order_id, event_no): event_no resolves same-instant ties
+    * within one order — the batch kernel's (ts, event_id) order — and
+    * the stream ops' stable within-batch (ts, orderId) sort preserves
+    * it, so the replay is deterministic even when an order has
+    * several events in one episode (a raw collect order would be
+    * file-layout-dependent there). */
+  private def bookEventsOrdered(level3: DataFrame,
+      spark: SparkSession): Array[BookEvent] = {
+    import spark.implicits._
+    level3.orderBy("microtimestamp", "order_id", "event_no")
+      .select(
+        col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+        col("order_id").as("orderId"), col("side"), col("price"),
+        col("amount"), col("is_deleted").as("isDeleted"))
+      .as[BookEvent].collect()
   }
 
   /** Bounded replay of [[l2Stream]] — emissions equal
@@ -494,13 +507,8 @@ object StreamingOps extends Serializable {
   def l2Replay(level3: DataFrame, spark: SparkSession,
       nChunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val evts = level3.select(
-      col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
-      col("order_id").as("orderId"), col("side"), col("price"),
-      col("amount"), col("is_deleted").as("isDeleted"))
-      .as[BookEvent].collect().sortBy(e => (e.ts, e.orderId))
-    replayChunked(spark, evts, (e: BookEvent) => e.ts, nChunks,
-      "graft_l2_replay",
+    replayChunked(spark, bookEventsOrdered(level3, spark),
+      (e: BookEvent) => e.ts, nChunks, "graft_l2_replay",
       (ds: Dataset[BookEvent], sp: SparkSession) => l2Stream(ds, sp))
   }
 
