@@ -1927,7 +1927,7 @@ object Oracles {
     * top-100 by (cos desc, va, vb). */
   def pipeEmbedNearDupLsh: String = QuantEmbCte +
     """, nb AS (
-      |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
+      |  SELECT GREATEST(6, CAST(LENGTH(BIN(GREATEST(COUNT(*) // 16, 1) - 1))
       |    AS BIGINT)) AS bits
       |  FROM embeddings
       |), proj AS (
@@ -1984,7 +1984,7 @@ object Oracles {
 
   def pipeAnnLsh: String = QuantEmbCte +
     """, nb AS (
-      |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
+      |  SELECT GREATEST(6, CAST(LENGTH(BIN(GREATEST(COUNT(*) // 16, 1) - 1))
       |    AS BIGINT)) AS bits
       |  FROM embeddings
       |), proj AS (
@@ -2058,7 +2058,7 @@ object Oracles {
     * then recall = |exact ∩ approx| / |exact| per query. */
   def pipeAnnRecall: String = QuantEmbCte + ExactChainE +
     """, nb AS (
-      |  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(COUNT(*) // 16, 1)))
+      |  SELECT GREATEST(6, CAST(LENGTH(BIN(GREATEST(COUNT(*) // 16, 1) - 1))
       |    AS BIGINT)) AS bits
       |  FROM embeddings
       |), proj AS (

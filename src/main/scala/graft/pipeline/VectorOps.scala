@@ -184,9 +184,15 @@ object VectorOps {
     * expected bucket holds ~`targetBucket` vectors (fixed bits ⇒ bucket
     * size n/2^bits, quadratic probe cost at corpus scale). Never below
     * 6. */
-  def scaledBits(n: Long, targetBucket: Int = 16): Int =
-    math.max(6, math.ceil(
-      math.log(math.max(1L, n / targetBucket).toDouble) / math.log(2.0)).toInt)
+  def scaledBits(n: Long, targetBucket: Int = 16): Int = {
+    // integral ceil(log2(m)): floating log ratios can round 2^k to
+    // k+eps and ceil to k+1, silently diverging from the SQL mirror's
+    // bit-length formula at exact powers of two
+    val m = math.max(1L, n / targetBucket)
+    val ceilLog2 =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(6, ceilLog2)
+  }
 
   /** The ±1 hyperplane weight for (hyperplane j, 1-based dim i) — the
     * driver-side twin of the SQL formula

@@ -70,18 +70,22 @@ object StreamingOps extends Serializable {
       var last = st.lastTick
       val out = scala.collection.mutable.ListBuffer.empty[L1Tick]
       // within-batch ordering is not guaranteed by the engine: sort the
-      // watermark-bounded batch before applying
-      batch.toArray.sortBy(e => (e.ts, e.orderId)).foreach { e =>
-        book.apply(e)
-        val t = (e.ts, book.bestBid.map(_._1), book.bestBid.map(_._2),
-          book.bestAsk.map(_._1), book.bestAsk.map(_._2))
-        val changed = last.forall(l =>
-          l._2 != t._2 || l._3 != t._3 || l._4 != t._4 || l._5 != t._5)
-        if (changed) {
-          out += L1Tick(pairId, t._1, t._2, t._3, t._4, t._5)
-          last = Some(t)
+      // watermark-bounded batch before applying. Events sharing a
+      // microtimestamp form one episode (an atomic book transition, see
+      // ReplayKernel.episodesFrom): the quote is evaluated once per
+      // episode, after all its events are applied — never mid-episode.
+      batch.toArray.sortBy(e => (e.ts, e.orderId))
+        .groupBy(_.ts).toSeq.sortBy(_._1).foreach { case (ts, episode) =>
+          episode.foreach(book.apply)
+          val t = (ts, book.bestBid.map(_._1), book.bestBid.map(_._2),
+            book.bestAsk.map(_._1), book.bestAsk.map(_._2))
+          val changed = last.forall(l =>
+            l._2 != t._2 || l._3 != t._3 || l._4 != t._4 || l._5 != t._5)
+          if (changed) {
+            out += L1Tick(pairId, t._1, t._2, t._3, t._4, t._5)
+            last = Some(t)
+          }
         }
-      }
       // snapshot the live orders back into state
       val (ids, isBid, prices, amounts) = liveArrays(book)
       state.update(BookState(ids, isBid, prices, amounts, last))
@@ -515,12 +519,14 @@ object StreamingOps extends Serializable {
   /** Bounded replay of [[tradesStream]] over a level3 frame's fills —
     * emissions equal `TradeMatching.inferredMatches`, so the shaped
     * row is checked against the batch trades' DuckDB mirror. Two
-    * far-future sentinel fills (pair 999, 4 h and 8 h past the last
-    * real fill, i.e. beyond every buy's 2·band decision horizon at the
-    * default 1 h band) advance the watermark one batch apart so every
-    * real buy's event-time timeout fires and decides; the sentinel is
-    * a lone unmatched buy (emits nothing) and is filtered from the
-    * result regardless. */
+    * far-future sentinel fills (pair `Int.MinValue` — outside the
+    * valid pair-id domain, so no genuine trade can collide — 4 h and
+    * 8 h past the last real fill, i.e. beyond every buy's 2·band
+    * decision horizon at the default 1 h band) advance the watermark
+    * one batch apart so every real buy's event-time timeout fires and
+    * decides; the sentinel is a lone unmatched buy (emits nothing) and
+    * is filtered from the result regardless. A zero-fill input yields
+    * the batch twin's empty frame instead of failing. */
   def tradesReplay(level3: DataFrame, spark: SparkSession,
       nChunks: Int = 4,
       bandMicros: Long = graft.market.TradeMatching.DefaultToleranceMicros)
@@ -532,15 +538,16 @@ object StreamingOps extends Serializable {
       col("side"), col("price"), col("fill"),
       col("price_microtimestamp").as("priceTs"))
       .as[PairFill].collect().sortBy(e => (e.ts, e.orderId, e.eventNo))
-    require(fills.nonEmpty, "no fills to replay")
+    if (fills.isEmpty) return spark.emptyDataset[StreamMatch].toDF()
     val maxTs = fills.map(_.ts).max
     val flush = Seq(4L, 8L).map(h =>
-      PairFill(999, maxTs + h * 3600L * 1000000L, 0L, 1, "b", 0.0, 1.0, 0L))
+      PairFill(Int.MinValue, maxTs + h * 3600L * 1000000L, 0L, 1, "b",
+        0.0, 1.0, 0L))
     replayChunked(spark, fills, (e: PairFill) => e.ts, nChunks,
       "graft_trades_replay",
       (ds: Dataset[PairFill], sp: SparkSession) =>
         tradesStream(ds, sp, bandMicros), flushRows = flush)
-      .filter(col("pair_id") =!= 999)
+      .filter(col("pair_id") =!= Int.MinValue)
   }
 
   /** Tumbling-window event-rate aggregation with watermarking — the
