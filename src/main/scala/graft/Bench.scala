@@ -39,9 +39,9 @@ object Bench {
     // pipe_ann_pq/ivfpq/recall rows then measure search against the
     // stored index, the deployment shape, instead of re-encoding the
     // collection per run
-    val pqBuildS =
-      try SparkEntry.prepareIndexes(spark, sfDir)
-      catch { case _: Throwable => -1.0 }
+    val buildTimings: Seq[(String, Double)] =
+      try SparkEntry.prepareArtifacts(spark, sfDir)
+      catch { case _: Throwable => Seq("artifact_build_failed_s" -> -1.0) }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run; unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -89,7 +89,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"pq_build_s":$pqBuildS,"queries":$qs,"sf":"$sfDir"}""")
+    val builds = buildTimings.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString(",")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,$builds,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

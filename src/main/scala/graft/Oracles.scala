@@ -1904,6 +1904,27 @@ object Oracles {
       PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
       pqRecallTail(nQueries, topK)
 
+  /** Mirror of `VectorOps.annIvfPq` under the k-means-TRAINED coarse
+    * quantizer (`coarseCents = ivfTrain(...)`): the Lloyd CTEs supply
+    * `cents`, the coarse stage probes them, the PQ/ADC tail scans only
+    * the probed cells — the full composed deployment index. */
+  def pipeAnnIvfPqKmeans(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16): String =
+    PqCte() + IvfTrainCte(nCells.toString) +
+      IvfCoarseCte(nCells.toString, providedCents = true) +
+      PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
+    s"""
+      |SELECT query_id, rnk, vec_id, l2sq FROM rr2 WHERE rnk <= $topK
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Mirror of `VectorOps.annRecallIvfPq` with trained coarse cells. */
+  def pipeAnnRecallIvfPqKmeans(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16): String =
+    PqCte() + IvfTrainCte(nCells.toString) +
+      IvfCoarseCte(nCells.toString, providedCents = true) +
+      PqAdcTail(nQueries, topK, rerank, restrictToCand = true) +
+      pqRecallTail(nQueries, topK)
+
   def pipeEmbedNearDup: String = QuantEmbCte +
     """, d AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
@@ -2189,8 +2210,10 @@ object Oracles {
     * round-trip would diverge past 2^53); an emptied cell keeps its
     * previous centroid. Ends with `cents(cent_id, i, q)`. */
   private def IvfTrainCte(cells: String, iters: Int = 2): String = {
+    // CTE names are icb* (not cb*): PqCte's per-subspace codebooks
+    // already own cb0..cb2, and the IVF-PQ-kmeans mirror composes both
     def round(idx: Int): String = {
-      val prev = s"cb${idx - 1}"
+      val prev = s"icb${idx - 1}"
       s""", cn_t$idx AS (
         |  SELECT cent_id, SUM(q*q) AS cnq FROM $prev GROUP BY cent_id
         |), ad_t$idx AS (
@@ -2206,7 +2229,7 @@ object Oracles {
         |    FROM ad_t$idx a JOIN nrm n ON n.vec_id = a.vec_id
         |    JOIN cn_t$idx cn ON cn.cent_id = a.cent_id)
         |  WHERE crn = 1
-        |), cb$idx AS (
+        |), icb$idx AS (
         |  SELECT p.cent_id, p.i, COALESCE(u.c, p.q) AS q
         |  FROM $prev p LEFT JOIN (
         |    SELECT a.cent_id, e.i,
@@ -2217,12 +2240,12 @@ object Oracles {
         |  ) u ON u.cent_id = p.cent_id AND u.i = p.i
         |)""".stripMargin
     }
-    s""", cb0 AS (
+    s""", icb0 AS (
       |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $cells
       |)""".stripMargin +
       (1 to iters).map(round).mkString +
       s""", cents AS (
-      |  SELECT cent_id, i, q FROM cb$iters
+      |  SELECT cent_id, i, q FROM icb$iters
       |)""".stripMargin
   }
 

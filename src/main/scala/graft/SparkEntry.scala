@@ -42,6 +42,26 @@ object SparkEntry {
           col("price"), col("amount"), col("order_id"),
           col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
         .orderBy("pair_id", "side", "lvl", "order_id")),
+    // the same snapshot + spread answered FROM THE LEVEL3 LAKE: the
+    // builder output written once through Lake.writeLevel3 into the
+    // reference's load-bearing layout (exchange/pair/month directories,
+    // files time-sorted — db/obanalytics_schema.sql:153,325-448), read
+    // back through readLevel3. Same mirrors as the direct rows: the
+    // claim under test is that the lake round-trip is lossless AND the
+    // scan side prunes (PartitionFilters + microtimestamp row-group
+    // skipping — plan snippet in docs/PLANS.md)
+    "mkt_ob_lake" -> ((s, d) =>
+      MarketOps.orderBookQuery(
+          storage.Lake.readLevel3(s, level3Lake(s, d)), Oracles.SnapshotMicros)
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("price"), col("amount"), col("order_id"),
+          col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
+        .orderBy("pair_id", "side", "lvl", "order_id")),
+    "mkt_spread_lake" -> ((s, d) =>
+      MarketOps.spread(storage.Lake.readLevel3(s, level3Lake(s, d)), s)
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
+        .orderBy("pair_id", "ts")),
     "mkt_depth" -> ((s, d) =>
       MarketOps.depthChanges(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -504,6 +524,19 @@ object SparkEntry {
       VectorOps.annRecallIvfKmeans(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("query_id")),
+    // the FULLY-composed deployment index: k-means-trained coarse
+    // cells bound the scan, stored PQ codes bound the memory, exact
+    // re-rank bounds the error — all three artifacts prebuilt
+    "pipe_ann_ivfpq_kmeans" -> ((s, d) =>
+      VectorOps.annIvfPq(Tables.load(s, d, "embeddings"),
+          trained = Some(trainedPq(s, d)), codes = Some(pqIndex(s, d)),
+          coarseCents = Some(trainedIvf(s, d)))
+        .orderBy("query_id", "rnk")),
+    "pipe_ann_recall_ivfpq_kmeans" -> ((s, d) =>
+      VectorOps.annRecallIvfPq(Tables.load(s, d, "embeddings"),
+          trained = Some(trainedPq(s, d)), codes = Some(pqIndex(s, d)),
+          coarseCents = Some(trainedIvf(s, d)))
+        .orderBy("query_id")),
     // the √n cell-sizing rule as a checked query: nCells grows with
     // the collection (one cheap count), probe cost stays O(√n)
     "pipe_ann_ivf_sqrtn" -> ((s, d) => {
@@ -669,10 +702,26 @@ object SparkEntry {
     * deterministic path is instead WIPED before this JVM's first write
     * (clearing any prior run's copy) and again on JVM exit. */
   private def artifactPath(kind: String, d: String): String = {
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}_" + Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d)))
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_${kind}_" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    // clean STALE prior-run copies (same prefix, any pid) — a live dir
+    // belongs to a running JVM whose pid suffix differs, so only dirs
+    // whose owning process is gone are safe to reap; we approximate
+    // "gone" by age > 1h, which is well past any single run here
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val ls = java.nio.file.Files.list(tmp)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix + "_"))
+        .filter(p => java.nio.file.Files.getLastModifiedTime(p)
+          .toMillis < cutoff)
+        .foreach(deleteRecursively)
+    } finally ls.close()
+    // pid suffix keeps concurrent JVMs (Verify + Bench on the same
+    // data dir) from wiping each other's live artifacts mid-run
+    val dir = tmp.resolve(prefix + "_" + ProcessHandle.current().pid())
     deleteRecursively(dir)
     sys.addShutdownHook(deleteRecursively(dir))
     dir.toString
@@ -765,6 +814,10 @@ object SparkEntry {
     "q07_asof_operator" -> Oracles.q07AsofOperator,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
+    // the lake round-trip must reproduce the direct rows bit-for-bit:
+    // same mirrors as the directly-computed rows
+    "mkt_ob_lake" -> Oracles.mktOrderBook,
+    "mkt_spread_lake" -> Oracles.mktSpread,
     "mkt_depth" -> Oracles.mktDepth,
     "mkt_depth_p2" -> Oracles.mktDepthP2,
     // the lake round-trip must reproduce the tier bit-for-bit: same
@@ -841,6 +894,8 @@ object SparkEntry {
     "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
     "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
+    "pipe_ann_ivfpq_kmeans" -> Oracles.pipeAnnIvfPqKmeans(),
+    "pipe_ann_recall_ivfpq_kmeans" -> Oracles.pipeAnnRecallIvfPqKmeans(),
     "pipe_pq_codes" -> Oracles.pipePqCodes,
     "pipe_ann_pq" -> Oracles.pipeAnnPq(),
     "pipe_ann_ivfpq" -> Oracles.pipeAnnIvfPq(),

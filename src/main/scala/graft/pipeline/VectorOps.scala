@@ -611,9 +611,11 @@ object VectorOps {
       nCells: Int = 16, nProbe: Int = 2,
       m: Int = 8, kCent: Int = 16, iters: Int = 2,
       rerank: Int = 4, trained: Option[PqModel] = None,
-      codes: Option[DataFrame] = None): DataFrame = {
+      codes: Option[DataFrame] = None,
+      coarseCents: Option[Array[Array[Long]]] = None): DataFrame = {
     val model = trained.getOrElse(pqTrain(emb, m, kCent, iters))
-    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe)
+    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe,
+      coarseCents)
     val candPairs = probes.select("query_id", "cent_id")
       .join(assign.select("vb", "cent_id"), Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
@@ -714,8 +716,9 @@ object VectorOps {
     * exactly this metric (see `VecScaleProbe`'s sweep). */
   def annRecallIvfPq(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       trained: Option[PqModel] = None, nCells: Int = 16,
-      nProbe: Int = 2, codes: Option[DataFrame] = None): DataFrame =
+      nProbe: Int = 2, codes: Option[DataFrame] = None,
+      coarseCents: Option[Array[Array[Long]]] = None): DataFrame =
     recallAgainst(annTopKL2(emb, nQueries, k),
       annIvfPq(emb, nQueries, k, nCells = nCells, nProbe = nProbe,
-        trained = trained, codes = codes))
+        trained = trained, codes = codes, coarseCents = coarseCents))
 }
