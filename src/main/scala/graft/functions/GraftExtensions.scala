@@ -86,6 +86,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.getClass.getName, "order_book"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.GraftTableFunctions.orderBookTvf(exprs)))
+    // the grid entry points (reference get.queues / get.depth_summary)
+    e.injectTableFunction((
+      new FunctionIdentifier("queues"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "queues"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.queuesTvf(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("depth_summary"),
+      new ExpressionInfo(
+        graft.plans.GraftTableFunctions.getClass.getName, "depth_summary"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.GraftTableFunctions.depthSummaryTvf(exprs)))
     e.injectResolutionRule(_ => graft.plans.GraftCallResolution)
   }
 }

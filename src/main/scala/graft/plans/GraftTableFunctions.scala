@@ -31,7 +31,8 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * implementation.
   */
 case class UnresolvedGraftCall(child: LogicalPlan, kind: String,
-    longArgs: Seq[Long], strArgs: Seq[String] = Nil) extends UnaryNode {
+    longArgs: Seq[Long], strArgs: Seq[String] = Nil,
+    dblArgs: Seq[Double] = Nil) extends UnaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(
@@ -61,6 +62,25 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "events" => api.events(u.longArgs(0), u.longArgs(1))
           case "trades" => api.trades()
           case "order_book" => api.orderBook(u.longArgs(0))
+          case "queues" =>
+            val instants = GraftTableFunctions.gridInstants(
+              u.longArgs(0), u.longArgs(1), u.longArgs(2))
+            val firstTick = u.longArgs(3).toInt
+            val nTicks = u.longArgs(4).toInt - firstTick + 1
+            val tickSize = u.dblArgs(0)
+            u.strArgs.headOption.getOrElse("ABSOLUTE").toUpperCase match {
+              case "ABSOLUTE" => graft.market.GridOps.queues(
+                l3, instants, tickSize, firstTick, nTicks)
+              case "LOGRELATIVE" => graft.market.GridOps.queuesLogRelative(
+                l3, instants, tickSize, firstTick, nTicks)
+              case other => throw new IllegalArgumentException(
+                s"queues tick_type must be ABSOLUTE or LOGRELATIVE, got $other")
+            }
+          case "depth_summary" =>
+            val instants = GraftTableFunctions.gridInstants(
+              u.longArgs(0), u.longArgs(1), u.longArgs(2))
+            graft.market.GridOps.depthSummary(l3, instants,
+              u.longArgs(3).toInt, u.longArgs(4).toInt)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -97,11 +117,24 @@ private[plans] object TvfArgs {
 
   def rel(name: String): LogicalPlan =
     UnresolvedRelation(name.split('.').toSeq)
+
+  def dblLit(exprs: Seq[Expression], i: Int, fn: String): Double = {
+    val e = exprs(i)
+    require(e.foldable, s"$fn argument ${i + 1} must be a numeric literal")
+    val v = e.eval(null)
+    require(v != null, s"$fn argument ${i + 1} must not be null")
+    v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be numeric, got $other")
+    }
+  }
 }
 
 /** Parse-time builders behind the registered table functions. */
 object GraftTableFunctions {
-  import TvfArgs.{longLit, rel, strLit}
+  import TvfArgs.{dblLit, longLit, rel, strLit}
 
   /** `depth('l3', start_us, end_us[, precision])` — `GraftApi.depth`;
     * the optional 4th argument is a precision tier (`'r0'|'p0'..'p4'`,
@@ -148,5 +181,53 @@ object GraftTableFunctions {
     require(exprs.length == 2, "order_book takes (level3_table, at_us)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "order_book")), "order_book",
       Seq(longLit(exprs, 1, "order_book")))
+  }
+
+  /** The frequency grid the reference's `(start, end, frequency)`
+    * argument triple denotes (`get._date_floor`/`_date_ceiling`,
+    * `db/get_schema.sql:281-298`): every multiple of `freq` inside
+    * `[start, end]`. */
+  def gridInstants(start: Long, end: Long, freq: Long): Seq[Long] = {
+    require(freq > 0, "freq_us must be positive")
+    val first = Math.floorDiv(start + freq - 1, freq) * freq
+    first.to(end, freq)
+  }
+
+  /** `queues('l3', start_us, end_us, freq_us, tick_size, first_tick,
+    * last_tick[, tick_type])` — the reference `get.queues` surface
+    * (`db/get_schema.sql:623-630`: same parameter list, minus
+    * pair/exchange which our level3 frame carries as columns);
+    * `tick_type` is `'ABSOLUTE'` (default) or `'LOGRELATIVE'`. Expands
+    * to `GridOps.queues` / `queuesLogRelative` over the frequency
+    * grid. */
+  def queuesTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 7 || exprs.length == 8,
+      "queues takes (level3_table, start_us, end_us, freq_us, " +
+        "tick_size, first_tick, last_tick[, tick_type])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "queues")), "queues",
+      Seq(longLit(exprs, 1, "queues"), longLit(exprs, 2, "queues"),
+        longLit(exprs, 3, "queues"), longLit(exprs, 5, "queues"),
+        longLit(exprs, 6, "queues")),
+      if (exprs.length == 8) Seq(strLit(exprs, 7, "queues")) else Nil,
+      Seq(dblLit(exprs, 4, "queues")))
+  }
+
+  /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,
+    * max_bps])` — the reference `get.depth_summary` surface
+    * (`db/get_schema.sql:281-298`); expands to `GridOps.depthSummary`
+    * over the frequency grid. */
+  def depthSummaryTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4 || exprs.length == 6,
+      "depth_summary takes (level3_table, start_us, end_us, freq_us" +
+        "[, bps_step, max_bps])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "depth_summary")),
+      "depth_summary",
+      Seq(longLit(exprs, 1, "depth_summary"),
+        longLit(exprs, 2, "depth_summary"),
+        longLit(exprs, 3, "depth_summary")) ++
+        (if (exprs.length == 6)
+          Seq(longLit(exprs, 4, "depth_summary"),
+            longLit(exprs, 5, "depth_summary"))
+        else Seq(25L, 500L)))
   }
 }

@@ -222,6 +222,32 @@ class ExtensionsSpec extends AnyFunSuite {
       intercept[Exception] {
         s2.sql("SELECT * FROM depth('l3_tvf', 'not_a_ts', 5)").collect()
       }
+
+      // grid entry points: queues / depth_summary SQL ≡ GridOps
+      val gFreq = 6L * 3600L * 1000000L
+      val instants = graft.plans.GraftTableFunctions
+        .gridInstants(s0, b.getLong(1), gFreq)
+      assert(instants.nonEmpty)
+      val sqlQueues = s2.sql(
+        s"SELECT * FROM queues('l3_tvf', $s0, ${b.getLong(1)}, $gFreq, 5.0, 1, 10)")
+      assert(rows(sqlQueues) ==
+        rows(graft.market.GridOps.queues(l3, instants, 5.0, 1, 10)))
+      assert(rows(sqlQueues).nonEmpty)
+      val sqlQueuesLog = s2.sql(
+        s"SELECT * FROM queues('l3_tvf', $s0, ${b.getLong(1)}, $gFreq, 0.05, 1, 10, 'LOGRELATIVE')")
+      assert(rows(sqlQueuesLog) ==
+        rows(graft.market.GridOps.queuesLogRelative(l3, instants, 0.05, 1, 10)))
+      assert(rows(sqlQueuesLog) != rows(sqlQueues))
+      val sqlDs = s2.sql(
+        s"SELECT * FROM depth_summary('l3_tvf', $s0, ${b.getLong(1)}, $gFreq)")
+      assert(rows(sqlDs) ==
+        rows(graft.market.GridOps.depthSummary(l3, instants)))
+      assert(rows(sqlDs).nonEmpty)
+      val sqlDs50 = s2.sql(
+        s"SELECT * FROM depth_summary('l3_tvf', $s0, ${b.getLong(1)}, $gFreq, 50, 300)")
+      assert(rows(sqlDs50) ==
+        rows(graft.market.GridOps.depthSummary(l3, instants, 50, 300)))
+      assert(rows(sqlDs50) != rows(sqlDs))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
