@@ -91,7 +91,17 @@ object Bench {
     val total = results.map(_._2).sum
     val builds = buildTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,$builds,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,$builds,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout tail truncates long runs — also write the
+    // COMPLETE report (every per-query second + calib + every build
+    // timing) to a committable artifact when asked (docs/bench/rN.json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(path, line + "\n")
+    }
     spark.stop()
   }
 }

@@ -58,7 +58,9 @@ object Oracles {
       |      AS price_microtimestamp,
       |    MIN(event_no) OVER (PARTITION BY order_id, price_group)
       |      AS price_event_no,
-      |    pair_id, CAST(1 AS BIGINT) AS exchange_id, event_id
+      |    pair_id,
+      |    CAST(CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+      |      AS exchange_id, event_id
       |  FROM l3_pg
       |)""".stripMargin
 
@@ -417,13 +419,14 @@ object Oracles {
         |  SELECT pair_id, GREATEST(b_ts, s_ts) AS microtimestamp,
         |    b_oid AS order_id, b_eno AS event_no,
         |    md5(concat_ws('#', GREATEST(b_ts, s_ts), s_oid, s_eno,
-        |      pair_id, 1)) AS matching_event
+        |      pair_id, CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
+        |      AS matching_event
         |  FROM m
         |  WHERE GREATEST(b_ts, s_ts) >= $T0 AND GREATEST(b_ts, s_ts) <= $T1
         |  UNION ALL
         |  SELECT pair_id, GREATEST(b_ts, s_ts), s_oid, s_eno,
         |    md5(concat_ws('#', GREATEST(b_ts, s_ts), b_oid, b_eno,
-        |      pair_id, 1))
+        |      pair_id, CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
         |  FROM m
         |  WHERE GREATEST(b_ts, s_ts) >= $T0 AND GREATEST(b_ts, s_ts) <= $T1
         |)""".stripMargin
@@ -431,12 +434,14 @@ object Oracles {
       s""", conn AS (
         |  SELECT pair_id, b_ts AS microtimestamp, b_oid AS order_id,
         |    b_eno AS event_no,
-        |    md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1)) AS matching_event
+        |    md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id,
+        |      CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END)) AS matching_event
         |  FROM m
         |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
         |  UNION ALL
         |  SELECT pair_id, s_ts, s_oid, s_eno,
-        |    md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
+        |    md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id,
+        |      CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
         |  FROM m
         |  WHERE GREATEST(b_ts, s_ts) > $T0 AND GREATEST(b_ts, s_ts) <= $T1
         |)""".stripMargin)) + beforeActive +
@@ -612,12 +617,16 @@ object Oracles {
       |  fill AS volume,
       |  CASE WHEN maker_is_buy THEN 'sell' ELSE 'buy' END AS direction,
       |  CASE WHEN maker_is_buy
-      |    THEN md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
-      |    ELSE md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1))
+      |    THEN md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id,
+      |      CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
+      |    ELSE md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id,
+      |      CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
       |  END AS maker_event_id,
       |  CASE WHEN maker_is_buy
-      |    THEN md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id, 1))
-      |    ELSE md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id, 1))
+      |    THEN md5(concat_ws('#', s_ts, s_oid, s_eno, pair_id,
+      |      CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
+      |    ELSE md5(concat_ws('#', b_ts, b_oid, b_eno, pair_id,
+      |      CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END))
       |  END AS taker_event_id,
       |  CASE WHEN maker_is_buy THEN b_oid ELSE s_oid END AS maker,
       |  CASE WHEN maker_is_buy THEN s_oid ELSE b_oid END AS taker,

@@ -52,6 +52,15 @@ object PlanProbe {
         storage.Lake.readLevel3(spark, path), Oracles.SnapshotMicros)
       .explain("formatted")
 
+    println("=== one-exchange read (venue-level directory pruning) ===")
+    val counts = lake.groupBy("exchange_id").count()
+      .orderBy("exchange_id").collect()
+      .map(r => s"exchange ${r.get(0)}: ${r.getLong(1)} events")
+    println(counts.mkString("; "))
+    lake.filter(col("exchange_id") === 2)
+      .select("pair_id", "microtimestamp", "order_id", "price", "amount")
+      .explain("formatted")
+
     spark.stop()
   }
 }

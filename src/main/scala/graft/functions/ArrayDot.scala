@@ -88,4 +88,8 @@ object GraftFunctions {
   /** Column wrapper for [[FloatArrayMilli]]. */
   def floatArrayMilli(a: Column): Column =
     ColumnBridge.column(FloatArrayMilli(ColumnBridge.expression(a)))
+
+  /** Column wrapper for [[PqEncode]]. */
+  def pqEncode(q: Column, codebook: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(q), codebook))
 }

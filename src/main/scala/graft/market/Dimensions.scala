@@ -38,6 +38,20 @@ object Dimensions {
     Exchanges.toDF("exchange_id", "exchange")
   }
 
+  /** Synthetic-fixture venue assignment: even pairs capture on
+    * bitstamp (2), odd on bitfinex (1) — so the exchange dimension is
+    * a REAL grouping/pruning key in every checked query, not a
+    * constant-folded literal (the reference hosts pairs across both
+    * venues, `db/obanalytics_exchanges.sql:41-46`). One expression,
+    * used by the level3 builders and the trade matchers; the DuckDB
+    * mirrors carry the identical CASE ([[ExchangeOfPairSql]]). */
+  def exchangeOfPair(pairId: Column): Column =
+    when(pmod(pairId, lit(2)) === 0, 2).otherwise(1)
+
+  /** The SQL twin of [[exchangeOfPair]]. */
+  val ExchangeOfPairSql: String =
+    "CASE WHEN pair_id % 2 = 0 THEN 2 ELSE 1 END"
+
   def pairsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Pairs.toDF("pair_id", "pair", "r0", "fmu")

@@ -100,7 +100,7 @@ object Level3Source {
       min("microtimestamp").over(wChain).as("price_microtimestamp"),
       min("event_no").over(wChain).as("price_event_no"),
       col("pair_id"),
-      lit(1).as("exchange_id"),
+      Dimensions.exchangeOfPair(col("pair_id")).as("exchange_id"),
       col("event_id"))
   }
 
@@ -220,7 +220,7 @@ object Level3Source {
       when(col("carried_chain"), col("chain_eno"))
         .otherwise(col("chain_start_eno")).cast("int").as("price_event_no"),
       col("pair_id"),
-      lit(1).as("exchange_id"),
+      Dimensions.exchangeOfPair(col("pair_id")).as("exchange_id"),
       col("event_id"))
     val corrections = built
       .filter(continuing && col("rn") === 2) // first real event after carry

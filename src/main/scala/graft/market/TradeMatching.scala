@@ -103,7 +103,7 @@ object TradeMatching {
       col("s_order_id").as("sell_order_id"),
       col("s_event_no").as("sell_event_no"),
       col("b_pair_id").as("pair_id"),
-      lit(1L).as("exchange_id"))
+      Dimensions.exchangeOfPair(col("b_pair_id")).cast("long").as("exchange_id"))
   }
 
   /** Per-buy *matchable set*: the ≤ `setCap` nearest sell fills inside

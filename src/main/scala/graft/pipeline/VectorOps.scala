@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions.longArrayDot
+import graft.functions.GraftFunctions.{longArrayDot, pqEncode}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -507,11 +507,15 @@ object VectorOps {
     var t = 0
     while (t < iters) {
       // one pass: per (vector, subspace), the argmin code under the
-      // current codebook, then element-wise sums per (subspace, code)
+      // current codebook (one PqEncode call per vector — a compact
+      // generated loop, see [[graft.functions.PqEncode]]), then
+      // element-wise sums per (subspace, code)
       val assigned = q.select(col("vec_id"),
+        pqEncode(col("q"), codebook).as("codes"),
         posexplode(array((0 until m).map(s =>
           slice(col("q"), s * L + 1, L)): _*)).as(Seq("s", "subq")))
-        .withColumn("code", bestCode(codebook, col("s"), col("subq")))
+        .withColumn("code",
+          element_at(col("codes"), col("s") + 1).cast("int"))
       val sums = assigned.groupBy("s", "code")
         .agg(count(lit(1)).as("n"),
           array((0 until L).map(i =>
@@ -530,44 +534,14 @@ object VectorOps {
     PqModel(m, k, L, codebook, norms)
   }
 
-  /** Argmin centroid code for one subvector under a literal codebook:
-    * an array of (dist, code) structs reduced by array_min — ties fall
-    * to the lower code because the struct orders by dist first. */
-  private def bestCode(codebook: Array[Array[Array[Long]]],
-      s: org.apache.spark.sql.Column,
-      subq: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val m = codebook.length
-    val k = codebook(0).length
-    val selfDot = longArrayDot(subq, subq)
-    // dist(s, j) = ||subq||² + ||c||² − 2·subq·c ; ||subq||² is rank-
-    // invariant per row but kept so dists are true squared distances
-    val perS = (0 until m).map { sIdx =>
-      array((0 until k).map { j =>
-        val c = codebook(sIdx)(j)
-        val dot = longArrayDot(subq,
-          array(c.map(lit(_)).toIndexedSeq: _*))
-        struct(
-          (selfDot + lit(c.map(x => x * x).sum) - lit(2L) * dot).as("d"),
-          lit(j).as("code"))
-      }: _*)
-    }
-    (0 until m).foldRight(lit(null).cast("int")) { (sIdx, acc) =>
-      when(s === sIdx, array_min(perS(sIdx)).getField("code"))
-        .otherwise(acc)
-    }.cast("int")
-  }
-
   /** Per-vector PQ codes under a trained model: one expression pass,
     * no shuffle — the encode step that turns a 64-dim vector into m
-    * sub-codes. */
-  def pqCodes(emb: DataFrame, model: PqModel): DataFrame = {
-    val q = quantized(emb)
-    val codes = array((0 until model.m).map { s =>
-      bestCode(model.codebook, lit(s),
-        slice(col("q"), s * model.subLen + 1, model.subLen)).cast("long")
-    }: _*)
-    q.select(col("vec_id"), codes.as("codes"))
-  }
+    * sub-codes. The argmin lives in [[graft.functions.PqEncode]]
+    * (codebook as a reference object, not inlined literals), so the
+    * stage stays inside whole-stage codegen at any codebook size. */
+  def pqCodes(emb: DataFrame, model: PqModel): DataFrame =
+    quantized(emb).select(col("vec_id"),
+      pqEncode(col("q"), model.codebook).as("codes"))
 
   /** The packed representation a PQ index actually stores: one word of
     * m base-k digits per vector (m=8, k=16 → a 32-bit word for a

@@ -209,7 +209,7 @@ object StreamingOps extends Serializable {
               if (makerIsBuy) b.price else s.price, b.fill,
               if (makerIsBuy) "s" else "b",
               b.ts, b.orderId, b.eventNo, s.ts, s.orderId, s.eventNo,
-              pairId, 1L)
+              pairId, if (pairId % 2 == 0) 2L else 1L)
           }
         }
       }
