@@ -99,6 +99,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.getClass.getName, "depth_summary"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.GraftTableFunctions.depthSummaryTvf(exprs)))
+    // the sequential / analytics entry points, completing the surface:
+    // every reference get.* function is now reachable from SQL text
+    val more: Seq[(String,
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+      "depth_resample" -> graft.plans.GraftTableFunctions.depthResampleTvf _,
+      "trading_period" -> graft.plans.GraftTableFunctions.tradingPeriodTvf _,
+      "trading_strategy" ->
+        graft.plans.GraftTableFunctions.tradingStrategyTvf _,
+      "draws" -> graft.plans.GraftTableFunctions.drawsTvf _,
+      "events_intervals" ->
+        graft.plans.GraftTableFunctions.eventsIntervalsTvf _,
+      "summary" -> graft.plans.GraftTableFunctions.summaryTvf _,
+      "export" -> graft.plans.GraftTableFunctions.exportTvf _)
+    more.foreach { case (name, builder) =>
+      e.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(
+          graft.plans.GraftTableFunctions.getClass.getName, name),
+        builder))
+    }
     e.injectResolutionRule(_ => graft.plans.GraftCallResolution)
   }
 }

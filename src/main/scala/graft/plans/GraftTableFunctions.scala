@@ -81,6 +81,18 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               u.longArgs(0), u.longArgs(1), u.longArgs(2))
             graft.market.GridOps.depthSummary(l3, instants,
               u.longArgs(3).toInt, u.longArgs(4).toInt)
+          case "depth_resample" =>
+            val instants = GraftTableFunctions.gridInstants(
+              u.longArgs(0), u.longArgs(1), u.longArgs(2))
+            graft.market.GridOps.depthResample(l3, instants, u.dblArgs(0))
+          case "trading_period" => api.tradingPeriod(u.longArgs(0))
+          case "trading_strategy" =>
+            api.tradingStrategy(u.dblArgs(0), u.dblArgs(1))
+          case "draws" => api.epsilonDrawUpDowns(u.dblArgs(0))
+          case "events_intervals" =>
+            api.intervals(u.longArgs.headOption.getOrElse(0L))
+          case "summary" => api.summary()
+          case "export" => api.export()
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -210,6 +222,71 @@ object GraftTableFunctions {
         longLit(exprs, 6, "queues")),
       if (exprs.length == 8) Seq(strLit(exprs, 7, "queues")) else Nil,
       Seq(dblLit(exprs, 4, "queues")))
+  }
+
+  /** `depth_resample('l3', start_us, end_us, freq_us, tick_size)` —
+    * the client's `depth.resample` regridding over the frequency
+    * grid. */
+  def depthResampleTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5,
+      "depth_resample takes (level3_table, start_us, end_us, freq_us, " +
+        "tick_size)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "depth_resample")),
+      "depth_resample",
+      Seq(longLit(exprs, 1, "depth_resample"),
+        longLit(exprs, 2, "depth_resample"),
+        longLit(exprs, 3, "depth_resample")),
+      Nil, Seq(dblLit(exprs, 4, "depth_resample")))
+  }
+
+  /** `trading_period('l3', volume_units)` — `GraftApi.tradingPeriod`
+    * (0 = best quotes, the whole-book sentinel = full-book VWAP). */
+  def tradingPeriodTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2,
+      "trading_period takes (level3_table, volume_units)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "trading_period")),
+      "trading_period", Seq(longLit(exprs, 1, "trading_period")))
+  }
+
+  /** `trading_strategy('l3', phi, rho)` — `GraftApi.tradingStrategy`
+    * (commission and per-second interest as numeric literals). */
+  def tradingStrategyTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "trading_strategy takes (level3_table, phi, rho)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "trading_strategy")),
+      "trading_strategy", Nil, Nil,
+      Seq(dblLit(exprs, 1, "trading_strategy"),
+        dblLit(exprs, 2, "trading_strategy")))
+  }
+
+  /** `draws('l3', epsilon)` — `GraftApi.epsilonDrawUpDowns`. */
+  def drawsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2, "draws takes (level3_table, epsilon)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "draws")), "draws",
+      Nil, Nil, Seq(dblLit(exprs, 1, "draws")))
+  }
+
+  /** `events_intervals('l3'[, min_duration_us])` —
+    * `GraftApi.intervals` (the reference `p_min_duration`). */
+  def eventsIntervalsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "events_intervals takes (level3_table[, min_duration_us])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "events_intervals")),
+      "events_intervals",
+      if (exprs.length == 2)
+        Seq(longLit(exprs, 1, "events_intervals")) else Nil)
+  }
+
+  /** `summary('l3')` — `GraftApi.summary` (per-era feed statistics). */
+  def summaryTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "summary takes (level3_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "summary")), "summary", Nil)
+  }
+
+  /** `export('l3')` — `GraftApi.export` (flat event projection). */
+  def exportTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "export takes (level3_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "export")), "export", Nil)
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

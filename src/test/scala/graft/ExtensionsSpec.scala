@@ -248,6 +248,27 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(sqlDs50) ==
         rows(graft.market.GridOps.depthSummary(l3, instants, 50, 300)))
       assert(rows(sqlDs50) != rows(sqlDs))
+
+      // the sequential / analytics entry points: SQL ≡ the Scala API
+      val sqlDr = s2.sql(
+        s"SELECT * FROM depth_resample('l3_tvf', $s0, ${b.getLong(1)}, $gFreq, 5.0)")
+      assert(rows(sqlDr) ==
+        rows(graft.market.GridOps.depthResample(l3, instants, 5.0)))
+      assert(rows(sqlDr).nonEmpty)
+      assert(rows(s2.sql("SELECT * FROM trading_period('l3_tvf', 0)")) ==
+        rows(api.tradingPeriod(0L)))
+      assert(rows(s2.sql(
+          "SELECT * FROM trading_strategy('l3_tvf', 0.001, 0.0)")) ==
+        rows(api.tradingStrategy(0.001, 0.0)))
+      assert(rows(s2.sql("SELECT * FROM draws('l3_tvf', 10.0)")) ==
+        rows(api.epsilonDrawUpDowns(10.0)))
+      assert(rows(s2.sql("SELECT * FROM events_intervals('l3_tvf')")) ==
+        rows(api.intervals()))
+      assert(rows(s2.sql("SELECT * FROM summary('l3_tvf')")) ==
+        rows(api.summary()))
+      assert(rows(s2.sql("SELECT * FROM export('l3_tvf')")) ==
+        rows(api.export()))
+      assert(rows(s2.sql("SELECT * FROM summary('l3_tvf')")).nonEmpty)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
