@@ -124,6 +124,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("chunkDedupStream recovers its counters from a checkpoint kill") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val occs = TextPipeline.docChunks(docs)
+      .select("doc_id", "chunk_hash").as[StreamingOps.ChunkOcc]
+      .collect().sortBy(o => (o.doc_id, o.chunk_hash))
+    assert(occs.length > 10)
+    val cut = occs.length / 2
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cd-ckpt").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.ChunkOcc](spark)
+    // update-mode op → foreachBatch sink, stored by batch id: a
+    // replayed batch overwrites its own id (the idempotent-write
+    // contract that makes foreachBatch exactly-once under recovery)
+    val store = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[(String, Long, Long, Long)]]
+    def start() = StreamingOps.chunkDedupStream(ms.toDS(), spark)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        store(id) = df.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3)))
+      }
+      .start()
+
+    // run 1: half the occurrences committed, tail enqueued, KILL —
+    // the per-chunk counters live only in the state checkpoint now
+    val q1 = start()
+    ms.addData(occs.take(cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(occs.drop(cut).toIndexedSeq)
+    q1.stop()
+
+    // run 2: recovery must resume the counts, not restart them — a
+    // lost ChunkState would re-count the tail from zero and every
+    // chunk spanning the cut would come out low
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // latest emission per chunk across batches in id order
+    val latest = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long)]
+    store.toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { case (h, nd, no, kd) => latest(h) = (nd, no, kd) }
+    }
+    val streamed = latest.toSeq
+      .filter(_._2._1 >= 2)
+      .map { case (h, (nd, no, kd)) => List[Any](h, nd, no, kd) }
+      .toList.sortBy(_.head.toString)
+    val batch = TextPipeline.chunkDedup(docs)
+      .orderBy("chunk_hash").collect().map(_.toSeq.toList).toList
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("TTL chunk dedup: state expires on event time, accumulates inside it") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
