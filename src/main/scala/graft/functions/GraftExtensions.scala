@@ -104,6 +104,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val more: Seq[(String,
         Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+      "queues_wide" -> graft.plans.GraftTableFunctions.queuesWideTvf _,
       "depth_resample" -> graft.plans.GraftTableFunctions.depthResampleTvf _,
       "trading_period" -> graft.plans.GraftTableFunctions.tradingPeriodTvf _,
       "trading_strategy" ->

@@ -81,6 +81,10 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               u.longArgs(0), u.longArgs(1), u.longArgs(2))
             graft.market.GridOps.depthSummary(l3, instants,
               u.longArgs(3).toInt, u.longArgs(4).toInt)
+          case "queues_wide" =>
+            val instants = GraftTableFunctions.gridInstants(
+              u.longArgs(0), u.longArgs(1), u.longArgs(2))
+            api.queuesWide(instants, u.dblArgs(0), u.longArgs(3).toInt)
           case "depth_resample" =>
             val instants = GraftTableFunctions.gridInstants(
               u.longArgs(0), u.longArgs(1), u.longArgs(2))
@@ -222,6 +226,23 @@ object GraftTableFunctions {
         longLit(exprs, 6, "queues")),
       if (exprs.length == 8) Seq(strLit(exprs, 7, "queues")) else Nil,
       Seq(dblLit(exprs, 4, "queues")))
+  }
+
+  /** `queues_wide('l3', start_us, end_us, freq_us, tick_size,
+    * n_ticks)` — the SRF's own result shape (`ts, bid.price,
+    * ask.price, b[], a[]`): one row per (pair, instant), dense
+    * per-bucket volume arrays. */
+  def queuesWideTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 6,
+      "queues_wide takes (level3_table, start_us, end_us, freq_us, " +
+        "tick_size, n_ticks)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "queues_wide")),
+      "queues_wide",
+      Seq(longLit(exprs, 1, "queues_wide"),
+        longLit(exprs, 2, "queues_wide"),
+        longLit(exprs, 3, "queues_wide"),
+        longLit(exprs, 5, "queues_wide")),
+      Nil, Seq(dblLit(exprs, 4, "queues_wide")))
   }
 
   /** `depth_resample('l3', start_us, end_us, freq_us, tick_size)` —

@@ -249,6 +249,28 @@ class ExtensionsSpec extends AnyFunSuite {
         rows(graft.market.GridOps.depthSummary(l3, instants, 50, 300)))
       assert(rows(sqlDs50) != rows(sqlDs))
 
+      // wide queues: the SRF's own (ts, bid.price, ask.price, b[], a[])
+      val sqlQw = s2.sql(
+        s"SELECT * FROM queues_wide('l3_tvf', $s0, ${b.getLong(1)}, $gFreq, 5.0, 10)")
+      assert(rows(sqlQw) == rows(api.queuesWide(instants, 5.0, 10)))
+      assert(rows(sqlQw).nonEmpty)
+
+      // per-pair reads: an outer WHERE is result-correct (replay is
+      // per-pair, so post-filtering loses nothing) but cannot push
+      // through the typed replay kernel; the PRUNED-COST pattern is a
+      // filtered view of the level3 table — the filter then sits below
+      // the whole expansion, on the scan side. Both proven equal here.
+      val onePair = s2.sql(
+        s"SELECT * FROM spread('l3_tvf') WHERE pair_id = 1")
+      assert(rows(onePair) ==
+        rows(api.spread().filter(
+          org.apache.spark.sql.functions.col("pair_id") === 1)))
+      assert(rows(onePair).nonEmpty)
+      l3.filter(org.apache.spark.sql.functions.col("pair_id") === 1)
+        .createOrReplaceTempView("l3_p1")
+      assert(rows(s2.sql("SELECT * FROM spread('l3_p1')")) ==
+        rows(onePair))
+
       // the sequential / analytics entry points: SQL ≡ the Scala API
       val sqlDr = s2.sql(
         s"SELECT * FROM depth_resample('l3_tvf', $s0, ${b.getLong(1)}, $gFreq, 5.0)")
