@@ -113,15 +113,21 @@ object VecScaleProbe {
     // end-to-end retrieval time.
     val exactL2 = VectorOps.annTopKL2(emb, 5, 5)
       .select(col("query_id"), col("vec_id")).localCheckpoint()
-    val nProbeSweep = Seq(1, 2, 4).map { p =>
-      val approx = VectorOps.annIvfPq(emb, trained = Some(model),
-        nProbe = p).select(col("query_id"), col("vec_id"))
-      val rec = exactL2.join(approx.withColumn("hit", lit(1)),
-          Seq("query_id", "vec_id"), "left")
+    def rec5(approx: org.apache.spark.sql.DataFrame): Double =
+      exactL2.join(approx.select(col("query_id"), col("vec_id"))
+          .withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")
         .agg((count(col("hit")).cast("double") / count(lit(1))).as("r"))
         .agg(avg("r")).head().getDouble(0)
-      f""""nprobe_$p":{"recall":$rec%.3f}"""
+    // the full composition, seeded vs k-means coarse cells at EQUAL
+    // probe cost — the same training-gain read as the IVF-Flat sweep,
+    // through the stored-PQ + re-rank tail
+    val nProbeSweep = Seq(1, 2, 4).map { p =>
+      val rec = rec5(VectorOps.annIvfPq(emb, trained = Some(model),
+        nProbe = p))
+      val recK = rec5(VectorOps.annIvfPq(emb, trained = Some(model),
+        nProbe = p, coarseCents = Some(ivfCents)))
+      f""""nprobe_$p":{"recall":$rec%.3f,"recall_kmeans_coarse":$recK%.3f}"""
     }.mkString(",")
 
     def rate(t: Double) = (n / t).toLong
