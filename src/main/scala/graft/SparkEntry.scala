@@ -18,6 +18,41 @@ object SparkEntry {
   private def level3(spark: SparkSession, dir: String): DataFrame =
     Level3Source.level3(Tables.load(spark, dir, "events"))
 
+  /** Session built WITH [[graft.functions.GraftExtensions]] on the
+    * caller's SparkContext, the level3 frame registered as `l3_sql` —
+    * the `mkt_sql_*` rows drive the TVF surface through it, so the
+    * SQL entry points sit inside the same DuckDB correctness gate as
+    * the Scala API. Built once per data dir; the caller's default/
+    * active session is restored immediately. */
+  private val sqlSessionMemo =
+    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
+
+  private def sqlSession(s: SparkSession, d: String): SparkSession =
+    sqlSessionMemo.getOrElseUpdate(d, synchronized {
+      val (prevDefault, prevActive) =
+        (SparkSession.getDefaultSession, SparkSession.getActiveSession)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 =
+        try SparkSession.builder()
+          .withExtensions(new graft.functions.GraftExtensions)
+          .config("spark.sql.shuffle.partitions",
+            s.conf.get("spark.sql.shuffle.partitions"))
+          .config("spark.sql.session.timeZone",
+            s.conf.get("spark.sql.session.timeZone"))
+          .getOrCreate()
+        finally {
+          prevDefault.foreach(SparkSession.setDefaultSession)
+          prevActive.foreach(SparkSession.setActiveSession)
+        }
+      // the PLAIN frame, not a localCheckpoint: graft.Bench unpersists
+      // every persistent RDD between timed runs, which would orphan a
+      // checkpointed view; recomputing level3 per query is exactly
+      // what the Scala-API rows do
+      level3(s2, d).createOrReplaceTempView("l3_sql")
+      s2
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("mkt_events")(spark, "/root/testdata/sf0.001")
@@ -62,6 +97,31 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
         .orderBy("pair_id", "ts")),
+    // the SQL TVF surface IN the correctness gate: the same rows
+    // answered from SQL TEXT through a GraftExtensions session —
+    // spread('l3'), order_book('l3', t), queues('l3', start, end,
+    // freq, ...) — against the same DuckDB mirrors as the Scala-API
+    // rows. GridInstants is the daily grid from T0, so the TVF's
+    // (start, end, freq) triple reproduces it exactly.
+    "mkt_sql_spread" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM spread('l3_sql')")
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
+        .orderBy("pair_id", "ts")),
+    "mkt_sql_order_book" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          s"SELECT * FROM order_book('l3_sql', ${Oracles.SnapshotMicros})")
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("price"), col("amount"), col("order_id"),
+          col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
+        .orderBy("pair_id", "side", "lvl", "order_id")),
+    "mkt_sql_queues" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          s"SELECT * FROM queues('l3_sql', ${Oracles.T0}, " +
+            s"${Oracles.T0 + 10 * 86400000000L}, 86400000000, 5.0, 1, 10)")
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("tick"), col("volume"))
+        .orderBy("pair_id", "ts", "side", "tick")),
     "mkt_depth" -> ((s, d) =>
       MarketOps.depthChanges(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -814,6 +874,11 @@ object SparkEntry {
     "q07_asof_operator" -> Oracles.q07AsofOperator,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
+    // SQL-text rows: the TVF surface against the SAME mirrors as the
+    // Scala-API rows — the SQL expansion must be plan-identical
+    "mkt_sql_spread" -> Oracles.mktSpread,
+    "mkt_sql_order_book" -> Oracles.mktOrderBook,
+    "mkt_sql_queues" -> Oracles.mktQueues,
     // the lake round-trip must reproduce the direct rows bit-for-bit:
     // same mirrors as the directly-computed rows
     "mkt_ob_lake" -> Oracles.mktOrderBook,
