@@ -124,6 +124,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("l2Stream recovers from a checkpoint kill: depth changes intact") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint(false)
+    val all = l3.orderBy("microtimestamp", "order_id", "event_no")
+      .select(
+        col("pair_id").as("pairId"), col("microtimestamp").as("ts"),
+        col("order_id").as("orderId"), col("side"), col("price"),
+        col("amount"), col("is_deleted").as("isDeleted"))
+      .as[BookEvent].collect()
+    var cut = all.length / 2
+    while (cut < all.length && all(cut).ts == all(cut - 1).ts) cut += 1
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-l2-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-l2-out").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BookEvent](spark)
+    def start() = StreamingOps.l2Stream(ms.toDS(), spark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+
+    val q1 = start()
+    ms.addData(all.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(all.slice(cut, all.length).toIndexedSeq)
+    q1.stop()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the recovered book must be the first half's book: a lost book
+    // would mis-derive every level total the tail touches
+    val key = (r: Seq[Any]) => (r(0).asInstanceOf[Int].toLong,
+      r(1).asInstanceOf[Long], r(2).toString,
+      r(3).asInstanceOf[Double])
+    val streamed = spark.read.parquet(outDir)
+      .select("pair_id", "ts", "side", "price", "volume")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    val batch = MarketOps.depthChanges(l3, spark)
+      .select("pair_id", "ts", "side", "price", "volume")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("chunkDedupStream recovers its counters from a checkpoint kill") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
