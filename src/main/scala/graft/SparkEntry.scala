@@ -775,9 +775,11 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       ls.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(prefix + "_"))
-        .filter(p => java.nio.file.Files.getLastModifiedTime(p)
-          .toMillis < cutoff)
-        .foreach(deleteRecursively)
+        .filter(p => scala.util.Try(
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          .getOrElse(false)) // vanished mid-listing (another JVM's
+                             // shutdown hook) — nothing left to reap
+        .foreach(p => scala.util.Try(deleteRecursively(p)))
     } finally ls.close()
     // pid suffix keeps concurrent JVMs (Verify + Bench on the same
     // data dir) from wiping each other's live artifacts mid-run
