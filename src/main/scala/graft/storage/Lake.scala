@@ -21,8 +21,15 @@ object Lake {
 
   val PartitionCols: Seq[String] = Seq("exchange_id", "pair_id", "month")
 
-  /** Write the level3 log in lake layout. */
-  def writeLevel3(level3: DataFrame, path: String): Unit =
+  /** Write the level3 log in lake layout. `incremental = true` uses
+    * DYNAMIC partition overwrite — only the (exchange, pair, month)
+    * leaves present in the incoming frame are replaced, the rest of
+    * the lake is untouched: the reference's month-at-a-time build
+    * contract (`db/obanalytics_schema.sql:325-448` leaf tables), and
+    * the only write shape that works at 100 TB (a monthly batch must
+    * never rewrite history). Default `false` = full rebuild. */
+  def writeLevel3(level3: DataFrame, path: String,
+      incremental: Boolean = false): Unit =
     level3
       .withColumn("month",
         date_format(timestamp_micros(col("microtimestamp")), "yyyy-MM"))
@@ -30,6 +37,8 @@ object Lake {
       .sortWithinPartitions("microtimestamp", "order_id", "event_no")
       .write
       .partitionBy(PartitionCols: _*)
+      .option("partitionOverwriteMode",
+        if (incremental) "dynamic" else "static")
       .mode("overwrite")
       .parquet(path)
 
