@@ -447,6 +447,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("orderTypeStream recovers flags and carried quote from a checkpoint kill") {
+    import spark.implicits._
+    import graft.market.EventsQuery
+    val dir = "/root/testdata/sf0.001"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint(false)
+    val all = l3.select(
+        col("pair_id").cast("int").as("pairId"),
+        col("microtimestamp").as("ts"),
+        col("order_id").as("orderId"), col("event_no").as("eventNo"),
+        col("side"), col("price"), col("amount"),
+        coalesce(col("fill"), lit(0.0)).as("fill"),
+        col("is_deleted").as("isDeleted"))
+      .as[StreamingOps.OrderEvt].collect()
+      .sortBy(e => (e.ts, e.orderId, e.eventNo))
+    var cut = all.length / 2
+    while (cut < all.length && all(cut).ts == all(cut - 1).ts) cut += 1
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ot-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ot-out").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.OrderEvt](spark)
+    def start() = StreamingOps.orderTypeStream(ms.toDS(), spark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+
+    val q1 = start()
+    ms.addData(all.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(all.slice(cut, all.length).toIndexedSeq)
+    q1.stop()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // classifications depend on the recovered per-order flag history
+    // AND the carried best quote (aggressor tests against it): a lost
+    // ClassifyState misclassifies every order whose life spans the
+    // kill, and a lost carry misjudges the first post-restart episode
+    val streamed = spark.read.parquet(outDir)
+      .select("pair_id", "order_id", "order_type")
+      .orderBy("pair_id", "order_id")
+      .collect().map(_.toSeq).toList
+    val span = l3.agg(min("microtimestamp"), max("microtimestamp"))
+      .collect()(0)
+    val batch = EventsQuery.events(l3, MarketOps.spread(l3, spark),
+        span.getLong(0) - 1, span.getLong(1))
+      .filter(col("is_deleted"))
+      .select(col("pair_id").cast("int").as("pair_id"),
+        col("id").as("order_id"), col("type").as("order_type"))
+      .distinct()
+      .orderBy("pair_id", "order_id")
+      .collect().map(_.toSeq).toList
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("l1Stream recovers from a checkpoint kill: no lost or duplicate ticks") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
