@@ -447,6 +447,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("tradesStream recovers its match buffer and timers from a checkpoint kill") {
+    import spark.implicits._
+    import graft.market.TradeMatching
+    // sf0.01: the matcher's fill stream is empty at sf0.001
+    val dir = "/root/testdata/sf0.01"
+    val l3 = Level3Source.level3(Tables.load(spark, dir, "events"))
+      .localCheckpoint(false)
+    val fills = l3.filter(col("fill") > 0).select(
+        col("pair_id").cast("int").as("pairId"),
+        col("microtimestamp").as("ts"),
+        col("order_id").as("orderId"), col("event_no").as("eventNo"),
+        col("side"), col("price"), col("fill"),
+        col("price_microtimestamp").as("priceTs"))
+      .as[StreamingOps.PairFill].collect()
+      .sortBy(e => (e.ts, e.orderId, e.eventNo))
+    assert(fills.length > 4)
+    var cut = fills.length / 2
+    while (cut < fills.length && fills(cut).ts == fills(cut - 1).ts) cut += 1
+    val maxTs = fills.map(_.ts).max
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tr-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-tr-out").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.PairFill](spark)
+    def start() = StreamingOps.tradesStream(ms.toDS(), spark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+
+    // run 1: first half committed (some buys decided, the rest
+    // buffered in MatchState with a registered event-time timer),
+    // tail enqueued, KILL
+    val q1 = start()
+    ms.addData(fills.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(fills.slice(cut, fills.length).toIndexedSeq)
+    q1.stop()
+
+    // run 2: recovery must restore the undecided buffer AND the
+    // timeout registration — then the sentinel watermark advancers
+    // (outside the valid pair domain) seal and decide every real buy
+    val q2 = start()
+    q2.processAllAvailable()
+    Seq(4L, 8L).foreach { h =>
+      ms.addData(Seq(StreamingOps.PairFill(Int.MinValue,
+        maxTs + h * 3600L * 1000000L, 0L, 1, "b", 0.0, 1.0, 0L)))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+
+    // the decided set across the kill equals the batch mutual-best
+    // matching: no buy decided twice (its decision is checkpointed),
+    // none lost (buffer + timer recovered)
+    val key = (r: Seq[Any]) => r.map(String.valueOf(_)).mkString("#")
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("pair_id") =!= Int.MinValue)
+      .select("microtimestamp", "price", "amount", "side",
+        "buy_microtimestamp", "buy_order_id", "buy_event_no",
+        "sell_microtimestamp", "sell_order_id", "sell_event_no",
+        "pair_id", "exchange_id")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    val batch = TradeMatching.inferredMatches(l3)
+      .select(col("microtimestamp"), col("price"), col("amount"),
+        col("side"), col("buy_microtimestamp"), col("buy_order_id"),
+        col("buy_event_no"), col("sell_microtimestamp"),
+        col("sell_order_id"), col("sell_event_no"),
+        col("pair_id").cast("int").as("pair_id"), col("exchange_id"))
+      .collect().map(_.toSeq).toList.sortBy(key)
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("orderTypeStream recovers flags and carried quote from a checkpoint kill") {
     import spark.implicits._
     import graft.market.EventsQuery
