@@ -1993,6 +1993,63 @@ object Oracles {
       |)
       |SELECT va, vb, cos, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin
 
+  /** Mirror of `VectorOps.embedDedup` (τ = 0.45): the banded-LSH
+    * candidate CTEs of [[pipeEmbedNearDupLsh]], thresholded, then
+    * connected components as a recursive transitive closure (the
+    * [[pipeDedupClusters]] pattern over vec ids). */
+  def pipeEmbedDedup(threshold: Double = 0.45): String = (QuantEmbCte +
+    s""", nb AS (
+      |  SELECT GREATEST(6, CAST(LENGTH(BIN(GREATEST(COUNT(*) // 16, 1) - 1))
+      |    AS BIGINT)) AS bits
+      |  FROM embeddings
+      |), proj AS (
+      |  SELECT e.vec_id, t.j,
+      |    SUM((CASE WHEN ascii(substr(md5(t.j || '#' || e.i), 1, 1)) % 2 = 1
+      |      THEN 1 ELSE -1 END) * e.q) AS proj
+      |  FROM ev e, range(0, 512) t(j), nb WHERE t.j < 8 * nb.bits
+      |  GROUP BY e.vec_id, t.j
+      |), bkt AS (
+      |  SELECT vec_id, CAST(t.j // nb.bits AS INT) AS band,
+      |    CAST(SUM(CASE WHEN proj > 0
+      |      THEN CAST(POW(2, t.j % nb.bits) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj t, nb GROUP BY vec_id, t.j // nb.bits
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bkt a JOIN bkt b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), d AS (
+      |  SELECT va, vb, SUM(a.q * b.q) AS dot
+      |  FROM cand
+      |  JOIN ev a ON a.vec_id = va
+      |  JOIN ev b ON b.vec_id = vb AND b.i = a.i
+      |  GROUP BY va, vb
+      |), kept AS (
+      |  SELECT va, vb FROM d
+      |  JOIN nrm na ON na.vec_id = va JOIN nrm nb2 ON nb2.vec_id = vb
+      |  WHERE CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb2.nq AS DOUBLE)))
+      |    >= $threshold
+      |), e2 AS (
+      |  SELECT va AS src, vb AS dst FROM kept
+      |  UNION ALL SELECT vb, va FROM kept
+      |), reach AS (
+      |  SELECT vec_id, vec_id AS label FROM embeddings
+      |  UNION
+      |  SELECT e2.dst AS vec_id, r.label FROM reach r
+      |  JOIN e2 ON e2.src = r.vec_id
+      |), lab AS (
+      |  SELECT vec_id, MIN(label) AS cluster_id FROM reach GROUP BY vec_id
+      |), sz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab
+      |  GROUP BY cluster_id
+      |)
+      |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+      |  lab.vec_id = lab.cluster_id AS is_canonical
+      |FROM lab JOIN sz USING (cluster_id)
+      |ORDER BY lab.vec_id""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   def pipeAnnTopK: String = QuantEmbCte +
     """, qd AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot

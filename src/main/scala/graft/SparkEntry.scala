@@ -545,6 +545,11 @@ object SparkEntry {
     "pipe_embed_neardup_lsh" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.load(s, d, "embeddings"))
         .orderBy("rnk")),
+    // the DEDUP built on the report: thresholded candidate pairs →
+    // connected components → one canonical keeper per cluster
+    "pipe_embed_dedup" -> ((s, d) =>
+      VectorOps.embedDedup(Tables.load(s, d, "embeddings"))
+        .orderBy("vec_id")),
     "pipe_ann_topk" -> ((s, d) =>
       VectorOps.annTopK(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
@@ -954,6 +959,7 @@ object SparkEntry {
     "pipe_simhash" -> Oracles.pipeSimhash,
     "pipe_embed_neardup" -> Oracles.pipeEmbedNearDup,
     "pipe_embed_neardup_lsh" -> Oracles.pipeEmbedNearDupLsh,
+    "pipe_embed_dedup" -> Oracles.pipeEmbedDedup(),
     "pipe_ann_topk" -> Oracles.pipeAnnTopK,
     "pipe_ann_lsh" -> Oracles.pipeAnnLsh,
     "pipe_ann_ivf" -> Oracles.pipeAnnIvf(),

@@ -121,6 +121,35 @@ object VectorOps {
     top.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Embedding-level DEDUP (the curation op behind the near-dup
+    * report): banded-LSH candidate pairs scored with exact cosine,
+    * kept at `threshold`, resolved to clusters by the shared
+    * label-propagation kernel ([[TextPipeline.dedupClusters]] —
+    * pointer-jumping CC, O(log diameter) rounds), one canonical
+    * keeper per cluster. Output (vec_id, cluster_id, cluster_size,
+    * is_canonical); a curation pass drops every non-canonical member.
+    * Threshold semantics are defined on the CANDIDATE space (pairs
+    * sharing ≥ 1 band bucket) — the same linear-in-n pair space as
+    * [[nearDupPairs]], never all-pairs. τ defaults to 0.45, the
+    * synthetic fixture's near-dup knee (its cosine ceiling is ~0.51);
+    * real embedding corpora sit near 0.9. */
+  def embedDedup(emb: DataFrame, threshold: Double = 0.45,
+      bands: Int = 8, bitsPerBand: Int = -1): DataFrame = {
+    val vecs = quantized(emb)
+    val pairs = nearDupCandidates(emb, bands, bitsPerBand)
+      .join(vecs.select(col("vec_id").as("va"), col("q").as("qa"),
+        col("nq").as("na")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("q").as("qb"),
+        col("nq").as("nb")), Seq("vb"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= threshold)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    TextPipeline.dedupClusters(
+        emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+  }
+
   /** Distributed top-k per query — the two-stage shape every search
     * path here shares so that no task ever materializes one query's
     * full candidate list. Stage 1 ranks within (query, salt) where
