@@ -97,6 +97,16 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
         .orderBy("pair_id", "ts")),
+    // the snapshot over a COMPACTED lake (the standing maintenance
+    // job): compaction must be content-preserving — same mirror again
+    "mkt_ob_lake_compacted" -> ((s, d) =>
+      MarketOps.orderBookQuery(
+          storage.Lake.readLevel3(s, level3LakeCompacted(s, d)),
+          Oracles.SnapshotMicros)
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("price"), col("amount"), col("order_id"),
+          col("liquidity"), col("lvl").cast("long").as("lvl"), col("bps"))
+        .orderBy("pair_id", "side", "lvl", "order_id")),
     // the SQL TVF surface IN the correctness gate: the same rows
     // answered from SQL TEXT through a GraftExtensions session —
     // spread('l3'), order_book('l3', t), queues('l3', start, end,
@@ -818,7 +828,8 @@ object SparkEntry {
       timed("pq_build_s") { pqIndex(s, d).count() },
       timed("ivf_train_s") { trainedIvf(s, d) },
       timed("l2_lake_build_s") { level2Lake(s, d) },
-      timed("l3_lake_build_s") { level3Lake(s, d) })
+      timed("l3_lake_build_s") { level3Lake(s, d) },
+      timed("l3_compact_build_s") { level3LakeCompacted(s, d) })
   }
 
   /** Build-once memo for a level2 tier lake (per data dir): TWO
@@ -860,6 +871,23 @@ object SparkEntry {
       p
     })
 
+  /** A level3 lake REWRITTEN by the standing maintenance job
+    * (`Lake.compactLevel3`) — the scan side of `mkt_ob_lake_compacted`,
+    * which must reproduce the direct snapshot bit-for-bit: compaction
+    * is content-preserving by contract, proven here inside the driver
+    * gate, not only in `LakeSpec`. Own artifact so the uncompacted
+    * lake rows keep measuring the incremental-build layout. */
+  private val level3LakeCompactMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def level3LakeCompacted(s: SparkSession, d: String): String =
+    level3LakeCompactMemo.getOrElseUpdate(d, {
+      val p = artifactPath("l3_lake_compact", d)
+      storage.Lake.writeLevel3(level3(s, d), p)
+      storage.Lake.compactLevel3(s, p)
+      p
+    })
+
   private def trainedBpe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = bpeMemo.getOrElseUpdate(d,
@@ -890,6 +918,7 @@ object SparkEntry {
     // same mirrors as the directly-computed rows
     "mkt_ob_lake" -> Oracles.mktOrderBook,
     "mkt_spread_lake" -> Oracles.mktSpread,
+    "mkt_ob_lake_compacted" -> Oracles.mktOrderBook,
     "mkt_depth" -> Oracles.mktDepth,
     "mkt_depth_p2" -> Oracles.mktDepthP2,
     // the lake round-trip must reproduce the tier bit-for-bit: same
