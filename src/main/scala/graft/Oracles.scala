@@ -2385,6 +2385,86 @@ object Oracles {
       |    AS top_word_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.interDocDupNgrams]] at
+    * n = 5: per-(doc, gram) counts, gram document frequency, join
+    * back, left-join so short/gram-less docs surface with zeros. */
+  def pipeDupNgrams: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, GREATEST(len(words)-4, 0) + 1),
+      |      i -> array_to_string(words[i:i+4], ' '))) AS gram
+      |  FROM w
+      |), pd AS (
+      |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT gram, COUNT(*) AS df FROM pd GROUP BY 1
+      |), agg AS (
+      |  SELECT pd.doc_id,
+      |    CAST(SUM(pd.cnt) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN dfreq.df > 1 THEN pd.cnt ELSE 0 END)
+      |      AS BIGINT) AS n_dup_grams
+      |  FROM pd JOIN dfreq USING (gram) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_grams, 0) AS n_grams,
+      |  COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+      |  CASE WHEN a.n_grams > 0
+      |    THEN CAST(a.n_dup_grams AS DOUBLE) / a.n_grams END AS dup_frac
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Search.bm25TopK]]: identical Lucene-idf
+    * BM25 with per-term scores rounded to nano-units BEFORE the sum
+    * (order-independent integer aggregate, bit-stable across engines);
+    * constants appear as the same source expressions ((1.2 + 1.0),
+    * (1.0 - 0.75)) so both engines fold identical doubles. */
+  def pipeBm25: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), dl AS (
+      |  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(words) AS term FROM w) GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+      |), q(query_id, qtext) AS (
+      |  VALUES ${graft.pipeline.Search.bm25QueriesSql}
+      |), qt AS (
+      |  SELECT query_id, term, COUNT(*) AS qtf
+      |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+      |        FROM q) GROUP BY 1, 2
+      |), qv AS (
+      |  SELECT DISTINCT term FROM qt
+      |), tfq AS (
+      |  SELECT tf.* FROM tf JOIN qv USING (term)
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1
+      |), scored AS (
+      |  SELECT qt.query_id, tfq.doc_id,
+      |    CAST(SUM(CAST(round(
+      |      qt.qtf * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |        * (tfq.tf * (1.2 + 1.0))
+      |        / (tfq.tf + 1.2 * ((1.0 - 0.75)
+      |            + 0.75 * dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+      |      * 1e9) AS BIGINT)) AS BIGINT) AS score_nano,
+      |    COUNT(*) AS n_terms_matched
+      |  FROM tfq
+      |  JOIN dfreq USING (term)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN stats
+      |  JOIN qt USING (term)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_nano,
+      |  n_terms_matched
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score_nano DESC, doc_id) AS rnk FROM scored)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def pipeScrub: String =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))

@@ -633,6 +633,12 @@ object SparkEntry {
     "pipe_repetition" -> ((s, d) =>
       TextPipeline.repetitionScore(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    "pipe_dup_ngrams" -> ((s, d) =>
+      TextPipeline.interDocDupNgrams(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_bm25" -> ((s, d) =>
+      pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
+        .orderBy("query_id", "rnk")),
     "pipe_scrub" -> ((s, d) =>
       TextPipeline.scrubPii(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1033,5 +1039,7 @@ object SparkEntry {
     "pipe_profile" -> Oracles.pipeProfile,
     "pipe_shuffle" -> Oracles.pipeShuffle,
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
+    "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
+    "pipe_bm25" -> Oracles.pipeBm25,
   )
 }

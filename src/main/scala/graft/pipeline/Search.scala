@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus: Okapi BM25 with the
+  * Lucene idf variant (`ln(1 + (N - df + 0.5) / (df + 0.5))`, always
+  * positive). A training-data pipeline uses this shape for targeted
+  * corpus slicing (pull every document matching a topic probe) and for
+  * quality/contamination probes, so it is built index-style, the way a
+  * 100 TB deployment would run it:
+  *
+  *   - the (doc, term) frequency table is the inverted index — one
+  *     explode + hash aggregate, shuffle keyed on the term (a content
+  *     hash, uniform);
+  *   - the query set, its vocabulary, and the per-term document
+  *     frequencies are tiny and BROADCAST, so postings are semi-joined
+  *     down to queried terms before anything wide happens;
+  *   - corpus stats (N, Σdl) ride a broadcast one-row frame, never a
+  *     driver-side collect;
+  *   - final ranking reuses the package-wide two-stage salted top-k
+  *     ([[VectorOps.topKPerQuery]]) — no task ever holds one query's
+  *     full posting union.
+  *
+  * Scores are summed as exact nano-unit longs (each term's partial is
+  * rounded to 1e-9 first), so the aggregate is order-independent and
+  * bit-stable across engines — the same integer-exactness discipline
+  * as the market kernels' integer-cent walks.
+  */
+object Search {
+
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
+  /** Deterministic default probe set over the synthetic vocabulary. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join fast",
+    2L -> "hash table scan",
+    3L -> "window agg batch",
+    4L -> "customer order query value")
+
+  /** SQL literal for the default probe set (the DuckDB mirror's VALUES
+    * list), kept beside the Scala value so the two cannot drift. */
+  def bm25QueriesSql: String =
+    Bm25Queries.map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+      .mkString(", ")
+
+  /** BM25 top-k per query. Output: (query_id, rnk, doc_id, score_nano,
+    * n_terms_matched), rnk 1..k ordered by score desc with doc_id
+    * tiebreak (a total order, as [[VectorOps.topKPerQuery]] requires).
+    */
+  def bm25TopK(docs: DataFrame,
+      queries: Seq[(Long, String)] = Bm25Queries,
+      k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE pass over the fat text column: doc length rides the explode
+    // so the postings table already carries dl — no second scan, no
+    // doc-keyed join later (that join would be a wide shuffle at
+    // corpus scale; dl is O(corpus), never broadcastable)
+    val words = docs.withColumn("words", split(col("text"), " "))
+    val tf = words.select(col("doc_id"),
+        size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // corpus stats from the compact per-doc frame (split always yields
+    // ≥ 1 element, so every doc has ≥ 1 postings row), not a re-scan
+    val perDoc = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    val qvocab = qterms.select("term").distinct()
+    // postings restricted to queried terms before any wide join
+    val tfq = tf.join(broadcast(qvocab), "term")
+    val df = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("term_score",
+        col("qtf") * col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .withColumn("term_score_nano",
+        round(col("term_score") * lit(1e9)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score_nano").as("score_nano"),
+        count(lit(1)).as("n_terms_matched"))
+      .withColumnRenamed("doc_id", "vb")
+    VectorOps.topKPerQuery(scored, k, col("score_nano").desc, col("vb"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("doc_id"), col("score_nano"), col("n_terms_matched"))
+  }
+}

@@ -638,6 +638,43 @@ object TextPipeline {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Inter-document duplicate n-gram coverage (the cross-document
+    * complement of [[repetitionScore]]'s intra-document ratios — the
+    * Gopher/FineWeb "fraction of n-grams found in duplicated spans"
+    * signal, reference-class: a corpus-wide dedup *signal* rather than
+    * a dedup *action*): for each document, the fraction of its word
+    * n-gram slots whose n-gram also occurs in at least one OTHER
+    * document. Scale shape: one explode → hash-aggregate on
+    * (doc_id, gram) with map-side combine, a gram-keyed document-
+    * frequency aggregate, and one hash join back on the gram — the
+    * shuffle keys are content hashes (uniform), and the pair space is
+    * never materialized. Docs shorter than `n` words surface with zero
+    * grams via the left join (dup_frac NULL), not silently dropped. */
+  def interDocDupNgrams(docs: DataFrame, n: Int = 5): DataFrame = {
+    // guard: Spark's sequence(1, 0) DESCENDS instead of returning
+    // empty, so short docs must short-circuit to an empty gram array
+    val grams = when(size(col("words")) >= n,
+      expr(s"transform(sequence(1, size(words)-${n - 1}), " +
+        s"i -> concat_ws(' ', slice(words, i, $n)))"))
+      .otherwise(array())
+    val perDoc = docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val docFreq = perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("df")) // perDoc is unique per (doc, gram)
+    val agg = perDoc.join(docFreq, "gram")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(when(col("df") > 1, col("cnt")).otherwise(0L)).as("n_dup_grams"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams"))
+          .as("dup_frac"))
+  }
+
   /** Document fingerprints: order-insensitive bag-of-words md5 (catches
     * shuffled duplicates), winnowing-style minimum shingle hash, and a
     * polynomial rolling hash of the byte stream (base 31 mod 1e9+7,

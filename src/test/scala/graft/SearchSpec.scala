@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Search, TextPipeline}
+
+/** Crafted-fixture proofs for the retrieval / inter-doc-dup signals. */
+class SearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-search")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("interDocDupNgrams flags cross-doc grams, not intra-doc repeats") {
+    // docs 1 and 2 share the 5-gram "a b c d e"; doc 3 repeats its own
+    // unique gram twice (intra-doc only); doc 4 is too short for any.
+    val d = docs(
+      (1L, "a b c d e x y"),
+      (2L, "z a b c d e"),
+      (3L, "p q r s t p q r s t"),
+      (4L, "u v"))
+    val rows = TextPipeline.interDocDupNgrams(d)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    // doc 1: grams [abcde, bcdex, cdexy] → 1 duplicated slot
+    assert(rows(0) === ((1L, 3L, 1L, 1.0 / 3)))
+    // doc 2: grams [zabcd, abcde] → 1 duplicated slot
+    assert(rows(1) === ((2L, 2L, 1L, 0.5)))
+    // doc 3: 6 gram slots; "pqrst" twice and "qrstp"... all grams stay
+    // inside doc 3 only → zero cross-doc duplicates despite repeats
+    assert(rows(2)._1 === 3L)
+    assert(rows(2)._2 === 6L)
+    assert(rows(2)._3 === 0L)
+    assert(rows(2)._4 === 0.0)
+    // doc 4: under 5 words → surfaced with zero grams, NULL fraction
+    assert(rows(3)._1 === 4L)
+    assert(rows(3)._2 === 0L)
+    assert(rows(3)._4.isNaN)
+  }
+
+  test("bm25TopK scores the single-term textbook case exactly") {
+    // N=2, df=1, tf=1, dl=avgdl=2 → the length norm cancels and
+    // score = ln(1 + 1.5/1.5) = ln 2 exactly; nano-rounded.
+    val d = docs((1L, "apple pear"), (2L, "plum kiwi"))
+    val rows = Search.bm25TopK(d, Seq(10L -> "apple"), k = 5).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("query_id") === 10L)
+    assert(r.getAs[Long]("rnk") === 1L)
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Long]("score_nano") ===
+      math.round(math.log(2.0) * 1e9))
+    assert(r.getAs[Long]("n_terms_matched") === 1L)
+  }
+
+  test("bm25TopK ranks rare-term matches above common-term matches") {
+    // "rare" appears in one doc, "common" in all four; the rare match
+    // must outrank any common-only match for a query with both terms.
+    val d = docs(
+      (1L, "common alpha beta gamma"),
+      (2L, "common delta epsilon zeta"),
+      (3L, "common rare eta theta"),
+      (4L, "common iota kappa lambda"))
+    val rows = Search.bm25TopK(d, Seq(1L -> "rare common"), k = 4)
+      .orderBy("rnk").collect()
+    assert(rows.length === 4)
+    assert(rows.head.getAs[Long]("doc_id") === 3L)
+    assert(rows.head.getAs[Long]("n_terms_matched") === 2L)
+    // remaining docs tie on score (identical tf/dl) → doc_id order
+    assert(rows.tail.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 4L))
+    // rnk is dense 1..4
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bm25TopK truncates to k with the doc_id tiebreak") {
+    val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
+    val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
+      .orderBy("rnk").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+  }
+}
