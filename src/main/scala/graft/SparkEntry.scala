@@ -132,6 +132,21 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("tick"), col("volume"))
         .orderBy("pair_id", "ts", "side", "tick")),
+    "mkt_sql_events" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          s"SELECT * FROM events('l3_sql', ${Oracles.T0}, ${Oracles.T1})")
+        .orderBy("ts_us", "id", "event_no")),
+    "mkt_sql_trades" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM trades('l3_sql')")
+        .select(col("ts"), col("price"), col("volume"), col("direction"),
+          col("maker_event_id"), col("taker_event_id"), col("maker"),
+          col("taker"), col("pair_id").cast("long").as("pair_id"))
+        .orderBy("ts", "maker", "taker")),
+    "mkt_sql_trading_period" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM trading_period('l3_sql', 50)")
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("buy_vwap"), col("sell_vwap"))
+        .orderBy("pair_id", "ts")),
     "mkt_depth" -> ((s, d) =>
       MarketOps.depthChanges(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -920,6 +935,9 @@ object SparkEntry {
     "mkt_sql_spread" -> Oracles.mktSpread,
     "mkt_sql_order_book" -> Oracles.mktOrderBook,
     "mkt_sql_queues" -> Oracles.mktQueues,
+    "mkt_sql_events" -> Oracles.mktEvents,
+    "mkt_sql_trades" -> Oracles.mktTrades,
+    "mkt_sql_trading_period" -> Oracles.mktTradingPeriod,
     // the lake round-trip must reproduce the direct rows bit-for-bit:
     // same mirrors as the directly-computed rows
     "mkt_ob_lake" -> Oracles.mktOrderBook,
