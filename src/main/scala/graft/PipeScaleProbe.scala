@@ -69,8 +69,22 @@ object PipeScaleProbe {
     val (nDecon, tDecon) = timed(
       TextPipeline.decontaminate(viral, benchMax = 10L * k).rdd.count())
 
+    // inter-doc duplicate n-grams over the PERTURBED corpus (each
+    // copy's grams are distinct, so the gram table grows k-fold with
+    // uniform content-hash keys — the shuffle-shape claim under test)
+    val (nDng, tDng) = timed(
+      TextPipeline.interDocDupNgrams(docs).rdd.count())
+
+    // BM25 over the UNPERTURBED k× corpus: retrieval cost scales with
+    // the queried terms' posting lists, which must grow k-fold here —
+    // flat docs/sec ⇒ broadcast semi-join + salted top-k hold as
+    // postings grow (no per-query serialization)
+    val docsDup = base.crossJoin(copies)
+      .select((col("doc_id") * k + col("copy")).as("doc_id"), col("text"))
+    val (nBm, tBm) = timed(graft.pipeline.Search.bm25TopK(docsDup).count())
+
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}}}""")
     spark.stop()
   }
 }

@@ -147,6 +147,44 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("buy_vwap"), col("sell_vwap"))
         .orderBy("pair_id", "ts")),
+    "mkt_sql_depth" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          s"SELECT * FROM depth('l3_sql', ${Oracles.T0}, ${Oracles.T1})")
+        .orderBy("pair_id", "ts", "side", "price")),
+    "mkt_sql_intervals" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          "SELECT * FROM events_intervals('l3_sql', 21600000000)")
+        .select(col("pair_id").cast("long").as("pair_id"),
+          col("interval_start"), col("interval_end"), col("kind"))
+        .orderBy("pair_id", "interval_start", "kind")),
+    "mkt_sql_draws" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM draws('l3_sql', 2.0)")
+        .select(col("pair_id").cast("long").as("pair_id"), col("start_ts"),
+          col("start_price"), col("end_ts"), col("end_price"), col("kind"))
+        .orderBy("pair_id", "start_ts", "end_ts")),
+    "mkt_sql_strategy" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          "SELECT * FROM trading_strategy('l3_sql', 0.5, 1e-6)")
+        .select(col("pair_id").cast("long").as("pair_id"), col("side"),
+          col("opened_at"), col("open_price"), col("closed_at"),
+          col("close_price"),
+          round(col("bps_return"), 8).as("bps_return"),
+          round(col("rate"), 8).as("rate"),
+          round(col("log_return"), 8).as("log_return"))
+        .orderBy("pair_id", "opened_at", "closed_at")),
+    "mkt_sql_export" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM export('l3_sql')")
+        .select(col("id"), col("timestamp_ms"), col("exchange_timestamp_ms"),
+          col("price"), col("volume"), col("action"), col("direction"),
+          col("pair_id").cast("long").as("pair_id"))
+        .orderBy("id")),
+    "mkt_sql_depth_summary" -> ((s, d) =>
+      sqlSession(s, d).sql(
+          s"SELECT * FROM depth_summary('l3_sql', ${Oracles.T0}, " +
+            s"${Oracles.T0 + 10 * 86400000000L}, 86400000000)")
+        .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
+          col("side"), col("bps_level"), col("volume"), col("bps_price"))
+        .orderBy("pair_id", "ts", "side", "bps_level")),
     "mkt_depth" -> ((s, d) =>
       MarketOps.depthChanges(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -539,6 +577,19 @@ object SparkEntry {
     "pipe_split" -> ((s, d) =>
       TextPipeline.splitAssign(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // the same assignment answered FROM THE CURATED LAKE: written once
+    // through Lake.writeCurated (split-partitioned, doc_id-sorted
+    // shards — the training-data sink shape), read back as three
+    // split-PRUNED reads (Lake.readSplit, the trainer's read pattern).
+    // Same mirror as pipe_split: the lake round-trip is lossless.
+    "pipe_split_lake" -> ((s, d) => {
+      val p = curatedLake(s, d)
+      Seq("train", "val", "test")
+        .map(sp => storage.Lake.readSplit(s, p, sp))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
     "pipe_vocab" -> ((s, d) =>
       TextPipeline.vocabTop(Tables.load(s, d, "documents"))
         .orderBy("rnk")),
@@ -850,8 +901,25 @@ object SparkEntry {
       timed("ivf_train_s") { trainedIvf(s, d) },
       timed("l2_lake_build_s") { level2Lake(s, d) },
       timed("l3_lake_build_s") { level3Lake(s, d) },
-      timed("l3_compact_build_s") { level3LakeCompacted(s, d) })
+      timed("l3_compact_build_s") { level3LakeCompacted(s, d) },
+      timed("curated_lake_build_s") { curatedLake(s, d) })
   }
+
+  /** Build-once memo for the curated-corpus lake (per data dir): the
+    * training-data SINK shape (`Lake.writeCurated` — split-partitioned,
+    * doc_id-sorted shards) holding the deterministic split assignment,
+    * so the split-pruned reader path is the scan side of an oracle row
+    * (`pipe_split_lake`), not just `LakeSpec`. */
+  private val curatedLakeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def curatedLake(s: SparkSession, d: String): String =
+    curatedLakeMemo.getOrElseUpdate(d, {
+      val p = artifactPath("curated_lake", d)
+      storage.Lake.writeCurated(
+        TextPipeline.splitAssign(Tables.load(s, d, "documents")), p)
+      p
+    })
 
   /** Build-once memo for a level2 tier lake (per data dir): TWO
     * precision tiers (p2 and r0) written through `Lake.writeLevel2`
@@ -938,6 +1006,12 @@ object SparkEntry {
     "mkt_sql_events" -> Oracles.mktEvents,
     "mkt_sql_trades" -> Oracles.mktTrades,
     "mkt_sql_trading_period" -> Oracles.mktTradingPeriod,
+    "mkt_sql_depth" -> Oracles.mktDepthApi,
+    "mkt_sql_intervals" -> Oracles.mktIntervalsMin,
+    "mkt_sql_draws" -> Oracles.mktEpsDraws,
+    "mkt_sql_strategy" -> Oracles.mktStrategy,
+    "mkt_sql_export" -> Oracles.mktExport,
+    "mkt_sql_depth_summary" -> Oracles.mktDepthSummary,
     // the lake round-trip must reproduce the direct rows bit-for-bit:
     // same mirrors as the directly-computed rows
     "mkt_ob_lake" -> Oracles.mktOrderBook,
@@ -1004,6 +1078,7 @@ object SparkEntry {
     "pipe_e2e" -> Oracles.pipeE2e,
     "pipe_lang_balance" -> Oracles.pipeLangBalance,
     "pipe_split" -> Oracles.pipeSplit,
+    "pipe_split_lake" -> Oracles.pipeSplit,
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_minhash" -> Oracles.pipeMinhash,

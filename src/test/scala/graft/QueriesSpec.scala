@@ -25,7 +25,8 @@ class QueriesSpec extends AnyFunSuite {
     // the Bitstamp ops derive from those matches
     val mayBeEmpty = Set("mkt_trades", "mkt_trades_stream", "mkt_match_sum2",
       "mkt_match_sum3", "mkt_crossed", "pipe_minhash", "pipe_simhash",
-      "mkt_bst_reveal", "mkt_bst_fix_aggr", "mkt_bst_match_seq")
+      "mkt_bst_reveal", "mkt_bst_fix_aggr", "mkt_bst_match_seq",
+      "mkt_sql_trades")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, dir).count()
     }
