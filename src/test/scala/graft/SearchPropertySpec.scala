@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Search, TextPipeline}
+
+/** Property tests: the distributed BM25 and inter-doc dup-n-gram
+  * pipelines must equal driver-side reference models on arbitrary
+  * small corpora (tiny alphabet → forced term collisions, repeated
+  * grams, ties). Fixed scalacheck seeds — deterministic. */
+class SearchPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-search-prop")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val alphabet = Vector("ant", "bee", "cat", "dog", "eel", "fox",
+    "gnu", "hen")
+
+  private case class Corpus(docs: Vector[(Long, String)],
+      queries: Vector[(Long, String)])
+
+  private val genCorpus: Gen[Corpus] = for {
+    n <- Gen.choose(2, 20)
+    ids <- Gen.pick(n, (0 until 100).map(i => i * 3L + 1)).map(_.toVector)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(len, Gen.oneOf(alphabet))
+    } yield ws.mkString(" "))
+    nq <- Gen.choose(1, 3)
+    qs <- Gen.listOfN(nq, for {
+      qlen <- Gen.choose(1, 3)
+      ws <- Gen.listOfN(qlen, Gen.oneOf(alphabet))
+    } yield ws.mkString(" "))
+  } yield Corpus(ids.zip(texts),
+    qs.zipWithIndex.map { case (q, i) => (i + 1L, q) }.toVector)
+
+  /** Driver-side BM25 with the identical formula, association order,
+    * and per-term nano rounding. */
+  private def bm25Model(c: Corpus, k: Int): Map[(Long, Long), (Long, Long, Long)] = {
+    val words = c.docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+    val dl = words.map { case (id, w) => id -> w.length.toLong }.toMap
+    val nDocs = c.docs.length.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf: Map[(Long, String), Long] = words.flatMap { case (id, w) =>
+      w.groupBy(identity).map { case (t, g) => (id, t) -> g.size.toLong }
+    }.toMap
+    val df: Map[String, Long] = tf.keys.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val out = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long, Long)]
+    for ((qid, qtext) <- c.queries) {
+      val qtf = qtext.split(" ", -1).toVector.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val scored = c.docs.map(_._1).flatMap { did =>
+        val terms = qtf.keys.filter(t => tf.contains((did, t))).toVector
+        if (terms.isEmpty) None
+        else {
+          val nano = terms.map { t =>
+            val idf = math.log(1.0 +
+              (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+            val ts = qtf(t) * idf * (tf((did, t)) * (Search.Bm25K1 + 1.0)) /
+              (tf((did, t)) + Search.Bm25K1 * ((1.0 - Search.Bm25B) +
+                Search.Bm25B * dl(did) / avgdl))
+            math.round(ts * 1e9)
+          }.sum
+          Some((did, nano, terms.length.toLong))
+        }
+      }
+      scored.sortBy { case (did, nano, _) => (-nano, did) }
+        .take(k).zipWithIndex.foreach { case ((did, nano, nt), i) =>
+          out((qid, i + 1L)) = (did, nano, nt)
+        }
+    }
+    out.toMap
+  }
+
+  test("bm25TopK equals the driver model on random corpora") {
+    val cases = (1 to 10).map(i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { c =>
+      import spark.implicits._
+      val docs = c.docs.toDF("doc_id", "text")
+      val want = bm25Model(c, k = 5)
+      val got = Search.bm25TopK(docs, c.queries, k = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+          ((r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano"),
+            r.getAs[Long]("n_terms_matched")))).toMap
+      assert(got == want, s"bm25 mismatch for $c")
+    }
+  }
+
+  /** Driver-side inter-doc dup-5-gram model. */
+  private def dupModel(c: Corpus): Map[Long, (Long, Long, Option[Double])] = {
+    val grams = c.docs.map { case (id, t) =>
+      val w = t.split(" ", -1).toVector
+      id -> (if (w.length >= 5) w.sliding(5).map(_.mkString(" ")).toVector
+             else Vector.empty[String])
+    }
+    val docsPerGram = grams.flatMap { case (id, g) => g.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    grams.map { case (id, g) =>
+      val n = g.length.toLong
+      val dup = g.count(x => docsPerGram(x) > 1).toLong
+      id -> (n, dup, if (n > 0) Some(dup.toDouble / n) else None)
+    }.toMap
+  }
+
+  test("interDocDupNgrams equals the driver model on random corpora") {
+    val cases = (11 to 20).map(i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { c =>
+      import spark.implicits._
+      val docs = c.docs.toDF("doc_id", "text")
+      val want = dupModel(c)
+      val got = TextPipeline.interDocDupNgrams(docs)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got == want, s"dup_ngrams mismatch for $c")
+    }
+  }
+}
