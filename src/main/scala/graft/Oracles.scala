@@ -2315,6 +2315,37 @@ object Oracles {
       |)""".stripMargin
   }
 
+  /** Mirror of `VectorOps.clusterSample`: Lloyd-trained cells
+    * (IvfTrainCte), max-cosine assignment (ties to the lower cell),
+    * per-cell top-`perCell` by centroid cosine (ties to the lower
+    * vec_id). */
+  def pipeClusterSample(nCells: Int = 16, perCell: Int = 8): String =
+    QuantEmbCte + IvfTrainCte(nCells.toString) +
+    s""", ccn AS (
+      |  SELECT cent_id, SUM(q*q) AS cnq FROM cents GROUP BY cent_id
+      |), cad AS (
+      |  SELECT e.vec_id, c.cent_id, SUM(e.q * c.q) AS dot
+      |  FROM ev e JOIN cents c ON c.i = e.i
+      |  GROUP BY e.vec_id, c.cent_id
+      |), cac AS (
+      |  SELECT a.vec_id, a.cent_id,
+      |    CAST(a.dot AS DOUBLE) /
+      |      (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(cn.cnq AS DOUBLE))) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST(a.dot AS DOUBLE) /
+      |        (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(cn.cnq AS DOUBLE)))
+      |        DESC, a.cent_id) AS crn
+      |  FROM cad a JOIN nrm n ON n.vec_id = a.vec_id
+      |  JOIN ccn cn ON cn.cent_id = a.cent_id
+      |), ckept AS (
+      |  SELECT cent_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+      |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cac WHERE crn = 1
+      |)
+      |SELECT cent_id, rnk, vec_id, cos FROM ckept WHERE rnk <= $perCell
+      |ORDER BY cent_id, rnk""".stripMargin
+
   /** Mirror of `VectorOps.annIvfKmeans` (trained coarse quantizer,
     * same search as pipeAnnIvf). */
   def pipeAnnIvfKmeans(nCells: Int = 16): String =

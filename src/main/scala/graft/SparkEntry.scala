@@ -661,6 +661,10 @@ object SparkEntry {
       VectorOps.annIvfKmeans(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("query_id", "rnk")),
+    "pipe_cluster_sample" -> ((s, d) =>
+      VectorOps.clusterSample(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("cent_id", "rnk")),
     "pipe_ann_recall_ivf_kmeans" -> ((s, d) =>
       VectorOps.annRecallIvfKmeans(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
@@ -1095,6 +1099,7 @@ object SparkEntry {
     "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
     "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
+    "pipe_cluster_sample" -> Oracles.pipeClusterSample(),
     "pipe_ann_ivfpq_kmeans" -> Oracles.pipeAnnIvfPqKmeans(),
     "pipe_ann_recall_ivfpq_kmeans" -> Oracles.pipeAnnRecallIvfPqKmeans(),
     "pipe_pq_codes" -> Oracles.pipePqCodes,

@@ -150,6 +150,43 @@ object VectorOps {
         col("cluster_size"), col("is_canonical"))
   }
 
+  /** Cluster-balanced sampling (the SemDeDup-style diversity subset a
+    * curation pipeline draws before training): every vector is
+    * assigned to its max-cosine k-means cell (the same trained coarse
+    * quantizer as IVF search — pass `trainedCents` to reuse the stored
+    * artifact) and the `perCell` most central vectors of each cell are
+    * kept, so the subset preserves cluster structure instead of
+    * oversampling dense regions. Scale shape: centroids are O(cells·d)
+    * broadcast state; assignment is a broadcast join + per-vector
+    * rank; the per-cell truncation reuses the salted two-stage top-k
+    * (a giant cell never lands in one task). Output:
+    * (cent_id, rnk, vec_id, cos) — cos is the centroid cosine, the
+    * same bit-stable integer-dot/√norms expression as every ranking
+    * here. */
+  def clusterSample(emb: DataFrame, nCells: Int = 16, perCell: Int = 8,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = trainedCents.getOrElse(ivfTrain(emb, nCells))
+    val q = quantized(emb)
+    val cDf = cents.zipWithIndex.map { case (c, j) =>
+      (j.toLong, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq.toDF("cent_id", "cq", "cnq")
+    val ccos = longArrayDot(col("q"), col("cq")).cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = q.join(broadcast(cDf))
+      .withColumn("ccos", ccos)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("cent_id").as("query_id"), col("vec_id").as("vb"),
+        col("ccos"))
+    topKPerQuery(assigned, perCell, col("ccos").desc, col("vb"))
+      .select(col("query_id").as("cent_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("ccos").as("cos"))
+  }
+
   /** Distributed top-k per query — the two-stage shape every search
     * path here shares so that no task ever materializes one query's
     * full candidate list. Stage 1 ranks within (query, salt) where

@@ -83,6 +83,33 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("clusterSample keeps per-cell quotas and separates clear clusters") {
+    import graft.pipeline.VectorOps
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed cell 0 (x-axis)
+      (1L, Array(0.0f, 1.0f)),   // seed cell 1 (y-axis)
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val kept = VectorOps.clusterSample(emb, nCells = 2, perCell = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id")))
+    val byCell = kept.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the x-axis family {0,2,3} shares a cell and truncates to 2; the
+    // y-axis family {1,4} fits entirely
+    assert(byCell.values.forall(_.size <= 2))
+    val xCell = byCell.find(_._2.contains(0L)).get._2
+    val yCell = byCell.find(_._2.contains(1L)).get._2
+    assert(xCell.subsetOf(Set(0L, 2L, 3L)) && xCell.size == 2)
+    assert(yCell == Set(1L, 4L))
+    // ranks are dense 1..n within each cell
+    kept.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq ===
+        (1L to rows.length.toLong).toSeq)
+    }
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
