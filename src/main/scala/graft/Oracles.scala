@@ -2446,12 +2446,14 @@ object Oracles {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Mirror of [[graft.pipeline.Search.bm25TopK]]: identical Lucene-idf
-    * BM25 with per-term scores rounded to nano-units BEFORE the sum
-    * (order-independent integer aggregate, bit-stable across engines);
-    * constants appear as the same source expressions ((1.2 + 1.0),
-    * (1.0 - 0.75)) so both engines fold identical doubles. */
-  def pipeBm25: String =
+  /** The BM25 scoring chain (`w` … `brnk`), shared by pipeBm25 and
+    * pipeHardNegatives: identical Lucene-idf BM25 with per-term scores
+    * rounded to nano-units BEFORE the sum (order-independent integer
+    * aggregate, bit-stable across engines); constants appear as the
+    * same source expressions ((1.2 + 1.0), (1.0 - 0.75)) so both
+    * engines fold identical doubles. Ends with
+    * `brnk(query_id, doc_id, score_nano, n_terms_matched, rnk)`. */
+  private def Bm25Ctes: String =
     s"""WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
       |), dl AS (
@@ -2473,7 +2475,7 @@ object Oracles {
       |  SELECT tf.* FROM tf JOIN qv USING (term)
       |), dfreq AS (
       |  SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1
-      |), scored AS (
+      |), bscored AS (
       |  SELECT qt.query_id, tfq.doc_id,
       |    CAST(SUM(CAST(round(
       |      qt.qtf * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -2488,13 +2490,55 @@ object Oracles {
       |  CROSS JOIN stats
       |  JOIN qt USING (term)
       |  GROUP BY 1, 2
-      |)
+      |), brnk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score_nano DESC, doc_id) AS rnk FROM bscored
+      |)""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Search.bm25TopK]]. */
+  def pipeBm25: String =
+    Bm25Ctes +
+    """
       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_nano,
       |  n_terms_matched
-      |FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |    ORDER BY score_nano DESC, doc_id) AS rnk FROM scored)
-      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      |FROM brnk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Search.hardNegatives]]: BM25 candidate
+    * set (rnk ≤ kCand), positive = rnk 1, centroid cosine between each
+    * candidate and its positive from the quantized embeddings, keep
+    * candidates with cos ≤ maxCos re-ranked by BM25 score. */
+  def pipeHardNegatives(kCand: Int = 10, maxCos: Double = 0.35,
+      k: Int = 5): String =
+    Bm25Ctes +
+      ", " + QuantEmbCte.stripPrefix("WITH ") +
+    s""", hcand AS (
+      |  SELECT query_id, doc_id, score_nano FROM brnk WHERE rnk <= $kCand
+      |), hpos AS (
+      |  SELECT query_id, doc_id AS pos_id FROM brnk WHERE rnk = 1
+      |), hdot AS (
+      |  SELECT c.query_id, c.doc_id, c.score_nano, p.pos_id,
+      |    SUM(a.q * b.q) AS dot
+      |  FROM hcand c
+      |  JOIN hpos p USING (query_id)
+      |  JOIN ev a ON a.vec_id = c.doc_id
+      |  JOIN ev b ON b.vec_id = p.pos_id AND b.i = a.i
+      |  GROUP BY 1, 2, 3, 4
+      |), hcos AS (
+      |  SELECT query_id, doc_id, score_nano,
+      |    CAST(dot AS DOUBLE) /
+      |      (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM hdot
+      |  JOIN nrm na ON na.vec_id = doc_id
+      |  JOIN nrm nb ON nb.vec_id = pos_id
+      |  WHERE doc_id <> pos_id
+      |), hrnk AS (
+      |  SELECT query_id, doc_id, score_nano, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM hcos WHERE cos <= $maxCos
+      |)
+      |SELECT query_id, rnk, doc_id, score_nano, cos
+      |FROM hrnk WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   def pipeScrub: String =
     """SELECT doc_id,

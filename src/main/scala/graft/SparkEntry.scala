@@ -709,6 +709,10 @@ object SparkEntry {
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
+    "pipe_hard_negatives" -> ((s, d) =>
+      pipeline.Search.hardNegatives(Tables.load(s, d, "documents"),
+          Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
     "pipe_scrub" -> ((s, d) =>
       TextPipeline.scrubPii(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1139,5 +1143,6 @@ object SparkEntry {
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_bm25" -> Oracles.pipeBm25,
+    "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )
 }

@@ -96,4 +96,49 @@ object Search {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("vb").as("doc_id"), col("score_nano"), col("n_terms_matched"))
   }
+
+  /** Hard-negative mining for contrastive retrieval training: per
+    * query, documents that score HIGH lexically (BM25 candidate set)
+    * but sit FAR from the top-ranked positive in embedding space
+    * (centroid cosine ≤ `maxCos`) — the classic "lexically plausible,
+    * semantically wrong" negatives a dual-encoder trains against.
+    * Cross-modal composition: `docs.doc_id` ↔ `emb.vec_id`. Scale
+    * shape: the candidate set is O(queries · kCand) and BROADCAST into
+    * the big quantized-vector frame twice (candidate side, positive
+    * side) — the corpus-sized frame is never shuffled; the final
+    * re-rank is a window over ≤ kCand rows per query. Output:
+    * (query_id, rnk, doc_id, score_nano, cos) — cos is the bit-stable
+    * integer-dot/√norms expression shared with every vector ranking. */
+  def hardNegatives(docs: DataFrame, emb: DataFrame,
+      queries: Seq[(Long, String)] = Bm25Queries,
+      kCand: Int = 10, maxCos: Double = 0.35, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = bm25TopK(docs, queries, kCand)
+    val pos = cand.filter(col("rnk") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"))
+    val candPos = cand.join(pos, "query_id")
+      .select(col("query_id"), col("doc_id"), col("score_nano"),
+        col("pos_id"))
+    val vq = VectorOps.quantized(emb)
+    val withVecs = vq
+      .select(col("vec_id").as("doc_id"), col("q").as("qa"),
+        col("nq").as("na"))
+      .join(broadcast(candPos), "doc_id")
+    val scored = vq
+      .select(col("vec_id").as("pos_id"), col("q").as("qb"),
+        col("nq").as("nb"))
+      .join(broadcast(withVecs), "pos_id")
+      .withColumn("cos",
+        graft.functions.GraftFunctions.longArrayDot(col("qa"), col("qb"))
+          .cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("doc_id") =!= col("pos_id"))
+      .filter(col("cos") <= maxCos)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_nano").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_nano"), col("cos"))
+  }
 }

@@ -17,7 +17,7 @@ import graft.functions.GraftFunctions.{longArrayDot, pqEncode}
 object VectorOps {
 
   /** (vec_id, q: Array[Long] quantized, nq: Long squared norm). */
-  private def quantized(emb: DataFrame): DataFrame =
+  private[pipeline] def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       graft.functions.GraftFunctions.floatArrayMilli(col("embedding")).as("q"))
       .withColumn("nq", longArrayDot(col("q"), col("q")))

@@ -83,6 +83,24 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("hardNegatives keeps lexical matches that are embedding-far") {
+    // query "x": doc 1 is the positive (highest tf); doc 2 matches
+    // lexically but is embedding-NEAR the positive (excluded); doc 3
+    // matches lexically and is embedding-FAR (the hard negative).
+    val d = docs((1L, "x x x"), (2L, "x y"), (3L, "x z"))
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val rows = Search.hardNegatives(d, emb, Seq(1L -> "x"),
+        kCand = 3, maxCos = 0.35, k = 5)
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("doc_id") === 3L)
+    assert(rows.head.getAs[Long]("rnk") === 1L)
+    assert(rows.head.getAs[Double]("cos") === 0.0)
+  }
+
   test("clusterSample keeps per-cell quotas and separates clear clusters") {
     import graft.pipeline.VectorOps
     val emb = Seq(
