@@ -130,8 +130,15 @@ object VecScaleProbe {
       f""""nprobe_$p":{"recall":$rec%.3f,"recall_kmeans_coarse":$recK%.3f}"""
     }.mkString(",")
 
+    // cluster-balanced sampling under a fixed trained quantizer: cost
+    // must stay ~linear in n (assignment is a broadcast join + rank;
+    // per-cell truncation is the salted two-stage top-k, so the k×
+    // larger cells never land in one task)
+    val (nCs, tCs) = timed(VectorOps.clusterSample(emb,
+      trainedCents = Some(ivfCents)).rdd.count())
+
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},$nProbeSweep}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},"cluster_sample":{"rows":$nCs,"seconds":$tCs%.2f,"vecs_per_sec":${rate(tCs)}},$nProbeSweep}""")
     spark.stop()
   }
 }

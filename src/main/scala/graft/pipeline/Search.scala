@@ -116,7 +116,7 @@ object Search {
     val cand = bm25TopK(docs, queries, kCand)
     val pos = cand.filter(col("rnk") === 1)
       .select(col("query_id"), col("doc_id").as("pos_id"))
-    val candPos = cand.join(pos, "query_id")
+    val candPos = cand.join(broadcast(pos), "query_id")
       .select(col("query_id"), col("doc_id"), col("score_nano"),
         col("pos_id"))
     val vq = VectorOps.quantized(emb)

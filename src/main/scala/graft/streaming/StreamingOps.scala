@@ -706,4 +706,29 @@ object StreamingOps extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
       .toDF()
   }
+
+  /** Streaming document input for [[curatedSinkStream]]. */
+  case class DocIn(doc_id: Long, text: String)
+
+  /** Streaming curated-corpus sink: the batch `Lake.writeCurated`
+    * shape fed incrementally — the stateless content-hash split
+    * assignment (`TextPipeline.splitAssign`, a pure projection, so
+    * trivially streaming-safe) written through Spark's fault-tolerant
+    * parquet FILE SINK partitioned by split. The sink's transaction
+    * log plus the offset checkpoint give exactly-once file visibility
+    * across kill/restart (a replayed micro-batch overwrites its own
+    * entry instead of appending duplicates), so a continuously
+    * arriving corpus lands in the same split-pruned layout the batch
+    * writer produces — the capture→ETL→lake loop of the reference
+    * (`python/obadiah/capture.py:54-175`) applied to the
+    * training-data tier. Readers use `Lake.readSplit` unchanged. */
+  def curatedSinkStream(docs: Dataset[DocIn], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.pipeline.TextPipeline.splitAssign(docs.toDF())
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("split")
+      .start()
 }

@@ -173,6 +173,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("curatedSinkStream lands the batch split layout exactly once across a kill") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val rows = docs.as[StreamingOps.DocIn].collect().sortBy(_.doc_id)
+    val cut = rows.length / 2
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-curated-sink").toString
+    val out = tmp + "/data"
+    val ckpt = tmp + "/ckpt"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.DocIn](spark)
+    def start() = StreamingOps.curatedSinkStream(ms.toDS(), out, ckpt)
+
+    // run 1: first half committed, tail enqueued, KILL mid-stream
+    val q1 = start()
+    ms.addData(rows.take(cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(rows.drop(cut).toIndexedSeq)
+    q1.stop()
+    // run 2: the file-sink log must resume, not duplicate
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val batch = TextPipeline.splitAssign(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "bucket", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    // exactly-once: same multiset, no dropped or replayed docs
+    assert(streamed === batch)
+    // the layout is the lake's: a split-pruned read returns that
+    // split alone, through the same reader the batch lake uses
+    val train = graft.storage.Lake.readSplit(spark, out, "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train === batch.filter(_._3 == "train").map(_._1).toSet)
+    assert(train.nonEmpty && train.size < rows.length)
+  }
+
   test("chunkDedupStream recovers its counters from a checkpoint kill") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
