@@ -2416,6 +2416,26 @@ object Oracles {
       |    AS top_word_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.lengthQuantiles]]: same
+    * ROW_NUMBER formulation (NOT quantile_disc — engines disagree on
+    * interpolation dialects; the rank arithmetic is the shared
+    * definition). */
+  def pipeQuantiles: String =
+    """WITH r AS (
+      |  SELECT source, n_chars, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |), e AS (
+      |  SELECT r.*, q
+      |  FROM r CROSS JOIN (VALUES (0.0), (0.25), (0.5), (0.75), (1.0))
+      |    AS t(q)
+      |)
+      |SELECT source, q, n_chars AS value, CAST(n AS BIGINT) AS n
+      |FROM e WHERE rn = FLOOR((n - 1) * q) + 1
+      |ORDER BY source, q""".stripMargin
+
   /** Mirror of [[graft.pipeline.TextPipeline.interDocDupNgrams]] at
     * n = 5: per-(doc, gram) counts, gram document frequency, join
     * back, left-join so short/gram-less docs surface with zeros. */

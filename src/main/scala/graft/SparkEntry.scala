@@ -706,6 +706,9 @@ object SparkEntry {
     "pipe_dup_ngrams" -> ((s, d) =>
       TextPipeline.interDocDupNgrams(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    "pipe_quantiles" -> ((s, d) =>
+      TextPipeline.lengthQuantiles(Tables.load(s, d, "documents"))
+        .orderBy("source", "q")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1142,6 +1145,7 @@ object SparkEntry {
     "pipe_shuffle" -> Oracles.pipeShuffle,
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
+    "pipe_quantiles" -> Oracles.pipeQuantiles,
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

@@ -638,6 +638,25 @@ object TextPipeline {
       .filter(col("n_docs") >= 2)
   }
 
+  /** EXACT per-source length quantiles (type-1 / discrete: the value
+    * at rank ⌊(n−1)·q⌋+1 under (n_chars, doc_id) order) — the corpus
+    * dashboard read a curation run gates on. Exact, not sketched, so
+    * it cross-engine hash-matches; the shuffle is keyed by source
+    * (bounded cardinality — a stats pass, not a per-doc op; a
+    * pathologically large single source pushes this to the same
+    * range-partitioned selection any global sort uses). One windowed
+    * pass; the quantile probes ride an exploded literal array. */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("rn") === floor((col("n") - 1) * col("q")) + 1)
+      .select(col("source"), col("q"), col("n_chars").as("value"), col("n"))
+  }
+
   /** Inter-document duplicate n-gram coverage (the cross-document
     * complement of [[repetitionScore]]'s intra-document ratios — the
     * Gopher/FineWeb "fraction of n-grams found in duplicated spans"

@@ -83,6 +83,24 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("lengthQuantiles picks the exact type-1 rank per source") {
+    val d = Seq(
+      (1L, "a", 10L, "A"), (2L, "a", 20L, "A"),
+      (3L, "a", 30L, "A"), (4L, "a", 40L, "A"),
+      (5L, "a", 5L, "B"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    val got = TextPipeline.lengthQuantiles(d)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // n=4: ranks for q = (0, .25, .5, .75, 1) are (1, 1, 2, 3, 4)
+    assert(got.filter(_._1 == "A").map(x => (x._2, x._3)).toSeq ===
+      Seq((0.0, 10L), (0.25, 10L), (0.5, 20L), (0.75, 30L), (1.0, 40L)))
+    assert(got.filter(_._1 == "B").map(_._3).toSeq ===
+      Seq(5L, 5L, 5L, 5L, 5L))
+    assert(got.forall(x => x._4 == (if (x._1 == "A") 4L else 1L)))
+  }
+
   test("hardNegatives keeps lexical matches that are embedding-far") {
     // query "x": doc 1 is the positive (highest tf); doc 2 matches
     // lexically but is embedding-NEAR the positive (excluded); doc 3
