@@ -50,6 +50,7 @@ object SparkEntry {
       // checkpointed view; recomputing level3 per query is exactly
       // what the Scala-API rows do
       level3(s2, d).createOrReplaceTempView("l3_sql")
+      Tables.load(s2, d, "documents").createOrReplaceTempView("docs_sql")
       s2
     })
 
@@ -709,6 +710,14 @@ object SparkEntry {
     "pipe_quantiles" -> ((s, d) =>
       TextPipeline.lengthQuantiles(Tables.load(s, d, "documents"))
         .orderBy("source", "q")),
+    // the pipeline surface from SQL TEXT, against the same mirrors as
+    // the Scala-API rows (the market surface's mkt_sql_* discipline)
+    "pipe_sql_bm25" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM bm25('docs_sql')")
+        .orderBy("query_id", "rnk")),
+    "pipe_sql_dedup" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM dedup_exact('docs_sql')")
+        .orderBy("doc_id")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1146,6 +1155,8 @@ object SparkEntry {
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
+    "pipe_sql_bm25" -> Oracles.pipeBm25,
+    "pipe_sql_dedup" -> Oracles.pipeDedupExact,
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

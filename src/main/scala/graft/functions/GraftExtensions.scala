@@ -113,7 +113,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "events_intervals" ->
         graft.plans.GraftTableFunctions.eventsIntervalsTvf _,
       "summary" -> graft.plans.GraftTableFunctions.summaryTvf _,
-      "export" -> graft.plans.GraftTableFunctions.exportTvf _)
+      "export" -> graft.plans.GraftTableFunctions.exportTvf _,
+      // the training-data pipeline surface from SQL text too
+      "bm25" -> graft.plans.GraftTableFunctions.bm25Tvf _,
+      "dedup_exact" -> graft.plans.GraftTableFunctions.dedupExactTvf _,
+      "dup_ngrams" -> graft.plans.GraftTableFunctions.dupNgramsTvf _,
+      "quality" -> graft.plans.GraftTableFunctions.qualityTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

@@ -97,6 +97,20 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             api.intervals(u.longArgs.headOption.getOrElse(0L))
           case "summary" => api.summary()
           case "export" => api.export()
+          // pipeline surface (the relation is a DOCUMENTS table here,
+          // not level3 — the marker mechanism is source-agnostic)
+          case "bm25" =>
+            graft.pipeline.Search.bm25TopK(l3,
+              if (u.strArgs.nonEmpty) Seq(1L -> u.strArgs.head)
+              else graft.pipeline.Search.Bm25Queries,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5)
+          case "dedup_exact" =>
+            graft.pipeline.TextPipeline.exactDedup(l3)
+          case "dup_ngrams" =>
+            graft.pipeline.TextPipeline.interDocDupNgrams(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5)
+          case "quality" =>
+            graft.pipeline.TextPipeline.qualityScore(l3)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -308,6 +322,39 @@ object GraftTableFunctions {
   def exportTvf(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "export takes (level3_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "export")), "export", Nil)
+  }
+
+  /** `bm25('docs'[, k[, 'query text']])` — keyword retrieval over a
+    * documents table ([[graft.pipeline.Search.bm25TopK]]); with no
+    * query string the default probe set runs. */
+  def bm25Tvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "bm25 takes (docs_table[, k[, query_text]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "bm25")), "bm25",
+      if (exprs.length >= 2) Seq(longLit(exprs, 1, "bm25")) else Nil,
+      if (exprs.length == 3) Seq(strLit(exprs, 2, "bm25")) else Nil)
+  }
+
+  /** `dedup_exact('docs')` — content-hash exact dedup report. */
+  def dedupExactTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "dedup_exact takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "dedup_exact")),
+      "dedup_exact", Nil)
+  }
+
+  /** `dup_ngrams('docs'[, n])` — inter-document duplicate n-gram
+    * coverage. */
+  def dupNgramsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "dup_ngrams takes (docs_table[, n])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "dup_ngrams")), "dup_ngrams",
+      if (exprs.length == 2) Seq(longLit(exprs, 1, "dup_ngrams")) else Nil)
+  }
+
+  /** `quality('docs')` — per-document quality signals. */
+  def qualityTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "quality takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "quality")), "quality", Nil)
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

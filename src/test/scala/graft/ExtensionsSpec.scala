@@ -299,6 +299,42 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline ops are drivable from SQL text through GraftExtensions") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val docs = Tables.load(s2, "/root/testdata/sf0.001", "documents")
+      docs.createOrReplaceTempView("docs_tvf")
+      import graft.pipeline.{Search, TextPipeline}
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toList.sortBy(_.mkString("#"))
+
+      assert(rows(s2.sql("SELECT * FROM bm25('docs_tvf')")) ==
+        rows(Search.bm25TopK(docs)))
+      // custom k and query text reach the operator
+      assert(rows(s2.sql("SELECT * FROM bm25('docs_tvf', 3, 'spark join')")) ==
+        rows(Search.bm25TopK(docs, Seq(1L -> "spark join"), k = 3)))
+      assert(rows(s2.sql("SELECT * FROM dedup_exact('docs_tvf')")) ==
+        rows(TextPipeline.exactDedup(docs)))
+      assert(rows(s2.sql("SELECT * FROM dup_ngrams('docs_tvf', 3)")) ==
+        rows(TextPipeline.interDocDupNgrams(docs, n = 3)))
+      assert(rows(s2.sql("SELECT * FROM quality('docs_tvf')")) ==
+        rows(TextPipeline.qualityScore(docs)))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("asof_join is drivable from SQL text through GraftExtensions") {
     // a fresh session on the shared context, built WITH the extensions
     // (the suite-shared session predates them); restored in finally so
