@@ -2436,6 +2436,86 @@ object Oracles {
       |FROM e WHERE rn = FLOOR((n - 1) * q) + 1
       |ORDER BY source, q""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.dsirWeights]]: hashed
+    * unigram+bigram buckets (md5-half mod 1024, the portable primitive
+    * shared with the MinHash mirrors), target = `lang = 'en'`, add-one
+    * bucket models, per-bucket log-ratio quantized to nano in the
+    * 1024-row model table, per-doc exact integer dot product. */
+  def pipeDsir: String = {
+    val b = graft.pipeline.TextPipeline.DsirBuckets
+    s"""WITH w AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS words
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, lang, unnest(words) AS feat FROM w
+      |  UNION ALL
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(words)),
+      |    i -> words[i] || ' ' || words[i+1])) AS feat FROM w
+      |), fb AS (
+      |  SELECT doc_id, lang, (${hexHalf(1)}) % $b AS bucket
+      |  FROM (SELECT doc_id, lang, md5(feat) AS dig FROM f)
+      |), allc AS (
+      |  SELECT bucket, COUNT(*) AS all_c FROM fb GROUP BY 1
+      |), tgtc AS (
+      |  SELECT bucket, COUNT(*) AS tgt_c FROM fb WHERE lang = 'en'
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST((SELECT SUM(all_c) FROM allc) AS BIGINT) AS all_t,
+      |    CAST((SELECT SUM(tgt_c) FROM tgtc) AS BIGINT) AS tgt_t
+      |), model AS (
+      |  SELECT a.bucket,
+      |    CAST(round(ln((COALESCE(t.tgt_c, 0) + 1.0) * (tot.all_t + $b.0) /
+      |      ((a.all_c + 1.0) * (tot.tgt_t + $b.0))) * 1e9) AS BIGINT)
+      |      AS delta_nano
+      |  FROM allc a LEFT JOIN tgtc t USING (bucket) CROSS JOIN tot
+      |), dc AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+      |  CAST(SUM(c * delta_nano) AS BIGINT) AS logw_nano,
+      |  CAST(SUM(c * delta_nano) AS BIGINT) > 0 AS keep
+      |FROM dc JOIN model USING (bucket) GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipeline.TextPipeline.lmScore]]: word-bigram LM
+    * with add-one smoothing trained on the `lang = 'en'` slice (BOS
+    * `<s>` opens each doc), every bigram's log-prob quantized to nano
+    * before the per-doc sum. Parallel `unnest(list_transform(...))`
+    * pairs zip positionally (equal-length lists). */
+  def pipeLmScore: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS words
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(0, len(words)),
+      |      i -> CASE WHEN i = 0 THEN '<s>' ELSE words[i] END)) AS prev,
+      |    unnest(list_transform(range(0, len(words)),
+      |      i -> words[i+1])) AS cur
+      |  FROM w
+      |), cb AS (
+      |  SELECT prev, cur, COUNT(*) AS c_big FROM bg WHERE lang = 'en'
+      |  GROUP BY 1, 2
+      |), cp AS (
+      |  SELECT prev, COUNT(*) AS c_prev FROM bg WHERE lang = 'en'
+      |  GROUP BY 1
+      |), voc AS (
+      |  SELECT COUNT(DISTINCT cur) AS v FROM bg WHERE lang = 'en'
+      |), sc AS (
+      |  SELECT b.doc_id,
+      |    CAST(round(ln((COALESCE(cb.c_big, 0) + 1.0) /
+      |      (COALESCE(cp.c_prev, 0) + voc.v + 1.0)) * 1e9) AS BIGINT)
+      |      AS lp_nano
+      |  FROM bg b
+      |  LEFT JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+      |  LEFT JOIN cp ON cp.prev = b.prev
+      |  CROSS JOIN voc
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp_nano) AS BIGINT) AS ll_nano
+      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Mirror of [[graft.pipeline.TextPipeline.interDocDupNgrams]] at
     * n = 5: per-(doc, gram) counts, gram document frequency, join
     * back, left-join so short/gram-less docs surface with zeros. */

@@ -710,6 +710,15 @@ object SparkEntry {
     "pipe_quantiles" -> ((s, d) =>
       TextPipeline.lengthQuantiles(Tables.load(s, d, "documents"))
         .orderBy("source", "q")),
+    // DSIR importance weights (hashed n-gram target/raw log-ratio) and
+    // the CCNet-style bigram-LM quality score — the two model-based
+    // data-selection filters of the published pretraining recipes
+    "pipe_dsir" -> ((s, d) =>
+      TextPipeline.dsirWeights(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    "pipe_lm_score" -> ((s, d) =>
+      TextPipeline.lmScore(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     // the pipeline surface from SQL TEXT, against the same mirrors as
     // the Scala-API rows (the market surface's mkt_sql_* discipline)
     "pipe_sql_bm25" -> ((s, d) =>
@@ -1155,6 +1164,8 @@ object SparkEntry {
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
+    "pipe_dsir" -> Oracles.pipeDsir,
+    "pipe_lm_score" -> Oracles.pipeLmScore,
     "pipe_sql_bm25" -> Oracles.pipeBm25,
     "pipe_sql_dedup" -> Oracles.pipeDedupExact,
     "pipe_bm25" -> Oracles.pipeBm25,

@@ -710,4 +710,129 @@ object TextPipeline {
           .as("rolling_hash"))
       .join(sh, Seq("doc_id"), "left")
   }
+
+  /** Hashed-n-gram feature buckets for [[dsirWeights]] / [[lmScore]]:
+    * unigrams plus adjacent-word bigrams, each mapped to
+    * `md5-half mod nBuckets` — the same portable md5-half primitive as
+    * the MinHash family, so any engine derives identical buckets. The
+    * explode is doc-local (no shuffle); counts aggregate with map-side
+    * combine bounded by `nBuckets` distinct keys per task. */
+  private def hashedFeatures(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val words = docs.withColumn("words", wordsCol)
+    val uni = words.select(col("doc_id"), col("lang"),
+      explode(col("words")).as("feat"))
+    // sequence(1, 0) is DESCENDING in Spark — guard the 1-word case
+    val bi = words.select(col("doc_id"), col("lang"),
+      explode(when(size(col("words")) >= 2,
+        expr("transform(sequence(1, size(words)-1), i -> " +
+          "concat_ws(' ', element_at(words,i), element_at(words,i+1)))"))
+        .otherwise(array())).as("feat"))
+    uni.unionByName(bi)
+      .withColumn("bucket",
+        conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+  }
+
+  /** Feature-space size of the DSIR importance model (buckets of the
+    * hashed unigram+bigram space). Shared with the DuckDB oracle. */
+  val DsirBuckets: Int = 1024
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit two
+    * bag-of-hashed-n-grams models — `p` over the TARGET slice (here
+    * `lang = targetLang`, the "wiki-like" reference the method selects
+    * toward) and `q` over the RAW corpus — and weight every document by
+    * `log p(doc) − log q(doc) = Σ_b c_b · (ln p_b − ln q_b)`.
+    *
+    * Exactness: the per-bucket log-ratio is computed ONCE in the
+    * `nBuckets`-row model table and quantized to nano-units there; the
+    * per-document weight is then an exact integer dot product
+    * `Σ c_b · delta_nano_b` — order-independent, bit-stable across
+    * engines.
+    *
+    * Scale shape: the model fit is two `nBuckets`-bounded aggregates
+    * (map-side combine collapses every task to ≤ nBuckets rows before
+    * the shuffle); the model table (≤ nBuckets rows) is BROADCAST into
+    * the per-doc bucket counts, whose only shuffle is the
+    * (doc_id, bucket) combine — O(docs · min(buckets, feats)) rows
+    * keyed by doc_id, uniform. Nothing corpus-sized is ever joined
+    * shuffle-to-shuffle. `keep = logw_nano > 0` ("more target-like
+    * than corpus-average") is the shuffle-free selection rule; a
+    * global top-k selection composes with the salted
+    * [[VectorOps.topKPerQuery]] when a fixed budget is needed.
+    *
+    * Output: (doc_id, n_feats, logw_nano, keep), one row per document.
+    */
+  def dsirWeights(docs: DataFrame, nBuckets: Int = DsirBuckets,
+      targetLang: String = "en"): DataFrame = {
+    val fb = hashedFeatures(docs, nBuckets)
+    val allCnt = fb.groupBy("bucket").agg(count(lit(1)).as("all_c"))
+    val tgtCnt = fb.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("tgt_c"))
+    val totals = allCnt.agg(sum("all_c").as("all_t")).crossJoin(
+      tgtCnt.agg(sum("tgt_c").as("tgt_t")))
+    val nB = nBuckets.toDouble
+    val model = allCnt.join(tgtCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tgt_c"))
+      .crossJoin(broadcast(totals))
+      .withColumn("delta_nano",
+        round(log((col("tgt_c") + lit(1.0)) * (col("all_t") + lit(nB)) /
+          ((col("all_c") + lit(1.0)) * (col("tgt_t") + lit(nB)))) * lit(1e9))
+          .cast("long"))
+      .select("bucket", "delta_nano")
+    fb.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        sum(col("c") * col("delta_nano")).as("logw_nano"))
+      .withColumn("keep", col("logw_nano") > 0L)
+  }
+
+  /** CCNet-style n-gram language-model quality score (Wenzek et al.
+    * 2020 filter corpora by LM perplexity; here the LM is a word
+    * bigram model with add-one smoothing, trained ON the corpus's own
+    * `lang = trainLang` slice): every document scored by its total
+    * bigram log-likelihood. Low (very negative per-token) scores mark
+    * gibberish / boilerplate; high scores mark fluent in-domain text.
+    *
+    * Model: `P(w | prev) = (c(prev,w) + 1) / (c(prev) + V + 1)` with
+    * `V` = training vocabulary size (the +1 widens the denominator for
+    * the implicit OOV type); a BOS token opens every document, and
+    * bigrams unseen in training (including OOV on either side) fall
+    * back to the smoothed floor naturally via the left joins.
+    *
+    * Exactness: each bigram's log-prob is quantized to nano-units
+    * BEFORE the per-document sum, so the aggregate is exact integer
+    * math. Scale shape: the bigram/unigram count tables are
+    * O(observed n-grams) and join the scoring stream on content-hash
+    * keys (uniform, AQE picks broadcast when the model is small); the
+    * per-doc reduce is one combine keyed by doc_id. No driver-side
+    * model materialization.
+    *
+    * Output: (doc_id, n_bigrams, ll_nano), one row per document.
+    */
+  def lmScore(docs: DataFrame, trainLang: String = "en"): DataFrame = {
+    val bos = "<s>"
+    val bigrams = docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(0, size(words)-1), i -> " +
+          s"struct(CASE WHEN i = 0 THEN '$bos' ELSE element_at(words, i) " +
+          "END AS prev, element_at(words, i+1) AS cur))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val train = bigrams.filter(col("lang") === trainLang)
+    val cBig = train.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
+    val cPrev = train.groupBy("prev").agg(count(lit(1)).as("c_prev"))
+    val vocab = train.select(countDistinct("cur").as("v"))
+    bigrams
+      .join(cBig, Seq("prev", "cur"), "left")
+      .join(cPrev, Seq("prev"), "left")
+      .na.fill(0L, Seq("c_big", "c_prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_nano",
+        round(log((col("c_big") + lit(1.0)) /
+          (col("c_prev") + col("v") + lit(1.0))) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_nano").as("ll_nano"))
+  }
 }

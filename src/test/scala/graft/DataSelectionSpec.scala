@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TextPipeline
+
+/** Crafted-fixture proofs for the model-based data-selection filters:
+  * DSIR importance weights and the bigram-LM quality score. */
+class DataSelectionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-data-selection")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("dsirWeights: target-slice docs weigh positive, others negative") {
+    // Disjoint vocabularies: every feature of doc 1 appears only in the
+    // target (en) slice, every feature of doc 2 only outside it.
+    val d = docs((1L, "aa bb", "en"), (2L, "cc dd", "de"))
+    val rows = TextPipeline.dsirWeights(d).orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    // 2 words -> 2 unigrams + 1 bigram
+    assert(rows(0).getAs[Long]("n_feats") === 3L)
+    assert(rows(1).getAs[Long]("n_feats") === 3L)
+    // en doc: each bucket has tgt_c = all_c -> log-ratio > 0 (more
+    // target-like than corpus average); de doc: tgt_c = 0 -> < 0
+    assert(rows(0).getAs[Long]("logw_nano") > 0L)
+    assert(rows(0).getAs[Boolean]("keep"))
+    assert(rows(1).getAs[Long]("logw_nano") < 0L)
+    assert(!rows(1).getAs[Boolean]("keep"))
+  }
+
+  test("dsirWeights: one-word doc yields a single unigram feature") {
+    val d = docs((1L, "solo", "en"), (2L, "other text", "de"))
+    val rows = TextPipeline.dsirWeights(d).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_feats") === 1L)
+  }
+
+  test("lmScore: add-one bigram log-likelihoods match hand computation") {
+    val d = docs((1L, "a a a", "en"), (2L, "b a", "de"))
+    val rows = TextPipeline.lmScore(d).orderBy("doc_id").collect()
+    // Train slice = doc 1 only: c(<s>,a)=1, c(a,a)=2, c(<s>)=1, c(a)=2,
+    // V = |{a}| = 1.
+    def nano(x: Double): Long = math.round(math.log(x) * 1e9)
+    // doc 1: (<s>,a) then (a,a) twice
+    assert(rows(0).getAs[Long]("n_bigrams") === 3L)
+    assert(rows(0).getAs[Long]("ll_nano") ===
+      nano(2.0 / 3.0) + 2 * nano(3.0 / 4.0))
+    // doc 2 (not in the train slice, all bigrams unseen):
+    // (<s>,b): (0+1)/(1+1+1); (b,a): prev OOV -> (0+1)/(0+1+1)
+    assert(rows(1).getAs[Long]("n_bigrams") === 2L)
+    assert(rows(1).getAs[Long]("ll_nano") ===
+      nano(1.0 / 3.0) + nano(1.0 / 2.0))
+  }
+}
