@@ -718,16 +718,18 @@ object TextPipeline {
     * explode is doc-local (no shuffle); counts aggregate with map-side
     * combine bounded by `nBuckets` distinct keys per task. */
   private def hashedFeatures(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val words = docs.withColumn("words", wordsCol)
-    val uni = words.select(col("doc_id"), col("lang"),
-      explode(col("words")).as("feat"))
-    // sequence(1, 0) is DESCENDING in Spark — guard the 1-word case
-    val bi = words.select(col("doc_id"), col("lang"),
-      explode(when(size(col("words")) >= 2,
-        expr("transform(sequence(1, size(words)-1), i -> " +
-          "concat_ws(' ', element_at(words,i), element_at(words,i+1)))"))
-        .otherwise(array())).as("feat"))
-    uni.unionByName(bi)
+    // ONE projection emits unigrams ++ bigrams (concat before the
+    // explode), so each consumer costs a single corpus scan — a union
+    // of two exploded branches would read the parquet twice per
+    // consumer. sequence(1, 0) is DESCENDING in Spark — guard the
+    // 1-word case.
+    val bigramsArr = when(size(col("words")) >= 2,
+      expr("transform(sequence(1, size(words)-1), i -> " +
+        "concat_ws(' ', element_at(words,i), element_at(words,i+1)))"))
+      .otherwise(array())
+    docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("words"), bigramsArr)).as("feat"))
       .withColumn("bucket",
         conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
           % nBuckets)
@@ -750,9 +752,10 @@ object TextPipeline {
     * `Σ c_b · delta_nano_b` — order-independent, bit-stable across
     * engines.
     *
-    * Scale shape: the model fit is two `nBuckets`-bounded aggregates
-    * (map-side combine collapses every task to ≤ nBuckets rows before
-    * the shuffle); the model table (≤ nBuckets rows) is BROADCAST into
+    * Scale shape: the model fit is ONE `nBuckets`-bounded conditional
+    * aggregate (map-side combine collapses every task to ≤ nBuckets
+    * rows before the shuffle, and p and q ride the same scan); the
+    * model table (≤ nBuckets rows) is BROADCAST into
     * the per-doc bucket counts, whose only shuffle is the
     * (doc_id, bucket) combine — O(docs · min(buckets, feats)) rows
     * keyed by doc_id, uniform. Nothing corpus-sized is ever joined
@@ -766,14 +769,18 @@ object TextPipeline {
   def dsirWeights(docs: DataFrame, nBuckets: Int = DsirBuckets,
       targetLang: String = "en"): DataFrame = {
     val fb = hashedFeatures(docs, nBuckets)
-    val allCnt = fb.groupBy("bucket").agg(count(lit(1)).as("all_c"))
-    val tgtCnt = fb.filter(col("lang") === targetLang)
-      .groupBy("bucket").agg(count(lit(1)).as("tgt_c"))
-    val totals = allCnt.agg(sum("all_c").as("all_t")).crossJoin(
-      tgtCnt.agg(sum("tgt_c").as("tgt_t")))
+    // BOTH bucket models in one conditional aggregate — one corpus
+    // scan fits p and q together; the ≤ nBuckets-row result is
+    // checkpointed so the totals and the model reuse it instead of
+    // re-deriving the full lineage (Catalyst does not share subplans
+    // across DataFrame references)
+    val cnts = fb.groupBy("bucket").agg(
+        count(lit(1)).as("all_c"),
+        count(when(col("lang") === targetLang, lit(1))).as("tgt_c"))
+      .localCheckpoint(false)
+    val totals = cnts.agg(sum("all_c").as("all_t"), sum("tgt_c").as("tgt_t"))
     val nB = nBuckets.toDouble
-    val model = allCnt.join(tgtCnt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("tgt_c"))
+    val model = cnts
       .crossJoin(broadcast(totals))
       .withColumn("delta_nano",
         round(log((col("tgt_c") + lit(1.0)) * (col("all_t") + lit(nB)) /
@@ -820,10 +827,16 @@ object TextPipeline {
           "END AS prev, element_at(words, i+1) AS cur))")).as("bg"))
       .select(col("doc_id"), col("lang"),
         col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-    val train = bigrams.filter(col("lang") === trainLang)
-    val cBig = train.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
-    val cPrev = train.groupBy("prev").agg(count(lit(1)).as("c_prev"))
-    val vocab = train.select(countDistinct("cur").as("v"))
+    // ONE training scan: the unigram context counts and the vocabulary
+    // size are aggregates OF the bigram count table (c_prev = Σ_cur
+    // c_big; V = |distinct cur|), so they reduce the compact model
+    // frame instead of re-reading the corpus. The checkpoint cuts the
+    // shared lineage (Catalyst does not share subplans).
+    val cBig = bigrams.filter(col("lang") === trainLang)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
+      .localCheckpoint(false)
+    val cPrev = cBig.groupBy("prev").agg(sum("c_big").as("c_prev"))
+    val vocab = cBig.select(countDistinct("cur").as("v"))
     bigrams
       .join(cBig, Seq("prev", "cur"), "left")
       .join(cPrev, Seq("prev"), "left")
