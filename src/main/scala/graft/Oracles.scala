@@ -2478,6 +2478,72 @@ object Oracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipeline.TextPipeline.nbLangClassify]]: add-one
+    * multinomial NB over the hashed-feature buckets, 75% train split
+    * (`doc_id % 4 <> 0`), sparse observed-cell adjustment over the
+    * per-lang smoothed floor, nano-exact integer scores, argmax with
+    * lang-ascending tiebreak. */
+  def pipeNbLang: String = {
+    val b = graft.pipeline.TextPipeline.DsirBuckets
+    s"""WITH w AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS words
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, lang, unnest(words) AS feat FROM w
+      |  UNION ALL
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(words)),
+      |    i -> words[i] || ' ' || words[i+1])) AS feat FROM w
+      |), fb AS (
+      |  SELECT doc_id, lang, (${hexHalf(1)}) % $b AS bucket
+      |  FROM (SELECT doc_id, lang, md5(feat) AS dig FROM f)
+      |), clb AS (
+      |  SELECT lang, bucket, COUNT(*) AS c_lb FROM fb
+      |  WHERE doc_id % 4 <> 0 GROUP BY 1, 2
+      |), cl AS (
+      |  SELECT lang, CAST(SUM(c_lb) AS BIGINT) AS c_l FROM clb GROUP BY 1
+      |), nl AS (
+      |  SELECT lang, COUNT(*) AS n_l FROM documents
+      |  WHERE doc_id % 4 <> 0 GROUP BY 1
+      |), ntot AS (
+      |  SELECT CAST(SUM(n_l) AS BIGINT) AS n_tot FROM nl
+      |), ls AS (
+      |  SELECT cl.lang AS model_lang, cl.c_l,
+      |    CAST(round(ln(CAST(nl.n_l AS DOUBLE) / ntot.n_tot) * 1e9)
+      |      AS BIGINT) AS prior_nano,
+      |    CAST(round(ln(1.0 / (cl.c_l + $b.0)) * 1e9) AS BIGINT)
+      |      AS floor_nano
+      |  FROM cl JOIN nl USING (lang) CROSS JOIN ntot
+      |), model AS (
+      |  SELECT clb.bucket, ls.model_lang,
+      |    CAST(round(ln((clb.c_lb + 1.0) / (ls.c_l + $b.0)) * 1e9)
+      |      AS BIGINT) - ls.floor_nano AS adj_nano
+      |  FROM clb JOIN ls ON ls.model_lang = clb.lang
+      |), dc AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS c, MAX(lang) AS lang
+      |  FROM fb GROUP BY 1, 2
+      |), nf AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats, MAX(lang) AS lang
+      |  FROM dc GROUP BY 1
+      |), obs AS (
+      |  SELECT dc.doc_id, m.model_lang,
+      |    CAST(SUM(dc.c * m.adj_nano) AS BIGINT) AS obs_nano
+      |  FROM dc JOIN model m USING (bucket) GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT nf.doc_id, nf.lang, ls.model_lang,
+      |    ls.prior_nano + nf.n_feats * ls.floor_nano
+      |      + COALESCE(o.obs_nano, 0) AS score_nano
+      |  FROM nf CROSS JOIN ls
+      |  LEFT JOIN obs o
+      |    ON o.doc_id = nf.doc_id AND o.model_lang = ls.model_lang
+      |), rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_nano DESC, model_lang) AS rn FROM sc
+      |)
+      |SELECT doc_id, lang, model_lang AS pred_lang,
+      |  doc_id % 4 = 0 AS is_test, model_lang = lang AS correct
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipeline.TextPipeline.lmScore]]: word-bigram LM
     * with add-one smoothing trained on the `lang = 'en'` slice (BOS
     * `<s>` opens each doc), every bigram's log-prob quantized to nano

@@ -719,6 +719,11 @@ object SparkEntry {
     "pipe_lm_score" -> ((s, d) =>
       TextPipeline.lmScore(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // trained NB language classifier (deterministic 75% split, scored
+    // over the full corpus with held-out rows flagged)
+    "pipe_nb_lang" -> ((s, d) =>
+      TextPipeline.nbLangClassify(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     // the pipeline surface from SQL TEXT, against the same mirrors as
     // the Scala-API rows (the market surface's mkt_sql_* discipline)
     "pipe_sql_bm25" -> ((s, d) =>
@@ -1166,6 +1171,7 @@ object SparkEntry {
     "pipe_quantiles" -> Oracles.pipeQuantiles,
     "pipe_dsir" -> Oracles.pipeDsir,
     "pipe_lm_score" -> Oracles.pipeLmScore,
+    "pipe_nb_lang" -> Oracles.pipeNbLang,
     "pipe_sql_bm25" -> Oracles.pipeBm25,
     "pipe_sql_dedup" -> Oracles.pipeDedupExact,
     "pipe_bm25" -> Oracles.pipeBm25,

@@ -795,6 +795,83 @@ object TextPipeline {
       .withColumn("keep", col("logw_nano") > 0L)
   }
 
+  /** Trained multinomial Naive Bayes language classifier over hashed
+    * unigram+bigram buckets — the trained-classifier complement to the
+    * heuristic [[langId]] (the role fastText lang-id / quality
+    * classifiers play in published pretraining pipelines): train on
+    * the deterministic 75% split (`doc_id % 4 != 0`), score EVERY
+    * document, flag the held-out 25% (`is_test`) so the emitted frame
+    * doubles as the accuracy report.
+    *
+    * Model: per-(lang, bucket) add-one log-likelihoods plus per-lang
+    * log-priors. Unobserved (lang, bucket) cells fall to the smoothed
+    * floor `ln(1/(c_l + B))` WITHOUT materializing the dense |langs|×B
+    * matrix: `score = prior + n_feats·floor_l + Σ_observed c_b·(lp_lb
+    * − floor_l)` — the adjustment term joins only the sparse observed
+    * cells. Every term is nano-quantized in the model tables (≤
+    * |langs|·B rows, BROADCAST), so per-doc scores are exact integer
+    * sums; argmax ties break on lang ascending (deterministic).
+    *
+    * Scale shape: one corpus scan for the model fit (checkpointed
+    * ≤ |langs|·B-row count table), one for the per-doc bucket counts;
+    * the scoring fanout is ×|langs| on the compact per-doc frame, and
+    * the only per-doc window is keyed by doc_id (no global sort).
+    *
+    * Output: (doc_id, lang, pred_lang, is_test, correct).
+    */
+  def nbLangClassify(docs: DataFrame,
+      nBuckets: Int = DsirBuckets): DataFrame = {
+    val nB = nBuckets.toDouble
+    val fb = hashedFeatures(docs, nBuckets)
+    val clb = fb.filter(col("doc_id") % 4 =!= 0)
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("c_lb"))
+      .localCheckpoint(false)
+    val cl = clb.groupBy("lang").agg(sum("c_lb").as("c_l"))
+    val nl = docs.filter(col("doc_id") % 4 =!= 0)
+      .groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val nTot = nl.agg(sum("n_l").as("n_tot"))
+    val langStats = cl.join(nl, "lang").crossJoin(broadcast(nTot))
+      .withColumn("prior_nano",
+        round(log(col("n_l").cast("double") / col("n_tot")) * lit(1e9))
+          .cast("long"))
+      .withColumn("floor_nano",
+        round(log(lit(1.0) / (col("c_l") + lit(nB))) * lit(1e9))
+          .cast("long"))
+      .select(col("lang").as("model_lang"), col("c_l"),
+        col("prior_nano"), col("floor_nano"))
+    val model = clb
+      .join(broadcast(langStats), clb("lang") === langStats("model_lang"))
+      .withColumn("lp_nano",
+        round(log((col("c_lb") + lit(1.0)) / (col("c_l") + lit(nB))) *
+          lit(1e9)).cast("long"))
+      .withColumn("adj_nano", col("lp_nano") - col("floor_nano"))
+      .select(col("bucket"), col("model_lang"), col("adj_nano"))
+    val dc = fb.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"), max("lang").as("lang"))
+      .localCheckpoint(false)
+    val nf = dc.groupBy("doc_id")
+      .agg(sum("c").as("n_feats"), max("lang").as("lang"))
+    val obs = dc.join(broadcast(model), "bucket")
+      .groupBy("doc_id", "model_lang")
+      .agg(sum(col("c") * col("adj_nano")).as("obs_nano"))
+    val scored = nf
+      .crossJoin(broadcast(langStats.select("model_lang", "prior_nano",
+        "floor_nano")))
+      .join(obs, Seq("doc_id", "model_lang"), "left")
+      .na.fill(0L, Seq("obs_nano"))
+      .withColumn("score_nano",
+        col("prior_nano") + col("n_feats") * col("floor_nano") +
+          col("obs_nano"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_nano").desc, col("model_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        col("model_lang").as("pred_lang"),
+        (col("doc_id") % 4 === 0).as("is_test"),
+        (col("model_lang") === col("lang")).as("correct"))
+  }
+
   /** CCNet-style n-gram language-model quality score (Wenzek et al.
     * 2020 filter corpora by LM perplexity; here the LM is a word
     * bigram model with add-one smoothing, trained ON the corpus's own

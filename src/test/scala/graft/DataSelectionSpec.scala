@@ -43,6 +43,25 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n_feats") === 1L)
   }
 
+  test("nbLangClassify: disjoint vocabularies classify held-out docs") {
+    // ids 4 and 8 are the held-out 25% (doc_id % 4 == 0); vocabularies
+    // are disjoint so NB must recover both labels exactly.
+    val d = docs(
+      (1L, "aa bb aa", "en"), (2L, "bb aa", "en"), (3L, "aa aa", "en"),
+      (4L, "aa bb", "en"),
+      (5L, "cc dd cc", "de"), (6L, "dd cc", "de"), (7L, "cc cc", "de"),
+      (8L, "cc dd", "de"))
+    val rows = TextPipeline.nbLangClassify(d).orderBy("doc_id").collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getAs[Boolean]("correct")))
+    assert(rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_test")).toMap
+      === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+        5L -> false, 6L -> false, 7L -> false, 8L -> true))
+    assert(rows(3).getAs[String]("pred_lang") === "en")
+    assert(rows(7).getAs[String]("pred_lang") === "de")
+  }
+
   test("lmScore: add-one bigram log-likelihoods match hand computation") {
     val d = docs((1L, "a a a", "en"), (2L, "b a", "de"))
     val rows = TextPipeline.lmScore(d).orderBy("doc_id").collect()
