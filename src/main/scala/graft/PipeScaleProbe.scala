@@ -37,7 +37,8 @@ object PipeScaleProbe {
     val docs = base.crossJoin(copies)
       .select((col("doc_id") * k + col("copy")).as("doc_id"),
         regexp_replace(col("text"), lit("( )"),
-          concat(lit("~"), col("copy").cast("string"), lit("$1"))).as("text"))
+          concat(lit("~"), col("copy").cast("string"), lit("$1"))).as("text"),
+        col("lang"))
     val nDocs = docs.count()
 
     def timed(f: => Long): (Long, Double) = {
@@ -83,8 +84,16 @@ object PipeScaleProbe {
       .select((col("doc_id") * k + col("copy")).as("doc_id"), col("text"))
     val (nBm, tBm) = timed(graft.pipeline.Search.bm25TopK(docsDup).count())
 
+    // model-based selection filters over the perturbed corpus: the
+    // model side is a bounded aggregate (1024 buckets / observed
+    // n-grams), the per-doc side shuffles once on doc_id — docs/sec
+    // should stay ~flat as k grows
+    val (nDsir, tDsir) = timed(TextPipeline.dsirWeights(docs).rdd.count())
+    val (nLm, tLm) = timed(TextPipeline.lmScore(docs).rdd.count())
+    val (nNb, tNb) = timed(TextPipeline.nbLangClassify(docs).rdd.count())
+
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}}}""")
     spark.stop()
   }
 }

@@ -118,7 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bm25" -> graft.plans.GraftTableFunctions.bm25Tvf _,
       "dedup_exact" -> graft.plans.GraftTableFunctions.dedupExactTvf _,
       "dup_ngrams" -> graft.plans.GraftTableFunctions.dupNgramsTvf _,
-      "quality" -> graft.plans.GraftTableFunctions.qualityTvf _)
+      "quality" -> graft.plans.GraftTableFunctions.qualityTvf _,
+      "dsir" -> graft.plans.GraftTableFunctions.dsirTvf _,
+      "lm_score" -> graft.plans.GraftTableFunctions.lmScoreTvf _,
+      "nb_lang" -> graft.plans.GraftTableFunctions.nbLangTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

@@ -111,6 +111,14 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5)
           case "quality" =>
             graft.pipeline.TextPipeline.qualityScore(l3)
+          case "dsir" =>
+            graft.pipeline.TextPipeline.dsirWeights(l3,
+              targetLang = u.strArgs.headOption.getOrElse("en"))
+          case "lm_score" =>
+            graft.pipeline.TextPipeline.lmScore(l3,
+              trainLang = u.strArgs.headOption.getOrElse("en"))
+          case "nb_lang" =>
+            graft.pipeline.TextPipeline.nbLangClassify(l3)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -355,6 +363,29 @@ object GraftTableFunctions {
   def qualityTvf(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "quality takes (docs_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "quality")), "quality", Nil)
+  }
+
+  /** `dsir('docs'[, 'target_lang'])` — DSIR importance weights toward
+    * the target-language slice. */
+  def dsirTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "dsir takes (docs_table[, target_lang])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "dsir")), "dsir", Nil,
+      if (exprs.length == 2) Seq(strLit(exprs, 1, "dsir")) else Nil)
+  }
+
+  /** `lm_score('docs'[, 'train_lang'])` — bigram-LM quality score. */
+  def lmScoreTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "lm_score takes (docs_table[, train_lang])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "lm_score")), "lm_score", Nil,
+      if (exprs.length == 2) Seq(strLit(exprs, 1, "lm_score")) else Nil)
+  }
+
+  /** `nb_lang('docs')` — trained NB language classifier report. */
+  def nbLangTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "nb_lang takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "nb_lang")), "nb_lang", Nil)
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

@@ -329,6 +329,15 @@ class ExtensionsSpec extends AnyFunSuite {
         rows(TextPipeline.interDocDupNgrams(docs, n = 3)))
       assert(rows(s2.sql("SELECT * FROM quality('docs_tvf')")) ==
         rows(TextPipeline.qualityScore(docs)))
+      assert(rows(s2.sql("SELECT * FROM dsir('docs_tvf')")) ==
+        rows(TextPipeline.dsirWeights(docs)))
+      // target-language pass-through
+      assert(rows(s2.sql("SELECT * FROM dsir('docs_tvf', 'de')")) ==
+        rows(TextPipeline.dsirWeights(docs, targetLang = "de")))
+      assert(rows(s2.sql("SELECT * FROM lm_score('docs_tvf', 'fr')")) ==
+        rows(TextPipeline.lmScore(docs, trainLang = "fr")))
+      assert(rows(s2.sql("SELECT * FROM nb_lang('docs_tvf')")) ==
+        rows(TextPipeline.nbLangClassify(docs)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
