@@ -2612,6 +2612,68 @@ object Oracles {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.substringDedup]] at
+    * L = 8: zipped position/gram-hash unnests, corpus-wide gram
+    * occurrence counts (ALL positions, same-doc repeats included),
+    * gaps-and-islands span merge per document, and a relational
+    * rebuild of the cleaned text (word positions anti-joined against
+    * the merged spans, re-aggregated in position order) — same
+    * removed-region semantics as the Spark array-filter, different
+    * mechanics. */
+  def pipeSubstringDedup: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, GREATEST(len(words) - 7, 0) + 1)) AS pos,
+      |    unnest(list_transform(range(1, GREATEST(len(words) - 7, 0) + 1),
+      |      i -> md5(array_to_string(words[i:i+7], ' ')))) AS h
+      |  FROM w
+      |), dh AS (
+      |  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+      |), dp AS (
+      |  SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dh)
+      |), ni AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM dp
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM ni
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+      |  FROM isl GROUP BY 1, 2
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+      |  FROM spans GROUP BY 1
+      |), wp AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(words) + 1)) AS pos,
+      |    unnest(words) AS word
+      |  FROM w
+      |), kept AS (
+      |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = wp.doc_id AND wp.pos BETWEEN sp.s AND sp.e)
+      |), clean AS (
+      |  SELECT doc_id,
+      |    md5(COALESCE(string_agg(word, ' ' ORDER BY pos), '')) AS clean_md5
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+      |  COALESCE(p.dup_spans, 0) AS dup_spans,
+      |  COALESCE(p.dup_words, 0) AS dup_words,
+      |  COALESCE(c.clean_md5, md5('')) AS clean_md5
+      |FROM w
+      |LEFT JOIN perdoc p USING (doc_id)
+      |LEFT JOIN clean c ON c.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   /** The BM25 scoring chain (`w` … `brnk`), shared by pipeBm25 and
     * pipeHardNegatives: identical Lucene-idf BM25 with per-term scores
     * rounded to nano-units BEFORE the sum (order-independent integer

@@ -707,6 +707,11 @@ object SparkEntry {
     "pipe_dup_ngrams" -> ((s, d) =>
       TextPipeline.interDocDupNgrams(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // exact substring dedup (Lee et al. 2022 ExactSubstr): duplicated
+    // >= L-word runs removed, cleaned text proven by md5
+    "pipe_substring_dedup" -> ((s, d) =>
+      TextPipeline.substringDedup(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     "pipe_quantiles" -> ((s, d) =>
       TextPipeline.lengthQuantiles(Tables.load(s, d, "documents"))
         .orderBy("source", "q")),
@@ -1168,6 +1173,7 @@ object SparkEntry {
     "pipe_shuffle" -> Oracles.pipeShuffle,
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
+    "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
     "pipe_dsir" -> Oracles.pipeDsir,
     "pipe_lm_score" -> Oracles.pipeLmScore,

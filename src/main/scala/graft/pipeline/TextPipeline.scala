@@ -694,6 +694,64 @@ object TextPipeline {
           .as("dup_frac"))
   }
 
+  /** Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the ExactSubstr variant): every substring of ≥ `L` words that
+    * occurs at two or more positions anywhere in the corpus (other
+    * documents OR elsewhere in the same document) is removed. A
+    * duplicated substring of length ≥ L is exactly a maximal run of
+    * duplicated L-grams, so the removed region is the union of
+    * [p, p+L−1] word intervals over positions p whose L-word gram
+    * occurs ≥ 2 times corpus-wide; overlapping/touching intervals
+    * merge into maximal spans (gaps-and-islands over each document's
+    * sorted duplicated-position stream). The paper builds a corpus
+    * suffix array; at fixed L the duplicated-L-gram hash-count pass
+    * yields the identical removed set with only content-hash-keyed
+    * shuffles (uniform, skew-free) and per-doc windows — no suffix
+    * array, no pair space, no driver state. Reports per document the
+    * merged span count, removed word count, and the md5 of the
+    * cleaned (spans-removed, space-rejoined) text. */
+  def substringDedup(docs: DataFrame, L: Int = 8): DataFrame = {
+    val w = docs.withColumn("words", wordsCol)
+    // (doc_id, pos, gram-hash) for every L-gram start position;
+    // sequence(1, 0) descends, so short docs short-circuit to empty
+    val grams = w.select(col("doc_id"),
+        explode(when(size(col("words")) >= L,
+          expr(s"transform(sequence(1, size(words) - ${L - 1}), " +
+            s"i -> struct(i AS pos, " +
+            s"md5(concat_ws(' ', slice(words, i, $L))) AS h))"))
+          .otherwise(array())).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val dupPos = grams.join(dupHashes, Seq("h"), "left_semi")
+    // gaps-and-islands: a new span starts when this position's
+    // interval [pos, pos+L-1] neither overlaps nor touches the
+    // furthest end seen so far in this document
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(L - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPos
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(L - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_words"),
+        collect_list(struct(col("s"), col("e"))).as("ivs"))
+    w.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        md5(when(col("ivs").isNull, concat_ws(" ", col("words")))
+          .otherwise(expr("concat_ws(' ', filter(words, (wd, i) -> " +
+            "NOT exists(ivs, iv -> i + 1 BETWEEN iv.s AND iv.e)))")))
+          .as("clean_md5"))
+  }
+
   /** Document fingerprints: order-insensitive bag-of-words md5 (catches
     * shuffled duplicates), winnowing-style minimum shingle hash, and a
     * polynomial rolling hash of the byte stream (base 31 mod 1e9+7,

@@ -152,4 +152,61 @@ class SearchSpec extends AnyFunSuite {
       .orderBy("rnk").collect()
     assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("substringDedup removes cross-doc duplicated runs and merges spans") {
+    // doc 1 carries the shared 10-word run at word positions 4..13;
+    // doc 2 IS the run (fully covered -> empty cleaned text); doc 3 is
+    // unrelated; doc 4 is shorter than L
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, s"p1 p2 p3 $run t1 t2"),
+      (2L, run),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (4L, "u v w"))
+    val rows = TextPipeline.substringDedup(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_words"),
+        r.getAs[String]("clean_md5")))
+    // doc 1: L-grams at 4,5,6 are duplicated -> one span [4,13]
+    assert(rows(0) === ((1L, 15L, 1L, 10L, md5Hex("p1 p2 p3 t1 t2"))))
+    // doc 2: positions 1..3 duplicated -> whole doc covered
+    assert(rows(1) === ((2L, 10L, 1L, 10L, md5Hex(""))))
+    assert(rows(2) === ((3L, 9L, 0L, 0L,
+      md5Hex("c1 c2 c3 c4 c5 c6 c7 c8 c9"))))
+    assert(rows(3) === ((4L, 3L, 0L, 0L, md5Hex("u v w"))))
+  }
+
+  test("substringDedup catches same-document repeats as two spans") {
+    // the 8-gram r1..r8 occurs at positions 1 and 10 of the SAME doc:
+    // spans [1,8] and [10,17] (not touching -- position 9 survives)
+    val r8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs((1L, s"$r8 mid $r8"))
+    val row = TextPipeline.substringDedup(d).collect().head
+    assert(row.getAs[Long]("n_words") === 17L)
+    assert(row.getAs[Long]("dup_spans") === 2L)
+    assert(row.getAs[Long]("dup_words") === 16L)
+    assert(row.getAs[String]("clean_md5") === md5Hex("mid"))
+  }
+
+  test("substringDedup merges overlapping and touching intervals") {
+    // docs 1/2 share words 1..9 (grams at 1,2 -> span [1,9]) and doc 1
+    // additionally shares words 10..17 with doc 3: spans [1,9] and
+    // [10,17] touch -> ONE merged span [1,17] of 17 words
+    val a = (1 to 9).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      (1L, s"$a $b tail1 tail2"),
+      (2L, a),
+      (3L, b))
+    val row = TextPipeline.substringDedup(d).orderBy("doc_id")
+      .collect().head
+    assert(row.getAs[Long]("dup_spans") === 1L)
+    assert(row.getAs[Long]("dup_words") === 17L)
+    assert(row.getAs[String]("clean_md5") === md5Hex("tail1 tail2"))
+  }
 }
