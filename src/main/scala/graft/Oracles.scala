@@ -1696,6 +1696,37 @@ object Oracles {
       |ORDER BY doc_id""".stripMargin))
     .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Mirror of [[graft.pipeline.TextPipeline.incrementalDedup]] with
+    * the corpus split at doc_id % 4 (≠ 0 = already-indexed base, = 0 =
+    * incoming batch): a FULL recompute over base ∪ batch restricted to
+    * batch rows — the equivalence claim of the incremental path (the
+    * Spark side builds the fingerprint index lake from the base docs
+    * alone and probes it with the batch, never re-reading base text;
+    * both must produce these rows). */
+  def pipeIncrDedup: String = DocShinglesCte + MinhashHhBnd +
+    """
+      |, cand AS (
+      |  SELECT a.doc_id AS d, c.doc_id AS o
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id <> c.doc_id
+      |), near AS (
+      |  SELECT d AS doc_id, CAST(MIN(o) AS BIGINT) AS near_min_id,
+      |    CAST(COUNT(DISTINCT o) AS BIGINT) AS n_near
+      |  FROM cand GROUP BY d
+      |), ex AS (
+      |  SELECT doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+      |  FROM documents
+      |)
+      |SELECT e.doc_id, e.exact_keeper,
+      |  e.doc_id <> e.exact_keeper AS is_exact_dup,
+      |  n.near_min_id,
+      |  COALESCE(n.n_near, 0) AS n_near,
+      |  COALESCE(n.near_min_id < e.doc_id, FALSE) AS is_near_dup
+      |FROM ex e LEFT JOIN near n USING (doc_id)
+      |WHERE e.doc_id % 4 = 0
+      |ORDER BY e.doc_id""".stripMargin
+
   /** The MinHash signature/band CTEs with a caller-supplied tail. */
   private def pipeMinhashBody(tail: String): String = DocShinglesCte +
     MinhashHhBnd + s", $tail"

@@ -594,6 +594,17 @@ object SparkEntry {
     "pipe_vocab" -> ((s, d) =>
       TextPipeline.vocabTop(Tables.load(s, d, "documents"))
         .orderBy("rnk")),
+    // incremental dedup: the batch (doc_id % 4 = 0) probes the stored
+    // fingerprint-index lake built from the base docs ALONE — base
+    // text is never re-read. Mirror = full recompute over base∪batch
+    // restricted to batch rows: incremental ≡ full, proven.
+    "pipe_incr_dedup" -> ((s, d) => {
+      val (h, b) = storage.Lake.readDedupIndex(s, dedupIndexLake(s, d))
+      TextPipeline.incrementalDedup(
+        Tables.load(s, d, "documents").filter(col("doc_id") % 4 === 0),
+        h, b)
+        .orderBy("doc_id")
+    }),
     "pipe_dedup_exact" -> ((s, d) =>
       TextPipeline.exactDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -941,8 +952,26 @@ object SparkEntry {
       timed("l2_lake_build_s") { level2Lake(s, d) },
       timed("l3_lake_build_s") { level3Lake(s, d) },
       timed("l3_compact_build_s") { level3LakeCompacted(s, d) },
-      timed("curated_lake_build_s") { curatedLake(s, d) })
+      timed("curated_lake_build_s") { curatedLake(s, d) },
+      timed("dedup_index_build_s") { dedupIndexLake(s, d) })
   }
+
+  /** Build-once memo for the dedup fingerprint-index lake (per data
+    * dir): content hashes + UNCAPPED MinHash band keys of the BASE
+    * corpus slice (doc_id % 4 ≠ 0), the stored state
+    * [[graft.pipeline.TextPipeline.incrementalDedup]] probes with the
+    * batch slice (`pipe_incr_dedup`). */
+  private val dedupIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def dedupIndexLake(s: SparkSession, d: String): String =
+    dedupIndexMemo.getOrElseUpdate(d, {
+      val p = artifactPath("dedup_index", d)
+      val base = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 4 =!= 0)
+      storage.Lake.writeDedupIndex(base, TextPipeline.minhashBands(base), p)
+      p
+    })
 
   /** Build-once memo for the curated-corpus lake (per data dir): the
     * training-data SINK shape (`Lake.writeCurated` — split-partitioned,
@@ -1118,6 +1147,7 @@ object SparkEntry {
     "pipe_lang_balance" -> Oracles.pipeLangBalance,
     "pipe_split" -> Oracles.pipeSplit,
     "pipe_split_lake" -> Oracles.pipeSplit,
+    "pipe_incr_dedup" -> Oracles.pipeIncrDedup,
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_minhash" -> Oracles.pipeMinhash,

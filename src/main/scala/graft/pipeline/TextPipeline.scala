@@ -59,13 +59,21 @@ object TextPipeline {
   def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame =
     minhashCandidatesFromShingles(shingled(docs), k, r)
 
-  /** [[minhashCandidates]] over a pre-computed `(doc_id, shingle)`
-    * frame — the seam that lets a composed pipeline (see [[curate]])
-    * shingle the corpus once and feed several shingle consumers. */
-  private def minhashCandidatesFromShingles(shinglesDf: DataFrame,
+  /** UNCAPPED MinHash LSH band keys `(doc_id, band, key)` for a
+    * document frame — the persistable fingerprint of a document for
+    * near-dup purposes (the [[BandBucketCap]] occupancy guard is
+    * applied at *use* time, because occupancy depends on which corpora
+    * are unioned, not on one document). Public seam shared by the
+    * in-corpus candidate join and the stored dedup index
+    * ([[graft.storage.Lake.writeDedupIndex]] /
+    * [[incrementalDedup]]). */
+  def minhashBands(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame =
+    bandsFromShingles(shingled(docs), k, r)
+
+  /** All k signature mins in ONE aggregation over the shingles (no k×
+    * row explosion), band keys assembled from the signature columns. */
+  private def bandsFromShingles(shinglesDf: DataFrame,
       k: Int, r: Int): DataFrame = {
-    // all k signature mins in ONE aggregation over the shingles (no k×
-    // row explosion), band keys assembled from the signature columns
     val sh = shinglesDf
       .withColumn("dig", md5(col("shingle")))
       .withColumn("h1", conv(substring(col("dig"), 1, 8), 16, 10)
@@ -82,12 +90,18 @@ object TextPipeline {
         (1 to r).map(i => col(s"mh${band * r + i}")): _*)
       struct(lit(band).as("band"), key.as("key"))
     }
-    // both sides of the self-join — one lazy checkpoint evaluates the
-    // shingle/min-signature pass once
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** [[minhashCandidates]] over a pre-computed `(doc_id, shingle)`
+    * frame — the seam that lets a composed pipeline (see [[curate]])
+    * shingle the corpus once and feed several shingle consumers. */
+  private def minhashCandidatesFromShingles(shinglesDf: DataFrame,
+      k: Int, r: Int): DataFrame = {
+    val bands = bandsFromShingles(shinglesDf, k, r).localCheckpoint(false)
     // Oversized-bucket guard: a band key shared by B docs yields B²
     // candidate pairs — a boilerplate-heavy corpus can put millions of
     // near-identical docs in one bucket and melt the join. Buckets
@@ -104,6 +118,63 @@ object TextPipeline {
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Incremental deduplication of a NEW document batch against a
+    * stored fingerprint index of the already-curated corpus — the
+    * production shape for growing a 100 TB corpus: the nightly batch
+    * joins against the (content-hash, LSH-band) index lake, never
+    * against the corpus text. Exact tier: the batch's content hashes
+    * probe the index hash table (the index side is semi-join-restricted
+    * to the batch's keys BEFORE any aggregation, so a hash-sorted index
+    * lake prunes to the touched row groups); near tier: the batch's
+    * MinHash band keys probe the stored band table, with the
+    * [[BandBucketCap]] occupancy guard evaluated on the UNION
+    * occupancy (index + batch) so the result is IDENTICAL to a full
+    * recompute over corpus ∪ batch restricted to batch rows — the
+    * equivalence the oracle row proves. Output per batch doc:
+    * `exact_keeper` (minimum doc_id of its content-hash group across
+    * corpus ∪ batch), `is_exact_dup`, `near_min_id` (minimum other
+    * doc sharing ≥ 1 surviving band), `n_near`, `is_near_dup`. */
+  def incrementalDedup(batch: DataFrame, idxHashes: DataFrame,
+      idxBands: DataFrame, k: Int = 9, r: Int = 3): DataFrame = {
+    val bh = batch.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val idxHits = idxHashes
+      .join(bh.select("content_hash").distinct(),
+        Seq("content_hash"), "left_semi")
+    val idxMin = idxHits.groupBy("content_hash")
+      .agg(min("doc_id").as("idx_min"))
+    val wH = Window.partitionBy("content_hash")
+    val exact = bh
+      .withColumn("batch_min", min("doc_id").over(wH))
+      .join(idxMin, Seq("content_hash"), "left")
+      .select(col("doc_id"),
+        least(coalesce(col("idx_min"), col("batch_min")), col("batch_min"))
+          .as("exact_keeper"))
+    val bb = minhashBands(batch, k, r).localCheckpoint(false)
+    val ib = idxBands
+      .join(bb.select("band", "key").distinct(), Seq("band", "key"),
+        "left_semi")
+    val unionBands = bb.unionByName(ib).localCheckpoint(false)
+    val ok = unionBands.groupBy("band", "key").count()
+      .filter(col("count") <= BandBucketCap).select("band", "key")
+    val cappedAll = unionBands.join(ok, Seq("band", "key"), "left_semi")
+    val cappedBatch = bb.join(ok, Seq("band", "key"), "left_semi")
+    val near = cappedBatch.select(col("doc_id").as("d"), col("band"),
+        col("key"))
+      .join(cappedAll.select(col("doc_id").as("o"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("d") =!= col("o"))
+      .groupBy("d")
+      .agg(min("o").as("near_min_id"), countDistinct("o").as("n_near"))
+    exact.join(near, exact("doc_id") === near("d"), "left")
+      .select(exact("doc_id"),
+        col("exact_keeper"),
+        (col("doc_id") =!= col("exact_keeper")).as("is_exact_dup"),
+        col("near_min_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("near_min_id") < exact("doc_id"), lit(false))
+          .as("is_near_dup"))
   }
 
   /** Max docs sharing one LSH band bucket (or SimHash block bucket)

@@ -182,4 +182,33 @@ object Lake {
   /** Read one split back with pruning (callers filter nothing). */
   def readSplit(spark: SparkSession, path: String, split: String): DataFrame =
     spark.read.parquet(path).filter(col("split") === split)
+
+  /** Write the corpus dedup-fingerprint index: `hashes/` holds
+    * `(doc_id, content_hash)` range-partitioned and file-sorted by
+    * content_hash (an incremental batch's hash probes skip to the
+    * touched row groups via parquet min/max — the 100 TB corpus is
+    * never rescanned, only this index); `bands/` holds the UNCAPPED
+    * MinHash LSH band keys `(doc_id, band, key)` partitioned by band
+    * (a probe for one band prunes the other k/r−1 subtrees) and
+    * file-sorted by key. Built once per corpus, appended per batch —
+    * the persistent state that makes
+    * [[graft.pipeline.TextPipeline.incrementalDedup]] index-sized
+    * instead of corpus-sized. */
+  def writeDedupIndex(docs: DataFrame, bands: DataFrame, path: String,
+      nHashFiles: Int = 8): Unit = {
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .repartitionByRange(nHashFiles, col("content_hash"))
+      .sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    bands
+      .repartition(col("band"))
+      .sortWithinPartitions("key")
+      .write.partitionBy("band").mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Read the dedup index back: (hash table, band table). */
+  def readDedupIndex(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/hashes"),
+      spark.read.parquet(s"$path/bands"))
 }

@@ -230,4 +230,72 @@ class LakeSpec extends AnyFunSuite {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("pair_id"))
   }
+
+  test("dedup index: batch probe finds exact and near dups in base") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    // base corpus: doc 1, and doc 3 near-identical to the later batch
+    // doc 10; batch: doc 10 (near-dup of 3), doc 12 (exact copy of 1),
+    // doc 16 (novel)
+    val mk = (n: Int, seed: String) =>
+      (1 to n).map(i => s"$seed$i").mkString(" ")
+    val baseText = mk(12, "w")
+    val nearA = mk(12, "n")
+    val base = Seq((1L, baseText), (3L, nearA))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, nearA + " extra"), // same 9-word prefix shingles -> bands collide
+      (12L, baseText),         // exact dup of base doc 1
+      (16L, mk(12, "z")))      // novel
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dedup-idx").toString
+    Lake.writeDedupIndex(base, TextPipeline.minhashBands(base), path)
+    val (h, b) = Lake.readDedupIndex(spark, path)
+    val rows = TextPipeline.incrementalDedup(batch, h, b)
+      .orderBy("doc_id").collect()
+    val r10 = rows(0)
+    assert(r10.getAs[Long]("exact_keeper") === 10L)
+    assert(!r10.getAs[Boolean]("is_exact_dup"))
+    assert(r10.getAs[Long]("near_min_id") === 3L)
+    assert(r10.getAs[Boolean]("is_near_dup"))
+    val r12 = rows(1)
+    assert(r12.getAs[Long]("exact_keeper") === 1L)
+    assert(r12.getAs[Boolean]("is_exact_dup"))
+    val r16 = rows(2)
+    assert(r16.getAs[Long]("exact_keeper") === 16L)
+    assert(!r16.getAs[Boolean]("is_exact_dup"))
+    assert(r16.isNullAt(r16.fieldIndex("near_min_id")))
+    assert(r16.getAs[Long]("n_near") === 0L)
+    assert(!r16.getAs[Boolean]("is_near_dup"))
+  }
+
+  test("dedup index probe matches full recompute on the real corpus") {
+    import graft.pipeline.TextPipeline
+    // incremental-vs-full equivalence on sf0.001: index the base slice,
+    // probe with the batch slice, compare against minhashCandidates +
+    // exactDedup computed over the WHOLE corpus
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint(false)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dedup-idx2").toString
+    Lake.writeDedupIndex(base, TextPipeline.minhashBands(base), path)
+    val (h, b) = Lake.readDedupIndex(spark, path)
+    val incr = TextPipeline.incrementalDedup(batch, h, b)
+      .select("doc_id", "near_min_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // full recompute: min partner per doc over all candidate pairs
+    val pairs = TextPipeline.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minPartner = (pairs ++ pairs.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0))
+    batchIds.foreach { id =>
+      assert(incr(id) === minPartner.get(id),
+        s"near_min_id mismatch for doc $id")
+    }
+  }
 }
