@@ -1727,6 +1727,43 @@ object Oracles {
       |WHERE e.doc_id % 4 = 0
       |ORDER BY e.doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.indexProbe]] with the
+    * same % 4 base/batch split as [[pipeIncrDedup]], but INDEX-ONLY
+    * semantics: batch docs never compare to each other, and the band
+    * occupancy cap is evaluated on the index (base) side alone.
+    * References `bnd0` (uncapped bands) from the shared MinHash
+    * CTEs. */
+  def pipeIndexProbe: String = DocShinglesCte + MinhashHhBnd +
+    s"""
+      |, okb AS (
+      |  SELECT band, key FROM bnd0 WHERE doc_id % 4 <> 0
+      |  GROUP BY band, key
+      |  HAVING COUNT(*) <= ${graft.pipeline.TextPipeline.BandBucketCap}
+      |), candp AS (
+      |  SELECT a.doc_id AS d, c.doc_id AS o
+      |  FROM bnd0 a
+      |  JOIN bnd0 c ON a.band = c.band AND a.key = c.key
+      |  JOIN okb ON okb.band = a.band AND okb.key = a.key
+      |  WHERE a.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+      |), nearp AS (
+      |  SELECT d AS doc_id, CAST(MIN(o) AS BIGINT) AS near_min_id,
+      |    CAST(COUNT(DISTINCT o) AS BIGINT) AS n_near
+      |  FROM candp GROUP BY d
+      |), exh AS (
+      |  SELECT doc_id, md5(text) AS ch FROM documents
+      |), idxm AS (
+      |  SELECT ch, CAST(MIN(doc_id) AS BIGINT) AS idx_min
+      |  FROM exh WHERE doc_id % 4 <> 0 GROUP BY ch
+      |)
+      |SELECT e.doc_id, i.idx_min,
+      |  i.idx_min IS NOT NULL AS is_known_exact,
+      |  n.near_min_id, COALESCE(n.n_near, 0) AS n_near
+      |FROM exh e
+      |LEFT JOIN idxm i USING (ch)
+      |LEFT JOIN nearp n ON n.doc_id = e.doc_id
+      |WHERE e.doc_id % 4 = 0
+      |ORDER BY e.doc_id""".stripMargin
+
   /** The MinHash signature/band CTEs with a caller-supplied tail. */
   private def pipeMinhashBody(tail: String): String = DocShinglesCte +
     MinhashHhBnd + s", $tail"

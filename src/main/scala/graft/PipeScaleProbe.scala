@@ -84,6 +84,27 @@ object PipeScaleProbe {
       .select((col("doc_id") * k + col("copy")).as("doc_id"), col("text"))
     val (nBm, tBm) = timed(graft.pipeline.Search.bm25TopK(docsDup).count())
 
+    // exact substring dedup over the perturbed corpus: the gram table
+    // grows k-fold with uniform content-hash keys, the span merge is a
+    // per-doc window — docs/sec must stay ~flat as k grows
+    val (nSsd, tSsd) = timed(
+      TextPipeline.substringDedup(docs).rdd.count())
+
+    // incremental dedup: index the base three quarters of the corpus
+    // once, probe with the last quarter — probe cost (the recurring
+    // nightly cost; the index build is one-off) is what's timed
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-probe-idx").toString
+    val baseSlice = docs.filter(col("doc_id") % 4 =!= 0)
+    val t0Idx = System.nanoTime()
+    graft.storage.Lake.writeDedupIndex(baseSlice,
+      TextPipeline.minhashBands(baseSlice), idxDir)
+    val tIdx = (System.nanoTime() - t0Idx) / 1e9
+    val (hIdx, bIdx) = graft.storage.Lake.readDedupIndex(spark, idxDir)
+    val (nIncr, tIncr) = timed(
+      TextPipeline.incrementalDedup(
+        docs.filter(col("doc_id") % 4 === 0), hIdx, bIdx).rdd.count())
+
     // model-based selection filters over the perturbed corpus: the
     // model side is a bounded aggregate (1024 buckets / observed
     // n-grams), the per-doc side shuffles once on doc_id — docs/sec
@@ -93,7 +114,7 @@ object PipeScaleProbe {
     val (nNb, tNb) = timed(TextPipeline.nbLangClassify(docs).rdd.count())
 
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}},"substring_dedup":{"rows":$nSsd,"seconds":$tSsd%.1f,"docs_per_sec":${rate(tSsd)}},"incr_dedup":{"rows":$nIncr,"probe_seconds":$tIncr%.1f,"index_build_seconds":$tIdx%.1f,"batch_docs_per_sec":${(nIncr / tIncr).toLong}}}""")
     spark.stop()
   }
 }

@@ -605,6 +605,16 @@ object SparkEntry {
         h, b)
         .orderBy("doc_id")
     }),
+    // stateless per-doc probe of the same index (no batch-vs-batch
+    // comparisons): the dedup-on-ingest filter, with its fingerprints
+    // computed by the shuffle-free per-row MinHash path
+    "pipe_index_probe" -> ((s, d) => {
+      val (h, b) = storage.Lake.readDedupIndex(s, dedupIndexLake(s, d))
+      TextPipeline.indexProbe(
+        Tables.load(s, d, "documents").filter(col("doc_id") % 4 === 0),
+        h, b)
+        .orderBy("doc_id")
+    }),
     "pipe_dedup_exact" -> ((s, d) =>
       TextPipeline.exactDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1148,6 +1158,7 @@ object SparkEntry {
     "pipe_split" -> Oracles.pipeSplit,
     "pipe_split_lake" -> Oracles.pipeSplit,
     "pipe_incr_dedup" -> Oracles.pipeIncrDedup,
+    "pipe_index_probe" -> Oracles.pipeIndexProbe,
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_minhash" -> Oracles.pipeMinhash,

@@ -120,6 +120,51 @@ object TextPipeline {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** The MinHash band keys as a stateless PER-ROW computation — the
+    * same `(doc_id, band, key)` frame as [[minhashBands]], bit-
+    * identical (min over shingle hashes ignores duplicate shingles, so
+    * skipping the relational `distinct` changes nothing), but with
+    * ZERO shuffles: a document's fingerprint is computed where the
+    * document sits. That is what a stateless streaming probe needs
+    * ([[graft.streaming.StreamingOps.indexProbeStream]] — a streaming
+    * `groupBy` would be a stateful aggregation) and what a map-only
+    * fingerprint pass at 100 TB wants: the relational path shuffles
+    * the corpus-sized shingle table twice (distinct + signature
+    * aggregation) before its first join. */
+  def minhashBandsStateless(docs: DataFrame, k: Int = 9,
+      r: Int = 3): DataFrame =
+    docs.withColumn("words", wordsCol)
+      .filter(size(col("words")) >= 3) // no shingles -> no fingerprint
+      .withColumn("hs", expr(minhashHalvesExpr))
+      .select(col("doc_id"),
+        explode(expr(minhashBandArrayExpr(k, r))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+
+  /** One md5 per shingle split into two 32-bit halves, as an array
+    * expression over a bound `words` column — the per-row seam under
+    * [[minhashBandsStateless]] and the streaming probe. */
+  private[graft] val minhashHalvesExpr: String =
+    "transform(" +
+      "transform(sequence(1, size(words)-2), i -> " +
+      "concat_ws(' ', element_at(words,i), element_at(words,i+1), " +
+      "element_at(words,i+2))), s -> named_struct(" +
+      s"'h1', CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % $MinhashP, " +
+      s"'h2', CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) % $MinhashP))"
+
+  /** The k/r `(band, key)` structs over a bound `hs` halves column. */
+  private[graft] def minhashBandArrayExpr(k: Int, r: Int): String = {
+    val bandStructs = (0 until k / r).map { band =>
+      val keyParts = (1 to r).map { i =>
+        val (a, b) = mhCoef(band * r + i)
+        s"CAST(array_min(transform(hs, p -> " +
+          s"(p.h1 * ${a}L + p.h2 * ${b}L) % $MinhashP)) AS STRING)"
+      }.mkString(", ")
+      s"named_struct('band', $band, 'key', concat_ws('#', $keyParts))"
+    }
+    s"array(${bandStructs.mkString(", ")})"
+  }
+
   /** Incremental deduplication of a NEW document batch against a
     * stored fingerprint index of the already-curated corpus — the
     * production shape for growing a 100 TB corpus: the nightly batch
@@ -175,6 +220,42 @@ object TextPipeline {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         coalesce(col("near_min_id") < exact("doc_id"), lit(false))
           .as("is_near_dup"))
+  }
+
+  /** Stateless index probe: each document checked against the stored
+    * fingerprint index ALONE (no doc-vs-doc comparisons within the
+    * probed set — the per-document filter shape: "is this doc already
+    * in / near the curated corpus?", e.g. dedup-on-ingest or
+    * decontamination against an indexed benchmark corpus). Per-doc
+    * output: `idx_min` (minimum index doc with the same content hash,
+    * null if unseen), `is_known_exact`, `near_min_id` (minimum index
+    * doc sharing ≥ 1 band whose INDEX occupancy passes
+    * [[BandBucketCap]]), `n_near`. Because every row's verdict
+    * depends only on (doc, static index), the op is streaming-safe
+    * row-by-row — [[graft.streaming.StreamingOps.indexProbeStream]]
+    * is this exact computation as a stream-static join, and the two
+    * must emit identical rows (StreamingSpec). Fingerprints come from
+    * the shuffle-free [[minhashBandsStateless]] path. */
+  def indexProbe(docs: DataFrame, idxHashes: DataFrame,
+      idxBands: DataFrame, k: Int = 9, r: Int = 3): DataFrame = {
+    val idxMin = idxHashes.groupBy("content_hash")
+      .agg(min("doc_id").as("idx_min"))
+    val okIdx = idxBands.groupBy("band", "key").count()
+      .filter(col("count") <= BandBucketCap).select("band", "key")
+    val cappedIdx = idxBands.join(okIdx, Seq("band", "key"), "left_semi")
+    val near = minhashBandsStateless(docs, k, r)
+      .join(cappedIdx.select(col("doc_id").as("o"), col("band"),
+        col("key")), Seq("band", "key"))
+      .groupBy("doc_id")
+      .agg(min("o").as("near_min_id"), countDistinct("o").as("n_near"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(idxMin, Seq("content_hash"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("idx_min"),
+        col("idx_min").isNotNull.as("is_known_exact"),
+        col("near_min_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
   }
 
   /** Max docs sharing one LSH band bucket (or SimHash block bucket)

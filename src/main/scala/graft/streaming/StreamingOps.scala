@@ -710,6 +710,78 @@ object StreamingOps extends Serializable {
   /** Streaming document input for [[curatedSinkStream]]. */
   case class DocIn(doc_id: Long, text: String)
 
+  /** One (doc × band-match) row of the joined probe stream, pre-
+    * aggregation (public: the codegen'd row deserializer instantiates
+    * it from generated code). */
+  case class ProbeJoined(doc_id: Long, idx_min: Option[Long],
+      o: Option[Long])
+
+  /** Per-document probe verdict (matches the batch
+    * [[graft.pipeline.TextPipeline.indexProbe]] schema). */
+  case class ProbeOut(doc_id: Long, idx_min: Option[Long],
+      is_known_exact: Boolean, near_min_id: Option[Long], n_near: Long)
+
+  /** Streaming twin of [[graft.pipeline.TextPipeline.indexProbe]]:
+    * dedup-on-ingest as a STREAM-STATIC join. Each arriving document's
+    * fingerprint (content hash + the shuffle-free per-row MinHash
+    * bands of `TextPipeline.minhashBandsStateless`) probes the static
+    * fingerprint-index lake — two stateless stream-static left joins,
+    * then one `flatMapGroupsWithState` per doc_id that folds a
+    * document's band matches into its verdict row (state itself is
+    * unused: all of a doc's joined rows land in its own micro-batch —
+    * the group step exists because Spark requires stateful syntax for
+    * any post-join grouping on a stream). Because each verdict
+    * depends only on (doc, static index), emissions are EXACTLY the
+    * batch `indexProbe` rows for the same documents, checkpoint-
+    * restartable for free (StreamingSpec proves both). The index
+    * sides are aggregated once and cached — per micro-batch Spark
+    * re-executes only the joins. */
+  def indexProbeStream(docs: Dataset[DocIn], spark: SparkSession,
+      idxHashes: DataFrame, idxBands: DataFrame,
+      k: Int = 9, r: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val idxMin = idxHashes.groupBy("content_hash")
+      .agg(min("doc_id").as("idx_min_i")).cache()
+    val okIdx = idxBands.groupBy("band", "key").count()
+      .filter(col("count") <= TextPipeline.BandBucketCap)
+      .select("band", "key")
+    val cappedIdx = idxBands.join(okIdx, Seq("band", "key"), "left_semi")
+      .select(col("doc_id").as("o_i"), col("band"), col("key")).cache()
+
+    val joined = docs.toDF()
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("hs", when(size(col("words")) >= 3,
+        expr(TextPipeline.minhashHalvesExpr)))
+      .withColumn("bk", explode_outer(when(col("hs").isNotNull,
+        expr(TextPipeline.minhashBandArrayExpr(k, r)))))
+      .select(col("doc_id"), col("content_hash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(idxMin, Seq("content_hash"), "left")
+      .join(cappedIdx, Seq("band", "key"), "left")
+      .select(col("doc_id"),
+        col("idx_min_i").as("idx_min"), col("o_i").as("o"))
+      .as[ProbeJoined]
+
+    def fold(docId: Long, rows: Iterator[ProbeJoined],
+        state: GroupState[Boolean]): Iterator[ProbeOut] = {
+      var idxMinV: Option[Long] = None
+      val os = scala.collection.mutable.SortedSet.empty[Long]
+      rows.foreach { rw =>
+        if (rw.idx_min.isDefined) idxMinV = rw.idx_min
+        rw.o.foreach(os += _)
+      }
+      Iterator.single(ProbeOut(docId, idxMinV, idxMinV.isDefined,
+        os.headOption, os.size.toLong))
+    }
+
+    joined.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
   /** Streaming curated-corpus sink: the batch `Lake.writeCurated`
     * shape fed incrementally — the stateless content-hash split
     * assignment (`TextPipeline.splitAssign`, a pure projection, so

@@ -694,4 +694,70 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toList.sortBy(sortKey)
     assert(streamed == batch)
   }
+
+  test("stateless band fingerprints equal the relational minhash bands") {
+    import graft.pipeline.TextPipeline
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rel = TextPipeline.minhashBands(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val stateless = TextPipeline.minhashBandsStateless(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(stateless.nonEmpty && stateless === rel)
+  }
+
+  test("streaming index probe equals the batch probe, across a restart") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    import graft.storage.Lake
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").localCheckpoint(false)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-probe-stream-idx").toString
+    Lake.writeDedupIndex(base, TextPipeline.minhashBands(base), idxPath)
+    val (h, b) = Lake.readDedupIndex(spark, idxPath)
+
+    val inputs = batchDocs.as[(Long, String)].collect()
+      .map { case (id, t) => StreamingOps.DocIn(id, t) }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-probe-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-probe-out").toString
+    val cut = inputs.length / 2
+
+    // first half through the fault-tolerant FILE sink, then enqueue
+    // the tail and KILL before it commits
+    val ms = MemoryStream[StreamingOps.DocIn](spark, 1)
+    def start() = StreamingOps.indexProbeStream(ms.toDS(), spark, h, b)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    val q1 = start()
+    ms.addData(inputs.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() > 0)
+    ms.addData(inputs.slice(cut, inputs.length).toIndexedSeq)
+    q1.stop()
+
+    // restart from the checkpoint: the tail replays exactly once
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // every doc appears exactly once, with exactly the batch verdict
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(_.toSeq).toList
+      .map(r => (r.head.asInstanceOf[Long], r)).toMap
+    val batch = TextPipeline.indexProbe(batchDocs, h, b)
+      .collect().map(_.toSeq).toList
+      .map(r => (r.head.asInstanceOf[Long], r)).toMap
+    assert(spark.read.parquet(outDir).count() === batch.size.toLong)
+    assert(streamed === batch)
+    assert(batch.values.exists(r => r(2) == false))
+  }
 }
