@@ -979,7 +979,8 @@ object SparkEntry {
       val p = artifactPath("dedup_index", d)
       val base = Tables.load(s, d, "documents")
         .filter(col("doc_id") % 4 =!= 0)
-      storage.Lake.writeDedupIndex(base, TextPipeline.minhashBands(base), p)
+      storage.Lake.writeDedupIndex(base,
+        TextPipeline.minhashBandsStateless(base), p)
       p
     })
 

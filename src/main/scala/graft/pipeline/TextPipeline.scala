@@ -59,6 +59,46 @@ object TextPipeline {
   def minhashCandidates(docs: DataFrame, k: Int = 9, r: Int = 3): DataFrame =
     minhashCandidatesFromShingles(shingled(docs), k, r)
 
+  /** [[minhashCandidates]] over a pre-computed `(doc_id, shingle)`
+    * frame — the seam that lets a composed pipeline (see [[curate]])
+    * shingle the corpus once and feed several shingle consumers.
+    * Band computation stays RELATIONAL here by measurement: at the
+    * bench SF the per-row HOF fingerprint
+    * ([[minhashBandsStateless]]) costs more in interpreted lambda
+    * evaluation than the two small shuffles it saves (2.1 s vs 1.45 s
+    * on the sf0.1 corpus; same shape at 10×). The stateless path is
+    * the right one where a shuffle is impossible (streaming probes)
+    * or where the shingle table's shuffle dominates (very large
+    * corpora with long documents) — both produce bit-identical bands
+    * (StreamingSpec), so the choice is per-deployment. */
+  private def minhashCandidatesFromShingles(shinglesDf: DataFrame,
+      k: Int, r: Int): DataFrame =
+    candidatesFromBands(bandsFromShingles(shinglesDf, k, r))
+
+  /** The LSH candidate join over a `(doc_id, band, key)` band frame:
+    * bucket-occupancy cap, then the band self-join. One lazy
+    * checkpoint evaluates the band computation once for both join
+    * sides and the occupancy count. */
+  private def candidatesFromBands(bandsIn: DataFrame): DataFrame = {
+    val bands = bandsIn.localCheckpoint(false)
+    // Oversized-bucket guard: a band key shared by B docs yields B²
+    // candidate pairs — a boilerplate-heavy corpus can put millions of
+    // near-identical docs in one bucket and melt the join. Buckets
+    // past `BandBucketCap` are dropped (standard LSH-dedup practice:
+    // their members are exact-dup-level similar and caught by the
+    // exact pass, or still pair via their other k/r−1 bands).
+    val capped = bands.join(
+      bands.groupBy("band", "key").count()
+        .filter(col("count") <= TextPipeline.BandBucketCap)
+        .select("band", "key"),
+      Seq("band", "key"), "left_semi")
+    val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** UNCAPPED MinHash LSH band keys `(doc_id, band, key)` for a
     * document frame — the persistable fingerprint of a document for
     * near-dup purposes (the [[BandBucketCap]] occupancy guard is
@@ -94,30 +134,6 @@ object TextPipeline {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-  }
-
-  /** [[minhashCandidates]] over a pre-computed `(doc_id, shingle)`
-    * frame — the seam that lets a composed pipeline (see [[curate]])
-    * shingle the corpus once and feed several shingle consumers. */
-  private def minhashCandidatesFromShingles(shinglesDf: DataFrame,
-      k: Int, r: Int): DataFrame = {
-    val bands = bandsFromShingles(shinglesDf, k, r).localCheckpoint(false)
-    // Oversized-bucket guard: a band key shared by B docs yields B²
-    // candidate pairs — a boilerplate-heavy corpus can put millions of
-    // near-identical docs in one bucket and melt the join. Buckets
-    // past `bucketCap` are dropped (standard LSH-dedup practice:
-    // their members are exact-dup-level similar and caught by the
-    // exact pass, or still pair via their other k/r−1 bands).
-    val capped = bands.join(
-      bands.groupBy("band", "key").count()
-        .filter(col("count") <= TextPipeline.BandBucketCap)
-        .select("band", "key"),
-      Seq("band", "key"), "left_semi")
-    val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
   }
 
   /** The MinHash band keys as a stateless PER-ROW computation — the
@@ -458,7 +474,7 @@ object TextPipeline {
     decontaminateFromShingles(shingled(docs), benchMax)
 
   /** [[decontaminate]] over a pre-computed `(doc_id, shingle)` frame
-    * (see [[minhashCandidatesFromShingles]] for the rationale). */
+    * (the seam that lets [[curate]] shingle the corpus once). */
   private def decontaminateFromShingles(sh: DataFrame,
       benchMax: Long): DataFrame = {
     // the benchmark set is tiny by construction, so its distinct
