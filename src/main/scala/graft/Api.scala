@@ -88,11 +88,17 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
       referenceParity: Boolean = false,
       frequencyMicros: Option[Long] = None): DataFrame = {
     validateWindow(start, end)
+    // level3 feeds BOTH the tick stream and the event classification —
+    // one lazy checkpoint evaluates the builder chain once. Without it
+    // a caller handing in an unmaterialized frame (the SQL TVF
+    // expansion over a plain view) recomputes level3 twice: measured
+    // +40% on the events row at sf0.1.
+    val l3 = level3.localCheckpoint(false)
     val ticks = frequencyMicros match {
-      case Some(f) => Resampling.spreadResampled(level3, spark, f)
-      case None => MarketOps.spread(level3, spark)
+      case Some(f) => Resampling.spreadResampled(l3, spark, f)
+      case None => MarketOps.spread(l3, spark)
     }
-    EventsQuery.events(level3, ticks, start, end, referenceParity)
+    EventsQuery.events(l3, ticks, start, end, referenceParity)
   }
 
   /** `obadiah::trades` — inferred/matched trades. */
