@@ -758,6 +758,9 @@ object SparkEntry {
     "pipe_sql_dedup" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM dedup_exact('docs_sql')")
         .orderBy("doc_id")),
+    "pipe_sql_substring_dedup" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM substring_dedup('docs_sql')")
+        .orderBy("doc_id")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1222,6 +1225,7 @@ object SparkEntry {
     "pipe_nb_lang" -> Oracles.pipeNbLang,
     "pipe_sql_bm25" -> Oracles.pipeBm25,
     "pipe_sql_dedup" -> Oracles.pipeDedupExact,
+    "pipe_sql_substring_dedup" -> Oracles.pipeSubstringDedup,
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

@@ -119,6 +119,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dedup_exact" -> graft.plans.GraftTableFunctions.dedupExactTvf _,
       "dup_ngrams" -> graft.plans.GraftTableFunctions.dupNgramsTvf _,
       "quality" -> graft.plans.GraftTableFunctions.qualityTvf _,
+      "substring_dedup" ->
+        graft.plans.GraftTableFunctions.substringDedupTvf _,
       "dsir" -> graft.plans.GraftTableFunctions.dsirTvf _,
       "lm_score" -> graft.plans.GraftTableFunctions.lmScoreTvf _,
       "nb_lang" -> graft.plans.GraftTableFunctions.nbLangTvf _)

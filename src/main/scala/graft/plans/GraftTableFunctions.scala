@@ -111,6 +111,9 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5)
           case "quality" =>
             graft.pipeline.TextPipeline.qualityScore(l3)
+          case "substring_dedup" =>
+            graft.pipeline.TextPipeline.substringDedup(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 8)
           case "dsir" =>
             graft.pipeline.TextPipeline.dsirWeights(l3,
               targetLang = u.strArgs.headOption.getOrElse("en"))
@@ -363,6 +366,17 @@ object GraftTableFunctions {
   def qualityTvf(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "quality takes (docs_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "quality")), "quality", Nil)
+  }
+
+  /** `substring_dedup('docs'[, L])` — exact substring dedup report
+    * ([[graft.pipeline.TextPipeline.substringDedup]]). */
+  def substringDedupTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "substring_dedup takes (docs_table[, min_words])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "substring_dedup")),
+      "substring_dedup",
+      if (exprs.length == 2)
+        Seq(longLit(exprs, 1, "substring_dedup")) else Nil)
   }
 
   /** `dsir('docs'[, 'target_lang'])` — DSIR importance weights toward

@@ -211,4 +211,27 @@ object Lake {
       path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/hashes"),
       spark.read.parquet(s"$path/bands"))
+
+  /** Append one batch's fingerprints to an existing dedup index — the
+    * post-dedup step of the nightly loop: once a batch has been
+    * screened ([[graft.pipeline.TextPipeline.incrementalDedup]]), its
+    * hashes and band keys join the index so the NEXT batch sees it.
+    * Plain parquet append: new sorted files land beside the old
+    * (bands under their `band=` partitions), readers are unchanged,
+    * and the grown index is indistinguishable from one built from
+    * scratch over the union (LakeSpec proves probe-equality).
+    * Periodic compaction of accumulated small files is the same
+    * maintenance job as level3 compaction — orthogonal to
+    * correctness. */
+  def appendDedupIndex(docs: DataFrame, bands: DataFrame, path: String,
+      nHashFiles: Int = 1): Unit = {
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .repartitionByRange(nHashFiles, col("content_hash"))
+      .sortWithinPartitions("content_hash")
+      .write.mode("append").parquet(s"$path/hashes")
+    bands
+      .repartition(col("band"))
+      .sortWithinPartitions("key")
+      .write.partitionBy("band").mode("append").parquet(s"$path/bands")
+  }
 }

@@ -338,6 +338,11 @@ class ExtensionsSpec extends AnyFunSuite {
         rows(TextPipeline.lmScore(docs, trainLang = "fr")))
       assert(rows(s2.sql("SELECT * FROM nb_lang('docs_tvf')")) ==
         rows(TextPipeline.nbLangClassify(docs)))
+      assert(rows(s2.sql("SELECT * FROM substring_dedup('docs_tvf')")) ==
+        rows(TextPipeline.substringDedup(docs)))
+      // min-run-length pass-through
+      assert(rows(s2.sql("SELECT * FROM substring_dedup('docs_tvf', 12)")) ==
+        rows(TextPipeline.substringDedup(docs, L = 12)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -270,6 +270,34 @@ class LakeSpec extends AnyFunSuite {
     assert(!r16.getAs[Boolean]("is_near_dup"))
   }
 
+  test("appended dedup index equals a from-scratch rebuild") {
+    import graft.pipeline.TextPipeline
+    // nightly loop: index {1,2 mod 4}, screen+append {3 mod 4}, then
+    // probe {0 mod 4} — must equal probing a fresh index of the union
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint(false)
+    val base = docs.filter(col("doc_id") % 4 === 1 ||
+      col("doc_id") % 4 === 2)
+    val day1 = docs.filter(col("doc_id") % 4 === 3)
+    val day2 = docs.filter(col("doc_id") % 4 === 0)
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft-idx-grown").toString
+    Lake.writeDedupIndex(base, TextPipeline.minhashBands(base), grown)
+    Lake.appendDedupIndex(day1, TextPipeline.minhashBands(day1), grown)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-idx-fresh").toString
+    val union = base.unionByName(day1)
+    Lake.writeDedupIndex(union, TextPipeline.minhashBands(union), fresh)
+
+    def probe(path: String) = {
+      val (h, b) = Lake.readDedupIndex(spark, path)
+      TextPipeline.incrementalDedup(day2, h, b)
+        .collect().map(_.toSeq).toList.sortBy(_.head.asInstanceOf[Long])
+    }
+    val g = probe(grown)
+    assert(g.nonEmpty && g == probe(fresh))
+  }
+
   test("dedup index probe matches full recompute on the real corpus") {
     import graft.pipeline.TextPipeline
     // incremental-vs-full equivalence on sf0.001: index the base slice,
