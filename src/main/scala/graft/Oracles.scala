@@ -1696,6 +1696,67 @@ object Oracles {
       |ORDER BY doc_id""".stripMargin))
     .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Mirror of [[graft.pipeline.TextPipeline.decontaminateSpans]] at
+    * benchMax = 10, L = 4: positions whose 4-gram appears anywhere in
+    * the benchmark slice (doc_id < 10), merged into maximal spans per
+    * corpus document, with the relational clean-text rebuild of
+    * [[pipeSubstringDedup]]. */
+  def pipeDeconSpans: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, GREATEST(len(words) - 3, 0) + 1)) AS pos,
+      |    unnest(list_transform(range(1, GREATEST(len(words) - 3, 0) + 1),
+      |      i -> md5(array_to_string(words[i:i+3], ' ')))) AS h
+      |  FROM w
+      |), bh AS (
+      |  SELECT DISTINCT h FROM g WHERE doc_id < 10
+      |), dp AS (
+      |  SELECT doc_id, pos FROM g
+      |  WHERE doc_id >= 10 AND h IN (SELECT h FROM bh)
+      |), ni AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 3) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM dp
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM ni
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 3 AS e
+      |  FROM isl GROUP BY 1, 2
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+      |  FROM spans GROUP BY 1
+      |), wp AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(words) + 1)) AS pos,
+      |    unnest(words) AS word
+      |  FROM w WHERE doc_id >= 10
+      |), kept AS (
+      |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = wp.doc_id AND wp.pos BETWEEN sp.s AND sp.e)
+      |), clean AS (
+      |  SELECT doc_id,
+      |    md5(COALESCE(string_agg(word, ' ' ORDER BY pos), '')) AS clean_md5
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+      |  COALESCE(p.dup_spans, 0) AS dup_spans,
+      |  COALESCE(p.dup_words, 0) AS dup_words,
+      |  COALESCE(c.clean_md5, md5('')) AS clean_md5
+      |FROM w
+      |LEFT JOIN perdoc p USING (doc_id)
+      |LEFT JOIN clean c ON c.doc_id = w.doc_id
+      |WHERE w.doc_id >= 10
+      |ORDER BY w.doc_id""".stripMargin
+
   /** Mirror of [[graft.pipeline.TextPipeline.incrementalDedup]] with
     * the corpus split at doc_id % 4 (≠ 0 = already-indexed base, = 0 =
     * incoming batch): a FULL recompute over base ∪ batch restricted to

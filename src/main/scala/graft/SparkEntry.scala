@@ -733,6 +733,12 @@ object SparkEntry {
     "pipe_substring_dedup" -> ((s, d) =>
       TextPipeline.substringDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // span-level decontamination: benchmark-overlapping runs removed
+    // from corpus docs (L=4 on the synthetic corpus for signal)
+    "pipe_decon_spans" -> ((s, d) =>
+      TextPipeline.decontaminateSpans(Tables.load(s, d, "documents"),
+          L = 4)
+        .orderBy("doc_id")),
     "pipe_quantiles" -> ((s, d) =>
       TextPipeline.lengthQuantiles(Tables.load(s, d, "documents"))
         .orderBy("source", "q")),
@@ -1219,6 +1225,7 @@ object SparkEntry {
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
+    "pipe_decon_spans" -> Oracles.pipeDeconSpans,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
     "pipe_dsir" -> Oracles.pipeDsir,
     "pipe_lm_score" -> Oracles.pipeLmScore,

@@ -880,26 +880,55 @@ object TextPipeline {
     * merged span count, removed word count, and the md5 of the
     * cleaned (spans-removed, space-rejoined) text. */
   def substringDedup(docs: DataFrame, L: Int = 8): DataFrame = {
-    val w = docs.withColumn("words", wordsCol)
-    // (doc_id, pos, gram-hash) for every L-gram start position;
-    // sequence(1, 0) descends, so short docs short-circuit to empty
-    val grams = w.select(col("doc_id"),
+    val grams = gramPositions(docs.withColumn("words", wordsCol), L)
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    spanReport(docs, grams.join(dupHashes, Seq("h"), "left_semi"), L)
+  }
+
+  /** Span-level decontamination (the removal complement of
+    * [[decontaminate]]'s document flags, and the decontamination
+    * variant of [[substringDedup]]): every run of ≥ `L` corpus words
+    * that also appears in the benchmark slice (doc_id < `benchMax`)
+    * is removed, leaving the rest of the document — the surgical
+    * alternative to dropping whole documents when only a quoted
+    * benchmark passage contaminates them. The benchmark gram set is
+    * small by construction, so its semi-join side broadcasts; corpus
+    * grams never shuffle for the match. Output rows cover CORPUS
+    * documents only, with the same schema as [[substringDedup]]. */
+  def decontaminateSpans(docs: DataFrame, benchMax: Long = 10,
+      L: Int = 8): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+    val grams = gramPositions(corpus.withColumn("words", wordsCol), L)
+    val benchHashes = gramPositions(
+      docs.filter(col("doc_id") < benchMax).withColumn("words", wordsCol),
+      L).select("h").distinct()
+    spanReport(corpus, grams.join(benchHashes, Seq("h"), "left_semi"), L)
+  }
+
+  /** `(doc_id, pos, h)` for every L-gram start position of a bound
+    * `words` column; sequence(1, 0) DESCENDS, so short docs
+    * short-circuit to an empty gram array. */
+  private def gramPositions(w: DataFrame, L: Int): DataFrame =
+    w.select(col("doc_id"),
         explode(when(size(col("words")) >= L,
           expr(s"transform(sequence(1, size(words) - ${L - 1}), " +
             s"i -> struct(i AS pos, " +
             s"md5(concat_ws(' ', slice(words, i, $L))) AS h))"))
           .otherwise(array())).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("h")
-    val dupPos = grams.join(dupHashes, Seq("h"), "left_semi")
-    // gaps-and-islands: a new span starts when this position's
-    // interval [pos, pos+L-1] neither overlaps nor touches the
-    // furthest end seen so far in this document
+
+  /** Merge flagged positions into maximal spans and report per doc:
+    * gaps-and-islands over each document's sorted position stream (a
+    * new span starts when [pos, pos+L−1] neither overlaps nor touches
+    * the furthest end seen), then span count / removed words / md5 of
+    * the cleaned text. */
+  private def spanReport(docs: DataFrame, flaggedPos: DataFrame,
+      L: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(L - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = dupPos
+    val spans = flaggedPos
       .withColumn("ni",
         when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(byDoc))
@@ -909,7 +938,7 @@ object TextPipeline {
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("e") - col("s") + 1).as("dup_words"),
         collect_list(struct(col("s"), col("e"))).as("ivs"))
-    w.join(perDoc, Seq("doc_id"), "left")
+    docs.withColumn("words", wordsCol).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_words"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),

@@ -193,6 +193,29 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[String]("clean_md5") === md5Hex("mid"))
   }
 
+  test("decontaminateSpans removes only benchmark-overlapping runs") {
+    // bench doc 1 (< benchMax) holds the 8-gram b1..b8; corpus doc 20
+    // quotes it mid-document, corpus doc 30 is clean. The corpus docs
+    // sharing runs with EACH OTHER (not the bench) must NOT be cut.
+    val quote = (1 to 8).map(i => s"b$i").mkString(" ")
+    val shared = (1 to 8).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      (1L, quote),
+      (20L, s"pre $quote post"),
+      (30L, s"$shared x"),
+      (40L, s"$shared y"))
+    val rows = TextPipeline.decontaminateSpans(d, benchMax = 10L)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(20L, 30L, 40L))
+    val r20 = rows(0)
+    assert(r20.getAs[Long]("dup_spans") === 1L)
+    assert(r20.getAs[Long]("dup_words") === 8L)
+    assert(r20.getAs[String]("clean_md5") === md5Hex("pre post"))
+    // corpus-only duplication is substringDedup's business, not ours
+    assert(rows(1).getAs[Long]("dup_spans") === 0L)
+    assert(rows(2).getAs[Long]("dup_spans") === 0L)
+  }
+
   test("substringDedup merges overlapping and touching intervals") {
     // docs 1/2 share words 1..9 (grams at 1,2 -> span [1,9]) and doc 1
     // additionally shares words 10..17 with doc 3: spans [1,9] and
