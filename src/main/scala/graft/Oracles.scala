@@ -1825,6 +1825,45 @@ object Oracles {
       |WHERE e.doc_id % 4 = 0
       |ORDER BY e.doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.dedupKeepBest]]: the
+    * [[pipeDedupClusters]] labels joined with the quality score, the
+    * keeper chosen per cluster by (quality DESC, doc_id ASC). */
+  def pipeDedupKeepBest: String = (pipeMinhashBody(
+    s"""cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN e ON e.src = r.doc_id
+      |), lab AS (
+      |  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+      |), sz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+      |), q AS (
+      |  SELECT doc_id, $qualityScoreSql AS quality_score FROM documents
+      |), keeper AS (
+      |  SELECT cluster_id, doc_id AS keep_doc FROM (
+      |    SELECT lab.cluster_id, lab.doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+      |        ORDER BY q.quality_score DESC, lab.doc_id) AS rn
+      |    FROM lab JOIN q USING (doc_id))
+      |  WHERE rn = 1
+      |)
+      |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+      |  q.quality_score, k.keep_doc,
+      |  lab.doc_id = k.keep_doc AS is_kept
+      |FROM lab
+      |JOIN sz USING (cluster_id)
+      |JOIN q ON q.doc_id = lab.doc_id
+      |JOIN keeper k ON k.cluster_id = lab.cluster_id
+      |ORDER BY lab.doc_id""".stripMargin))
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** The MinHash signature/band CTEs with a caller-supplied tail. */
   private def pipeMinhashBody(tail: String): String = DocShinglesCte +
     MinhashHhBnd + s", $tail"

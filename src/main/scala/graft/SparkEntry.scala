@@ -626,6 +626,12 @@ object SparkEntry {
       TextPipeline.dedupClusters(docs, TextPipeline.minhashCandidates(docs))
         .orderBy("doc_id")
     }),
+    // keeper-by-quality policy over the same clusters
+    "pipe_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextPipeline.dedupKeepBest(docs, TextPipeline.minhashCandidates(docs))
+        .orderBy("doc_id")
+    }),
     "pipe_ngram_jaccard" -> ((s, d) =>
       TextPipeline.ngramJaccard(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -1226,6 +1232,7 @@ object SparkEntry {
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
     "pipe_decon_spans" -> Oracles.pipeDeconSpans,
+    "pipe_dedup_keep_best" -> Oracles.pipeDedupKeepBest,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
     "pipe_dsir" -> Oracles.pipeDsir,
     "pipe_lm_score" -> Oracles.pipeLmScore,

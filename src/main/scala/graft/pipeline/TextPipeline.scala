@@ -280,6 +280,26 @@ object TextPipeline {
     * Mirrored by the DuckDB oracles. */
   val BandBucketCap: Long = 200L
 
+  /** Cluster keeper selection by QUALITY: a production dedup keeps the
+    * best document of each near-dup cluster, not the numerically
+    * smallest id. Labels come from [[dedupClusters]]; the keeper is
+    * the cluster member with the highest [[qualityScore]] (doc_id
+    * ascending as the deterministic tiebreak — quality ties are
+    * common, duplicates score identically). One extra cluster-keyed
+    * window over the already-labelled frame. */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labelled = dedupClusters(docs, pairs)
+    val qual = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labelled.join(qual, "doc_id")
+      .withColumn("keep_doc", first(col("doc_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("keep_doc"),
+        (col("doc_id") === col("keep_doc")).as("is_kept"))
+  }
+
   /** Near-duplicate cluster formation: connected components over
     * candidate pairs (MinHash/SimHash output), labelling every document
     * with its cluster's canonical (minimum) doc_id — the step a dedup
