@@ -1864,6 +1864,121 @@ object Oracles {
       |ORDER BY lab.doc_id""".stripMargin))
     .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Mirror of [[graft.pipeline.TextPipeline.curateFull]] at
+    * benchMax = 10, minQuality = 0.5, L = 4: quality gate → exact
+    * dedup → MinHash/CC clusters keeping the best-quality member →
+    * one span-cleaning pass over the union of survivor-duplicated and
+    * benchmark-overlapping 4-gram positions. Composes the proven CTE
+    * families (quality expression, MinHash bands, recursive closure,
+    * gaps-and-islands spans, relational clean-text rebuild) end to
+    * end. */
+  def pipeCurateFull: String = (
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), q AS (
+      |  SELECT doc_id, $qualityScoreSql AS quality_score
+      |  FROM documents WHERE doc_id >= 10
+      |), k1 AS (
+      |  SELECT doc_id FROM q WHERE quality_score >= 0.5
+      |), eh AS (
+      |  SELECT d.doc_id, md5(d.text) AS ch
+      |  FROM documents d JOIN k1 USING (doc_id)
+      |), k2 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      doc_id = MIN(doc_id) OVER (PARTITION BY ch) AS keep
+      |    FROM eh) WHERE keep
+      |), sh AS (
+      |  SELECT DISTINCT w.doc_id,
+      |    unnest(list_transform(range(1, len(words)-1),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |      AS shingle
+      |  FROM w JOIN k2 USING (doc_id)
+      |)""".stripMargin + MinhashHhBnd +
+    s"""
+      |, cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS label FROM k2
+      |  UNION
+      |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN e ON e.src = r.doc_id
+      |), lab AS (
+      |  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+      |), sz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+      |), keeper AS (
+      |  SELECT cluster_id, doc_id FROM (
+      |    SELECT lab.cluster_id, lab.doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+      |        ORDER BY q.quality_score DESC, lab.doc_id) AS rn
+      |    FROM lab JOIN q USING (doc_id)) WHERE rn = 1
+      |), g3 AS (
+      |  SELECT w.doc_id,
+      |    unnest(range(1, GREATEST(len(words) - 3, 0) + 1)) AS pos,
+      |    unnest(list_transform(range(1, GREATEST(len(words) - 3, 0) + 1),
+      |      i -> md5(array_to_string(words[i:i+3], ' ')))) AS h
+      |  FROM w JOIN keeper k ON k.doc_id = w.doc_id
+      |), dh AS (
+      |  SELECT h FROM g3 GROUP BY h HAVING COUNT(*) >= 2
+      |), gb AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(range(1, GREATEST(len(words) - 3, 0) + 1),
+      |      i -> md5(array_to_string(words[i:i+3], ' ')))) AS h
+      |  FROM w WHERE doc_id < 10
+      |), dp AS (
+      |  SELECT DISTINCT doc_id, pos FROM g3
+      |  WHERE h IN (SELECT h FROM dh) OR h IN (SELECT h FROM gb)
+      |), ni AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 3) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM dp
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM ni
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 3 AS e
+      |  FROM isl GROUP BY 1, 2
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+      |  FROM spans GROUP BY 1
+      |), wp AS (
+      |  SELECT w.doc_id,
+      |    unnest(range(1, len(words) + 1)) AS pos,
+      |    unnest(words) AS word
+      |  FROM w JOIN keeper k ON k.doc_id = w.doc_id
+      |), kept AS (
+      |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = wp.doc_id AND wp.pos BETWEEN sp.s AND sp.e)
+      |), clean AS (
+      |  SELECT doc_id,
+      |    md5(COALESCE(string_agg(word, ' ' ORDER BY pos), '')) AS clean_md5
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT k.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+      |  COALESCE(p.dup_spans, 0) AS dup_spans,
+      |  COALESCE(p.dup_words, 0) AS dup_words,
+      |  COALESCE(c.clean_md5, md5('')) AS clean_md5,
+      |  sz.cluster_size, q.quality_score
+      |FROM keeper k
+      |JOIN w ON w.doc_id = k.doc_id
+      |JOIN sz USING (cluster_id)
+      |JOIN q ON q.doc_id = k.doc_id
+      |LEFT JOIN perdoc p ON p.doc_id = k.doc_id
+      |LEFT JOIN clean c ON c.doc_id = k.doc_id
+      |ORDER BY k.doc_id""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** The MinHash signature/band CTEs with a caller-supplied tail. */
   private def pipeMinhashBody(tail: String): String = DocShinglesCte +
     MinhashHhBnd + s", $tail"

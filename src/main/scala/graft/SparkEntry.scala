@@ -626,6 +626,12 @@ object SparkEntry {
       TextPipeline.dedupClusters(docs, TextPipeline.minhashCandidates(docs))
         .orderBy("doc_id")
     }),
+    // the full modern pipeline in one plan: quality gate -> exact ->
+    // keep-best near-dup clusters -> one span-cleaning pass (corpus
+    // duplication + benchmark decontamination merged before cutting)
+    "pipe_curate_full" -> ((s, d) =>
+      TextPipeline.curateFull(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     // keeper-by-quality policy over the same clusters
     "pipe_dedup_keep_best" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
@@ -1233,6 +1239,7 @@ object SparkEntry {
     "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
     "pipe_decon_spans" -> Oracles.pipeDeconSpans,
     "pipe_dedup_keep_best" -> Oracles.pipeDedupKeepBest,
+    "pipe_curate_full" -> Oracles.pipeCurateFull,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
     "pipe_dsir" -> Oracles.pipeDsir,
     "pipe_lm_score" -> Oracles.pipeLmScore,

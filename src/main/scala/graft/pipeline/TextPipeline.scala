@@ -600,6 +600,53 @@ object TextPipeline {
         "bucket", "split")
   }
 
+  /** The FULL modern curation pipeline in one declarative plan —
+    * [[curate]] upgraded with this round's operators: quality gate →
+    * exact dedup → near-dup clusters keeping the BEST-quality member
+    * ([[dedupKeepBest]], not min-id) → ONE span-cleaning pass that
+    * removes both corpus-duplicated runs ([[substringDedup]]
+    * semantics among the survivors) and benchmark-overlapping runs
+    * ([[decontaminateSpans]] semantics), merged before cleaning so a
+    * region flagged by both is cut once. One gram length `L` serves
+    * both span sources (their flagged-position streams union into a
+    * single gaps-and-islands merge). Survivors only; emits the
+    * cleaned-text md5, removal accounting, cluster size, and quality.
+    */
+  def curateFull(docs: DataFrame, benchMax: Long = 10,
+      minQuality: Double = 0.5, L: Int = 4): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+      .select(col("doc_id"), col("text"))
+    val qual = qualityScore(corpus)
+      .select(col("doc_id"), col("quality_score"))
+    val k1 = corpus.join(
+      qual.filter(col("quality_score") >= minQuality).select("doc_id"),
+      "doc_id")
+    val k2 = k1.join(
+      exactDedup(k1).filter(!col("is_dup")).select("doc_id"), "doc_id")
+      .localCheckpoint(false)
+    val best = dedupKeepBest(k2, minhashCandidates(k2))
+    val k3 = k2.join(best.filter(col("is_kept"))
+        .select(col("doc_id"), col("cluster_size"), col("quality_score")),
+      "doc_id")
+      .localCheckpoint(false)
+    // one gram pass over the survivors feeds BOTH span sources
+    val grams = gramPositions(k3.withColumn("words", wordsCol), L)
+      .localCheckpoint(false)
+    val dupH = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val benchH = gramPositions(
+      docs.filter(col("doc_id") < benchMax).withColumn("words", wordsCol),
+      L).select("h").distinct()
+    val flagged = grams.join(dupH, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+      .unionByName(grams.join(benchH, Seq("h"), "left_semi")
+        .select("doc_id", "pos"))
+      .distinct()
+    spanReport(k3.select("doc_id", "text"), flagged, L)
+      .join(k3.select("doc_id", "cluster_size", "quality_score"),
+        "doc_id")
+  }
+
   /** Per-source corpus profile — the training-data analogue of the
     * market tier's `data_overview`: document/byte/token volumes, the
     * language mix, and the exact-duplicate rate per source, in one
