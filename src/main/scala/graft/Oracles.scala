@@ -2053,7 +2053,14 @@ object Oracles {
     * mirrors Java floorDiv at any magnitude, where a double round-trip
     * would silently diverge past 2^53; an emptied cluster keeps its
     * previous centroid). */
-  private def PqCte(m: Int = 8, k: Int = 16, L: Int = 8): String = {
+  private def PqCte(m: Int = 8, k: Int = 16, L: Int = 8): String =
+    QuantEmbCte + PqChain(m, k, L, src = "ev")
+
+  /** The PQ training/encode chain (`sv` … `codes`) over a source CTE
+    * `src(vec_id, i, q)` — "ev" for raw vectors, "rv" for residuals
+    * ([[pipeAnnIvfPqResidual]]). */
+  private def PqChain(m: Int = 8, k: Int = 16, L: Int = 8,
+      src: String = "ev"): String = {
     def assign(cb: String): String =
       s"""SELECT vec_id, s, j FROM (
          |    SELECT vec_id, s, j, ROW_NUMBER() OVER (
@@ -2072,11 +2079,10 @@ object Oracles {
          |    FROM $asg a JOIN sv v ON v.vec_id = a.vec_id AND v.s = a.s
          |    GROUP BY a.s, a.j, v.p
          |  ) u ON u.s = $cb.s AND u.j = $cb.j AND u.p = $cb.p""".stripMargin
-    QuantEmbCte +
     s""", sv AS (
       |  SELECT vec_id, CAST((i - 1) // $L AS INT) AS s,
       |    (i - 1) % $L AS p, q
-      |  FROM ev
+      |  FROM $src
       |), cb0 AS (
       |  SELECT s, CAST(vec_id AS INT) AS j, p, q AS c
       |  FROM sv WHERE vec_id < $k
@@ -2145,6 +2151,76 @@ object Oracles {
       |  FROM rl
       |)""".stripMargin
   }
+
+  /** Mirror of [[graft.pipeline.VectorOps.annIvfPqResidual]]: coarse
+    * assignment (cosine, seeded cells), integer residuals `rv`, the
+    * deterministic PQ chain trained ON the residuals, a per-(query,
+    * probed-cell) residual distance table, cell-matched ADC, and the
+    * exact-integer re-rank. */
+  def pipeAnnIvfPqResidual(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16): String =
+    ResidualIvfPqBody(nQueries, topK, rerank, nCells) +
+    s"""
+      |SELECT query_id, rnk, vec_id, l2sq FROM rr2 WHERE rnk <= $topK
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Mirror of `VectorOps.annRecallIvfPqResidual`. */
+  def pipeAnnRecallIvfPqResidual(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16): String =
+    ResidualIvfPqBody(nQueries, topK, rerank, nCells) +
+      pqRecallTail(nQueries, topK)
+
+  private def ResidualIvfPqBody(nQueries: Int = 5, topK: Int = 5,
+      rerank: Int = 4, nCells: Int = 16, L: Int = 8): String =
+    QuantEmbCte + IvfCoarseCte(nCells.toString) +
+    s"""
+      |, rv AS (
+      |  SELECT e.vec_id, e.i, e.q - c.q AS q
+      |  FROM ev e
+      |  JOIN assign a ON a.vb = e.vec_id
+      |  JOIN cents c ON c.cent_id = a.cent_id AND c.i = e.i
+      |)""".stripMargin + PqChain(src = "rv") +
+    s"""
+      |, qrv AS (
+      |  SELECT p.query_id, p.cent_id, e.i, e.q - c.q AS q
+      |  FROM probes p
+      |  JOIN ev e ON e.vec_id = p.query_id
+      |  JOIN cents c ON c.cent_id = p.cent_id AND c.i = e.i
+      |), qsv AS (
+      |  SELECT query_id, cent_id, CAST((i - 1) // $L AS INT) AS s,
+      |    (i - 1) % $L AS p, q
+      |  FROM qrv
+      |), qtab AS (
+      |  SELECT qs.query_id, qs.cent_id, cb2.s, cb2.j AS code,
+      |    CAST(SUM((qs.q - cb2.c) * (qs.q - cb2.c)) AS BIGINT) AS pdist
+      |  FROM qsv qs JOIN cb2 ON cb2.s = qs.s AND cb2.p = qs.p
+      |  GROUP BY qs.query_id, qs.cent_id, cb2.s, cb2.j
+      |), adc AS (
+      |  SELECT k.query_id, k.vec_id, CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
+      |  FROM cand k
+      |  JOIN assign a ON a.vb = k.vec_id
+      |  JOIN codes c ON c.vec_id = k.vec_id
+      |  JOIN qtab t ON t.query_id = k.query_id AND t.cent_id = a.cent_id
+      |    AND t.s = c.s AND t.code = c.j
+      |  GROUP BY k.query_id, k.vec_id
+      |), pre AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      |    FROM adc) WHERE rnk <= ${topK * rerank}
+      |), rl AS (
+      |  SELECT p.query_id, p.vec_id,
+      |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS l2sq
+      |  FROM pre p
+      |  JOIN ev a ON a.vec_id = p.query_id
+      |  JOIN ev b ON b.vec_id = p.vec_id AND b.i = a.i
+      |  GROUP BY p.query_id, p.vec_id
+      |), rr2 AS (
+      |  SELECT query_id, vec_id, l2sq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY l2sq, vec_id) AS BIGINT) AS rnk
+      |  FROM rl
+      |)""".stripMargin
 
   def pipeAnnPq(nQueries: Int = 5, topK: Int = 5,
       rerank: Int = 4): String =

@@ -689,6 +689,14 @@ object SparkEntry {
       VectorOps.annIvfPq(Tables.load(s, d, "embeddings"),
           trained = Some(trainedPq(s, d)), codes = Some(pqIndex(s, d)))
         .orderBy("query_id", "rnk")),
+    // the FAISS IndexIVFPQ layout: PQ over residuals against the
+    // coarse centroid, per-probed-cell distance tables
+    "pipe_ann_ivfpq_residual" -> ((s, d) =>
+      VectorOps.annIvfPqResidual(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    "pipe_ann_recall_ivfpq_residual" -> ((s, d) =>
+      VectorOps.annRecallIvfPqResidual(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id")),
     // the k-means-TRAINED coarse quantizer at the same nCells/nProbe:
     // better cells at equal probe cost (recall sweep in PLANS.md)
     "pipe_ann_ivf_kmeans" -> ((s, d) =>
@@ -1203,6 +1211,9 @@ object SparkEntry {
     "pipe_pq_codes" -> Oracles.pipePqCodes,
     "pipe_ann_pq" -> Oracles.pipeAnnPq(),
     "pipe_ann_ivfpq" -> Oracles.pipeAnnIvfPq(),
+    "pipe_ann_ivfpq_residual" -> Oracles.pipeAnnIvfPqResidual(),
+    "pipe_ann_recall_ivfpq_residual" ->
+      Oracles.pipeAnnRecallIvfPqResidual(),
     "pipe_ann_recall_pq" -> Oracles.pipeAnnRecallPq(),
     "pipe_ann_recall_ivfpq" -> Oracles.pipeAnnRecallIvfPq(),
     "pipe_langid" -> Oracles.pipeLangId,

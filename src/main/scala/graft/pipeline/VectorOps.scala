@@ -561,9 +561,21 @@ object VectorOps {
     val first = emb.select(size(col("embedding"))).head(1)
     require(first.nonEmpty, "cannot train PQ on an empty collection")
     val d = first(0).getInt(0)
+    pqTrainOnQ(qAll, q, d, m, k, iters)
+  }
+
+  /** The Lloyd core of [[pqTrain]] over an already-quantized
+    * `(vec_id, q)` frame — `seedsFrom` provides the k codebook seeds
+    * (vectors 0..k−1), `train` the refinement population. Extracted so
+    * residual encodings ([[annIvfPqResidual]]) can train on integer
+    * residual vectors with the identical deterministic procedure. */
+  private def pqTrainOnQ(seedsFrom: DataFrame, train: DataFrame, d: Int,
+      m: Int, k: Int, iters: Int): PqModel = {
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val L = d / m
-    var codebook: Array[Array[Array[Long]]] = qAll.filter(col("vec_id") < k)
+    val q = train
+    var codebook: Array[Array[Array[Long]]] = seedsFrom
+      .filter(col("vec_id") < k)
       .orderBy("vec_id").select("q").collect()
       .map(_.getSeq[Long](0).toArray)
       .map(v => Array.tabulate(m)(s => v.slice(s * L, s * L + L)))
@@ -664,6 +676,100 @@ object VectorOps {
       restrict = Some(candPairs), prebuilt = codes)
   }
 
+  /** RESIDUAL IVF-PQ — the production layout of large-vector-database
+    * IVF-PQ indexes (FAISS `IndexIVFPQ`): PQ encodes each vector's
+    * RESIDUAL against its coarse centroid rather than the raw vector.
+    * Residuals concentrate near zero, so the same codebook budget
+    * spends its resolution on the part of the vector the coarse
+    * quantizer did not already explain. Mechanics: (1) coarse-assign
+    * every vector (cosine, seeded cells); (2) integer residual
+    * `q − cent` per vector; (3) train the standard deterministic PQ
+    * on the residuals and store the per-cell residual code table;
+    * (4) at query time the distance TABLE is per (query, PROBED
+    * cell): the query's residual against that cell's centroid versus
+    * each codeword — m·k·nProbe bounded driver rows, broadcast; a
+    * candidate joins the slice of ITS OWN cell; (5) exact integer
+    * re-rank over the preselection. All arithmetic exact-integer, so
+    * the DuckDB mirror reproduces it bit-for-bit. */
+  def annIvfPqResidual(emb: DataFrame, nQueries: Int = 5, topK: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2,
+      m: Int = 8, kCent: Int = 16, iters: Int = 2,
+      rerank: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb)
+    // seeded coarse centroids, collected once — a bounded driver
+    // artifact (nCells·d longs), needed on the driver for the
+    // query-residual tables anyway
+    val centArr = q.filter(col("vec_id") < nCells)
+      .orderBy("vec_id").select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val d = centArr.head._2.length
+    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe, None)
+    val centsDf = centArr.map { case (id, v) => (id, v.toSeq) }.toSeq
+      .toDF("cent_id", "cq")
+    val resid = assign.join(broadcast(centsDf), Seq("cent_id"))
+      .select(col("vb").as("vec_id"), col("cent_id"),
+        expr("zip_with(qb, cq, (a, b) -> a - b)").as("q"))
+      .localCheckpoint(false)
+    val model = pqTrainOnQ(resid, resid, d, m, kCent, iters)
+    // the stored index: per-vector (cell, residual codes)
+    val codesEx = resid
+      .select(col("vec_id").as("vb"), col("cent_id"),
+        pqEncode(col("q"), model.codebook).as("codes"))
+      .select(col("vb"), col("cent_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .localCheckpoint(false)
+    // per-(query, probed cell) residual ADC table, driver-built
+    val queryVecs = q.filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val probePairs = probes.select("query_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val centMap = centArr.toMap
+    val L = model.subLen
+    val table = probePairs.flatMap { case (qid, cid) =>
+      val qv = queryVecs.find(_._1 == qid).get._2
+      val cv = centMap(cid)
+      val qr = Array.tabulate(d)(i => qv(i) - cv(i))
+      (0 until model.m).flatMap { s =>
+        val sub = qr.slice(s * L, s * L + L)
+        val subNorm = sub.map(x => x * x).sum
+        (0 until model.k).map { j =>
+          val c = model.codebook(s)(j)
+          val dot = sub.zip(c).map { case (a, b) => a * b }.sum
+          (qid, cid, s, j.toLong,
+            subNorm + model.norms(s)(j) - 2L * dot)
+        }
+      }
+    }.toSeq.toDF("query_id", "cent_id", "s", "code", "pdist")
+    val cand = probes.select("query_id", "cent_id")
+      .join(assign.select("vb", "cent_id"), Seq("cent_id"))
+      .filter(col("query_id") =!= col("vb"))
+      .select("query_id", "cent_id", "vb")
+    val scored = cand.join(codesEx, Seq("vb", "cent_id"))
+      .join(broadcast(table), Seq("query_id", "cent_id", "s", "code"))
+    val preselected = topKPerQuery(
+      scored.groupBy("query_id", "vb").agg(sum("pdist").as("adc_dist")),
+      topK * rerank, col("adc_dist"), col("vb"))
+      .select("query_id", "vb")
+    // exact integer refinement over the preselection (adcSearch tail)
+    val qDf = queryVecs.toSeq.toDF("query_id", "qa")
+      .withColumn("na", longArrayDot(col("qa"), col("qa")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("l2sq"), col("vb"))
+    preselected
+      .join(q.select(col("vec_id").as("vb"), col("q").as("qb"),
+        col("nq").as("nb")), Seq("vb"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("l2sq",
+        col("na") + col("nb") - lit(2L) * longArrayDot(col("qa"), col("qb")))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("l2sq"))
+  }
+
   /** The exploded `(vb, s, code)` PQ code table — the artifact a PQ
     * deployment PERSISTS (n·m tiny rows beside the codebook): encode
     * once, then every search is ADC lookups against the stored table.
@@ -750,6 +856,16 @@ object VectorOps {
       codes: Option[DataFrame] = None): DataFrame =
     recallAgainst(annTopKL2(emb, nQueries, k),
       annPq(emb, nQueries, k, trained = trained, codes = codes))
+
+  /** Recall@k of the RESIDUAL IVF-PQ index against the exact-L2
+    * baseline — the number that justifies residual encoding: same
+    * probe cost and code budget as [[annIvfPq]], higher fidelity
+    * codes. */
+  def annRecallIvfPqResidual(emb: DataFrame, nQueries: Int = 5,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 2,
+      rerank: Int = 4): DataFrame =
+    recallAgainst(annTopKL2(emb, nQueries, k),
+      annIvfPqResidual(emb, nQueries, k, nCells, nProbe, rerank = rerank))
 
   /** Recall@k of the composed IVF-PQ index against the same baseline.
     * `nProbe` is the recall/latency knob a deployment tunes with
