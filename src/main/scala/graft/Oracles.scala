@@ -3234,6 +3234,35 @@ object Oracles {
       |  $qualityScoreSql AS quality_score
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextPipeline.lengthBuckets]] at the
+    * default boundaries. */
+  def pipeLengthBuckets: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16
+      |         WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64
+      |         WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 256 THEN 256
+      |         ELSE -1 END AS bound
+      |  FROM t
+      |), agg AS (
+      |  SELECT bound, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |  FROM b GROUP BY bound
+      |)
+      |SELECT bound, n_docs, sum_tokens,
+      |  CASE WHEN bound > 0 THEN n_docs * bound ELSE sum_tokens END
+      |    AS padded_tokens,
+      |  1.0 - CAST(sum_tokens AS DOUBLE) /
+      |    CAST(CASE WHEN bound > 0 THEN n_docs * bound ELSE sum_tokens END
+      |      AS DOUBLE) AS waste_frac
+      |FROM agg ORDER BY bound""".stripMargin
+
   def pipeTokens: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -762,6 +762,9 @@ object SparkEntry {
     "pipe_quantiles" -> ((s, d) =>
       TextPipeline.lengthQuantiles(Tables.load(s, d, "documents"))
         .orderBy("source", "q")),
+    "pipe_length_buckets" -> ((s, d) =>
+      TextPipeline.lengthBuckets(Tables.load(s, d, "documents"))
+        .orderBy("bound")),
     // DSIR importance weights (hashed n-gram target/raw log-ratio) and
     // the CCNet-style bigram-LM quality score — the two model-based
     // data-selection filters of the published pretraining recipes
@@ -1252,6 +1255,7 @@ object SparkEntry {
     "pipe_dedup_keep_best" -> Oracles.pipeDedupKeepBest,
     "pipe_curate_full" -> Oracles.pipeCurateFull,
     "pipe_quantiles" -> Oracles.pipeQuantiles,
+    "pipe_length_buckets" -> Oracles.pipeLengthBuckets,
     "pipe_dsir" -> Oracles.pipeDsir,
     "pipe_lm_score" -> Oracles.pipeLmScore,
     "pipe_nb_lang" -> Oracles.pipeNbLang,

@@ -647,6 +647,29 @@ object TextPipeline {
         "doc_id")
   }
 
+  /** Sequence-length bucketing — the batching-efficiency report a
+    * training run reads before choosing bucket boundaries: each doc
+    * lands in the smallest boundary ≥ its whitespace token count
+    * (boundary −1 = overflow past the largest), and each bucket
+    * reports its padding waste if batches padded to the boundary
+    * (`1 − Σtokens / (n·boundary)`). One projection + one
+    * bounded-cardinality aggregate. */
+  def lengthBuckets(docs: DataFrame,
+      bounds: Seq[Int] = Seq(16, 32, 64, 128, 256)): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    val bucket = bounds.sorted.foldRight(lit(-1L): Column)((b, acc) =>
+      when(n <= b, lit(b.toLong)).otherwise(acc))
+    docs.select(col("doc_id"), n.as("n_tokens"), bucket.as("bound"))
+      .groupBy("bound")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .withColumn("padded_tokens",
+        when(col("bound") > 0, col("n_docs") * col("bound"))
+          .otherwise(col("sum_tokens")))
+      .withColumn("waste_frac",
+        lit(1.0) - col("sum_tokens").cast("double") /
+          col("padded_tokens").cast("double"))
+  }
+
   /** Per-source corpus profile — the training-data analogue of the
     * market tier's `data_overview`: document/byte/token volumes, the
     * language mix, and the exact-duplicate rate per source, in one
