@@ -128,4 +128,48 @@ class SearchPropertySpec extends AnyFunSuite {
       assert(got == want, s"dup_ngrams mismatch for $c")
     }
   }
+
+  /** Driver-side ExactSubstr model at L: positions whose L-gram occurs
+    * ≥ 2 times corpus-wide, merged into maximal touching spans, clean
+    * text rebuilt from the uncovered words. */
+  private def substrModel(c: Corpus, L: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    val words = c.docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, w) <- words; i <- 0 to w.length - L)
+      occ.updateWith(w.slice(i, i + L).mkString(" "))(
+        o => Some(o.getOrElse(0L) + 1))
+    words.map { case (id, w) =>
+      val pos = (0 to w.length - L)
+        .filter(i => occ(w.slice(i, i + L).mkString(" ")) >= 2)
+      val covered = pos.flatMap(p => p until p + L).toSet
+      // span count = islands of consecutive covered indices
+      val spans = covered.toVector.sorted.foldLeft(0 -> -10) {
+        case ((cnt, prev), i) =>
+          (if (i == prev + 1) cnt else cnt + 1) -> i
+      }._1
+      val clean = w.indices.filterNot(covered).map(w).mkString(" ")
+      id -> ((w.length.toLong, spans.toLong, covered.size.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    }.toMap
+  }
+
+  test("substringDedup equals the driver model on random corpora") {
+    // L = 3 on the 8-word alphabet: dense collisions, heavy overlap
+    val cases = (21 to 30).map(i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { c =>
+      import spark.implicits._
+      val docs = c.docs.toDF("doc_id", "text")
+      val want = substrModel(c, L = 3)
+      val got = TextPipeline.substringDedup(docs, L = 3)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_words"), r.getAs[Long]("dup_spans"),
+            r.getAs[Long]("dup_words"), r.getAs[String]("clean_md5"))))
+        .toMap
+      assert(got == want, s"substring_dedup mismatch for $c")
+    }
+  }
 }
