@@ -1620,6 +1620,105 @@ object Oracles {
       |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.exactDedupNormalized`: the identical
+    * strip → collapse → trim → lower normalization (ASCII-only before
+    * the case fold, so both engines' `lower` agree), then the
+    * [[pipeDedupExact]] window over the normalized hash. */
+  def pipeDedupNormalized: String =
+    """WITH nh AS (
+      |  SELECT doc_id, md5(lower(trim(regexp_replace(
+      |    regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g')))) AS norm_hash
+      |  FROM documents
+      |)
+      |SELECT doc_id, norm_hash,
+      |  MIN(doc_id) OVER (PARTITION BY norm_hash) AS keep_id,
+      |  COUNT(*) OVER (PARTITION BY norm_hash) AS group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS is_dup
+      |FROM nh ORDER BY doc_id""".stripMargin
+
+  /** Mirror of `TrainingData.stratifiedSample` (rate 1/5): the
+    * bucket-offset rank inside a stratum equals the plain window rank
+    * by (skey, doc_id) — bucket = key prefix, same argument as
+    * [[pipeShuffle]] — so the mirror IS the simple window. */
+  def pipeStratifiedSample: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, source, md5('strat#' || text) AS skey
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+      |      AS stratum_n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY skey, doc_id) AS BIGINT) AS rnk
+      |  FROM keyed
+      |)
+      |SELECT doc_id, lang, source, stratum_n, rnk,
+      |  (rnk - 1) * 5 < stratum_n * 1 AS kept
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Mirror of `TrainingData.mixTemperature` (T = 2): per-source
+    * `floor(1e6·sqrt(n/n_max))` ppm rate, per-doc draw = first 5 hex
+    * digits of md5('temp#'||text) mod 1e6 via strpos arithmetic. */
+  def pipeMixTemperature: String = {
+    val draw = (1 to 5).map { i =>
+      val p = math.pow(16, 5 - i).toLong
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * CAST($p AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH cnts AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+      |  FROM documents GROUP BY source
+      |), mx AS (SELECT MAX(n_source) AS n_max FROM cnts),
+      |rates AS (
+      |  SELECT source, n_source,
+      |    CAST(FLOOR(SQRT(CAST(n_source AS DOUBLE) / CAST(n_max AS DOUBLE))
+      |      * 1000000) AS BIGINT) AS rate_ppm
+      |  FROM cnts, mx
+      |), drawn AS (
+      |  SELECT doc_id, source, ($draw) % 1000000 AS draw FROM (
+      |    SELECT doc_id, source, md5('temp#' || text) AS h FROM documents
+      |  )
+      |)
+      |SELECT d.doc_id AS doc_id, d.source AS source, r.n_source AS n_source,
+      |  r.rate_ppm AS rate_ppm, d.draw AS draw, d.draw < r.rate_ppm AS kept
+      |FROM drawn d JOIN rates r ON r.source = d.source
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of `VectorOps.annTopKFiltered` (label = 0): the
+    * [[pipeAnnTopK]] chain with the candidate side pre-filtered to the
+    * predicate before ranking. */
+  def pipeAnnTopKFiltered: String = QuantEmbCte +
+    """, keep AS (
+      |  SELECT vec_id FROM embeddings WHERE label = 0
+      |), qd AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot
+      |  FROM ev q JOIN ev c
+      |    ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  WHERE c.vec_id IN (SELECT vec_id FROM keep)
+      |  GROUP BY q.vec_id, c.vec_id
+      |), cc AS (
+      |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd.vec_id
+      |), rr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cc
+      |)
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Mirror of `VectorOps.annIvfFiltered` (label = 0): the IVF chain
+    * with the label predicate thinning candidates inside the probed
+    * cells, before the exact re-rank. */
+  def pipeAnnIvfFiltered: String = IvfChain(candFilter =
+    "WHERE cand.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)") +
+    """
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** One hex half (8 nibbles) of an md5 column as a BIGINT — the
     * DuckDB spelling of Spark's `conv(substring(dig, start, 8), 16, 10)`. */
   private def hexHalf(start: Int): String =
@@ -2603,15 +2702,16 @@ object Oracles {
     * pipeAnnIvf and pipeAnnRecallIvf. `trained` prepends the Lloyd
     * training CTEs and makes the coarse stage read THEIR `cents`. */
   private def IvfChain(cells: String = "16",
-      trained: Boolean = false): String =
+      trained: Boolean = false, candFilter: String = ""): String =
     QuantEmbCte +
       (if (trained) IvfTrainCte(cells) else "") +
       IvfCoarseCte(cells, providedCents = trained) +
-    """, qd AS (
+    s""", qd AS (
       |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
       |  FROM cand
       |  JOIN ev a ON a.vec_id = query_id
       |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = a.i
+      |  ${candFilter}
       |  GROUP BY query_id, cand.vec_id
       |), cc AS (
       |  SELECT query_id, qd.vec_id, CAST(dot AS DOUBLE) /

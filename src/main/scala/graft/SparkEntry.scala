@@ -618,6 +618,21 @@ object SparkEntry {
     "pipe_dedup_exact" -> ((s, d) =>
       TextPipeline.exactDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // normalization-robust exact dedup: casing/punct/whitespace
+    // mutations hash together (the CCNet-style first stage)
+    "pipe_dedup_norm" -> ((s, d) =>
+      TextPipeline.exactDedupNormalized(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    // exact per-stratum quotas under a deterministic hash order —
+    // the per-(lang, source) bucket-offset rank construction
+    "pipe_stratified_sample" -> ((s, d) =>
+      pipeline.TrainingData.stratifiedSample(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    // temperature-scaled (T=2) source mixing: sqrt-rate ppm per
+    // source, deterministic per-doc draw
+    "pipe_mix_temperature" -> ((s, d) =>
+      pipeline.TrainingData.mixTemperature(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     "pipe_minhash" -> ((s, d) =>
       TextPipeline.minhashCandidates(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -662,6 +677,14 @@ object SparkEntry {
         .orderBy("vec_id")),
     "pipe_ann_topk" -> ((s, d) =>
       VectorOps.annTopK(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    // metadata-filtered search (pre-filter semantics): the exact
+    // baseline and the IVF path with the predicate inside the cells
+    "pipe_ann_topk_filtered" -> ((s, d) =>
+      VectorOps.annTopKFiltered(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    "pipe_ann_ivf_filtered" -> ((s, d) =>
+      VectorOps.annIvfFiltered(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
     "pipe_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(Tables.load(s, d, "embeddings"))
@@ -1194,6 +1217,11 @@ object SparkEntry {
     "pipe_index_probe" -> Oracles.pipeIndexProbe,
     "pipe_vocab" -> Oracles.pipeVocab,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
+    "pipe_dedup_norm" -> Oracles.pipeDedupNormalized,
+    "pipe_stratified_sample" -> Oracles.pipeStratifiedSample,
+    "pipe_mix_temperature" -> Oracles.pipeMixTemperature,
+    "pipe_ann_topk_filtered" -> Oracles.pipeAnnTopKFiltered,
+    "pipe_ann_ivf_filtered" -> Oracles.pipeAnnIvfFiltered,
     "pipe_minhash" -> Oracles.pipeMinhash,
     "pipe_dedup_clusters" -> Oracles.pipeDedupClusters,
     "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,

@@ -39,6 +39,31 @@ object TextPipeline {
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
+  /** Canonical text normalization for dedup robustness: strip
+    * everything outside `[A-Za-z0-9 ]` to a space, collapse space
+    * runs, trim, lowercase — in THAT order, so the lowercase step only
+    * ever sees ASCII (full-Unicode case folding is where engines
+    * disagree — İ/ß — and the one step this pipeline refuses to let
+    * the engine choose). Pure per-row expression work: no shuffle, no
+    * UDF, whole-stage-codegen'd. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(c, "[^A-Za-z0-9 ]", " "), " +", " ")))
+
+  /** [[exactDedup]] over the normalized text: catches the
+    * casing/punctuation/whitespace mutations of a shared document that
+    * byte-exact hashing misses (the first dedup stage CCNet/RefinedWeb
+    * style pipelines run before any fuzzy pass). Same shape and scale
+    * behavior as [[exactDedup]] — one hash-keyed shuffle. */
+  def exactDedupNormalized(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("norm_hash")
+    docs.select(col("doc_id"),
+        md5(normalizeText(col("text"))).as("norm_hash"))
+      .withColumn("keep_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
   /** MinHash + LSH near-duplicate candidates: k hash functions in
     * bands of r rows; docs sharing a full band collide. The signature
     * is built with portable primitives (min of keyed md5 per shingle)

@@ -173,6 +173,78 @@ object TrainingData {
       .withColumn("kept", col("bucket") * 2 * wMax < col("weight") * 1000)
   }
 
+  /** Exact stratified sampling: every (lang, source) stratum keeps its
+    * first `ceil(n·rateNum/rateDen)` documents under a deterministic
+    * content-hash order — per-stratum quotas are met EXACTLY (a
+    * Bernoulli rate only meets them in expectation, which at small or
+    * skewed strata over/under-samples the very classes stratification
+    * exists to protect). Scale shape: the rank inside a stratum is the
+    * [[shuffleOrder]] bucket-offset construction scoped per stratum —
+    * partition by (stratum, 12-bit hash-prefix bucket), cumulate the
+    * per-stratum bucket counts in a tiny window, rank within buckets —
+    * so a viral stratum spreads over ≤4096 parallel tasks instead of
+    * serializing through one window partition. Integer-exact keep rule:
+    * `(rnk−1)·rateDen < n·rateNum ⇔ rnk ≤ ceil(n·rateNum/rateDen)`. */
+  def stratifiedSample(docs: DataFrame, rateNum: Int = 1,
+      rateDen: Int = 5): DataFrame = {
+    require(rateNum >= 0 && rateDen >= 1, "rate = rateNum/rateDen in [0,..]")
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit("strat#"), col("text"))).as("skey"))
+      .withColumn("bucket",
+        expr("conv(substring(skey, 1, 3), 16, 10)").cast("long"))
+    val wStr = Window.partitionBy("lang", "source").orderBy("bucket")
+    val offsets = keyed.groupBy("lang", "source", "bucket").count()
+      .withColumn("bucket_offset",
+        coalesce(sum("count").over(
+          wStr.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("stratum_n",
+        sum("count").over(wStr.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("lang", "source", "bucket", "bucket_offset", "stratum_n")
+    val wIn = Window.partitionBy("lang", "source", "bucket")
+      .orderBy("skey", "doc_id")
+    keyed.join(broadcast(offsets), Seq("lang", "source", "bucket"))
+      .withColumn("rnk",
+        (col("bucket_offset") + row_number().over(wIn)).cast("long"))
+      .withColumn("kept",
+        (col("rnk") - 1) * rateDen < col("stratum_n") * rateNum)
+      .select("doc_id", "lang", "source", "stratum_n", "rnk", "kept")
+  }
+
+  /** Temperature-scaled source mixing (T = 2, the multilingual-mix
+    * standard): each source's sampling rate is `sqrt(n_source/n_max)`
+    * — up-weights the tail relative to proportional sampling while
+    * keeping the head's order. The rate is materialized as an exact
+    * ppm integer (`floor(1e6·sqrt(n/n_max))` — sqrt and one multiply
+    * are single IEEE-754-correctly-rounded ops, bit-identical on any
+    * engine) and each document draws a deterministic content-hash
+    * value in [0, 1e6): `kept ⇔ draw < rate_ppm`. Per-source counts
+    * are one tiny aggregate broadcast back onto the corpus; the
+    * decision is per-row expression work — no second shuffle. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    // value of the first 5 hex digits of md5("temp#"||text), mod 1e6 —
+    // locate-arithmetic (no hex parsing) so any engine reproduces it
+    val hexDraw = (1 to 5).map { i =>
+      val p = math.pow(16, 5 - i).toLong
+      s"(locate(substring(draw_hash, $i, 1), '0123456789abcdef') - 1) * ${p}L"
+    }.mkString(" + ")
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_source"))
+    val nMax = counts.agg(max("n_source").as("n_max"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .withColumn("rate_ppm",
+        floor(sqrt(col("n_source").cast("double") /
+          col("n_max").cast("double")) * 1e6).cast("long"))
+      .select("source", "n_source", "rate_ppm")
+    docs.select(col("doc_id"), col("source"),
+        md5(concat(lit("temp#"), col("text"))).as("draw_hash"))
+      .withColumn("draw", expr(s"($hexDraw) % 1000000").cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        col("rate_ppm"), col("draw"),
+        (col("draw") < col("rate_ppm")).as("kept"))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Greedy sequence packing: documents are dealt into `nShards` shards

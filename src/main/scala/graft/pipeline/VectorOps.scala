@@ -246,6 +246,31 @@ object VectorOps {
   def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
     bruteTopK(emb, nQueries, k, cosine, ascending = false, "cos")
 
+  /** FILTERED exact top-k: candidates restricted to `label = labelEq`
+    * before ranking — the metadata-predicate search shape every
+    * production vector store exposes (pre-filter semantics: the k
+    * results all satisfy the predicate, never a post-hoc thinning of
+    * an unfiltered top-k that can return < k rows). The filter lands
+    * on the candidate scan side, so the scored space shrinks BEFORE
+    * the O(n) dot-product pass; ranking is the same two-stage salted
+    * [[topKPerQuery]]. The exact baseline [[annIvfFiltered]] is
+    * validated against. */
+  def annTopKFiltered(emb: DataFrame, labelEq: Int = 0,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val queries = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("nq").as("na"))
+    val cands = quantized(emb.filter(col("label") === labelEq))
+      .select(col("vec_id").as("vb"), col("q").as("qb"), col("nq").as("nb"))
+    val scored = broadcast(queries)
+      .join(cands, col("query_id") =!= col("vb"))
+      .withColumn("cos", cosine)
+    topKPerQuery(scored, k, col("cos").desc, col("vb"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("cos"))
+  }
+
   /** Collection-size-scaled hyperplane count: enough bits that the
     * expected bucket holds ~`targetBucket` vectors (fixed bits ⇒ bucket
     * size n/2^bits, quadratic probe cost at corpus scale). Never below
@@ -360,6 +385,31 @@ object VectorOps {
     val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe,
       trained)
     val scored = probes.join(assign, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vb"))
+      .withColumn("cos", cosine)
+    topKPerQuery(scored, k, col("cos").desc, col("vb"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("cos"))
+  }
+
+  /** FILTERED IVF search: the coarse quantizer bounds the scan to the
+    * probed cells, then the `label = labelEq` predicate thins the
+    * candidate list INSIDE those cells before the exact re-rank —
+    * pre-filter semantics over the inverted-file layout (the k
+    * results all satisfy the predicate; missing true neighbors cost
+    * recall exactly as in the unfiltered index, never correctness of
+    * the predicate). The semi-join against the label-filtered id set
+    * stands in for what a deployed index stores inline: a label column
+    * in the posting list, where this filter is a scan-side predicate
+    * pruned before the dot products (same plan shape — the semi join
+    * keys on the id the assignment is already partitioned by). */
+  def annIvfFiltered(emb: DataFrame, labelEq: Int = 0, nQueries: Int = 5,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val (assign, probes) = coarseCells(emb, nQueries, nCells, nProbe, None)
+    val keep = emb.filter(col("label") === labelEq)
+      .select(col("vec_id").as("vb"))
+    val scored = probes
+      .join(assign.join(keep, Seq("vb"), "left_semi"), Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos", cosine)
     topKPerQuery(scored, k, col("cos").desc, col("vb"))

@@ -49,6 +49,27 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(3)._4.isNaN)
   }
 
+  test("exactDedupNormalized unifies casing/punct/whitespace mutations") {
+    val d = docs(
+      (1L, "Hello,  WORLD!!"),
+      (2L, "hello world"),
+      (3L, "hello world."),
+      (4L, "a different document"))
+    val rows = TextPipeline.exactDedupNormalized(d)
+      .orderBy("doc_id").collect()
+    // docs 1-3 normalize to "hello world": one group, keeper = 1
+    assert(rows.take(3).forall(_.getAs[Long]("keep_id") == 1L))
+    assert(rows.take(3).forall(_.getAs[Long]("group_size") == 3L))
+    assert(!rows(0).getAs[Boolean]("is_dup"))
+    assert(rows(1).getAs[Boolean]("is_dup"))
+    assert(rows(2).getAs[Boolean]("is_dup"))
+    assert(rows(3).getAs[Long]("group_size") == 1L)
+    // byte-exact dedup sees three distinct docs — the normalization
+    // stage exists precisely to close that gap
+    val exact = TextPipeline.exactDedup(d).collect()
+    assert(exact.count(!_.getAs[Boolean]("is_dup")) == 4)
+  }
+
   test("bm25TopK scores the single-term textbook case exactly") {
     // N=2, df=1, tf=1, dl=avgdl=2 → the length norm cancels and
     // score = ln(1 + 1.5/1.5) = ln 2 exactly; nano-rounded.

@@ -124,6 +124,75 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample meets every stratum quota exactly") {
+    // stratum (en, a): 7 docs → ceil(7/5) = 2 kept; (de, b): 3 → 1;
+    // (en, c): 1 → 1. Quotas are exact, not in-expectation.
+    val d = ((1L to 7L).map(i => (i, "en", "a", s"text $i")) ++
+      (8L to 10L).map(i => (i, "de", "b", s"text $i")) :+
+      ((11L, "en", "c", "solo")))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TrainingData.stratifiedSample(d, rateNum = 1, rateDen = 5)
+      .collect()
+    val byStr = r.groupBy(x => (x.getString(1), x.getString(2)))
+    assert(byStr(("en", "a")).count(_.getBoolean(5)) === 2)
+    assert(byStr(("de", "b")).count(_.getBoolean(5)) === 1)
+    assert(byStr(("en", "c")).count(_.getBoolean(5)) === 1)
+    // ranks are a dense 1..n permutation inside each stratum, and the
+    // kept set is exactly the lowest ranks (deterministic hash order)
+    byStr.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getLong(4)).sorted
+      assert(ranks === (1L to rows.length).toArray)
+      val keptMax = rows.filter(_.getBoolean(5)).map(_.getLong(4)).max
+      val dropMin = rows.filterNot(_.getBoolean(5)).map(_.getLong(4))
+        .minOption.getOrElse(Long.MaxValue)
+      assert(keptMax < dropMin)
+    }
+  }
+
+  test("mixTemperature: sqrt rates, head source fully kept") {
+    // srcA n=4 (head): rate = 1e6, every draw < 1e6 → all kept;
+    // srcB n=1: rate = floor(1e6·sqrt(1/4)) = 500000.
+    val d = ((1L to 4L).map(i => (i, "srcA", s"text $i")) :+
+      ((5L, "srcB", "tail text"))).toDF("doc_id", "source", "text")
+    val r = TrainingData.mixTemperature(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert((1L to 4L).forall(i => r(i).getAs[Long]("rate_ppm") == 1000000L))
+    assert((1L to 4L).forall(i => r(i).getAs[Boolean]("kept")))
+    assert(r(5L).getAs[Long]("rate_ppm") == 500000L)
+    r.values.foreach { x =>
+      val draw = x.getAs[Long]("draw")
+      assert(draw >= 0L && draw < 1000000L)
+      assert(x.getAs[Boolean]("kept") === (draw < x.getAs[Long]("rate_ppm")))
+    }
+  }
+
+  test("filtered ANN returns only predicate-satisfying neighbors, k deep") {
+    import graft.pipeline.VectorOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val zeroIds = emb.filter(col("label") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = VectorOps.annTopKFiltered(emb, labelEq = 0).collect()
+    assert(brute.nonEmpty)
+    assert(brute.forall(r => zeroIds(r.getAs[Long]("vec_id"))))
+    // dense 1..k ranks per query (pre-filter semantics: k real results)
+    brute.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted ===
+        (1L to rows.length).toArray)
+      val cs = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val ivf = VectorOps.annIvfFiltered(emb, labelEq = 0).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => zeroIds(r.getAs[Long]("vec_id"))))
+    // IVF results under the same predicate can only come from probed
+    // cells — every (query, neighbor) it returns must appear in the
+    // exhaustive filtered ranking's candidate domain
+    val bruteSet = brute.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val top5 = brute.filter(_.getAs[Long]("rnk") <= 5L)
+    assert(ivf.count(r => bruteSet((r.getLong(0), r.getAs[Long]("vec_id"))))
+      >= top5.length / 2) // recall sanity floor at this tiny sf
+  }
+
   test("sourceMix keeps higher-weight sources at twice the rate bound") {
     val d = Seq((1L, "srcA", "x"), (2L, "src3", "y"), (3L, "src15", "z"))
       .toDF("doc_id", "source", "text")
