@@ -2567,11 +2567,12 @@ object Oracles {
 
   /** The exact top-k chain (`qd_e`/`cc_e`/`rr_e`), shared by the two
     * recall oracles. Expects `ev`/`nrm` from [[QuantEmbCte]]. */
-  private def ExactChainE: String =
-    """, qd_e AS (
+  private def ExactChainE(candFilter: String = ""): String =
+    s""", qd_e AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.q * c.q) AS dot
       |  FROM ev q JOIN ev c
       |    ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  ${candFilter}
       |  GROUP BY q.vec_id, c.vec_id
       |), cc_e AS (
       |  SELECT query_id, qd_e.vec_id, CAST(dot AS DOUBLE) /
@@ -2601,7 +2602,7 @@ object Oracles {
   /** Mirror of `VectorOps.annRecall`: exact top-5 and LSH top-5 both
     * recomputed (the same chains as pipeAnnTopK / pipeAnnLsh, renamed),
     * then recall = |exact ∩ approx| / |exact| per query. */
-  def pipeAnnRecall: String = QuantEmbCte + ExactChainE +
+  def pipeAnnRecall: String = QuantEmbCte + ExactChainE() +
     """, nb AS (
       |  SELECT GREATEST(6, CAST(LENGTH(BIN(GREATEST(COUNT(*) // 16, 1) - 1))
       |    AS BIGINT)) AS bits
@@ -2639,7 +2640,16 @@ object Oracles {
 
   /** Mirror of `VectorOps.annRecallIvf`: the IVF chain (as pipeAnnIvf)
     * joined against the shared exact top-5. */
-  def pipeAnnRecallIvf: String = IvfChain() + ExactChainE + RecallSelect("rr")
+  def pipeAnnRecallIvf: String = IvfChain() + ExactChainE() + RecallSelect("rr")
+
+  /** Mirror of `VectorOps.annRecallIvfFiltered` (label = 0): both the
+    * IVF chain and the exact chain carry the SAME candidate predicate,
+    * so the recall isolates the coarse quantizer's loss. */
+  def pipeAnnRecallIvfFiltered: String = {
+    val f = "WHERE cand.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)"
+    val fe = "WHERE c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)"
+    IvfChain(candFilter = f) + ExactChainE(fe) + RecallSelect("rr")
+  }
 
   /** Mirror of `TrainingData.shuffleOrder`: the bucket-offset rank
     * equals the plain global rank (bucket = key prefix). */
@@ -2815,7 +2825,7 @@ object Oracles {
 
   /** Mirror of `VectorOps.annRecallIvfKmeans`. */
   def pipeAnnRecallIvfKmeans: String =
-    IvfChain(trained = true) + ExactChainE + RecallSelect("rr")
+    IvfChain(trained = true) + ExactChainE() + RecallSelect("rr")
 
   private def IvfCoarseCte(cells: String = "16",
       providedCents: Boolean = false): String =

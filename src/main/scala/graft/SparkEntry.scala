@@ -686,6 +686,9 @@ object SparkEntry {
     "pipe_ann_ivf_filtered" -> ((s, d) =>
       VectorOps.annIvfFiltered(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
+    "pipe_ann_recall_filtered" -> ((s, d) =>
+      VectorOps.annRecallIvfFiltered(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id")),
     "pipe_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
@@ -1222,6 +1225,7 @@ object SparkEntry {
     "pipe_mix_temperature" -> Oracles.pipeMixTemperature,
     "pipe_ann_topk_filtered" -> Oracles.pipeAnnTopKFiltered,
     "pipe_ann_ivf_filtered" -> Oracles.pipeAnnIvfFiltered,
+    "pipe_ann_recall_filtered" -> Oracles.pipeAnnRecallIvfFiltered,
     "pipe_minhash" -> Oracles.pipeMinhash,
     "pipe_dedup_clusters" -> Oracles.pipeDedupClusters,
     "pipe_ngram_jaccard" -> Oracles.pipeNgramJaccard,

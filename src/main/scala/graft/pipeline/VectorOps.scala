@@ -537,6 +537,16 @@ object VectorOps {
   def annRecallIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame =
     recallAgainstExact(emb, annIvf(emb, nQueries, k), nQueries, k)
 
+  /** Recall of [[annIvfFiltered]] against the FILTERED exact baseline
+    * — the comparison that matters for predicate search: both sides
+    * rank the same (label-restricted) ground-truth set, so the number
+    * isolates what the coarse quantizer loses, not what the filter
+    * removes. */
+  def annRecallIvfFiltered(emb: DataFrame, labelEq: Int = 0,
+      nQueries: Int = 5, k: Int = 5): DataFrame =
+    recallAgainst(annTopKFiltered(emb, labelEq, nQueries, k),
+      annIvfFiltered(emb, labelEq, nQueries, k))
+
   /** Shared harness: |exact ∩ approx| / |exact| per query for ANY
     * approximate result in the (query_id, vec_id) shape — the way a
     * new index variant gets admitted (measure on a sample, compare,
