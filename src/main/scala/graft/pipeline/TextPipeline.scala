@@ -557,6 +557,24 @@ object TextPipeline {
   /** Deterministic content-hash train/val/test split (80/10/10): the
     * bucket comes from md5 so the assignment is stable under
     * re-partitioning, re-ordering and re-runs. */
+  /** Cross-split contamination report: near-duplicate candidate pairs
+    * (MinHash+LSH, the same family the dedup path trusts) whose two
+    * members land in DIFFERENT train/val/test splits — the leakage a
+    * held-out evaluation silently inflates on. Composes two
+    * oracle-checked stages; the split join keys on the doc ids the
+    * candidate join already produced, and leakage pairs are rare at
+    * any scale, so the joins dominate nothing. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val sp = splitAssign(docs).select(col("doc_id"), col("split"))
+    minhashCandidates(docs)
+      .join(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+  }
+
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       ((ascii(substring(md5(col("text")), 1, 1)) * 256 +

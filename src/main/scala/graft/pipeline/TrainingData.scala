@@ -298,6 +298,25 @@ object TrainingData {
       .toDF()
   }
 
+  /** Packing-efficiency report: per shard, how many bins the first-fit
+    * pass produced and how full they are — the number a training run
+    * actually pays for (waste tokens = padded positions the forward
+    * pass computes and the loss masks). All-integer outputs
+    * (`fill_ppm = total·1e6 div (bins·capacity)`) so the report is
+    * engine-exact; one aggregation over [[packSequences]], keyed on
+    * the shard the packer already partitioned by. */
+  def packStats(docs: DataFrame, spark: SparkSession,
+      capacity: Long = 256, nShards: Int = 16): DataFrame =
+    packSequences(docs, spark, capacity, nShards)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        max("bin_no").as("n_bins"),
+        sum("toks").as("total_toks"))
+      .withColumn("waste_toks",
+        col("n_bins") * capacity - col("total_toks"))
+      .withColumn("fill_ppm",
+        expr(s"total_toks * 1000000 div (n_bins * $capacity)"))
+
   // ------------------------------------------------------------ BPE training
 
   /** Greedy-leftmost application of one merge to a symbol sequence. */
