@@ -1658,8 +1658,9 @@ object Oracles {
       |FROM r ORDER BY doc_id""".stripMargin
 
   /** Mirror of `TrainingData.mixTemperature` (T = 2): per-source
-    * `floor(1e6·sqrt(n/n_max))` ppm rate, per-doc draw = first 5 hex
-    * digits of md5('temp#'||text) mod 1e6 via strpos arithmetic. */
+    * `floor(2^20·sqrt(n/n_max))` parts-per-2^20 rate, per-doc draw =
+    * the raw value of the first 5 hex digits of md5('temp#'||text)
+    * (uniform on [0, 2^20), NO modulo) via strpos arithmetic. */
   def pipeMixTemperature: String = {
     val draw = (1 to 5).map { i =>
       val p = math.pow(16, 5 - i).toLong
@@ -1672,15 +1673,15 @@ object Oracles {
       |rates AS (
       |  SELECT source, n_source,
       |    CAST(FLOOR(SQRT(CAST(n_source AS DOUBLE) / CAST(n_max AS DOUBLE))
-      |      * 1000000) AS BIGINT) AS rate_ppm
+      |      * 1048576) AS BIGINT) AS rate_p20
       |  FROM cnts, mx
       |), drawn AS (
-      |  SELECT doc_id, source, ($draw) % 1000000 AS draw FROM (
+      |  SELECT doc_id, source, $draw AS draw FROM (
       |    SELECT doc_id, source, md5('temp#' || text) AS h FROM documents
       |  )
       |)
       |SELECT d.doc_id AS doc_id, d.source AS source, r.n_source AS n_source,
-      |  r.rate_ppm AS rate_ppm, d.draw AS draw, d.draw < r.rate_ppm AS kept
+      |  r.rate_p20 AS rate_p20, d.draw AS draw, d.draw < r.rate_p20 AS kept
       |FROM drawn d JOIN rates r ON r.source = d.source
       |ORDER BY doc_id""".stripMargin
   }
@@ -1765,6 +1766,30 @@ object Oracles {
       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |FROM bnd a JOIN bnd c
       |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Mirror of `TextPipeline.splitLeakage`: the [[pipeMinhash]]
+    * candidate pairs joined with the [[pipeSplit]] assignment on both
+    * members, keeping only cross-split pairs. */
+  def pipeSplitLeakage: String = DocShinglesCte + MinhashHhBnd +
+    """, cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (ascii(substr(md5(text), 1, 1)) * 256 +
+      |        ascii(substr(md5(text), 2, 1))) % 100 < 80 THEN 'train'
+      |      WHEN (ascii(substr(md5(text), 1, 1)) * 256 +
+      |        ascii(substr(md5(text), 2, 1))) % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+      |FROM cand
+      |JOIN sp sa ON sa.doc_id = doc_a
+      |JOIN sp sb ON sb.doc_id = doc_b
+      |WHERE sa.split <> sb.split
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Mirror of `TextPipeline.dedupClusters` over the MinHash candidate
@@ -4060,7 +4085,29 @@ object Oracles {
       |  bucket * 4 < weight * 1000 AS kept
       |FROM m ORDER BY doc_id""".stripMargin
 
-  def pipePack(nShards: Int = 16, capacity: Long = 256): String = {
+  def pipePack(nShards: Int = 16, capacity: Long = 256): String =
+    packChain(nShards, capacity) +
+      """
+        |SELECT shard, doc_id, pos, toks, bin_no, bin_offset FROM rp
+        |ORDER BY shard, pos""".stripMargin
+
+  /** Mirror of `TrainingData.packStats`: one GROUP BY over the
+    * [[pipePack]] recursion — bin count = max bin_no (bins are 1-based
+    * and dense within a shard), waste = bins·capacity − Σtoks,
+    * fill_ppm in integer division so the report is engine-exact. */
+  def pipePackStats(nShards: Int = 16, capacity: Long = 256): String =
+    packChain(nShards, capacity) +
+      s"""
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MAX(bin_no) AS n_bins, SUM(toks) AS total_toks,
+        |  MAX(bin_no) * $capacity - SUM(toks) AS waste_toks,
+        |  SUM(toks) * 1000000 // (MAX(bin_no) * $capacity) AS fill_ppm
+        |FROM rp GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** The first-fit packing recursion (`rp(shard, doc_id, pos, toks,
+    * bin_no, bin_offset, fill)`), shared by [[pipePack]] and
+    * [[pipePackStats]] — mirrors `TrainingData.packSequences`. */
+  private def packChain(nShards: Int, capacity: Long): String = {
     val hexPrefix = (1 to 4).map { i =>
       val p = math.pow(16, 4 - i).toLong
       s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * $p"
@@ -4084,9 +4131,7 @@ object Oracles {
       |    CASE WHEN rp.fill + o.toks > $capacity THEN 0 ELSE rp.fill END,
       |    CASE WHEN rp.fill + o.toks > $capacity THEN o.toks ELSE rp.fill + o.toks END
       |  FROM rp JOIN o ON o.shard = rp.shard AND o.pos = rp.pos + 1
-      |)
-      |SELECT shard, doc_id, pos, toks, bin_no, bin_offset FROM rp
-      |ORDER BY shard, pos""".stripMargin
+      |)""".stripMargin
   }
 
   /** The BPE training CTE chain: word-frequency dictionary,

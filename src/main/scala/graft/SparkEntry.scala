@@ -880,6 +880,16 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("doc_id"),
           col("pos"), col("toks"), col("bin_no"), col("bin_offset"))
         .orderBy("shard", "pos")),
+    // packing-efficiency report: per-shard bin count / fill / waste —
+    // the padded-token cost a training run actually pays
+    "pipe_pack_stats" -> ((s, d) =>
+      pipeline.TrainingData.packStats(Tables.load(s, d, "documents"), s)
+        .orderBy("shard")),
+    // cross-split leakage: MinHash near-dup candidate pairs straddling
+    // the train/val/test assignment
+    "pipe_split_leakage" -> ((s, d) =>
+      TextPipeline.splitLeakage(Tables.load(s, d, "documents"))
+        .orderBy("doc_a", "doc_b")),
     "pipe_bpe" -> ((s, d) =>
       trainedBpe(s, d).orderBy("merge_no")),
     "pipe_bpe_tokens" -> ((s, d) =>
@@ -1273,6 +1283,8 @@ object SparkEntry {
     "pipe_source_mix" -> Oracles.pipeSourceMix,
     "pipe_pack" -> Oracles.pipePack(),
     "pipe_pack64" -> Oracles.pipePack(nShards = 64),
+    "pipe_pack_stats" -> Oracles.pipePackStats(),
+    "pipe_split_leakage" -> Oracles.pipeSplitLeakage,
     "pipe_bpe" -> Oracles.pipeBpe(),
     "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
     "pipe_bpe_encode" -> Oracles.pipeBpeEncode(),

@@ -557,6 +557,16 @@ object TextPipeline {
   /** Deterministic content-hash train/val/test split (80/10/10): the
     * bucket comes from md5 so the assignment is stable under
     * re-partitioning, re-ordering and re-runs. */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      ((ascii(substring(md5(col("text")), 1, 1)) * 256 +
+        ascii(substring(md5(col("text")), 2, 1))) % 100).cast("long")
+        .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
   /** Cross-split contamination report: near-duplicate candidate pairs
     * (MinHash+LSH, the same family the dedup path trusts) whose two
     * members land in DIFFERENT train/val/test splits — the leakage a
@@ -574,16 +584,6 @@ object TextPipeline {
       .filter(col("split_a") =!= col("split_b"))
       .select("doc_a", "doc_b", "split_a", "split_b")
   }
-
-  def splitAssign(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      ((ascii(substring(md5(col("text")), 1, 1)) * 256 +
-        ascii(substring(md5(col("text")), 2, 1))) % 100).cast("long")
-        .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
 
   /** End-to-end curation — the composition a training-data pipeline
     * actually runs, as one job: quality gate → exact dedup → near-dup

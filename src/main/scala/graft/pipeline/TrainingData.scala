@@ -203,7 +203,12 @@ object TrainingData {
       .select("lang", "source", "bucket", "bucket_offset", "stratum_n")
     val wIn = Window.partitionBy("lang", "source", "bucket")
       .orderBy("skey", "doc_id")
-    keyed.join(broadcast(offsets), Seq("lang", "source", "bucket"))
+    // no broadcast hint: `offsets` carries up to (#strata × 4096) rows
+    // — unbounded in the stratum cardinality, unlike shuffleOrder's
+    // fixed ≤4096-row table — and the join key IS the window partition
+    // key, so the shuffle is reused anyway; AQE still broadcasts when
+    // the runtime size happens to be small
+    keyed.join(offsets, Seq("lang", "source", "bucket"))
       .withColumn("rnk",
         (col("bucket_offset") + row_number().over(wIn)).cast("long"))
       .withColumn("kept",
@@ -215,15 +220,22 @@ object TrainingData {
     * standard): each source's sampling rate is `sqrt(n_source/n_max)`
     * — up-weights the tail relative to proportional sampling while
     * keeping the head's order. The rate is materialized as an exact
-    * ppm integer (`floor(1e6·sqrt(n/n_max))` — sqrt and one multiply
-    * are single IEEE-754-correctly-rounded ops, bit-identical on any
-    * engine) and each document draws a deterministic content-hash
-    * value in [0, 1e6): `kept ⇔ draw < rate_ppm`. Per-source counts
-    * are one tiny aggregate broadcast back onto the corpus; the
-    * decision is per-row expression work — no second shuffle. */
+    * parts-per-2²⁰ integer (`floor(2²⁰·sqrt(n/n_max))` — sqrt and one
+    * multiply are single IEEE-754-correctly-rounded ops, bit-identical
+    * on any engine) and each document draws a deterministic
+    * content-hash value in [0, 2²⁰): the raw value of md5's first five
+    * hex digits, compared with NO modulo — a `% 1e6` here would fold
+    * draws 1e6..2²⁰−1 back onto 0..48575, doubling those draws'
+    * frequency and silently doubling the keep rate of exactly the tail
+    * sources (rate < 48576/2²⁰) the temperature law exists to protect.
+    * `kept ⇔ draw < rate_p20`; the head source (rate = 2²⁰) keeps
+    * everything since every draw is < 2²⁰. Per-source counts are one
+    * tiny aggregate broadcast back onto the corpus; the decision is
+    * per-row expression work — no second shuffle. */
   def mixTemperature(docs: DataFrame): DataFrame = {
-    // value of the first 5 hex digits of md5("temp#"||text), mod 1e6 —
-    // locate-arithmetic (no hex parsing) so any engine reproduces it
+    // value of the first 5 hex digits of md5("temp#"||text), uniform
+    // on [0, 16^5) — locate-arithmetic (no hex parsing) so any engine
+    // reproduces it
     val hexDraw = (1 to 5).map { i =>
       val p = math.pow(16, 5 - i).toLong
       s"(locate(substring(draw_hash, $i, 1), '0123456789abcdef') - 1) * ${p}L"
@@ -232,17 +244,17 @@ object TrainingData {
       .agg(count(lit(1)).as("n_source"))
     val nMax = counts.agg(max("n_source").as("n_max"))
     val rates = counts.crossJoin(broadcast(nMax))
-      .withColumn("rate_ppm",
+      .withColumn("rate_p20",
         floor(sqrt(col("n_source").cast("double") /
-          col("n_max").cast("double")) * 1e6).cast("long"))
-      .select("source", "n_source", "rate_ppm")
+          col("n_max").cast("double")) * (1L << 20)).cast("long"))
+      .select("source", "n_source", "rate_p20")
     docs.select(col("doc_id"), col("source"),
         md5(concat(lit("temp#"), col("text"))).as("draw_hash"))
-      .withColumn("draw", expr(s"($hexDraw) % 1000000").cast("long"))
+      .withColumn("draw", expr(s"$hexDraw").cast("long"))
       .join(broadcast(rates), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_source"),
-        col("rate_ppm"), col("draw"),
-        (col("draw") < col("rate_ppm")).as("kept"))
+        col("rate_p20"), col("draw"),
+        (col("draw") < col("rate_p20")).as("kept"))
   }
 
   // ------------------------------------------------------ sequence packing

@@ -150,20 +150,61 @@ class TrainingDataSpec extends AnyFunSuite {
   }
 
   test("mixTemperature: sqrt rates, head source fully kept") {
-    // srcA n=4 (head): rate = 1e6, every draw < 1e6 → all kept;
-    // srcB n=1: rate = floor(1e6·sqrt(1/4)) = 500000.
+    // srcA n=4 (head): rate = 2^20, every draw < 2^20 → all kept;
+    // srcB n=1: rate = floor(2^20·sqrt(1/4)) = 524288. The draw is the
+    // RAW 5-hex-digit value — a modulo fold here would double the keep
+    // rate of tail sources with rate below 16^5 − 10^6 = 48576.
     val d = ((1L to 4L).map(i => (i, "srcA", s"text $i")) :+
       ((5L, "srcB", "tail text"))).toDF("doc_id", "source", "text")
     val r = TrainingData.mixTemperature(d).collect()
       .map(x => x.getLong(0) -> x).toMap
-    assert((1L to 4L).forall(i => r(i).getAs[Long]("rate_ppm") == 1000000L))
+    assert((1L to 4L).forall(i => r(i).getAs[Long]("rate_p20") == 1048576L))
     assert((1L to 4L).forall(i => r(i).getAs[Boolean]("kept")))
-    assert(r(5L).getAs[Long]("rate_ppm") == 500000L)
+    assert(r(5L).getAs[Long]("rate_p20") == 524288L)
     r.values.foreach { x =>
       val draw = x.getAs[Long]("draw")
-      assert(draw >= 0L && draw < 1000000L)
-      assert(x.getAs[Boolean]("kept") === (draw < x.getAs[Long]("rate_ppm")))
+      assert(draw >= 0L && draw < 1048576L)
+      assert(x.getAs[Boolean]("kept") === (draw < x.getAs[Long]("rate_p20")))
     }
+  }
+
+  test("packStats agrees with a driver-side fold of packSequences") {
+    val d = docs((1 to 200).map(i =>
+      (i.toLong, (1 to (i % 97 + 3)).map(_ => "tok").mkString(" "))): _*)
+    val packed = TrainingData.packSequences(d, spark, capacity = 128)
+      .collect()
+    val stats = TrainingData.packStats(d, spark, capacity = 128)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    packed.groupBy(_.getAs[Int]("shard").toLong).foreach { case (sh, rows) =>
+      val s = stats(sh)
+      assert(s.getAs[Long]("n_docs") == rows.length)
+      val bins = rows.map(_.getAs[Long]("bin_no")).max
+      val toks = rows.map(_.getAs[Long]("toks")).sum
+      assert(s.getAs[Long]("n_bins") == bins)
+      assert(s.getAs[Long]("total_toks") == toks)
+      assert(s.getAs[Long]("waste_toks") == bins * 128 - toks)
+      assert(s.getAs[Long]("fill_ppm") == toks * 1000000L / (bins * 128))
+    }
+    assert(stats.keySet == packed.map(_.getAs[Int]("shard").toLong).toSet)
+  }
+
+  test("splitLeakage reports exactly the cross-split candidate pairs") {
+    import graft.pipeline.TextPipeline
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cand = TextPipeline.minhashCandidates(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = TextPipeline.splitAssign(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val leak = TextPipeline.splitLeakage(d).collect()
+    leak.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(cand((a, b)), s"($a,$b) not a near-dup candidate")
+      assert(r.getString(2) == split(a) && r.getString(3) == split(b))
+      assert(r.getString(2) != r.getString(3))
+    }
+    // completeness: every cross-split candidate pair is reported
+    val expected = cand.filter { case (a, b) => split(a) != split(b) }
+    assert(leak.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
   test("filtered ANN returns only predicate-satisfying neighbors, k deep") {
