@@ -737,6 +737,14 @@ object SparkEntry {
       VectorOps.annRecallIvfKmeans(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("query_id")),
+    // ONLINE retrieval over the persisted index: a query-vector stream
+    // probes the stored IVF assignment via one stream-static join;
+    // emissions equal the batch kmeans-IVF rows (same mirror)
+    "pipe_ann_probe_stream" -> ((s, d) =>
+      streaming.StreamingOps.annProbeReplay(
+          Tables.load(s, d, "embeddings"), s, trainedIvf(s, d),
+          ivfIndex(s, d))
+        .orderBy("query_id", "rnk")),
     // the FULLY-composed deployment index: k-means-trained coarse
     // cells bound the scan, stored PQ codes bound the memory, exact
     // re-rank bounds the error — all three artifacts prebuilt
@@ -970,6 +978,23 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  /** Build-once memo for the stored IVF index (per data dir): the
+    * posting-list parquet of `VectorOps.ivfAssignments` under the
+    * trained centroids — the static side the streaming ANN probe
+    * re-joins each micro-batch. Returns the PATH (the replay harness
+    * re-reads it inside its cloned session). */
+  private val ivfIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfIndex(s: SparkSession, d: String): String =
+    ivfIndexMemo.getOrElseUpdate(d, {
+      val p = artifactPath("ivf_index", d)
+      VectorOps.ivfAssignments(Tables.load(s, d, "embeddings"),
+          trainedIvf(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Deterministic per-(artifact-kind, data-dir) location under the
     * JVM temp dir. `createTempDirectory` made every Verify/Bench run
@@ -1249,6 +1274,8 @@ object SparkEntry {
     "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
     "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
     "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
+    // the streaming probe's emissions ARE the batch kmeans-IVF rows
+    "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
     "pipe_cluster_sample" -> Oracles.pipeClusterSample(),
     "pipe_ann_ivfpq_kmeans" -> Oracles.pipeAnnIvfPqKmeans(),

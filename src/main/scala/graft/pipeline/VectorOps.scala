@@ -479,6 +479,19 @@ object VectorOps {
     cents
   }
 
+  /** The PERSISTED half of a trained IVF index: every vector assigned
+    * to its max-cosine cell (ties to the lower cell — the identical
+    * rule the search-side probe list uses), carrying its quantized
+    * vector and squared norm so a probe pays zero re-encoding at query
+    * time. (vb, cent_id, qb, nb) — written as a cent_id-partitionable
+    * parquet artifact beside the O(nCells·d) centroid table; the
+    * stream-static [[graft.streaming.StreamingOps.annProbeStream]] and
+    * any batch search can share one build. */
+  def ivfAssignments(emb: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    coarseCells(emb, nQueries = 0, nCells = cents.length, nProbe = 1,
+      Some(cents))._1
+
   /** IVF-Flat under a k-means-TRAINED coarse quantizer: same search,
     * better cells — trained centroids move to the data's modes, so at
     * EQUAL probe cost (same nCells/nProbe) the probed cells hold more

@@ -782,6 +782,103 @@ object StreamingOps extends Serializable {
       .toDF()
   }
 
+  case class QueryVec(vec_id: Long, embedding: Seq[Float])
+  private[graft] case class AnnCand(query_id: Long, vb: Long, cos: Double)
+  private[graft] case class AnnOut(query_id: Long, rnk: Long, vec_id: Long,
+      cos: Double)
+
+  /** Streaming ANN over a STORED IVF index — the online-retrieval twin
+    * of `VectorOps.annIvfKmeans`: a stream of query vectors probes the
+    * persisted index (assignment parquet from
+    * `VectorOps.ivfAssignments` + the O(nCells·d) trained centroid
+    * artifact) and each query's exact-cosine top-k inside its probed
+    * cells is emitted.
+    *
+    * Plan shape: the centroids are driver literals, so probe-cell
+    * selection is a PER-ROW expression — nCells integer dots against
+    * constant arrays, sorted by (cos desc, cent asc) via one
+    * `array_sort` — no streaming aggregation before the join; then ONE
+    * stateless stream-static join on `cent_id` fans each query out to
+    * its probed cells' posting lists (the static side is the stored
+    * index, cached once, re-joined per micro-batch), and the top-k
+    * fold is the only stateful hop (state unused: a query's candidates
+    * all land in its own micro-batch, exactly [[indexProbeStream]]'s
+    * argument). Per-query fold memory is O(k) — a bounded heap, never
+    * the candidate list. Because every emission depends only on
+    * (query, static index), emissions are EXACTLY the batch rows for
+    * the same queries and the replay is checkpoint-restartable for
+    * free. */
+  def annProbeStream(queries: Dataset[QueryVec], spark: SparkSession,
+      assign: DataFrame, cents: Array[Array[Long]],
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{floatArrayMilli, longArrayDot}
+    val posting = assign.cache()
+    val q = queries.toDF()
+      .withColumn("qa", floatArrayMilli(col("embedding")))
+      .withColumn("na", longArrayDot(col("qa"), col("qa")))
+    // negated cosine first in the struct → array_sort's ascending
+    // struct order IS (ccos desc, cent_id asc), the batch probe rule
+    val cellScores = cents.zipWithIndex.map { case (c, j) =>
+      val cq = array(c.map(lit): _*)
+      val cnq = c.map(x => x * x).sum
+      val ccos = longArrayDot(col("qa"), cq).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(lit(cnq.toDouble)))
+      struct((-ccos).as("negc"), lit(j.toLong).as("cent_id"))
+    }
+    val probes = q
+      .withColumn("probe",
+        explode(slice(array_sort(array(cellScores: _*)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("qa"), col("na"),
+        col("probe.cent_id").as("cent_id"))
+    val scored = probes.join(posting, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vb"))
+      .withColumn("cos",
+        longArrayDot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("vb"), col("cos")).as[AnnCand]
+
+    // worst-kept-at-head heap: (-cos, vb) ascending is "better", so the
+    // natural max under that tuple order is the row to evict
+    val evictOrd = Ordering.by[AnnCand, (Double, Long)](r => (-r.cos, r.vb))
+    def fold(qid: Long, rows: Iterator[AnnCand],
+        state: GroupState[Boolean]): Iterator[AnnOut] = {
+      val heap = mutable.PriorityQueue.empty[AnnCand](evictOrd)
+      rows.foreach { r =>
+        heap.enqueue(r)
+        if (heap.size > k) heap.dequeue()
+      }
+      heap.toArray.sortBy(r => (-r.cos, r.vb)).iterator.zipWithIndex
+        .map { case (r, i) => AnnOut(qid, i + 1L, r.vb, r.cos) }
+    }
+    scored.groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
+  /** Bounded replay of [[annProbeStream]] — the VERIFY harness: feed
+    * the first `nQueries` vectors through the stream in `nChunks`
+    * micro-batches against the index stored at `assignPath`; emissions
+    * equal `VectorOps.annIvfKmeans` under the same centroids, so the
+    * row is checked against the batch mirror. The index is re-read
+    * inside the cloned replay session so the static side's plan and
+    * the stream share one session. */
+  def annProbeReplay(emb: DataFrame, spark: SparkSession,
+      cents: Array[Array[Long]], assignPath: String,
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2,
+      nChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    val rows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[QueryVec].collect().sortBy(_.vec_id)
+    replayChunked(spark, rows, (r: QueryVec) => r.vec_id, nChunks,
+      "graft_ann_probe_replay",
+      (ds: Dataset[QueryVec], sp: SparkSession) =>
+        annProbeStream(ds, sp, sp.read.parquet(assignPath), cents,
+          k, nProbe))
+  }
+
   /** Streaming curated-corpus sink: the batch `Lake.writeCurated`
     * shape fed incrementally — the stateless content-hash split
     * assignment (`TextPipeline.splitAssign`, a pure projection, so

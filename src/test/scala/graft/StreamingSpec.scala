@@ -173,6 +173,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming ANN probe equals batch kmeans-IVF across a checkpoint kill") {
+    import spark.implicits._
+    import graft.pipeline.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = VectorOps.ivfTrain(emb)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ann-probe").toString
+    val idx = tmp + "/index"
+    VectorOps.ivfAssignments(emb, cents)
+      .write.mode("overwrite").parquet(idx)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[StreamingOps.QueryVec].collect().sortBy(_.vec_id)
+    val cut = queries.length / 2
+
+    val ckpt = tmp + "/ckpt"
+    val out = tmp + "/out"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.QueryVec](spark)
+    def start() = StreamingOps.annProbeStream(ms.toDS(), spark,
+        spark.read.parquet(idx), cents)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+
+    val q1 = start()
+    ms.addData(queries.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(queries.slice(cut, queries.length).toIndexedSeq)
+    q1.stop()                      // killed with the tail un-consumed
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val key = (r: Seq[Any]) => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long])
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "rnk", "vec_id", "cos")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    val batch = VectorOps.annIvfKmeans(emb, trainedCents = Some(cents))
+      .select("query_id", "rnk", "vec_id", "cos")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("curatedSinkStream lands the batch split layout exactly once across a kill") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
