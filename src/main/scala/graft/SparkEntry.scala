@@ -569,6 +569,11 @@ object SparkEntry {
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // Bloom pre-filter ahead of the confirm join — exact result (no
+    // false negatives; positives confirmed), pruned shuffle
+    "pipe_decon_bloom" -> ((s, d) =>
+      TextPipeline.decontaminateBloom(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     "pipe_e2e" -> ((s, d) =>
       TextPipeline.curate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1247,6 +1252,8 @@ object SparkEntry {
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
+    // the Bloom pre-filter is exact — identical mirror
+    "pipe_decon_bloom" -> Oracles.pipeDecontaminate,
     "pipe_e2e" -> Oracles.pipeE2e,
     "pipe_lang_balance" -> Oracles.pipeLangBalance,
     "pipe_split" -> Oracles.pipeSplit,

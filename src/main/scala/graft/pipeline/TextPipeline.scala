@@ -554,6 +554,40 @@ object TextPipeline {
         col("n_overlap") * 10 >= col("n_shingles"))
   }
 
+  /** [[decontaminate]] behind a BLOOM pre-filter — the scale path when
+    * the benchmark gram set is too big to broadcast exactly: a Bloom
+    * filter over the bench shingles (≈10·n bits at 1% fpp — an order
+    * of magnitude under the exact string set, and a fixed-size driver
+    * artifact either way) broadcasts to every task, and only the
+    * `might_contain` survivors enter the confirm join, so the shuffled
+    * corpus side shrinks from every-shingle to ~(true overlaps +
+    * fpp·rest). The confirm join keeps the result EXACT: false
+    * positives are eliminated there and Bloom filters have no false
+    * negatives, so the output is bit-identical to [[decontaminate]]
+    * (same mirror). The probe itself is one UDF call per shingle —
+    * off codegen, but hashing-only, and it prunes a shuffle that
+    * dwarfs it at scale. */
+  def decontaminateBloom(docs: DataFrame, benchMax: Long = 10,
+      fpp: Double = 0.01): DataFrame = {
+    val sh = shingled(docs).localCheckpoint(false)
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select("shingle").distinct().localCheckpoint(false)
+    val bloom = bench.stat.bloomFilter("shingle",
+      math.max(bench.count(), 1L), fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val corpus = sh.filter(col("doc_id") >= benchMax)
+    val confirmed = corpus.filter(mightContain(col("shingle")))
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("is_contaminated",
+        col("n_overlap") * 10 >= col("n_shingles"))
+  }
+
   /** Deterministic content-hash train/val/test split (80/10/10): the
     * bucket comes from md5 so the assignment is stable under
     * re-partitioning, re-ordering and re-runs. */

@@ -214,6 +214,20 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[String]("clean_md5") === md5Hex("mid"))
   }
 
+  test("bloom-prefiltered decontamination equals the exact join") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val exact = TextPipeline.decontaminate(d).collect().sortBy(key)
+    val bloom = TextPipeline.decontaminateBloom(d).collect().sortBy(key)
+    assert(exact.nonEmpty)
+    assert(bloom.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+    // an aggressive fpp (cheapest possible filter) must still be exact
+    // — false positives die in the confirm join
+    val loose = TextPipeline.decontaminateBloom(d, fpp = 0.5)
+      .collect().sortBy(key)
+    assert(loose.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
   test("decontaminateSpans removes only benchmark-overlapping runs") {
     // bench doc 1 (< benchMax) holds the 8-gram b1..b8; corpus doc 20
     // quotes it mid-document, corpus doc 30 is clean. The corpus docs
