@@ -4071,6 +4071,43 @@ object Oracles {
       |SELECT query_id, rnk, vb AS vec_id, cos FROM rq WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Mirror of `VectorOps.labelCentroidSim`: per-label floorDiv-mean
+    * centroid over milli-quantized vectors (the exact-integer identity
+    * `(s − ((s % n) + n) % n) // n` = Java floorDiv), pairwise centroid
+    * cosine. */
+  def pipeLabelSim: String =
+    """WITH ev AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS p,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, p,
+      |    CAST((SUM(q) - ((SUM(q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |      // COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY label, p
+      |), nrm AS (
+      |  SELECT label, SUM(c*c) AS cn FROM cent GROUP BY label
+      |), cnts AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM embeddings GROUP BY label
+      |), pr AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      |  FROM cent a JOIN cent b ON a.p = b.p AND a.label < b.label
+      |  GROUP BY a.label, b.label
+      |)
+      |SELECT CAST(label_a AS BIGINT) AS label_a,
+      |  CAST(label_b AS BIGINT) AS label_b,
+      |  ca.n_docs AS n_a, cb.n_docs AS n_b,
+      |  CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.cn AS DOUBLE)) * SQRT(CAST(nb.cn AS DOUBLE))) AS cos
+      |FROM pr
+      |JOIN nrm na ON na.label = label_a
+      |JOIN nrm nb ON nb.label = label_b
+      |JOIN cnts ca ON ca.label = label_a
+      |JOIN cnts cb ON cb.label = label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
   def pipeSourceMix: String =
     """WITH m AS (
       |  SELECT doc_id, source,

@@ -763,6 +763,11 @@ object SparkEntry {
           trained = Some(trainedPq(s, d)), codes = Some(pqIndex(s, d)),
           coarseCents = Some(trainedIvf(s, d)))
         .orderBy("query_id")),
+    // corpus map: exact per-label centroids + pairwise centroid cosine
+    // — the cluster-structure diagnostic behind mixing decisions
+    "pipe_label_sim" -> ((s, d) =>
+      VectorOps.labelCentroidSim(Tables.load(s, d, "embeddings"))
+        .orderBy("label_a", "label_b")),
     // the √n cell-sizing rule as a checked query: nCells grows with
     // the collection (one cheap count), probe cost stays O(√n)
     "pipe_ann_ivf_sqrtn" -> ((s, d) => {
@@ -1030,9 +1035,15 @@ object SparkEntry {
     // data dir) from wiping each other's live artifacts mid-run
     val dir = tmp.resolve(prefix + "_" + ProcessHandle.current().pid())
     deleteRecursively(dir)
-    sys.addShutdownHook(deleteRecursively(dir))
+    // one hook per PATH, not per call — callers are memoized today,
+    // but the guard makes the lifecycle correct regardless
+    if (hookedPaths.add(dir.toString))
+      sys.addShutdownHook(deleteRecursively(dir))
     dir.toString
   }
+
+  private val hookedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -1284,6 +1295,7 @@ object SparkEntry {
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
+    "pipe_label_sim" -> Oracles.pipeLabelSim,
     "pipe_cluster_sample" -> Oracles.pipeClusterSample(),
     "pipe_ann_ivfpq_kmeans" -> Oracles.pipeAnnIvfPqKmeans(),
     "pipe_ann_recall_ivfpq_kmeans" -> Oracles.pipeAnnRecallIvfPqKmeans(),

@@ -479,6 +479,50 @@ object VectorOps {
     cents
   }
 
+  /** Corpus map over the label dimension: exact per-label centroid
+    * (element-wise floorDiv mean of the milli-quantized vectors — the
+    * [[ivfTrain]] recentering discipline, so the mean is bit-stable on
+    * any engine) and the pairwise centroid cosine between labels — the
+    * cluster-structure diagnostic a curation run reads before deciding
+    * mixing weights (two labels at cosine → 1 are candidates for
+    * merging; a label far from all others marks a distribution the mix
+    * under-covers). Scale shape: ONE explode shuffle keyed by
+    * (label, dim) with map-side combine — ≤ |labels|·d rows out of any
+    * corpus size — then all pairwise work happens on the tiny centroid
+    * frame. Output: (label_a, label_b, n_a, n_b, cos). */
+  def labelCentroidSim(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label"),
+      graft.functions.GraftFunctions.floatArrayMilli(col("embedding"))
+        .as("q"))
+    val cent = q.select(col("label"), posexplode(col("q")).as(Seq("p", "qv")))
+      .groupBy("label", "p")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("(s - pmod(s, n)) div n"))
+      .select("label", "p", "c")
+    val norms = cent.groupBy("label")
+      .agg(sum(col("c") * col("c")).as("cn"))
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val a = cent.select(col("label").as("label_a"), col("p"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("p"), col("c").as("cb"))
+    a.join(b, Seq("p")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.select(col("label").as("label_a"), col("cn").as("na")),
+        Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("cn").as("nb")),
+        Seq("label_b"))
+      .join(counts.select(col("label").as("label_a"),
+        col("n_docs").as("n_a")), Seq("label_a"))
+      .join(counts.select(col("label").as("label_b"),
+        col("n_docs").as("n_b")), Seq("label_b"))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        col("n_a"), col("n_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+  }
+
   /** The PERSISTED half of a trained IVF index: every vector assigned
     * to its max-cosine cell (ties to the lower cell — the identical
     * rule the search-side probe list uses), carrying its quantized
