@@ -3994,6 +3994,31 @@ object Oracles {
       |    ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.tfidfTerms` (k = 3): per-term nano
+    * idf = round(1e9·ln((N+1)/(df+1))), per-doc integer score
+    * tf·idf_nano, top 3 per doc with term tiebreak. */
+  def pipeTfidfTerms: String =
+    """WITH wv AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM wv GROUP BY doc_id, word
+      |), idf AS (
+      |  SELECT word, CAST(ROUND(LN(
+      |      ((SELECT COUNT(*) FROM documents) + CAST(1 AS DOUBLE)) /
+      |      CAST(COUNT(*) + 1 AS DOUBLE)) * 1000000000) AS BIGINT)
+      |    AS idf_nano
+      |  FROM tf GROUP BY word
+      |), s AS (
+      |  SELECT doc_id, tf.word AS word, tf, tf * idf_nano AS score_nano,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * idf_nano DESC, tf.word) AS BIGINT) AS rnk
+      |  FROM tf JOIN idf USING (word)
+      |)
+      |SELECT doc_id, rnk, word, tf, score_nano FROM s WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   def pipeVocab: String =
     """WITH wv AS (
       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents

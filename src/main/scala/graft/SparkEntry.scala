@@ -599,6 +599,11 @@ object SparkEntry {
     "pipe_vocab" -> ((s, d) =>
       TextPipeline.vocabTop(Tables.load(s, d, "documents"))
         .orderBy("rnk")),
+    // per-doc TF-IDF keywords: integer tf·idf_nano scores, per-doc
+    // window — a viral term is one vocab row, never a posting join
+    "pipe_tfidf_terms" -> ((s, d) =>
+      TextPipeline.tfidfTerms(Tables.load(s, d, "documents"))
+        .orderBy("doc_id", "rnk")),
     // incremental dedup: the batch (doc_id % 4 = 0) probes the stored
     // fingerprint-index lake built from the base docs ALONE — base
     // text is never re-read. Mirror = full recompute over base∪batch
@@ -1272,6 +1277,7 @@ object SparkEntry {
     "pipe_incr_dedup" -> Oracles.pipeIncrDedup,
     "pipe_index_probe" -> Oracles.pipeIndexProbe,
     "pipe_vocab" -> Oracles.pipeVocab,
+    "pipe_tfidf_terms" -> Oracles.pipeTfidfTerms,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_dedup_norm" -> Oracles.pipeDedupNormalized,
     "pipe_stratified_sample" -> Oracles.pipeStratifiedSample,

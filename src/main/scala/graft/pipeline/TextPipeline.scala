@@ -805,6 +805,38 @@ object TextPipeline {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Per-document TF-IDF keyword extraction: each document's top-`k`
+    * terms by `tf · ln((N+1)/(df+1))` — the keyword signal corpus
+    * analysis and weak labeling read per document (complement of
+    * [[vocabTop]]'s corpus-global ranking). Exactness: the idf is
+    * nano-quantized ONCE per term in the bounded vocabulary table, so
+    * the per-term score is the exact integer `tf · idf_nano`
+    * (bit-stable on any engine); ties break on the term. Scale shape:
+    * tf is one combine keyed by (doc_id, term) — uniform content keys;
+    * df aggregates the tf table down to the vocabulary; the score join
+    * keys on the term (AQE broadcasts the vocab side when small) and
+    * the top-k window is per-document — no global sort, no posting
+    * explosion (a viral term is ONE vocabulary row here, not a
+    * posting-list join). */
+  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("idf_nano",
+        round(log(lit(nDocs + 1.0) / (col("df") + lit(1))) * lit(1e9))
+          .cast("long"))
+      .select("word", "idf_nano")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_nano").desc, col("word"))
+    tf.join(idf, "word")
+      .withColumn("score_nano", col("tf") * col("idf_nano"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "word", "tf", "score_nano")
+  }
+
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),

@@ -214,6 +214,26 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[String]("clean_md5") === md5Hex("mid"))
   }
 
+  test("tfidfTerms ranks rare repeated terms above ubiquitous ones") {
+    // "common" appears in every doc → idf = ln(4/4) = 0 → score 0;
+    // each doc's own repeated rare term must rank first
+    val d = docs(
+      (1L, "x x x common"),
+      (2L, "y y common"),
+      (3L, "z common"))
+    val r = TextPipeline.tfidfTerms(d, k = 2).collect()
+      .groupBy(_.getLong(0))
+    assert(r(1L).minBy(_.getLong(1)).getString(2) == "x")
+    assert(r(2L).minBy(_.getLong(1)).getString(2) == "y")
+    assert(r(3L).minBy(_.getLong(1)).getString(2) == "z")
+    // "common" scores exactly 0 everywhere (idf of an every-doc term)
+    r.values.flatten.filter(_.getString(2) == "common")
+      .foreach(row => assert(row.getLong(4) == 0L))
+    // dense ranks 1..k per doc
+    r.values.foreach(rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length)))
+  }
+
   test("bloom-prefiltered decontamination equals the exact join") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
