@@ -3865,6 +3865,40 @@ object Oracles {
       |    AS BIGINT) AS sum_b
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.ppmHashDedup`: the 4×4
+    * average-hash computed from the payload's pixel formula
+    * `p(j) = (doc_id·7 + j·13) mod 256` — cell (gy,gx) reads pixel
+    * (gx·w//4, gy·h//4), luma = r+g+b, bit set iff 16·luma > Σ —
+    * then the exact-dedup keeper window over the hash. The Spark side
+    * must parse real P6 bytes to reproduce these signatures. */
+  def pipeMediaPhash: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents
+      |), cell AS (
+      |  SELECT doc_id, gy, gx,
+      |    (doc_id*7 + (3*((gy*h//4)*w + (gx*w//4)) + 0)*13) % 256
+      |    + (doc_id*7 + (3*((gy*h//4)*w + (gx*w//4)) + 1)*13) % 256
+      |    + (doc_id*7 + (3*((gy*h//4)*w + (gx*w//4)) + 2)*13) % 256 AS lum
+      |  FROM dims, range(4) t1(gy), range(4) t2(gx)
+      |), tot AS (
+      |  SELECT doc_id, SUM(lum) AS tot FROM cell GROUP BY doc_id
+      |), sig AS (
+      |  SELECT c.doc_id,
+      |    CAST(SUM(CASE WHEN lum*16 > tot
+      |      THEN CAST(POW(2, gy*4+gx) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS ahash
+      |  FROM cell c JOIN tot USING (doc_id) GROUP BY c.doc_id
+      |)
+      |SELECT s.doc_id AS doc_id,
+      |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+      |  ahash,
+      |  MIN(s.doc_id) OVER (PARTITION BY ahash) AS keep_id,
+      |  COUNT(*) OVER (PARTITION BY ahash) AS group_size,
+      |  s.doc_id <> MIN(s.doc_id) OVER (PARTITION BY ahash) AS is_dup
+      |FROM sig s JOIN dims d ON d.doc_id = s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Closed-form mirror of `Multimodal.pngFeatures` (PNG pixel bytes
     * `p(j) = (doc_id·11 + j·19) mod 256`, RGB row-major — the Spark
     * side must round-trip the real deflate/CRC/filter container to

@@ -180,6 +180,77 @@ object Multimodal {
         sumR, sumG, sumB)
     }
 
+  case class PpmHash(doc_id: Long, width: Long, height: Long, ahash: Long)
+
+  /** 4×4 average-hash (aHash) of a P6 PPM, decoded from the bytes
+    * alone: nearest-neighbor-sample a 4×4 grid (cell (gy,gx) reads
+    * pixel (⌊gx·w/4⌋, ⌊gy·h/4⌋)), luma = r+g+b per cell (exact
+    * integers), bit gy·4+gx set iff 16·luma > Σ lumas (strictly
+    * above the mean, multiplication instead of division so the
+    * comparison is integer-exact). The standard first-stage image
+    * near-dup signature: re-encodes, minor crops and brightness-scale
+    * changes preserve the bit pattern. */
+  def decodePpmHash(batch: Iterator[MediaRow]): Iterator[PpmHash] =
+    batch.map { r =>
+      val bytes = r.payload
+      var pos = 0
+      def token(): String = {
+        while (Character.isWhitespace(bytes(pos))) pos += 1
+        val s = pos
+        while (!Character.isWhitespace(bytes(pos))) pos += 1
+        new String(bytes, s, pos - s, "US-ASCII")
+      }
+      require(token() == "P6", "not a P6 PPM")
+      val w = token().toInt
+      val h = token().toInt
+      require(token() == "255", "only 8-bit PPM supported")
+      pos += 1
+      val lum = new Array[Long](16)
+      var gy = 0
+      while (gy < 4) {
+        var gx = 0
+        while (gx < 4) {
+          val x = gx * w / 4
+          val y = gy * h / 4
+          val base = pos + 3 * (y * w + x)
+          lum(gy * 4 + gx) = (bytes(base) & 0xff).toLong +
+            (bytes(base + 1) & 0xff) + (bytes(base + 2) & 0xff)
+          gx += 1
+        }
+        gy += 1
+      }
+      val tot = lum.sum
+      var sig = 0L
+      var i = 0
+      while (i < 16) {
+        if (lum(i) * 16 > tot) sig |= (1L << i)
+        i += 1
+      }
+      PpmHash(r.doc_id, w.toLong, h.toLong, sig)
+    }
+
+  /** Image near-dup dedup by perceptual hash — the [[decodePpmHash]]
+    * signature under the `exactDedup` keeper discipline: every image
+    * mapped to the minimal doc_id of its aHash group. Scale shape: the
+    * decode is partition-local `mapPartitions` (binary in, 4 longs
+    * out); the grouping is one window keyed by the 16-bit hash —
+    * uniform content-derived keys, the same class as text exactDedup.
+    * The ORACLE computes the expected hash from the payload's
+    * closed-form pixel formula without ever seeing bytes, so any
+    * encode, decode, sampling or threshold bug breaks hash equality. */
+  def ppmHashDedup(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sigs = docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, ppmPayload(id)))
+      .mapPartitions(decodePpmHash).toDF()
+    val w = Window.partitionBy("ahash")
+    sigs
+      .withColumn("keep_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
   case class PngFeatures(doc_id: Long, width: Long, height: Long,
       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
   case class Y4mFeatures(doc_id: Long, width: Long, height: Long,

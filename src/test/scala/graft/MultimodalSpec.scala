@@ -35,6 +35,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.sum_sq == 100L * 100 + 200L * 200 + 32767L * 32767)
   }
 
+  test("ppm aHash matches the closed-form pixel formula and flags a uniform image") {
+    // independent Scala recomputation from the payload FORMULA (never
+    // the bytes): any sampling/threshold/bit-order drift in the
+    // decoder diverges here before the oracle sees it
+    (0L to 40L).foreach { id =>
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      def px(j: Int): Long = (id * 7 + j * 13) % 256
+      val lum = for (gy <- 0 until 4; gx <- 0 until 4) yield {
+        val base = 3 * ((gy * h / 4) * w + (gx * w / 4))
+        px(base) + px(base + 1) + px(base + 2)
+      }
+      val tot = lum.sum
+      val expected = lum.zipWithIndex
+        .map { case (l, i) => if (l * 16 > tot) 1L << i else 0L }.sum
+      val got = Multimodal
+        .decodePpmHash(Iterator(MediaRow(id, Multimodal.ppmPayload(id))))
+        .next()
+      assert(got.ahash == expected, s"doc $id")
+      assert(got.width == w && got.height == h)
+    }
+    // a constant image has no cell strictly above the mean → hash 0
+    val flat = "P6\n4 4\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](48)(77)
+    assert(Multimodal.decodePpmHash(Iterator(MediaRow(1L, flat)))
+      .next().ahash == 0L)
+  }
+
   test("ppm decoder reads a foreign-built P6 with comment-free header") {
     val px = Array[Byte](10, 20, 30, 40, 50, 60) // 2x1 RGB
     val payload = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ px
