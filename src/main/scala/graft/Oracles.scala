@@ -3844,6 +3844,21 @@ object Oracles {
       |    AS sum_sq
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.wavZcrFeatures`: strict
+    * sign-flip crossings `s(i−1)·s(i) < 0` over the sample formula,
+    * plus the peak. */
+  def pipeMediaWavZcr: String =
+    """SELECT doc_id,
+      |  CAST(256 + doc_id % 100 AS BIGINT) AS n_samples,
+      |  CAST(list_aggregate(list_transform(range(1, 256 + doc_id % 100),
+      |    i -> CASE WHEN ((doc_id*31 + (i-1)*17) % 4096 - 2048)
+      |              * ((doc_id*31 + i*17) % 4096 - 2048) < 0
+      |         THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS zero_crossings,
+      |  CAST(list_aggregate(list_transform(range(0, 256 + doc_id % 100),
+      |    i -> abs((doc_id*31 + i*17) % 4096 - 2048)), 'max') AS BIGINT)
+      |    AS peak
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Closed-form mirror of `Multimodal.ppmFeatures` (P6 pixel bytes
     * `p(j) = (doc_id·7 + j·13) mod 256`, RGB interleaved). */
   def pipeMediaPpm: String =

@@ -866,6 +866,11 @@ object SparkEntry {
     "pipe_media_ppm" -> ((s, d) =>
       pipeline.Multimodal.ppmFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    // audio feature extraction: zero-crossing rate + peak from the
+    // decoded PCM16 samples (voiced/unvoiced curation signal)
+    "pipe_media_wav_zcr" -> ((s, d) =>
+      pipeline.Multimodal.wavZcrFeatures(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
     // image near-dup dedup: 4x4 average-hash decoded from real P6
     // bytes, exact-dedup keeper window over the signature
     "pipe_media_phash" -> ((s, d) =>
@@ -1329,6 +1334,7 @@ object SparkEntry {
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "pipe_media_phash" -> Oracles.pipeMediaPhash,
+    "pipe_media_wav_zcr" -> Oracles.pipeMediaWavZcr,
     "pipe_media_png" -> Oracles.pipeMediaPng,
     "pipe_media_jpeg" -> Oracles.pipeMediaJpeg,
     "pipe_media_y4m" -> Oracles.pipeMediaY4m,

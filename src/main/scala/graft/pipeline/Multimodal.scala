@@ -130,6 +130,58 @@ object Multimodal {
       WavFeatures(r.doc_id, rate, channels, nSamples, peak, sum, sumSq)
     }
 
+  case class WavZcr(doc_id: Long, n_samples: Long, zero_crossings: Long,
+      peak: Long)
+
+  /** Audio feature extraction beyond container stats: zero-crossing
+    * count over the decoded PCM16 samples (`s(i−1)·s(i) < 0` — the
+    * strict sign flip, integer-exact), the classic
+    * voiced/unvoiced/noise discriminator a speech-data curation pass
+    * filters on. Same chunk walk as [[decodeWav]]; per-row state is
+    * one previous sample. */
+  def decodeWavZcr(batch: Iterator[MediaRow]): Iterator[WavZcr] =
+    batch.map { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(n: Int): String = {
+        val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+      }
+      require(ascii(4) == "RIFF"); bb.getInt()
+      require(ascii(4) == "WAVE")
+      var bits = 0
+      var nSamples = 0L; var zc = 0L; var peak = 0L
+      var prev = 0L; var first = true
+      while (bb.remaining() >= 8) {
+        val id = ascii(4); val len = bb.getInt()
+        if (id == "fmt ") {
+          val p = bb.position()
+          bb.getShort(); bb.getShort(); bb.getInt(); bb.getInt()
+          bb.getShort()
+          bits = bb.getShort().toInt
+          bb.position(p + len)
+        } else if (id == "data") {
+          require(bits == 16, s"only PCM16 supported, got $bits-bit")
+          var k = 0
+          while (k < len / 2) {
+            val s = bb.getShort().toLong
+            nSamples += 1
+            peak = math.max(peak, math.abs(s))
+            if (!first && prev * s < 0) zc += 1
+            prev = s; first = false
+            k += 1
+          }
+        } else bb.position(bb.position() + len)
+      }
+      WavZcr(r.doc_id, nSamples, zc, peak)
+    }
+
+  def wavZcrFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, wavPayload(id)))
+      .mapPartitions(decodeWavZcr).toDF()
+  }
+
   /** Synthesize a real P6 PPM: ASCII header `P6\n<w> <h>\n255\n` +
     * raw RGB bytes `p(j) = (doc_id·7 + j·13) mod 256`,
     * `w = 4 + doc_id mod 5`, `h = 3 + doc_id mod 4`. */
