@@ -3914,6 +3914,24 @@ object Oracles {
       |FROM sig s JOIN dims d ON d.doc_id = s.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Closed-form mirror of `Multimodal.y4mFrameDiffs`: per adjacent
+    * frame pair, Σ|y_f(j) − y_{f−1}(j)| over the luma plane of the
+    * frame formula `(doc_id·13 + f·7 + j·23) mod 256`. */
+  def pipeMediaY4mSad: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + 2*(doc_id % 3) AS w, 4 + 2*(doc_id % 2) AS h,
+      |    3 + doc_id % 6 AS nf
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM dims
+      |)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(list_aggregate(list_transform(range(0, w*h),
+      |    j -> abs((doc_id*13 + f*7 + j*23) % 256
+      |           - (doc_id*13 + (f-1)*7 + j*23) % 256)), 'sum') AS BIGINT)
+      |    AS sad_y
+      |FROM fr ORDER BY doc_id, frame_no""".stripMargin
+
   /** Closed-form mirror of `Multimodal.pngFeatures` (PNG pixel bytes
     * `p(j) = (doc_id·11 + j·19) mod 256`, RGB row-major — the Spark
     * side must round-trip the real deflate/CRC/filter container to

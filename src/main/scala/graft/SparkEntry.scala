@@ -871,6 +871,11 @@ object SparkEntry {
     "pipe_media_wav_zcr" -> ((s, d) =>
       pipeline.Multimodal.wavZcrFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    // video temporal diff: per-adjacent-frame luma SAD, the
+    // shot-boundary / static-clip curation signal
+    "pipe_media_y4m_sad" -> ((s, d) =>
+      pipeline.Multimodal.y4mFrameDiffs(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id", "frame_no")),
     // image near-dup dedup: 4x4 average-hash decoded from real P6
     // bytes, exact-dedup keeper window over the signature
     "pipe_media_phash" -> ((s, d) =>
@@ -1083,6 +1088,7 @@ object SparkEntry {
     Seq(
       timed("pq_build_s") { pqIndex(s, d).count() },
       timed("ivf_train_s") { trainedIvf(s, d) },
+      timed("ivf_index_build_s") { ivfIndex(s, d) },
       timed("l2_lake_build_s") { level2Lake(s, d) },
       timed("l3_lake_build_s") { level3Lake(s, d) },
       timed("l3_compact_build_s") { level3LakeCompacted(s, d) },
@@ -1335,6 +1341,7 @@ object SparkEntry {
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "pipe_media_phash" -> Oracles.pipeMediaPhash,
     "pipe_media_wav_zcr" -> Oracles.pipeMediaWavZcr,
+    "pipe_media_y4m_sad" -> Oracles.pipeMediaY4mSad,
     "pipe_media_png" -> Oracles.pipeMediaPng,
     "pipe_media_jpeg" -> Oracles.pipeMediaJpeg,
     "pipe_media_y4m" -> Oracles.pipeMediaY4m,

@@ -510,6 +510,58 @@ object Multimodal {
         sumY, sumU, sumV)
     }
 
+  case class Y4mFrameDiff(doc_id: Long, frame_no: Long, sad_y: Long)
+
+  /** Temporal frame difference over a decoded Y4M clip: per adjacent
+    * frame pair, the sum of absolute per-pixel differences of the LUMA
+    * plane (SAD — the standard shot-boundary/scene-cut signal; a video
+    * curation pass thresholds it to drop static clips and find cuts).
+    * Decode state is one previous Y plane (O(w·h)); one output row per
+    * (clip, frame ≥ 1), all-integer. */
+  def decodeY4mSad(batch: Iterator[MediaRow]): Iterator[Y4mFrameDiff] =
+    batch.flatMap { r =>
+      val bytes = r.payload
+      var pos = 0
+      def line(): String = {
+        val s = pos
+        while (bytes(pos) != '\n') pos += 1
+        pos += 1
+        new String(bytes, s, pos - 1 - s, "US-ASCII")
+      }
+      val header = line().split(' ')
+      require(header(0) == "YUV4MPEG2", "not a Y4M stream")
+      val w = header.collectFirst { case p if p.startsWith("W") => p.tail.toInt }.get
+      val h = header.collectFirst { case p if p.startsWith("H") => p.tail.toInt }.get
+      val ySize = w * h
+      val frameLen = ySize + 2 * (ySize / 4)
+      var prev: Array[Int] = null
+      var f = 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[Y4mFrameDiff]
+      while (pos < bytes.length) {
+        require(line().startsWith("FRAME"), "bad FRAME marker")
+        val cur = new Array[Int](ySize)
+        var j = 0
+        while (j < ySize) { cur(j) = bytes(pos + j) & 0xff; j += 1 }
+        if (prev != null) {
+          var sad = 0L; var i = 0
+          while (i < ySize) { sad += math.abs(cur(i) - prev(i)); i += 1 }
+          out += Y4mFrameDiff(r.doc_id, f, sad)
+        }
+        prev = cur
+        pos += frameLen
+        f += 1
+      }
+      out
+    }
+
+  /** Docs → real Y4M bytes → per-adjacent-frame luma SAD. */
+  def y4mFrameDiffs(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, y4mPayload(id)))
+      .mapPartitions(decodeY4mSad).toDF()
+  }
+
   /** Docs → real PNG bytes → chunk-walk + inflate + de-filter → exact
     * per-channel sums. */
   def pngFeatures(docs: DataFrame, spark: SparkSession): DataFrame = {
