@@ -2852,6 +2852,68 @@ object Oracles {
   def pipeAnnRecallIvfKmeans: String =
     IvfChain(trained = true) + ExactChainE() + RecallSelect("rr")
 
+  /** Mirror of `VectorOps.semDedup`: Lloyd-trained cells (same
+    * IvfTrainCte), assignment with centroid cosine kept, within-cell
+    * pairwise integer dots, and the exists-dominance drop rule (a
+    * vector is dropped when a cell-mate at cosine ≥ τ sits FARTHER
+    * from the centroid — lower ccos — with vec_id tiebreak). */
+  def pipeSemDedup(threshold: String = "0.45",
+      nCells: Int = 16): String =
+    QuantEmbCte + IvfTrainCte(nCells.toString) +
+    IvfCoarseCte(nCells.toString, providedCents = true) +
+    s""", sda AS (
+      |  SELECT vec_id, cent_id, ccos FROM ranked_c WHERE crn = 1
+      |), sdp AS (
+      |  SELECT x.vec_id AS va, y.vec_id AS vb, SUM(ea.q * eb.q) AS dot
+      |  FROM sda x JOIN sda y
+      |    ON y.cent_id = x.cent_id AND y.vec_id <> x.vec_id
+      |  JOIN ev ea ON ea.vec_id = x.vec_id
+      |  JOIN ev eb ON eb.vec_id = y.vec_id AND eb.i = ea.i
+      |  GROUP BY x.vec_id, y.vec_id
+      |), sdd AS (
+      |  SELECT DISTINCT p.va FROM sdp p
+      |  JOIN nrm na ON na.vec_id = p.va
+      |  JOIN nrm nb ON nb.vec_id = p.vb
+      |  JOIN sda ca ON ca.vec_id = p.va
+      |  JOIN sda cb ON cb.vec_id = p.vb
+      |  WHERE CAST(p.dot AS DOUBLE) /
+      |      (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
+      |      >= $threshold
+      |    AND (cb.ccos < ca.ccos
+      |      OR (cb.ccos = ca.ccos AND p.vb < p.va))
+      |)
+      |SELECT a.vec_id, a.cent_id, a.ccos, (d.va IS NULL) AS kept
+      |FROM sda a LEFT JOIN sdd d ON d.va = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** Mirror of `VectorOps.knnGraph`: every vector searches its OWN
+    * trained cell (nProbe = 1 self-search) and keeps its k nearest
+    * cell-mates by exact cosine, vec_id tiebreak. */
+  def pipeKnnGraph(k: Int = 5, nCells: Int = 16): String =
+    QuantEmbCte + IvfTrainCte(nCells.toString) +
+    IvfCoarseCte(nCells.toString, providedCents = true) +
+    s""", kpr AS (
+      |  SELECT a.vb AS va, b.vb AS vb FROM assign a
+      |  JOIN assign b ON b.cent_id = a.cent_id AND b.vb <> a.vb
+      |), kdt AS (
+      |  SELECT k.va, k.vb, SUM(ea.q * eb.q) AS dot
+      |  FROM kpr k
+      |  JOIN ev ea ON ea.vec_id = k.va
+      |  JOIN ev eb ON eb.vec_id = k.vb AND eb.i = ea.i
+      |  GROUP BY k.va, k.vb
+      |), kcs AS (
+      |  SELECT kdt.va, kdt.vb, CAST(kdt.dot AS DOUBLE) /
+      |    (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM kdt JOIN nrm na ON na.vec_id = kdt.va
+      |  JOIN nrm nb ON nb.vec_id = kdt.vb
+      |), krr AS (
+      |  SELECT va, vb, cos, CAST(ROW_NUMBER() OVER (PARTITION BY va
+      |    ORDER BY cos DESC, vb) AS BIGINT) AS rnk
+      |  FROM kcs
+      |)
+      |SELECT va, rnk, vb, cos FROM krr WHERE rnk <= $k
+      |ORDER BY va, rnk""".stripMargin
+
   private def IvfCoarseCte(cells: String = "16",
       providedCents: Boolean = false): String =
     (if (providedCents) ""

@@ -743,6 +743,18 @@ object SparkEntry {
       VectorOps.clusterSample(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("cent_id", "rnk")),
+    // SemDeDup (cluster-then-prune semantic dedup): k-means cells
+    // bound the pair space to n^1.5, least-prototypical member kept
+    "pipe_semdedup" -> ((s, d) =>
+      VectorOps.semDedup(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
+    // corpus kNN graph: nProbe=1 self-search over the trained IVF
+    // layout — per-cell pair blocks, salted two-stage top-k
+    "pipe_knn_graph" -> ((s, d) =>
+      VectorOps.knnGraph(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("va", "rnk")),
     "pipe_ann_recall_ivf_kmeans" -> ((s, d) =>
       VectorOps.annRecallIvfKmeans(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
@@ -1314,6 +1326,8 @@ object SparkEntry {
     "pipe_ann_ivf32" -> Oracles.pipeAnnIvf(nCells = 32),
     "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
     "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
+    "pipe_semdedup" -> Oracles.pipeSemDedup(),
+    "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,

@@ -557,6 +557,90 @@ object VectorOps {
       annIvfKmeans(emb, nQueries, k, nCells, nProbe,
         trainedCents = trainedCents))
 
+  /** Per-vector assignment under a trained quantizer WITH the
+    * centroid cosine kept — the shared front half of [[semDedup]] and
+    * [[knnGraph]]. Output: (vec_id, cent_id, q, nq, ccos). */
+  private def assignedWithCos(emb: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cDf = cents.zipWithIndex.map { case (c, j) =>
+      (j.toLong, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq.toDF("cent_id", "cq", "cnq")
+    val ccos = longArrayDot(col("q"), col("cq")).cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    quantized(emb).join(broadcast(cDf))
+      .withColumn("ccos", ccos)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nq"),
+        col("ccos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * by cluster-then-prune — k-means cells bound the pair space, then
+    * within each cell any vector that has a near-duplicate (cosine ≥
+    * τ) FARTHER from the centroid is dropped; the paper's keep-rule
+    * (retain the LOWEST-centroid-cosine member of a duplicate
+    * neighborhood, i.e. the least prototypical example) with vec_id
+    * as the deterministic tiebreak. The rule is an exists-predicate
+    * (a vector is dropped when ANY such dominator exists, kept or
+    * not), so it is monotone and engine-portable — no sequential
+    * greedy pass. Scale shape: with [[scaledCells]] (√n cells) the
+    * within-cell pair space is Σ|cell|² ≈ n^1.5 — the SemDeDup
+    * pitch — and each cell's pairs are one shuffle partition's work;
+    * the centroids are the same O(cells·d) broadcast artifact as
+    * every IVF path. Output: (vec_id, cent_id, ccos, kept). */
+  def semDedup(emb: DataFrame, threshold: Double = 0.45,
+      nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val assigned =
+      assignedWithCos(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("va"),
+      col("q").as("qa"), col("nq").as("na"), col("ccos").as("cca"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("vb"),
+      col("q").as("qb"), col("nq").as("nb"), col("ccos").as("ccb"))
+    val dominated = a.join(b, Seq("cent_id"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= threshold &&
+        (col("ccb") < col("cca") ||
+          (col("ccb") === col("cca") && col("vb") < col("va"))))
+      .select(col("va").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("ccos"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** kNN graph over the collection (the all-pairs analogue of
+    * [[annTopK]] a curation run feeds into clustering, label
+    * propagation, or graph-based sampling): every vector queries its
+    * OWN coarse cell (nProbe = 1 self-search over the trained IVF
+    * layout) and keeps its k nearest cell-mates by exact cosine.
+    * Approximation is the IVF boundary effect only — a neighbor in an
+    * adjacent cell is missed, exactly the recall trade every IVF row
+    * here measures. Scale shape: the self-join is keyed by cent_id so
+    * each cell is one shuffle partition's pair block (Σ|cell|² ≈
+    * n^1.5 at √n cells, never n²), and the per-vector truncation is
+    * the shared salted two-stage [[topKPerQuery]]. Output:
+    * (va, rnk, vb, cos). */
+  def knnGraph(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val assign =
+      ivfAssignments(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
+    val q = assign.select(col("cent_id"), col("vb").as("query_id"),
+      col("qb").as("qa"), col("nb").as("na"))
+    val scored = q.join(assign, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vb"))
+      .withColumn("cos", cosine)
+    topKPerQuery(scored, k, col("cos").desc, col("vb"))
+      .select(col("query_id").as("va"), col("rnk").cast("long").as("rnk"),
+        col("vb"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's
     * bucket; exact cosine ranking within the bucket. `bits` defaults to
     * the collection-size-scaled count (one cheap count() to size it) so

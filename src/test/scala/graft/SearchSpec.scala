@@ -167,6 +167,59 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup keeps exactly the least-prototypical member of a " +
+      "fully-connected duplicate group") {
+    import graft.pipeline.VectorOps
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed cell 0 (x-axis)
+      (1L, Array(0.0f, 1.0f)),   // seed cell 1 (y-axis)
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val rows = VectorOps.semDedup(emb, threshold = 0.45, nCells = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("ccos"), r.getAs[Boolean]("kept")))
+    assert(rows.length === 5)             // every vector is surfaced
+    // both cells are fully connected at τ=0.45 (all intra-cell cosines
+    // ≥ 0.99), so each keeps exactly one member — the lowest-ccos one
+    // (lowest vec_id on ties), per the SemDeDup keep rule
+    rows.groupBy(_._2).foreach { case (_, cell) =>
+      val kept = cell.filter(_._4)
+      assert(kept.length === 1)
+      val want = cell.minBy(v => (v._3, v._1))
+      assert(kept.head._1 === want._1)
+    }
+  }
+
+  test("knnGraph ranks cell-mates by cosine and never crosses cells") {
+    import graft.pipeline.VectorOps
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val rows = VectorOps.knnGraph(emb, k = 5, nCells = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vb"), r.getAs[Double]("cos")))
+    val byVa = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)).toMap
+    // cells are {0,2,3} and {1,4}: degree 2 inside x, 1 inside y
+    assert(byVa(0L).map(_._3).toSet === Set(2L, 3L))
+    assert(byVa(1L).map(_._3).toSeq === Seq(4L))
+    assert(byVa(4L).map(_._3).toSeq === Seq(1L))
+    // 3 is closer to 0 than 2 is (cos(0,3) > cos(0,2))
+    assert(byVa(0L).head._3 === 3L)
+    // ranks dense from 1, cosine non-increasing within each va
+    byVa.values.foreach { ns =>
+      assert(ns.map(_._2).toSeq === (1L to ns.length.toLong).toSeq)
+      assert(ns.map(_._4).toSeq.reverse.sorted.reverse ===
+        ns.map(_._4).toSeq)
+    }
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
