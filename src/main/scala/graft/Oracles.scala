@@ -2886,10 +2886,9 @@ object Oracles {
       |FROM sda a LEFT JOIN sdd d ON d.va = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
-  /** Mirror of `VectorOps.knnGraph`: every vector searches its OWN
-    * trained cell (nProbe = 1 self-search) and keeps its k nearest
-    * cell-mates by exact cosine, vec_id tiebreak. */
-  def pipeKnnGraph(k: Int = 5, nCells: Int = 16): String =
+  /** The trained-cell self-search chain shared by [[pipeKnnGraph]]
+    * and [[pipeKnnClusters]] — through `krr(va, vb, cos, rnk)`. */
+  private def KnnCte(nCells: Int): String =
     QuantEmbCte + IvfTrainCte(nCells.toString) +
     IvfCoarseCte(nCells.toString, providedCents = true) +
     s""", kpr AS (
@@ -2910,9 +2909,49 @@ object Oracles {
       |  SELECT va, vb, cos, CAST(ROW_NUMBER() OVER (PARTITION BY va
       |    ORDER BY cos DESC, vb) AS BIGINT) AS rnk
       |  FROM kcs
-      |)
+      |)""".stripMargin
+
+  /** Mirror of `VectorOps.knnGraph`: every vector searches its OWN
+    * trained cell (nProbe = 1 self-search) and keeps its k nearest
+    * cell-mates by exact cosine, vec_id tiebreak. */
+  def pipeKnnGraph(k: Int = 5, nCells: Int = 16): String =
+    KnnCte(nCells) +
+    s"""
       |SELECT va, rnk, vb, cos FROM krr WHERE rnk <= $k
       |ORDER BY va, rnk""".stripMargin
+
+  /** Mirror of `VectorOps.knnClusters`: mutual-kNN edges (each
+    * endpoint in the other's top-k) closed into connected components
+    * by the recursive-reach / min-label pattern of
+    * [[pipeDedupClusters]]. */
+  def pipeKnnClusters(k: Int = 5, nCells: Int = 16): String =
+    (KnnCte(nCells) +
+    s""", ke AS (
+      |  SELECT va, vb FROM krr WHERE rnk <= $k
+      |), mke AS (
+      |  SELECT a.va, a.vb FROM ke a
+      |  JOIN ke b ON b.va = a.vb AND b.vb = a.va
+      |  WHERE a.va < a.vb
+      |), ke2 AS (
+      |  SELECT va AS src, vb AS dst FROM mke
+      |  UNION ALL SELECT vb, va FROM mke
+      |), kreach AS (
+      |  SELECT vec_id, vec_id AS label FROM embeddings
+      |  UNION
+      |  SELECT ke2.dst AS vec_id, r.label FROM kreach r
+      |  JOIN ke2 ON ke2.src = r.vec_id
+      |), klab AS (
+      |  SELECT vec_id, MIN(label) AS cluster_id FROM kreach
+      |  GROUP BY vec_id
+      |), ksz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM klab
+      |  GROUP BY cluster_id
+      |)
+      |SELECT klab.vec_id, klab.cluster_id, ksz.cluster_size,
+      |  klab.vec_id = klab.cluster_id AS is_canonical
+      |FROM klab JOIN ksz USING (cluster_id)
+      |ORDER BY klab.vec_id""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   private def IvfCoarseCte(cells: String = "16",
       providedCents: Boolean = false): String =

@@ -755,6 +755,12 @@ object SparkEntry {
       VectorOps.knnGraph(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("va", "rnk")),
+    // semantic clusters: mutual-kNN symmetrization + the shared
+    // pointer-jumping CC — edge count <= n*k, CC input linear in n
+    "pipe_knn_clusters" -> ((s, d) =>
+      VectorOps.knnClusters(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
     "pipe_ann_recall_ivf_kmeans" -> ((s, d) =>
       VectorOps.annRecallIvfKmeans(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
@@ -1328,6 +1334,7 @@ object SparkEntry {
     "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_semdedup" -> Oracles.pipeSemDedup(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
+    "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,

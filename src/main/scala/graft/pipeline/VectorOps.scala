@@ -641,6 +641,30 @@ object VectorOps {
         col("vb"), col("cos"))
   }
 
+  /** Semantic clustering by mutual-kNN + connected components — the
+    * cluster labels a curation run feeds into balanced sampling or
+    * topic pruning. An edge exists only when BOTH endpoints rank each
+    * other in their top-k ([[knnGraph]]), the standard symmetrization
+    * that keeps hub vectors from gluing unrelated regions together;
+    * components close under the same pointer-jumping CC as every
+    * dedup path ([[TextPipeline.dedupClusters]] — O(log diameter)
+    * rounds, never a driver loop). Edge count is ≤ n·k by
+    * construction, so the CC input is linear in the collection.
+    * Output: (vec_id, cluster_id, cluster_size, is_canonical). */
+  def knnClusters(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val e = knnGraph(emb, k, nCells, trainedCents).select("va", "vb")
+    val mutual = e.join(
+        e.select(col("vb").as("va"), col("va").as("vb")),
+        Seq("va", "vb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    TextPipeline.dedupClusters(
+        emb.select(col("vec_id").as("doc_id")), mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's
     * bucket; exact cosine ranking within the bucket. `bits` defaults to
     * the collection-size-scaled count (one cheap count() to size it) so

@@ -220,6 +220,45 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("knnClusters closes mutual-kNN edges into per-cell components") {
+    import graft.pipeline.VectorOps
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val rows = VectorOps.knnClusters(emb, k = 5, nCells = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
+      .sortBy(_._1)
+    // k=5 keeps every cell-mate edge, all mutual → one component per
+    // cell: {0,2,3} labeled 0 and {1,4} labeled 1
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 0L), (4L, 1L)))
+    assert(rows.filter(_._2 == 0L).forall(_._3 == 3L))
+    assert(rows.filter(_._2 == 1L).forall(_._3 == 2L))
+    assert(rows.filter(_._4).map(_._1).toSeq === Seq(0L, 1L))
+  }
+
+  test("knnClusters at k=1 splits a chain at the non-mutual link") {
+    import graft.pipeline.VectorOps
+    // one cell; 2's nearest is 3 and vice versa; 0's nearest is 2 but
+    // 2's top-1 is NOT 0 → the 0–2 edge is dropped at k=1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.80f, 0.20f)),
+      (2L, Array(0.90f, 0.10f)),
+      (3L, Array(0.91f, 0.09f))).toDF("vec_id", "embedding")
+    val labels = VectorOps.knnClusters(emb, k = 1, nCells = 1)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(labels(2L) === labels(3L))
+    assert(labels(0L) !== labels(2L))
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
