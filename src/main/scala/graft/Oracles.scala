@@ -3380,6 +3380,38 @@ object Oracles {
       |    '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.boilerplateRemove`: positional chunking
+    * (unnest over a range keeps pos), md5-keyed document frequency,
+    * NOT-IN removal, and order-preserving reassembly via
+    * `string_agg(... ORDER BY pos)`. */
+  def pipeBoilerplate(chunkWords: Int = 10, maxDf: Int = 1): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), cp AS (
+      |  SELECT doc_id, words, unnest(range(0,
+      |    (GREATEST(len(words) - 1, 0) // $chunkWords) + 1)) AS pos
+      |  FROM w
+      |), ch AS (
+      |  SELECT doc_id, pos, array_to_string(
+      |    words[pos*$chunkWords+1:pos*$chunkWords+$chunkWords], ' ') AS chunk
+      |  FROM cp
+      |), cf AS (
+      |  SELECT doc_id, pos, chunk, md5(chunk) AS h FROM ch
+      |  WHERE chunk <> ''
+      |), hot AS (
+      |  SELECT h FROM cf GROUP BY h
+      |  HAVING COUNT(DISTINCT doc_id) > $maxDf
+      |), reb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      |  FROM cf WHERE h NOT IN (SELECT h FROM hot)
+      |  GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+      |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM documents d LEFT JOIN reb USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def pipeChunkDedup: String =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents

@@ -870,6 +870,11 @@ object SparkEntry {
     "pipe_chunk_dedup" -> ((s, d) =>
       TextPipeline.chunkDedup(Tables.load(s, d, "documents"))
         .orderBy("chunk_hash")),
+    // C4/CCNet boilerplate removal: corpus-hot chunks cut from EVERY
+    // doc, docs reassembled in original order from survivors
+    "pipe_boilerplate" -> ((s, d) =>
+      TextPipeline.boilerplateRemove(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     "pipe_fingerprint" -> ((s, d) =>
       TextPipeline.fingerprints(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1357,6 +1362,7 @@ object SparkEntry {
     "pipe_repetition" -> Oracles.pipeRepetition,
     "pipe_scrub" -> Oracles.pipeScrub,
     "pipe_chunk_dedup" -> Oracles.pipeChunkDedup,
+    "pipe_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_multimodal" -> Oracles.pipeMultimodal,
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,

@@ -996,6 +996,43 @@ object TextPipeline {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
+  /** Boilerplate removal, C4/CCNet-style: any fixed-size word chunk
+    * whose corpus document-frequency exceeds `maxDf` is cut from
+    * EVERY document (not first-kept as in [[chunkDedup]] — navboxes,
+    * license footers, and scraped templates must vanish everywhere),
+    * and each document is reassembled from its surviving chunks in
+    * original order. Scale shape: the DF pass groups on the chunk's
+    * md5 (fixed-width shuffle key, never the chunk text), the removal
+    * is one left-anti join on that hash, and reassembly is a per-doc
+    * sort of its OWN chunk list (`array_sort` over a collected
+    * (pos, chunk) struct — deterministic, no cross-doc order
+    * dependence). A viral chunk is one row in the DF table either
+    * way. Output: (doc_id, clean_text, n_kept). */
+  def boilerplateRemove(docs: DataFrame, chunkWords: Int = 10,
+      maxDf: Long = 1): DataFrame = {
+    val chunkArr = expr(s"transform(sequence(0, " +
+      s"greatest(size(words) - 1, 0) div $chunkWords), " +
+      s"i -> concat_ws(' ', slice(words, i * $chunkWords + 1, $chunkWords)))")
+    val chunks = docs.withColumn("words", wordsCol)
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .filter(col("chunk") =!= "")
+      .withColumn("chunk_hash", md5(col("chunk")))
+    val hot = chunks.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDf)
+      .select("chunk_hash")
+    val rebuilt = chunks.join(hot, Seq("chunk_hash"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk"))).as("clean_text"))
+    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
     docChunks(docs, chunkWords)
       .groupBy("chunk_hash")

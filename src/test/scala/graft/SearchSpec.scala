@@ -259,6 +259,24 @@ class SearchSpec extends AnyFunSuite {
     assert(labels(0L) !== labels(2L))
   }
 
+  test("boilerplateRemove cuts corpus-hot chunks everywhere, keeps order") {
+    val d = docs(
+      (1L, "m m m a b c t u v"),   // hot chunk in the MIDDLE
+      (2L, "a b c p q r"),
+      (3L, "u v w"),
+      (4L, "a b c"))               // all-boilerplate doc survives empty
+    val rows = TextPipeline.boilerplateRemove(d, chunkWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "a b c" appears in 3 docs → removed from every one of them;
+    // doc 1's surviving chunks stay in original order
+    assert(rows.toSeq === Seq(
+      (1L, "m m m t u v", 2L),
+      (2L, "p q r", 1L),
+      (3L, "u v w", 1L),
+      (4L, "", 0L)))
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
