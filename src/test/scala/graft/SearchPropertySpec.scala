@@ -155,6 +155,89 @@ class SearchPropertySpec extends AnyFunSuite {
     }.toMap
   }
 
+  // --- random embedding sets for the vector-graph ops --------------
+  // grid-valued components (tenths, first component nonzero) force
+  // duplicate vectors and exact cosine ties at small n; no zero norms
+  private val genVecs: Gen[Vector[(Long, Array[Float])]] = for {
+    n <- Gen.choose(2, 12)
+    vs <- Gen.listOfN(n, for {
+      a <- Gen.choose(1, 10)
+      b <- Gen.choose(0, 10)
+      c <- Gen.choose(0, 10)
+    } yield Array(a / 10.0f, b / 10.0f, c / 10.0f))
+  } yield vs.toVector.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  private def milli(v: Array[Float]): Array[Long] =
+    v.map(x => Math.round(x.toDouble * 1000))
+
+  private def cosModel(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+      math.sqrt(b.map(x => x * x).sum.toDouble))
+  }
+
+  /** The single-cell trained centroid: assignment is constant, so both
+    * Lloyd iterations recenter to the same floorDiv mean. */
+  private def centModel(q: Seq[Array[Long]]): Array[Long] =
+    Array.tabulate(q.head.length)(i =>
+      Math.floorDiv(q.map(_(i)).sum, q.length))
+
+  test("knnGraph at one cell equals the brute-force kNN model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val cases = (31 to 40).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }
+      val want = q.flatMap { case (va, qa) =>
+        q.filter(_._1 != va)
+          .map { case (vb, qb) => (vb, cosModel(qa, qb)) }
+          .sortBy { case (vb, c) => (-c, vb) }
+          .take(3).zipWithIndex
+          .map { case ((vb, _), i) => (va, i + 1L, vb) }
+      }.toSet
+      val got = VectorOps.knnGraph(vs.toDF("vec_id", "embedding"),
+          k = 3, nCells = 1)
+        .collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vb"))).toSet
+      assert(got == want, s"knn mismatch for ${vs.map(_._2.toSeq)}")
+    }
+  }
+
+  test("semDedup at one cell equals the exists-dominance model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val cases = (41 to 50).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    val tau = 0.97
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }.toMap
+      val cent = centModel(vs.map(v => q(v._1)))
+      val ccos = q.map { case (id, qa) => id -> cosModel(qa, cent) }
+      val want = q.keys.map { v =>
+        val dropped = q.keys.exists(u => u != v &&
+          cosModel(q(u), q(v)) >= tau &&
+          (ccos(u) < ccos(v) || (ccos(u) == ccos(v) && u < v)))
+        v -> !dropped
+      }.toMap
+      val got = VectorOps.semDedup(vs.toDF("vec_id", "embedding"),
+          threshold = tau, nCells = 1)
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+        .toMap
+      assert(got == want, s"semdedup mismatch for ${vs.map(_._2.toSeq)}")
+      // with grid vectors duplicates are common — at least the model
+      // itself must drop SOMETHING across the 10 cases overall
+    }
+    val anyDrop = cases.exists { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }.toMap
+      q.keys.exists(v => q.keys.exists(u => u != v &&
+        cosModel(q(u), q(v)) >= tau))
+    }
+    assert(anyDrop, "fixture never exercised the drop path")
+  }
+
   test("substringDedup equals the driver model on random corpora") {
     // L = 3 on the 8-word alphabet: dense collisions, heavy overlap
     val cases = (21 to 30).map(i =>
