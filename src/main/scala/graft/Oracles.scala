@@ -4456,6 +4456,31 @@ object Oracles {
         |FROM dw JOIN s$nMerges s USING (word) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TrainingData.bpeCoverage`: per-source exact sums over
+    * the trained dictionary's symbol lists, ratios as one double
+    * division (symbols concatenate back to the word, so n_chars is
+    * just SUM(len(word)) over occurrences). */
+  def pipeBpeCoverage(nMerges: Int = 8): String =
+    bpeChain(nMerges) +
+      s"""
+        |, dw AS (SELECT d.source, unnest(string_split(d.text, ' ')) AS word
+        |         FROM documents d)
+        |, agg AS (
+        |  SELECT d.source,
+        |    CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(len(list_filter(s.syms, t -> len(t) > 1)))
+        |      AS BIGINT) AS n_merged
+        |  FROM dw d JOIN s$nMerges s USING (word)
+        |  GROUP BY d.source
+        |)
+        |SELECT source, n_tokens, n_chars, n_merged,
+        |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS chars_per_token,
+        |  CAST(n_merged AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS merged_frac
+        |FROM agg ORDER BY source""".stripMargin
+
   /** Mirror of `TrainingData.bpeEncode`: ordered token streams — words
     * in document order, each word's merged symbols in sequence. */
   def pipeBpeEncode(nMerges: Int = 8): String =

@@ -961,6 +961,12 @@ object SparkEntry {
       pipeline.TrainingData.bpeEncode(Tables.load(s, d, "documents"), s,
           pipeline.TrainingData.mergePairs(trainedBpe(s, d)))
         .orderBy("doc_id", "token_no")),
+    // tokenizer fit per source: compression (chars/token) and merged
+    // fraction under the stored BPE artifact
+    "pipe_bpe_coverage" -> ((s, d) =>
+      pipeline.TrainingData.bpeCoverage(Tables.load(s, d, "documents"), s,
+          pipeline.TrainingData.mergePairs(trainedBpe(s, d)))
+        .orderBy("source")),
     "pipe_ann_recall" -> ((s, d) =>
       pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
@@ -1386,6 +1392,7 @@ object SparkEntry {
     "pipe_bpe" -> Oracles.pipeBpe(),
     "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
     "pipe_bpe_encode" -> Oracles.pipeBpeEncode(),
+    "pipe_bpe_coverage" -> Oracles.pipeBpeCoverage(),
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,

@@ -426,6 +426,43 @@ object TrainingData {
       nMerges: Int): DataFrame =
     bpeTokenCounts(docs, spark, mergePairs(bpeTrain(docs, spark, nMerges)))
 
+  /** Tokenizer-coverage report: per source, exact token count, char
+    * count, and how many tokens are MERGED symbols (length > 1) under
+    * a trained BPE table — the two numbers a tokenizer decision is
+    * made on: chars_per_token (compression: how far a fixed token
+    * budget stretches on this source) and merged_frac (vocabulary
+    * fit: a source stuck at single-char fallback is out-of-domain for
+    * the merges). Same scale shape as [[bpeTokenCounts]]: the merge
+    * table is tiny driver state inside the UDF closure, the corpus
+    * pass is one per-row map, and the only shuffle is the |sources|-
+    * cardinality aggregate with map-side combine. The ratios are one
+    * double division over exact integer sums — bit-stable on any
+    * engine. */
+  def bpeCoverage(docs: DataFrame, spark: SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    val statUdf = udf((text: String) => {
+      var nTok = 0L; var nChars = 0L; var nMerged = 0L
+      text.split(" ").foreach { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        nTok += syms.length
+        nChars += w.length
+        nMerged += syms.count(_.length > 1)
+      }
+      (nTok, nChars, nMerged)
+    })
+    docs.select(col("source"), statUdf(col("text")).as("st"))
+      .groupBy("source")
+      .agg(sum("st._1").as("n_tokens"), sum("st._2").as("n_chars"),
+        sum("st._3").as("n_merged"))
+      .select(col("source"), col("n_tokens"), col("n_chars"),
+        col("n_merged"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        (col("n_merged").cast("double") / col("n_tokens").cast("double"))
+          .as("merged_frac"))
+  }
+
   /** Tokenize the corpus into ordered token STREAMS — the actual
     * "text → training tokens" pass (counts tell you the budget; this
     * is what gets packed and fed to the trainer). One per-row map +

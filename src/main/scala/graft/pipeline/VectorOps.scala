@@ -571,12 +571,16 @@ object VectorOps {
       (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double")))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id"))
+    // both pair-join sides read this frame — one lazy checkpoint
+    // evaluates the scoring join + assignment window once (the
+    // coarseCells discipline)
     quantized(emb).join(broadcast(cDf))
       .withColumn("ccos", ccos)
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cent_id"), col("q"), col("nq"),
         col("ccos"))
+      .localCheckpoint(false)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup

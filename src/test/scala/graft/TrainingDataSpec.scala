@@ -107,6 +107,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(enc.groupBy(_._1).view.mapValues(_.length.toLong).toMap == counts)
   }
 
+  test("bpeCoverage reports exact per-source compression and merge fit") {
+    // merge (a,a) dominates; srcA's words compress, srcB never merges
+    val d = Seq(
+      (1L, "srcA", "aaab aab"),
+      (2L, "srcA", "aa"),
+      (3L, "srcB", "bcd")).toDF("doc_id", "source", "text")
+    val merges = TrainingData.mergePairs(
+      TrainingData.bpeTrain(d.select("doc_id", "text"), spark,
+        nMerges = 1))
+    val rows = TrainingData.bpeCoverage(d, spark, merges)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // srcA under (a,a): "aaab"→aa,a,b (3), "aab"→aa,b (2), "aa"→aa (1)
+    //   = 6 tokens, 9 chars, 3 merged
+    assert(rows(0) === (("srcA", 6L, 9L, 3L, 1.5, 0.5)))
+    // srcB: "bcd"→b,c,d = 3 single-char tokens, no merges apply
+    assert(rows(1) === (("srcB", 3L, 3L, 0L, 1.0, 0.0)))
+  }
+
   test("applyMerge is lossless for any merge sequence (property)") {
     // tokenization must never alter content: concatenating the symbol
     // sequence always rebuilds the word, under any merge chain
