@@ -2911,6 +2911,62 @@ object Oracles {
       |  FROM kcs
       |)""".stripMargin
 
+  /** Mirror of `StreamingOps.semDedupStream` (replayed in vec_id
+    * order): the per-cell GREEDY sequential dedup — an arrival is
+    * dropped iff an earlier KEPT cell-mate sits at cosine ≥ τ — as a
+    * linear recursion over the cell's arrival ranks carrying the kept
+    * list (the [[mktStrategy]] state-machine pattern with LIST state,
+    * as in the BPE chain). The pair work is precomputed once
+    * (`gnear`: each member's earlier near-neighbors), so the
+    * recursive term is a pure list test. */
+  def pipeSemDedupStream(threshold: String = "0.45",
+      nCells: Int = 16): String =
+    (QuantEmbCte + IvfTrainCte(nCells.toString) +
+    IvfCoarseCte(nCells.toString, providedCents = true) +
+    s""", gsa AS (
+      |  SELECT vec_id, cent_id FROM ranked_c WHERE crn = 1
+      |), gseq AS (
+      |  SELECT vec_id, cent_id, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY cent_id ORDER BY vec_id) AS BIGINT) AS idx
+      |  FROM gsa
+      |), gn AS (
+      |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n FROM gseq
+      |  GROUP BY cent_id
+      |), gpd AS (
+      |  SELECT x.cent_id, x.vec_id AS va, y.vec_id AS vb,
+      |    SUM(ea.q * eb.q) AS dot
+      |  FROM gseq x JOIN gseq y
+      |    ON y.cent_id = x.cent_id AND y.vec_id > x.vec_id
+      |  JOIN ev ea ON ea.vec_id = x.vec_id
+      |  JOIN ev eb ON eb.vec_id = y.vec_id AND eb.i = ea.i
+      |  GROUP BY x.cent_id, x.vec_id, y.vec_id
+      |), gnear AS (
+      |  SELECT p.cent_id, p.vb, list(p.va) AS near FROM gpd p
+      |  JOIN nrm na ON na.vec_id = p.va
+      |  JOIN nrm nb ON nb.vec_id = p.vb
+      |  WHERE CAST(p.dot AS DOUBLE) /
+      |    (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
+      |    >= $threshold
+      |  GROUP BY p.cent_id, p.vb
+      |), grec AS (
+      |  SELECT s.cent_id, CAST(1 AS BIGINT) AS i, [s.vec_id] AS kept
+      |  FROM gseq s WHERE s.idx = 1
+      |  UNION ALL
+      |  SELECT r.cent_id, r.i + 1,
+      |    CASE WHEN t.near IS NOT NULL AND list_has_any(r.kept, t.near)
+      |      THEN r.kept ELSE list_append(r.kept, s.vec_id) END
+      |  FROM grec r
+      |  JOIN gseq s ON s.cent_id = r.cent_id AND s.idx = r.i + 1
+      |  LEFT JOIN gnear t ON t.cent_id = r.cent_id AND t.vb = s.vec_id
+      |), gfin AS (
+      |  SELECT r.cent_id, r.kept FROM grec r
+      |  JOIN gn ON gn.cent_id = r.cent_id AND r.i = gn.n
+      |)
+      |SELECT s.vec_id, s.cent_id, list_contains(f.kept, s.vec_id) AS kept
+      |FROM gseq s JOIN gfin f ON f.cent_id = s.cent_id
+      |ORDER BY s.vec_id""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** Mirror of `VectorOps.knnGraph`: every vector searches its OWN
     * trained cell (nProbe = 1 self-search) and keeps its k nearest
     * cell-mates by exact cosine, vec_id tiebreak. */

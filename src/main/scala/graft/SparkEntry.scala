@@ -755,6 +755,12 @@ object SparkEntry {
       VectorOps.knnGraph(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("va", "rnk")),
+    // ONLINE semantic dedup: arrival-order greedy per cell over the
+    // stored centroids; state = kept survivors only
+    "pipe_semdedup_stream" -> ((s, d) =>
+      streaming.StreamingOps.semDedupReplay(
+          Tables.load(s, d, "embeddings"), s, trainedIvf(s, d))
+        .orderBy("vec_id")),
     // semantic clusters: mutual-kNN symmetrization + the shared
     // pointer-jumping CC — edge count <= n*k, CC input linear in n
     "pipe_knn_clusters" -> ((s, d) =>
@@ -1344,6 +1350,7 @@ object SparkEntry {
     "pipe_ann_ivf_sqrtn" -> Oracles.pipeAnnIvfSqrtN,
     "pipe_ann_ivf_kmeans" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_semdedup" -> Oracles.pipeSemDedup(),
+    "pipe_semdedup_stream" -> Oracles.pipeSemDedupStream(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
     "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
     // the streaming probe's emissions ARE the batch kmeans-IVF rows

@@ -560,7 +560,7 @@ object VectorOps {
   /** Per-vector assignment under a trained quantizer WITH the
     * centroid cosine kept — the shared front half of [[semDedup]] and
     * [[knnGraph]]. Output: (vec_id, cent_id, q, nq, ccos). */
-  private def assignedWithCos(emb: DataFrame,
+  private[graft] def assignedWithCos(emb: DataFrame,
       cents: Array[Array[Long]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

@@ -879,6 +879,82 @@ object StreamingOps extends Serializable {
           k, nProbe))
   }
 
+  /** One embedding arrival on the ingest stream, already assigned to
+    * its coarse cell (assignment is a per-row expression against the
+    * driver-literal centroids — the [[annProbeStream]] discipline — so
+    * it needs no streaming aggregation). */
+  case class VecOcc(vec_id: Long, cent_id: Long, q: Seq[Long])
+
+  /** A kept corpus vector inside one cell's dedup state. */
+  case class KeptVec(vecId: Long, q: Seq[Long], nq: Long)
+  case class CellState(kept: List[KeptVec])
+
+  /** Per-arrival dedup verdict emitted by [[semDedupStream]]. */
+  case class VecKeep(vec_id: Long, cent_id: Long, kept: Boolean)
+
+  /** ONLINE semantic dedup — the streaming counterpart of
+    * [[graft.pipeline.VectorOps.semDedup]] with arrival-order
+    * semantics: within its coarse cell, an arriving vector is dropped
+    * iff it sits at cosine ≥ τ to any EARLIER KEPT vector (the greedy
+    * sequential rule every online dedup service implements — a
+    * dropped vector never blocks later arrivals). Arrival order is
+    * vec_id order (monotone ingest ids), restored inside each
+    * micro-batch by an explicit sort so emissions are deterministic
+    * under any shuffle.
+    *
+    * State per cell is the KEPT members only — the dedup survivors,
+    * O(distinct content) like every dedup index here, never the
+    * arrival count; with √n cells the per-key state is ~√n survivors.
+    * Each verdict is emitted exactly once (Append), and because state
+    * is per-cell and checkpointed, a kill+restart resumes the greedy
+    * scan mid-cell (`StreamingSpec`). */
+  def semDedupStream(vecs: Dataset[VecOcc], spark: SparkSession,
+      threshold: Double = 0.45): DataFrame = {
+    import spark.implicits._
+
+    def update(cent: Long, batch: Iterator[VecOcc],
+        state: GroupState[CellState]): Iterator[VecKeep] = {
+      var kept = state.getOption.map(_.kept).getOrElse(Nil)
+      val out = List.newBuilder[VecKeep]
+      batch.toSeq.sortBy(_.vec_id).foreach { v =>
+        val nq = v.q.iterator.map(x => x * x).sum
+        val dup = kept.exists { u =>
+          val dot = u.q.iterator.zip(v.q.iterator)
+            .map { case (a, b) => a * b }.sum
+          dot.toDouble / (math.sqrt(u.nq.toDouble) *
+            math.sqrt(nq.toDouble)) >= threshold
+        }
+        if (!dup) kept = kept :+ KeptVec(v.vec_id, v.q, nq)
+        out += VecKeep(v.vec_id, cent, !dup)
+      }
+      state.update(CellState(kept))
+      out.result().iterator
+    }
+
+    vecs.groupByKey(_.cent_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Bounded replay of [[semDedupStream]] — the VERIFY harness: the
+    * collection's vectors, pre-assigned under the stored centroids,
+    * fed in vec_id order over `nChunks` micro-batches; the emitted
+    * verdicts equal the per-cell greedy scan, which the DuckDB mirror
+    * recomputes as a linear recursion carrying the kept list. */
+  def semDedupReplay(emb: DataFrame, spark: SparkSession,
+      cents: Array[Array[Long]], threshold: Double = 0.45,
+      nChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val rows = graft.pipeline.VectorOps.assignedWithCos(emb, cents)
+      .select(col("vec_id"), col("cent_id"), col("q"))
+      .as[VecOcc].collect().sortBy(_.vec_id)
+    replayChunked(spark, rows, (v: VecOcc) => v.vec_id, nChunks,
+      "graft_semdedup_replay",
+      (ds: Dataset[VecOcc], sp: SparkSession) =>
+        semDedupStream(ds, sp, threshold))
+  }
+
   /** Streaming curated-corpus sink: the batch `Lake.writeCurated`
     * shape fed incrementally — the stateless content-hash split
     * assignment (`TextPipeline.splitAssign`, a pure projection, so

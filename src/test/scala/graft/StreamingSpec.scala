@@ -220,6 +220,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("semDedupStream resumes the greedy scan from a checkpoint kill") {
+    import spark.implicits._
+    import graft.pipeline.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = VectorOps.ivfTrain(emb)
+    val rows = VectorOps.assignedWithCos(emb, cents)
+      .select(col("vec_id"), col("cent_id"), col("q"))
+      .as[StreamingOps.VecOcc].collect().sortBy(_.vec_id)
+    val cut = rows.length / 2
+    val tau = 0.45
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-semdedup").toString
+    val ckpt = tmp + "/ckpt"
+    val out = tmp + "/out"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.VecOcc](spark)
+    def start() = StreamingOps.semDedupStream(ms.toDS(), spark, tau)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+
+    val q1 = start()
+    ms.addData(rows.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
+    q1.stop()                      // killed with the tail un-consumed
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // driver-side greedy model: per cell in vec_id order, drop iff an
+    // EARLIER KEPT member sits at cosine >= tau (a restart that lost
+    // the kept-state would re-admit duplicates of pre-kill survivors)
+    val want = rows.groupBy(_.cent_id).toSeq.flatMap { case (cent, vs) =>
+      var kept = List.empty[(Long, Seq[Long], Long)]
+      vs.sortBy(_.vec_id).toSeq.map { v =>
+        val nq = v.q.iterator.map(x => x * x).sum
+        val dup = kept.exists { case (_, uq, unq) =>
+          val dot = uq.iterator.zip(v.q.iterator)
+            .map { case (a, b) => a * b }.sum
+          dot.toDouble / (math.sqrt(unq.toDouble) *
+            math.sqrt(nq.toDouble)) >= tau
+        }
+        if (!dup) kept = kept :+ ((v.vec_id, v.q, nq))
+        (v.vec_id, cent, !dup)
+      }
+    }.toSet
+    val got = spark.read.parquet(out)
+      .select("vec_id", "cent_id", "kept")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got.size === rows.length)   // every arrival decided once
+    assert(got === want)
+    assert(got.exists(!_._3), "fixture never exercised the drop path")
+  }
+
   test("curatedSinkStream lands the batch split layout exactly once across a kill") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
