@@ -2976,6 +2976,35 @@ object Oracles {
       |SELECT va, rnk, vb, cos FROM krr WHERE rnk <= $k
       |ORDER BY va, rnk""".stripMargin
 
+  /** Mirror of `VectorOps.knnRecall`: exact all-pairs self-kNN vs the
+    * trained-cell self-search (`krr`), recall per vector. */
+  def pipeKnnRecall(k: Int = 5, nCells: Int = 16): String =
+    KnnCte(nCells) +
+    s""", xqd AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |    SUM(q.q * c.q) AS dot
+      |  FROM ev q JOIN ev c ON c.i = q.i AND c.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, c.vec_id
+      |), xcc AS (
+      |  SELECT query_id, xqd.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM xqd JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = xqd.vec_id
+      |), xrr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM xcc
+      |)
+      |SELECT e.query_id AS query_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(l.vb) AS BIGINT) AS n_hit,
+      |  CAST(COUNT(l.vb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      |FROM (SELECT * FROM xrr WHERE rnk <= $k) e
+      |LEFT JOIN (SELECT * FROM krr WHERE rnk <= $k) l
+      |  ON l.va = e.query_id AND l.vb = e.vec_id
+      |GROUP BY e.query_id
+      |ORDER BY query_id""".stripMargin
+
   /** Mirror of `VectorOps.knnClusters`: mutual-kNN edges (each
     * endpoint in the other's top-k) closed into connected components
     * by the recursive-reach / min-label pattern of

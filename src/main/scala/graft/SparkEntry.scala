@@ -761,6 +761,11 @@ object SparkEntry {
       streaming.StreamingOps.semDedupReplay(
           Tables.load(s, d, "embeddings"), s, trainedIvf(s, d))
         .orderBy("vec_id")),
+    // measured nProbe=1 boundary cost of the self-graph, per vector
+    "pipe_knn_recall" -> ((s, d) =>
+      VectorOps.knnRecall(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("query_id")),
     // semantic clusters: mutual-kNN symmetrization + the shared
     // pointer-jumping CC — edge count <= n*k, CC input linear in n
     "pipe_knn_clusters" -> ((s, d) =>
@@ -1353,6 +1358,7 @@ object SparkEntry {
     "pipe_semdedup_stream" -> Oracles.pipeSemDedupStream(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
     "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
+    "pipe_knn_recall" -> Oracles.pipeKnnRecall(),
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,

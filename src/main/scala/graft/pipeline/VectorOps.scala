@@ -669,6 +669,30 @@ object VectorOps {
         col("cluster_size"), col("is_canonical"))
   }
 
+  /** Recall@k of [[knnGraph]] against the EXACT self-kNN graph — the
+    * measured cost of the nProbe=1 cell boundary, per vector (a low
+    * row marks a vector near a cell wall whose true neighbors sit in
+    * the adjacent cell). The exact side is the all-pairs scan: an
+    * O(n²) eval baseline in the [[nearDupPairsExact]] class — run it
+    * at eval SF to CHOOSE nCells, never in the production path; the
+    * ranking itself reuses the salted two-stage top-k. Output:
+    * (query_id, n_exact, n_hit, recall). */
+  def knnRecall(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val q = quantized(emb)
+    val a = q.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("nq").as("na"))
+    val b = q.select(col("vec_id").as("vb"), col("q").as("qb"),
+      col("nq").as("nb"))
+    val exact = topKPerQuery(
+        a.join(b, col("query_id") =!= col("vb")).withColumn("cos", cosine),
+        k, col("cos").desc, col("vb"))
+      .select(col("query_id"), col("vb").as("vec_id"))
+    val approx = knnGraph(emb, k, nCells, trainedCents)
+      .select(col("va").as("query_id"), col("vb").as("vec_id"))
+    recallAgainst(exact, approx)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's
     * bucket; exact cosine ranking within the bucket. `bits` defaults to
     * the collection-size-scaled count (one cheap count() to size it) so

@@ -277,6 +277,20 @@ class SearchSpec extends AnyFunSuite {
       (4L, "", 0L)))
   }
 
+  test("knnRecall is exactly 1.0 when a single cell holds everything") {
+    import graft.pipeline.VectorOps
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val rows = VectorOps.knnRecall(emb, k = 2, nCells = 1).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Double]("recall") === 1.0))
+    assert(rows.forall(_.getAs[Long]("n_exact") === 2L))
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
