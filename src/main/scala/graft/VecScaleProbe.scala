@@ -137,8 +137,22 @@ object VecScaleProbe {
     val (nCs, tCs) = timed(VectorOps.clusterSample(emb,
       trainedCents = Some(ivfCents)).rdd.count())
 
+    // the semantic-dedup family under √n cells: per-cell pair blocks
+    // (Σ|cell|² ≈ n^1.5) dominate, so wall time must grow ~n^1.5 —
+    // re-run at 4× the k and expect ~8× here, never the all-pairs 16×
+    val sCells = VectorOps.scaledCells(n)
+    var semCents: Array[Array[Long]] = null
+    val (_, tSemTrain) = timed {
+      semCents = VectorOps.ivfTrain(emb, sCells); 1L }
+    val (nSd, tSd) = timed(VectorOps.semDedup(emb, nCells = sCells,
+      trainedCents = Some(semCents)).rdd.count())
+    val (nKg, tKg) = timed(VectorOps.knnGraph(emb, nCells = sCells,
+      trainedCents = Some(semCents)).rdd.count())
+    val (nKc, tKc) = timed(VectorOps.knnClusters(emb, nCells = sCells,
+      trainedCents = Some(semCents)).rdd.count())
+
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},"cluster_sample":{"rows":$nCs,"seconds":$tCs%.2f,"vecs_per_sec":${rate(tCs)}},$nProbeSweep}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},"cluster_sample":{"rows":$nCs,"seconds":$tCs%.2f,"vecs_per_sec":${rate(tCs)}},"sem_cells":$sCells,"sem_ivf_train":{"seconds":$tSemTrain%.2f},"semdedup":{"rows":$nSd,"seconds":$tSd%.2f},"knn_graph":{"rows":$nKg,"seconds":$tKg%.2f},"knn_clusters":{"rows":$nKc,"seconds":$tKc%.2f},$nProbeSweep}""")
     spark.stop()
   }
 }

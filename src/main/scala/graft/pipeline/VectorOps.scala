@@ -165,21 +165,8 @@ object VectorOps {
     * here. */
   def clusterSample(emb: DataFrame, nCells: Int = 16, perCell: Int = 8,
       trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = trainedCents.getOrElse(ivfTrain(emb, nCells))
-    val q = quantized(emb)
-    val cDf = cents.zipWithIndex.map { case (c, j) =>
-      (j.toLong, c.toSeq, c.map(x => x * x).sum)
-    }.toSeq.toDF("cent_id", "cq", "cnq")
-    val ccos = longArrayDot(col("q"), col("cq")).cast("double") /
-      (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double")))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = q.join(broadcast(cDf))
-      .withColumn("ccos", ccos)
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    val assigned =
+      assignedWithCos(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
       .select(col("cent_id").as("query_id"), col("vec_id").as("vb"),
         col("ccos"))
     topKPerQuery(assigned, perCell, col("ccos").desc, col("vb"))
@@ -350,18 +337,28 @@ object VectorOps {
     val centCos = (longArrayDot(col("q"), col("cq")).cast("double") /
       (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double"))))
       .as("ccos")
+    val scored = q.join(broadcast(cents)).withColumn("ccos", centCos)
+    // assignment by MAP-SIDE argmax, not a window: a vector's nCells
+    // scored rows are generated from its own row, so the partial
+    // aggregation collapses n·cells → n before the shuffle — the
+    // window shape shuffled the full scored frame (arrays included),
+    // which dominated the whole kNN family at the 32k probe. The
+    // (ccos desc, cent_id asc) rule is max(struct(ccos, −cent_id)).
+    val assign = scored
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"),
+          (-col("cent_id")).as("nc"))).as("m"),
+        first(col("q")).as("qb"), first(col("nq")).as("nb"))
+      .select(col("vec_id").as("vb"), (-col("m.nc")).as("cent_id"),
+        col("qb"), col("nb"))
+    // the probe list ranks only the nQueries query vectors — the
+    // filter sits below the broadcast join, so the window input is
+    // nQueries·cells rows, never the collection
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id"))
-    // feeds both the assignment and the probe list — evaluate the
-    // centroid-scoring join + window once
-    val scored = q.join(broadcast(cents)).withColumn("ccos", centCos)
+    val probes = scored.filter(col("vec_id") < nQueries)
       .withColumn("crn", row_number().over(wAssign))
-      .localCheckpoint(false)
-    val assign = scored.filter(col("crn") === 1)
-      .select(col("vec_id").as("vb"), col("cent_id"),
-        col("q").as("qb"), col("nq").as("nb"))
-    val probes = scored.filter(col("vec_id") < nQueries &&
-      col("crn") <= nProbe)
+      .filter(col("crn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cent_id"),
         col("q").as("qa"), col("nq").as("na"))
     (assign, probes)
@@ -456,12 +453,15 @@ object VectorOps {
       }.toSeq.toDF("cent_id", "cq", "cnq")
       val ccos = (longArrayDot(col("q"), col("cq")).cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double"))))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
+      // assignment by map-side argmax (the coarseCells shape): each
+      // training iteration shuffles n rows, never n·cells
       val sums = q.join(broadcast(cDf))
         .withColumn("ccos", ccos)
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"),
+            (-col("cent_id")).as("nc"))).as("m"),
+          first(col("q")).as("q"))
+        .select((-col("m.nc")).as("cent_id"), col("q"))
         .groupBy("cent_id")
         .agg(count(lit(1)).as("n"),
           array((0 until d).map(i =>
@@ -569,17 +569,17 @@ object VectorOps {
     }.toSeq.toDF("cent_id", "cq", "cnq")
     val ccos = longArrayDot(col("q"), col("cq")).cast("double") /
       (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double")))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
-    // both pair-join sides read this frame — one lazy checkpoint
-    // evaluates the scoring join + assignment window once (the
-    // coarseCells discipline)
+    // same map-side argmax as coarseCells — n·cells rows collapse to
+    // n before the shuffle; the lazy checkpoint still keeps the two
+    // pair-join sides from re-evaluating the scoring join
     quantized(emb).join(broadcast(cDf))
       .withColumn("ccos", ccos)
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("q"), col("nq"),
-        col("ccos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"),
+          (-col("cent_id")).as("nc"))).as("m"),
+        first(col("q")).as("q"), first(col("nq")).as("nq"))
+      .select(col("vec_id"), (-col("m.nc")).as("cent_id"),
+        col("q"), col("nq"), col("m.ccos").as("ccos"))
       .localCheckpoint(false)
   }
 
@@ -637,9 +637,14 @@ object VectorOps {
       ivfAssignments(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
     val q = assign.select(col("cent_id"), col("vb").as("query_id"),
       col("qb").as("qa"), col("nb").as("na"))
+    // prune the vector arrays BEFORE the ranking windows: cos is
+    // computed at the pair join, but letting qa/qb (d longs each) ride
+    // the two top-k shuffles multiplied the self-graph's shuffle bytes
+    // ~14× at the 32k probe (VecScaleProbe)
     val scored = q.join(assign, Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos", cosine)
+      .select("query_id", "vb", "cos")
     topKPerQuery(scored, k, col("cos").desc, col("vb"))
       .select(col("query_id").as("va"), col("rnk").cast("long").as("rnk"),
         col("vb"), col("cos"))
@@ -685,7 +690,8 @@ object VectorOps {
     val b = q.select(col("vec_id").as("vb"), col("q").as("qb"),
       col("nq").as("nb"))
     val exact = topKPerQuery(
-        a.join(b, col("query_id") =!= col("vb")).withColumn("cos", cosine),
+        a.join(b, col("query_id") =!= col("vb")).withColumn("cos", cosine)
+          .select("query_id", "vb", "cos"),   // prune arrays pre-rank
         k, col("cos").desc, col("vb"))
       .select(col("query_id"), col("vb").as("vec_id"))
     val approx = knnGraph(emb, k, nCells, trainedCents)
