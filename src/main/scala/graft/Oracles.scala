@@ -3005,12 +3005,11 @@ object Oracles {
       |GROUP BY e.query_id
       |ORDER BY query_id""".stripMargin
 
-  /** Mirror of `VectorOps.knnClusters`: mutual-kNN edges (each
-    * endpoint in the other's top-k) closed into connected components
-    * by the recursive-reach / min-label pattern of
-    * [[pipeDedupClusters]]. */
-  def pipeKnnClusters(k: Int = 5, nCells: Int = 16): String =
-    (KnnCte(nCells) +
+  /** The mutual-kNN connected-components chain (through
+    * `klab(vec_id, cluster_id)` / `ksz`) shared by [[pipeKnnClusters]]
+    * and [[pipeSemKeepBest]]. */
+  private def KnnCcCte(k: Int, nCells: Int): String =
+    KnnCte(nCells) +
     s""", ke AS (
       |  SELECT va, vb FROM krr WHERE rnk <= $k
       |), mke AS (
@@ -3031,11 +3030,43 @@ object Oracles {
       |), ksz AS (
       |  SELECT cluster_id, COUNT(*) AS cluster_size FROM klab
       |  GROUP BY cluster_id
-      |)
+      |)""".stripMargin
+
+  /** Mirror of `VectorOps.knnClusters`: mutual-kNN edges (each
+    * endpoint in the other's top-k) closed into connected components
+    * by the recursive-reach / min-label pattern of
+    * [[pipeDedupClusters]]. */
+  def pipeKnnClusters(k: Int = 5, nCells: Int = 16): String =
+    (KnnCcCte(k, nCells) +
+    """
       |SELECT klab.vec_id, klab.cluster_id, ksz.cluster_size,
       |  klab.vec_id = klab.cluster_id AS is_canonical
       |FROM klab JOIN ksz USING (cluster_id)
       |ORDER BY klab.vec_id""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** Mirror of `VectorOps.semKeepBest`: the semantic clusters with the
+    * quality-keeper rule of [[pipeDedupKeepBest]] (highest quality
+    * wins, vec_id tiebreak). */
+  def pipeSemKeepBest(k: Int = 5, nCells: Int = 16): String =
+    (KnnCcCte(k, nCells) +
+    s""", kq AS (
+      |  SELECT doc_id, $qualityScoreSql AS quality_score FROM documents
+      |), kkeeper AS (
+      |  SELECT cluster_id, vec_id AS keep_doc FROM (
+      |    SELECT l.cluster_id, l.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+      |        ORDER BY q.quality_score DESC, l.vec_id) AS rn
+      |    FROM klab l JOIN kq q ON q.doc_id = l.vec_id)
+      |  WHERE rn = 1
+      |)
+      |SELECT l.vec_id, l.cluster_id, s.cluster_size, q.quality_score,
+      |  k.keep_doc, l.vec_id = k.keep_doc AS is_kept
+      |FROM klab l
+      |JOIN ksz s USING (cluster_id)
+      |JOIN kq q ON q.doc_id = l.vec_id
+      |JOIN kkeeper k USING (cluster_id)
+      |ORDER BY l.vec_id""".stripMargin)
     .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   private def IvfCoarseCte(cells: String = "16",

@@ -761,6 +761,13 @@ object SparkEntry {
       streaming.StreamingOps.semDedupReplay(
           Tables.load(s, d, "embeddings"), s, trainedIvf(s, d))
         .orderBy("vec_id")),
+    // near-meaning groups collapse to their best-written member:
+    // semantic clusters + the quality-keeper policy
+    "pipe_sem_keep_best" -> ((s, d) =>
+      VectorOps.semKeepBest(Tables.load(s, d, "documents"),
+          Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
     // measured nProbe=1 boundary cost of the self-graph, per vector
     "pipe_knn_recall" -> ((s, d) =>
       VectorOps.knnRecall(Tables.load(s, d, "embeddings"),
@@ -1359,6 +1366,7 @@ object SparkEntry {
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
     "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
     "pipe_knn_recall" -> Oracles.pipeKnnRecall(),
+    "pipe_sem_keep_best" -> Oracles.pipeSemKeepBest(),
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,

@@ -674,6 +674,33 @@ object VectorOps {
         col("cluster_size"), col("is_canonical"))
   }
 
+  /** Keep-best over the SEMANTIC clusters: [[knnClusters]] labels
+    * joined with the text-side quality score (vec_id ≡ doc_id in the
+    * canonical layout), keeper = highest quality, vec_id tiebreak —
+    * the [[TextPipeline.dedupKeepBest]] policy applied to embedding
+    * clusters instead of MinHash components: near-meaning groups
+    * collapse to their best-written member. One cluster-keyed window
+    * past the CC labels; the quality side is a per-doc expression
+    * pipeline, so the join is id-keyed and shuffle-bounded by n.
+    * Output: (vec_id, cluster_id, cluster_size, quality_score,
+    * keep_doc, is_kept). */
+  def semKeepBest(docs: DataFrame, emb: DataFrame, k: Int = 5,
+      nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val labelled = knnClusters(emb, k, nCells, trainedCents)
+    val qual = TextPipeline.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("vec_id"))
+    labelled.join(qual, col("vec_id") === col("doc_id"))
+      .withColumn("keep_doc", first(col("vec_id")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("keep_doc"),
+        (col("vec_id") === col("keep_doc")).as("is_kept"))
+  }
+
   /** Recall@k of [[knnGraph]] against the EXACT self-kNN graph — the
     * measured cost of the nProbe=1 cell boundary, per vector (a low
     * row marks a vector near a cell wall whose true neighbors sit in

@@ -291,6 +291,37 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_exact") === 2L))
   }
 
+  test("semKeepBest keeps the highest-quality member of each cluster") {
+    import graft.pipeline.{TextPipeline, VectorOps}
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val d = docs(
+      (0L, "short"),
+      (1L, "a reasonable document with several words here"),
+      (2L, "this is a longer and cleaner sentence with many words and structure"),
+      (3L, "x"),
+      (4L, "yy zz"))
+    val quality = TextPipeline.qualityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("quality_score")).toMap
+    val rows = VectorOps.semKeepBest(d, emb, k = 5, nCells = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keep_doc"), r.getAs[Boolean]("is_kept")))
+    assert(rows.length === 5)
+    rows.groupBy(_._2).foreach { case (_, cl) =>
+      val members = cl.map(_._1)
+      val expect = members.minBy(m => (-quality(m), m))
+      assert(cl.forall(_._3 == expect))          // shared keeper
+      assert(cl.count(_._4) === 1)               // exactly one kept
+      assert(cl.find(_._4).get._1 === expect)
+    }
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
