@@ -4226,6 +4226,36 @@ object Oracles {
     * nearest-neighbor half resize maps target pixel (x, y) to source
     * byte `3·(2y·w + 2x) + c`, so the resized sums are computable from
     * the source formula `p(j) = (doc_id·7 + j·13) mod 256` alone. */
+  /** Mirror of `Multimodal.ppmLetterboxFeatures`: the letterbox maps
+    * out pixel (x, y) of the sw×sh scaled region to source
+    * (x·w//sw, y·h//sh) under the closed-form pixel formula; the
+    * black padding contributes nothing to the channel sums. */
+  def pipeMediaLetterbox(side: Int = 8): String = {
+    def chan(c: Int) =
+      s"""CAST(list_aggregate(flatten(list_transform(range(0, sh), y ->
+         |    list_transform(range(0, sw), x ->
+         |      (doc_id*7 + (3*(((y*h)//sh)*w + ((x*w)//sw)) + $c)*13)
+         |        % 256))),
+         |    'sum') AS BIGINT)""".stripMargin
+    s"""WITH dims0 AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents
+      |), dims AS (
+      |  SELECT doc_id, w, h,
+      |    GREATEST(1, (w * $side) // GREATEST(w, h)) AS sw,
+      |    GREATEST(1, (h * $side) // GREATEST(w, h)) AS sh
+      |  FROM dims0
+      |)
+      |SELECT doc_id,
+      |  CAST($side AS BIGINT) AS width,
+      |  CAST($side AS BIGINT) AS height,
+      |  CAST($side * $side AS BIGINT) AS n_pixels,
+      |  ${chan(0)} AS sum_r,
+      |  ${chan(1)} AS sum_g,
+      |  ${chan(2)} AS sum_b
+      |FROM dims ORDER BY doc_id""".stripMargin
+  }
+
   def pipeMediaResize: String = {
     def chan(c: Int) =
       s"""CAST(list_aggregate(flatten(list_transform(range(0, h2), y ->

@@ -931,6 +931,12 @@ object SparkEntry {
     "pipe_media_resize" -> ((s, d) =>
       pipeline.Multimodal.ppmResizeFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    // aspect-preserving pad-to-square (the batching shape every image
+    // trainer wants); black borders, exact integer floor maps
+    "pipe_media_letterbox" -> ((s, d) =>
+      pipeline.Multimodal.ppmLetterboxFeatures(
+          Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
     "pipe_media_jpeg" -> ((s, d) =>
       pipeline.Multimodal.jpegFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
@@ -1400,6 +1406,7 @@ object SparkEntry {
     "pipe_media_jpeg" -> Oracles.pipeMediaJpeg,
     "pipe_media_y4m" -> Oracles.pipeMediaY4m,
     "pipe_media_resize" -> Oracles.pipeMediaResize,
+    "pipe_media_letterbox" -> Oracles.pipeMediaLetterbox(),
     "mkt_eps_draws" -> Oracles.mktEpsDraws,
     "mkt_strategy" -> Oracles.mktStrategy,
     "pipe_chunk" -> Oracles.pipeChunk,

@@ -618,6 +618,64 @@ object Multimodal {
     header ++ out
   }
 
+  /** Letterbox a P6 PPM into a `side`×`side` square: the image scales
+    * to fit while PRESERVING aspect (nearest-neighbor, integer floor
+    * maps — `sx = x·w/sw` — so both engines agree exactly) and the
+    * borders pad with black — the standard pad-to-square every
+    * image-training pipeline applies before batching (a plain resize
+    * distorts aspect; crops lose content). Pure byte→byte transform:
+    * the output is itself a valid PPM, so the feature pass reuses
+    * [[decodePpm]] unchanged. */
+  def letterboxPpm(payload: Array[Byte], side: Int = 8): Array[Byte] = {
+    val bytes = payload
+    var pos = 0
+    def token(): String = {
+      while (Character.isWhitespace(bytes(pos))) pos += 1
+      val s = pos
+      while (!Character.isWhitespace(bytes(pos))) pos += 1
+      new String(bytes, s, pos - s, "US-ASCII")
+    }
+    require(token() == "P6", "not a P6 PPM")
+    val w = token().toInt
+    val h = token().toInt
+    require(token() == "255", "only 8-bit PPM supported")
+    pos += 1
+    val m = math.max(w, h)
+    val sw = math.max(1, w * side / m)
+    val sh = math.max(1, h * side / m)
+    val x0 = (side - sw) / 2
+    val y0 = (side - sh) / 2
+    val header = s"P6\n$side $side\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](3 * side * side) // zero-filled = black pad
+    var y = 0
+    while (y < sh) {
+      val sy = y * h / sh
+      var x = 0
+      while (x < sw) {
+        val sx = x * w / sw
+        var c = 0
+        while (c < 3) {
+          out(3 * ((y0 + y) * side + (x0 + x)) + c) =
+            bytes(pos + 3 * (sy * w + sx) + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    header ++ out
+  }
+
+  /** Docs → real PPM bytes → letterbox to a square (re-encoded
+    * container) → decode of the PADDED bytes → exact features. */
+  def ppmLetterboxFeatures(docs: DataFrame, spark: SparkSession,
+      side: Int = 8): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, letterboxPpm(ppmPayload(id), side)))
+      .mapPartitions(decodePpm).toDF()
+  }
+
   /** Docs → real PPM bytes → nearest-neighbor half resize (re-encoded
     * container) → decode of the RESIZED bytes → exact features. Any
     * bug in the resize index math or the re-encode breaks the

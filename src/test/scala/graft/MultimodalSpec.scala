@@ -207,6 +207,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tf.width == 1L && tf.height == 1L && tf.sum_r == 1L)
   }
 
+  test("ppm letterbox preserves aspect and pads with black") {
+    // 4x2 source into 4x4: sw=4, sh=2, centered at y0=1 — rows 0 and
+    // 3 are pure padding, rows 1-2 are the unscaled source pixels
+    val src = new Array[Byte](3 * 4 * 2)
+    src.indices.foreach(j => src(j) = (j + 1).toByte)
+    val payload = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ src
+    val boxed = Multimodal.letterboxPpm(payload, side = 4)
+    val f = Multimodal.decodePpm(Iterator(MediaRow(1L, boxed))).next()
+    assert(f.width == 4L && f.height == 4L && f.n_pixels == 16L)
+    // padding adds zero: sums equal the source channel sums exactly
+    val sums = src.zipWithIndex.groupBy(_._2 % 3).view
+      .mapValues(_.map(_._1.toLong & 0xffL).sum).toMap
+    assert(f.sum_r == sums(0) && f.sum_g == sums(1) && f.sum_b == sums(2))
+    // the padding rows really are black
+    val body = boxed.drop("P6\n4 4\n255\n".length)
+    assert(body.slice(0, 12).forall(_ == 0))           // row 0
+    assert(body.slice(36, 48).forall(_ == 0))          // row 3
+    // a tall thin source pads horizontally instead
+    val thin = "P6\n1 3\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val tf = Multimodal.decodePpm(Iterator(
+      MediaRow(2L, Multimodal.letterboxPpm(thin, side = 3)))).next()
+    assert(tf.width == 3L && tf.height == 3L)
+    assert(tf.sum_r == 1L + 4L + 7L)
+  }
+
   test("png/y4m encode-decode round trip matches the closed form") {
     (0L to 50L).foreach { id =>
       val g = Multimodal.decodePng(
