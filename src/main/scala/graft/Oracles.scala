@@ -3496,6 +3496,37 @@ object Oracles {
       |    '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.sourceDrift`: identical formula —
+    * FLOOR(1e9 · p · LN(p/q)) per term over exact counts, BIGINT
+    * sum per source. */
+  def pipeSourceDrift: String =
+    """WITH st AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), bs AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM st GROUP BY source, term
+      |), tot AS (
+      |  SELECT source, SUM(cnt) AS tot FROM bs GROUP BY source
+      |), corp AS (
+      |  SELECT term, SUM(cnt) AS ccnt FROM bs GROUP BY term
+      |), ct AS (
+      |  SELECT SUM(cnt) AS ctot FROM bs
+      |)
+      |SELECT b.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(CAST(FLOOR(1e9 *
+      |    (CAST(b.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) *
+      |    LN((CAST(b.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) /
+      |       (CAST(c.ccnt AS DOUBLE) / CAST(ct.ctot AS DOUBLE))))
+      |    AS BIGINT)) AS BIGINT) AS kl_nano
+      |FROM bs b
+      |JOIN tot t ON t.source = b.source
+      |JOIN corp c ON c.term = b.term
+      |CROSS JOIN ct
+      |GROUP BY b.source
+      |ORDER BY b.source""".stripMargin
+
   /** Mirror of `TextPipeline.boilerplateRemove`: positional chunking
     * (unnest over a range keeps pos), md5-keyed document frequency,
     * NOT-IN removal, and order-preserving reassembly via

@@ -888,6 +888,11 @@ object SparkEntry {
     "pipe_chunk_dedup" -> ((s, d) =>
       TextPipeline.chunkDedup(Tables.load(s, d, "documents"))
         .orderBy("chunk_hash")),
+    // drift monitor: KL(source || corpus) in exact nano units — the
+    // number that catches a shifted source before it poisons the mix
+    "pipe_source_drift" -> ((s, d) =>
+      TextPipeline.sourceDrift(Tables.load(s, d, "documents"))
+        .orderBy("source")),
     // C4/CCNet boilerplate removal: corpus-hot chunks cut from EVERY
     // doc, docs reassembled in original order from survivors
     "pipe_boilerplate" -> ((s, d) =>
@@ -1396,6 +1401,7 @@ object SparkEntry {
     "pipe_scrub" -> Oracles.pipeScrub,
     "pipe_chunk_dedup" -> Oracles.pipeChunkDedup,
     "pipe_boilerplate" -> Oracles.pipeBoilerplate(),
+    "pipe_source_drift" -> Oracles.pipeSourceDrift,
     "pipe_multimodal" -> Oracles.pipeMultimodal,
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,

@@ -996,6 +996,38 @@ object TextPipeline {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
+  /** Distribution drift per source: KL(source ‖ corpus) over the term
+    * distribution — the monitoring number that catches a source whose
+    * language shifted (scraper broke, domain changed) before it
+    * poisons a training mix. Every term a source emits is in the
+    * corpus by construction, so the divergence needs no smoothing.
+    * Numeric discipline: each term's contribution
+    * `⌊10⁹·p·ln(p/q)⌋` is ONE floor over single-expression double
+    * arithmetic on exact integer counts — deterministic on any
+    * engine — and the per-source total is an exact BIGINT sum, the
+    * BM25 score_nano pattern. Shuffles are term-keyed aggregates with
+    * map-side combine; a viral term is one row per source. Output:
+    * (source, n_terms, kl_nano). */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("source"),
+      explode(wordsCol).as("term"))
+    val bySrc = terms.groupBy("source", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val srcTot = bySrc.groupBy("source").agg(sum("cnt").as("tot"))
+    val byCorp = bySrc.groupBy("term").agg(sum("cnt").as("ccnt"))
+    val corpTot = bySrc.agg(sum("cnt").as("ctot"))
+    val p = col("cnt").cast("double") / col("tot").cast("double")
+    val q = col("ccnt").cast("double") / col("ctot").cast("double")
+    bySrc.join(srcTot, "source")
+      .join(byCorp, "term")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("contrib_nano",
+        floor(lit(1e9) * p * log(p / q)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("contrib_nano").as("kl_nano"))
+  }
+
   /** Boilerplate removal, C4/CCNet-style: any fixed-size word chunk
     * whose corpus document-frequency exceeds `maxDf` is cut from
     * EVERY document (not first-kept as in [[chunkDedup]] — navboxes,

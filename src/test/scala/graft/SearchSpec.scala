@@ -322,6 +322,26 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceDrift is zero for matching distributions, ln2-nano for " +
+      "disjoint ones") {
+    val same = Seq(
+      (1L, "x x y", "srcA"),
+      (2L, "x x y", "srcB")).toDF("doc_id", "text", "source")
+    val rows = TextPipeline.sourceDrift(same).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // both sources match the corpus distribution exactly → KL = 0
+    assert(rows === Map("srcA" -> 0L, "srcB" -> 0L))
+
+    val split = Seq(
+      (1L, "x x x", "srcA"),
+      (2L, "y y y", "srcB")).toDF("doc_id", "text", "source")
+    val drift = TextPipeline.sourceDrift(split).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // p = 1, q = 1/2 → contribution ⌊1e9·ln 2⌋ for each source
+    val ln2nano = math.floor(1e9 * math.log(2.0)).toLong
+    assert(drift === Map("srcA" -> ln2nano, "srcB" -> ln2nano))
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
