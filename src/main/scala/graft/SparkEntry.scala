@@ -875,6 +875,13 @@ object SparkEntry {
     "pipe_sql_substring_dedup" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM substring_dedup('docs_sql')")
         .orderBy("doc_id")),
+    // the monitoring + boilerplate surface from SQL text, same mirrors
+    "pipe_sql_source_drift" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM source_drift('docs_sql')")
+        .orderBy("source")),
+    "pipe_sql_boilerplate" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM boilerplate('docs_sql')")
+        .orderBy("doc_id")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1402,6 +1409,8 @@ object SparkEntry {
     "pipe_chunk_dedup" -> Oracles.pipeChunkDedup,
     "pipe_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_source_drift" -> Oracles.pipeSourceDrift,
+    "pipe_sql_source_drift" -> Oracles.pipeSourceDrift,
+    "pipe_sql_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_multimodal" -> Oracles.pipeMultimodal,
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,

@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dedup_exact" -> graft.plans.GraftTableFunctions.dedupExactTvf _,
       "dup_ngrams" -> graft.plans.GraftTableFunctions.dupNgramsTvf _,
       "quality" -> graft.plans.GraftTableFunctions.qualityTvf _,
+      "source_drift" ->
+        graft.plans.GraftTableFunctions.sourceDriftTvf _,
+      "boilerplate" ->
+        graft.plans.GraftTableFunctions.boilerplateTvf _,
       "substring_dedup" ->
         graft.plans.GraftTableFunctions.substringDedupTvf _,
       "dsir" -> graft.plans.GraftTableFunctions.dsirTvf _,

@@ -111,6 +111,12 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5)
           case "quality" =>
             graft.pipeline.TextPipeline.qualityScore(l3)
+          case "source_drift" =>
+            graft.pipeline.TextPipeline.sourceDrift(l3)
+          case "boilerplate" =>
+            graft.pipeline.TextPipeline.boilerplateRemove(l3,
+              if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 10,
+              if (u.longArgs.length > 1) u.longArgs(1) else 1L)
           case "substring_dedup" =>
             graft.pipeline.TextPipeline.substringDedup(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 8)
@@ -366,6 +372,25 @@ object GraftTableFunctions {
   def qualityTvf(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "quality takes (docs_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "quality")), "quality", Nil)
+  }
+
+  /** `source_drift('docs')` — per-source KL(source ‖ corpus) in nano
+    * units ([[graft.pipeline.TextPipeline.sourceDrift]]). */
+  def sourceDriftTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "source_drift takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "source_drift")),
+      "source_drift", Nil)
+  }
+
+  /** `boilerplate('docs'[, chunk_words[, max_df]])` — corpus-hot-chunk
+    * removal ([[graft.pipeline.TextPipeline.boilerplateRemove]]). */
+  def boilerplateTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "boilerplate takes (docs_table[, chunk_words[, max_df]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "boilerplate")),
+      "boilerplate",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "boilerplate") })
   }
 
   /** `substring_dedup('docs'[, L])` — exact substring dedup report

@@ -343,6 +343,14 @@ class ExtensionsSpec extends AnyFunSuite {
       // min-run-length pass-through
       assert(rows(s2.sql("SELECT * FROM substring_dedup('docs_tvf', 12)")) ==
         rows(TextPipeline.substringDedup(docs, L = 12)))
+      assert(rows(s2.sql("SELECT * FROM source_drift('docs_tvf')")) ==
+        rows(TextPipeline.sourceDrift(docs)))
+      assert(rows(s2.sql("SELECT * FROM boilerplate('docs_tvf')")) ==
+        rows(TextPipeline.boilerplateRemove(docs)))
+      // chunk-words and max-df pass-through
+      assert(rows(s2.sql("SELECT * FROM boilerplate('docs_tvf', 5, 2)")) ==
+        rows(TextPipeline.boilerplateRemove(docs, chunkWords = 5,
+          maxDf = 2)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
