@@ -26,6 +26,9 @@ object KnnProbe {
       .select((col("vec_id") * k + col("copy")).as("vec_id"),
         expr("concat(slice(embedding, copy + 1, size(embedding) - copy), " +
           "slice(embedding, 1, copy))").as("embedding"))
+      // one source file × broadcast crossJoin = ONE partition; spread
+      // it or every per-row kernel below runs single-threaded
+      .repartition(64)
       .localCheckpoint()
     val n = emb.count()
 
@@ -38,6 +41,10 @@ object KnnProbe {
     val cells = VectorOps.scaledCells(n)
     println(s"n=$n cells=$cells")
     var cents: Array[Array[Long]] = null
+    timed("ivf_train_seeds_only") {
+      VectorOps.ivfTrain(emb, cells, iters = 0); 1L }
+    timed("ivf_train_1iter") {
+      VectorOps.ivfTrain(emb, cells, iters = 1); 1L }
     timed("ivf_train") { cents = VectorOps.ivfTrain(emb, cells); 1L }
     timed("semdedup") { VectorOps.semDedup(emb, nCells = cells,
       trainedCents = Some(cents)).rdd.count() }

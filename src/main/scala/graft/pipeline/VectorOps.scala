@@ -448,20 +448,38 @@ object VectorOps {
     val d = cents(0).length
     var t = 0
     while (t < iters) {
-      val cDf = cents.zipWithIndex.map { case (c, j) =>
-        (j.toLong, c.toSeq, c.map(x => x * x).sum)
-      }.toSeq.toDF("cent_id", "cq", "cnq")
-      val ccos = (longArrayDot(col("q"), col("cq")).cast("double") /
-        (sqrt(col("nq").cast("double")) * sqrt(col("cnq").cast("double"))))
-      // assignment by map-side argmax (the coarseCells shape): each
-      // training iteration shuffles n rows, never n·cells
-      val sums = q.join(broadcast(cDf))
-        .withColumn("ccos", ccos)
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"),
-            (-col("cent_id")).as("nc"))).as("m"),
-          first(col("q")).as("q"))
-        .select((-col("m.nc")).as("cent_id"), col("q"))
+      // assignment per row by a broadcast mapPartitions KERNEL — the
+      // one imperative hop in the vector tier, and the case that
+      // justifies it: a pure per-row argmax over O(cells·d) constants
+      // with no relational structure. The join form blows the row
+      // count up n·cells; the literal-expression form blows the
+      // CODEGEN up (measured: ~34 s of one-time Janino compile at 179
+      // cells·64 dims — the execution itself was free). The kernel is
+      // O(n·cells·d) flops, no intermediate, compile-free, and
+      // applies the same (ccos desc, cent asc) rule: strict > keeps
+      // the first (lowest) cell of a tied score.
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = q.select(col("q"), col("nq"))
+        .as[(Seq[Long], Long)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val cnqs = cs.map(c => c.map(x => x * x).sum)
+          it.map { case (qv, nq) =>
+            var best = -1; var bestC = 0.0
+            var j = 0
+            while (j < cs.length) {
+              val c = cs(j)
+              var dot = 0L; var i = 0
+              while (i < c.length) { dot += qv(i) * c(i); i += 1 }
+              val ccos = dot.toDouble /
+                (math.sqrt(nq.toDouble) * math.sqrt(cnqs(j).toDouble))
+              if (best < 0 || ccos > bestC) { best = j; bestC = ccos }
+              j += 1
+            }
+            (best.toLong, qv)
+          }
+        }.toDF("cent_id", "q")
+      val sums = assigned
         .groupBy("cent_id")
         .agg(count(lit(1)).as("n"),
           array((0 until d).map(i =>
