@@ -39,6 +39,8 @@ object PipeScaleProbe {
         regexp_replace(col("text"), lit("( )"),
           concat(lit("~"), col("copy").cast("string"), lit("$1"))).as("text"),
         col("lang"))
+      // spread: one source file x broadcast crossJoin = ONE partition
+      .repartition(64)
     val nDocs = docs.count()
 
     def timed(f: => Long): (Long, Double) = {
@@ -89,6 +91,7 @@ object PipeScaleProbe {
     // postings grow (no per-query serialization)
     val docsDup = base.crossJoin(copies)
       .select((col("doc_id") * k + col("copy")).as("doc_id"), col("text"))
+      .repartition(64)
     val (nBm, tBm) = timed(graft.pipeline.Search.bm25TopK(docsDup).count())
 
     // exact substring dedup over the perturbed corpus: the gram table

@@ -40,6 +40,9 @@ object VecScaleProbe {
       .select((col("vec_id") * k + col("copy")).as("vec_id"),
         expr("concat(slice(embedding, copy + 1, size(embedding) - copy), " +
           "slice(embedding, 1, copy))").as("embedding"))
+      // one source file × broadcast crossJoin = ONE partition; spread
+      // it or every per-row map below runs single-threaded
+      .repartition(64)
       .localCheckpoint()
     val n = emb.count()
 
