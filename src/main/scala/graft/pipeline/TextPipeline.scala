@@ -978,11 +978,6 @@ object TextPipeline {
       md5(scrubbed).as("scrubbed_md5"))
   }
 
-  /** Cross-document chunk dedup: documents split into fixed 10-word
-    * chunks, chunks hashed, and every chunk shared by ≥ 2 documents
-    * reported with its spread (the paragraph-dedup pass of training
-    * pipelines, on word-chunk granularity since the corpus has no
-    * newlines). */
   /** The stateless chunk explosion feeding [[chunkDedup]] — also the
     * per-batch map of the streaming twin
     * ([[graft.streaming.StreamingOps.chunkDedupStream]]). */
@@ -1065,6 +1060,11 @@ object TextPipeline {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Cross-document chunk dedup: documents split into fixed 10-word
+    * chunks, chunks hashed, and every chunk shared by ≥ 2 documents
+    * reported with its spread (the paragraph-dedup pass of training
+    * pipelines, on word-chunk granularity since the corpus has no
+    * newlines). */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
     docChunks(docs, chunkWords)
       .groupBy("chunk_hash")
