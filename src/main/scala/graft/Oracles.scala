@@ -3496,6 +3496,38 @@ object Oracles {
       |    '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TextPipeline.dedupAudit`: the banded candidate pairs
+    * (same capped `bnd` chain as the cluster mirrors), md5-of-pair-key
+    * sample, and the exact shingle-set Jaccard for the sample only. */
+  def pipeDedupAudit(n: Int = 20): String = pipeMinhashBody(
+    s"""cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), samp AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  ORDER BY md5(doc_a || '#' || doc_b) LIMIT $n
+      |), shc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh
+      |  GROUP BY doc_id
+      |), com AS (
+      |  SELECT s.doc_a, s.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM samp s
+      |  JOIN sh da ON da.doc_id = s.doc_a
+      |  JOIN sh db ON db.doc_id = s.doc_b AND db.shingle = da.shingle
+      |  GROUP BY s.doc_a, s.doc_b
+      |)
+      |SELECT s.doc_a, s.doc_b, ca.nsh AS n_sh_a, cb.nsh AS n_sh_b,
+      |  COALESCE(com.n_common, 0) AS n_common,
+      |  CAST(COALESCE(com.n_common, 0) AS DOUBLE) /
+      |    CAST(ca.nsh + cb.nsh - COALESCE(com.n_common, 0) AS DOUBLE)
+      |    AS jaccard
+      |FROM samp s
+      |JOIN shc ca ON ca.doc_id = s.doc_a
+      |JOIN shc cb ON cb.doc_id = s.doc_b
+      |LEFT JOIN com ON com.doc_a = s.doc_a AND com.doc_b = s.doc_b
+      |ORDER BY s.doc_a, s.doc_b""".stripMargin)
+
   /** Mirror of `TextPipeline.sourceDrift`: identical formula —
     * FLOOR(1e9 · p · LN(p/q)) per term over exact counts, BIGINT
     * sum per source. */

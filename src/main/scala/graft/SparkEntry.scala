@@ -895,6 +895,10 @@ object SparkEntry {
     "pipe_chunk_dedup" -> ((s, d) =>
       TextPipeline.chunkDedup(Tables.load(s, d, "documents"))
         .orderBy("chunk_hash")),
+    // deterministic near-dup audit sample with exact pair Jaccard
+    "pipe_dedup_audit" -> ((s, d) =>
+      TextPipeline.dedupAudit(Tables.load(s, d, "documents"))
+        .orderBy("doc_a", "doc_b")),
     // drift monitor: KL(source || corpus) in exact nano units — the
     // number that catches a shifted source before it poisons the mix
     "pipe_source_drift" -> ((s, d) =>
@@ -1409,6 +1413,7 @@ object SparkEntry {
     "pipe_chunk_dedup" -> Oracles.pipeChunkDedup,
     "pipe_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_source_drift" -> Oracles.pipeSourceDrift,
+    "pipe_dedup_audit" -> Oracles.pipeDedupAudit(),
     "pipe_sql_source_drift" -> Oracles.pipeSourceDrift,
     "pipe_sql_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_multimodal" -> Oracles.pipeMultimodal,

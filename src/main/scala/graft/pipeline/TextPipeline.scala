@@ -991,6 +991,46 @@ object TextPipeline {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
+  /** Deterministic audit sample of the near-dup candidate space — the
+    * spot-check list a dedup deployment ships with every run (is the
+    * threshold cutting where we think?): `n` candidate pairs chosen
+    * by md5 of the pair key (content-hash order — no RNG, any engine
+    * reproduces the sample), each with its EXACT shingle-set Jaccard.
+    * The exact pair work is bounded by the sample, never the
+    * candidate space; the sample selection is a distributed
+    * TakeOrderedAndProject over the banded candidates. Output:
+    * (doc_a, doc_b, n_sh_a, n_sh_b, n_common, jaccard). */
+  def dedupAudit(docs: DataFrame, n: Int = 20): DataFrame = {
+    def shArr(t: org.apache.spark.sql.Column) = {
+      val w = split(t, " ")
+      array_distinct(when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))
+        .otherwise(array()))
+    }
+    val t = docs.select(col("doc_id"), col("text"))
+    val sampled = minhashCandidates(docs)
+      .withColumn("pick", md5(concat_ws("#", col("doc_a"), col("doc_b"))))
+      .orderBy("pick").limit(n)
+    sampled
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .withColumn("sa", shArr(col("ta")))
+      .withColumn("sb", shArr(col("tb")))
+      .withColumn("n_common",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa")).cast("long").as("n_sh_a"),
+        size(col("sb")).cast("long").as("n_sh_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("n_common"))
+            .cast("double")).as("jaccard"))
+  }
+
   /** Distribution drift per source: KL(source ‖ corpus) over the term
     * distribution — the monitoring number that catches a source whose
     * language shifted (scraper broke, domain changed) before it

@@ -342,6 +342,26 @@ class SearchSpec extends AnyFunSuite {
     assert(drift === Map("srcA" -> ln2nano, "srcB" -> ln2nano))
   }
 
+  test("dedupAudit reports exact pair Jaccard on a crafted near-dup") {
+    // docs 1/2 share two of three shingles; doc 3 is unrelated (no
+    // shared band) and must not produce a pair
+    val d = docs(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (3L, "p q r s t"))
+    val rows = TextPipeline.dedupAudit(d, n = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_sh_a"), r.getAs[Long]("n_sh_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))
+    assert(rows.forall(p => Set(p._1, p._2).subsetOf(Set(1L, 2L))))
+    rows.find(p => p._1 == 1L && p._2 == 2L).foreach { p =>
+      // shingles: {abc, bcd, cde} vs {abc, bcd, cdx} → 2 of 4
+      assert(p._3 === 3L && p._4 === 3L && p._5 === 2L)
+      assert(p._6 === 2.0 / 4.0)
+    }
+  }
+
   test("bm25TopK truncates to k with the doc_id tiebreak") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
     val rows = Search.bm25TopK(d, Seq(1L -> "x"), k = 2)
