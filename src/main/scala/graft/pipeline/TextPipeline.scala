@@ -19,9 +19,9 @@ object TextPipeline {
   /** Word trigram shingles (empty for docs under 3 words). */
   private def shingles(c: Column): Column =
     when(size(c) >= 3,
-      expr("transform(sequence(1, size(words)-2), i -> " +
-        "concat_ws(' ', element_at(words,i), element_at(words,i+1), " +
-        "element_at(words,i+2)))"))
+      transform(sequence(lit(1), size(c) - 2),
+        i => concat_ws(" ", element_at(c, i), element_at(c, i + 1),
+          element_at(c, i + 2))))
       .otherwise(array())
 
   private def shingled(docs: DataFrame): DataFrame =
@@ -1001,14 +1001,10 @@ object TextPipeline {
     * TakeOrderedAndProject over the banded candidates. Output:
     * (doc_a, doc_b, n_sh_a, n_sh_b, n_common, jaccard). */
   def dedupAudit(docs: DataFrame, n: Int = 20): DataFrame = {
-    def shArr(t: org.apache.spark.sql.Column) = {
-      val w = split(t, " ")
-      array_distinct(when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2))))
-        .otherwise(array()))
-    }
+    // the same shingle definition the candidate generator uses — any
+    // change to `shingles` flows into the audit automatically
+    def shArr(t: org.apache.spark.sql.Column) =
+      array_distinct(shingles(split(t, " ")))
     val t = docs.select(col("doc_id"), col("text"))
     val sampled = minhashCandidates(docs)
       .withColumn("pick", md5(concat_ws("#", col("doc_a"), col("doc_b"))))

@@ -473,7 +473,13 @@ object VectorOps {
               while (i < c.length) { dot += qv(i) * c(i); i += 1 }
               val ccos = dot.toDouble /
                 (math.sqrt(nq.toDouble) * math.sqrt(cnqs(j).toDouble))
-              if (best < 0 || ccos > bestC) { best = j; bestC = ccos }
+              // Double.compare places NaN above every value — the
+              // same NaN-greatest order as max(struct) and the DuckDB
+              // ORDER BY mirror, so a degenerate all-zero centroid
+              // (ccos = NaN) assigns identically on all three paths
+              if (best < 0 || java.lang.Double.compare(ccos, bestC) > 0) {
+                best = j; bestC = ccos
+              }
               j += 1
             }
             (best.toLong, qv)
@@ -485,6 +491,7 @@ object VectorOps {
           array((0 until d).map(i =>
             sum(element_at(col("q"), i + 1))): _*).as("sums"))
         .collect()
+      bc.destroy() // forced by the collect; don't leak per iteration
       val next = cents.map(identity) // emptied cells keep their centroid
       sums.foreach { r =>
         val (j, n) = (r.getLong(0).toInt, r.getLong(1))
@@ -651,8 +658,12 @@ object VectorOps {
     * (va, rnk, vb, cos). */
   def knnGraph(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    // both self-join sides read the assignment — one lazy checkpoint
+    // evaluates the scoring join + argmax once (the assignedWithCos
+    // discipline)
     val assign =
       ivfAssignments(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
+        .localCheckpoint(false)
     val q = assign.select(col("cent_id"), col("vb").as("query_id"),
       col("qb").as("qa"), col("nb").as("na"))
     // prune the vector arrays BEFORE the ranking windows: cos is
@@ -680,7 +691,10 @@ object VectorOps {
     * Output: (vec_id, cluster_id, cluster_size, is_canonical). */
   def knnClusters(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    // the graph feeds both sides of the mutual join — checkpoint so
+    // the whole search pipeline doesn't evaluate twice
     val e = knnGraph(emb, k, nCells, trainedCents).select("va", "vb")
+      .localCheckpoint(false)
     val mutual = e.join(
         e.select(col("vb").as("va"), col("va").as("vb")),
         Seq("va", "vb"))
