@@ -2856,17 +2856,29 @@ object Oracles {
     * IvfTrainCte), assignment with centroid cosine kept, within-cell
     * pairwise integer dots, and the exists-dominance drop rule (a
     * vector is dropped when a cell-mate at cosine ≥ τ sits FARTHER
-    * from the centroid — lower ccos — with vec_id tiebreak). */
+    * from the centroid — lower ccos — with vec_id tiebreak). Cells
+    * past `VectorOps.CellCap` are sub-split by vec_id modulo
+    * ⌈|cell|/cap⌉ — the engine's occupancy guard, mirrored so the
+    * pair space is identical at every scale (a no-op at test SFs). */
   def pipeSemDedup(threshold: String = "0.45",
-      nCells: Int = 16): String =
+      nCells: Int = 16): String = {
+    val cap = graft.pipeline.VectorOps.CellCap
     QuantEmbCte + IvfTrainCte(nCells.toString) +
     IvfCoarseCte(nCells.toString, providedCents = true) +
-    s""", sda AS (
+    s""", sda0 AS (
       |  SELECT vec_id, cent_id, ccos FROM ranked_c WHERE crn = 1
+      |), sdn AS (
+      |  SELECT cent_id,
+      |    (CAST(COUNT(*) AS BIGINT) + ${cap - 1}) // $cap AS nsub
+      |  FROM sda0 GROUP BY cent_id
+      |), sda AS (
+      |  SELECT a.*, a.vec_id % n.nsub AS sub
+      |  FROM sda0 a JOIN sdn n USING (cent_id)
       |), sdp AS (
       |  SELECT x.vec_id AS va, y.vec_id AS vb, SUM(ea.q * eb.q) AS dot
       |  FROM sda x JOIN sda y
-      |    ON y.cent_id = x.cent_id AND y.vec_id <> x.vec_id
+      |    ON y.cent_id = x.cent_id AND y.sub = x.sub
+      |      AND y.vec_id <> x.vec_id
       |  JOIN ev ea ON ea.vec_id = x.vec_id
       |  JOIN ev eb ON eb.vec_id = y.vec_id AND eb.i = ea.i
       |  GROUP BY x.vec_id, y.vec_id
@@ -2885,15 +2897,27 @@ object Oracles {
       |SELECT a.vec_id, a.cent_id, a.ccos, (d.va IS NULL) AS kept
       |FROM sda a LEFT JOIN sdd d ON d.va = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
+  }
 
   /** The trained-cell self-search chain shared by [[pipeKnnGraph]]
-    * and [[pipeKnnClusters]] — through `krr(va, vb, cos, rnk)`. */
-  private def KnnCte(nCells: Int): String =
+    * and [[pipeKnnClusters]] — through `krr(va, vb, cos, rnk)`. The
+    * `VectorOps.CellCap` sub-split mirrors the engine's hot-cell
+    * occupancy guard (no-op at test SFs). */
+  private def KnnCte(nCells: Int): String = {
+    val cap = graft.pipeline.VectorOps.CellCap
     QuantEmbCte + IvfTrainCte(nCells.toString) +
     IvfCoarseCte(nCells.toString, providedCents = true) +
-    s""", kpr AS (
-      |  SELECT a.vb AS va, b.vb AS vb FROM assign a
-      |  JOIN assign b ON b.cent_id = a.cent_id AND b.vb <> a.vb
+    s""", kan AS (
+      |  SELECT cent_id,
+      |    (CAST(COUNT(*) AS BIGINT) + ${cap - 1}) // $cap AS nsub
+      |  FROM assign GROUP BY cent_id
+      |), kas AS (
+      |  SELECT a.*, a.vb % n.nsub AS sub
+      |  FROM assign a JOIN kan n USING (cent_id)
+      |), kpr AS (
+      |  SELECT a.vb AS va, b.vb AS vb FROM kas a
+      |  JOIN kas b ON b.cent_id = a.cent_id AND b.sub = a.sub
+      |    AND b.vb <> a.vb
       |), kdt AS (
       |  SELECT k.va, k.vb, SUM(ea.q * eb.q) AS dot
       |  FROM kpr k
@@ -2910,6 +2934,7 @@ object Oracles {
       |    ORDER BY cos DESC, vb) AS BIGINT) AS rnk
       |  FROM kcs
       |)""".stripMargin
+  }
 
   /** Mirror of `StreamingOps.semDedupStream` (replayed in vec_id
     * order): the per-cell GREEDY sequential dedup — an arrival is
@@ -4570,9 +4595,9 @@ object Oracles {
     packChain(nShards, capacity) +
       s"""
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  MAX(bin_no) AS n_bins, SUM(toks) AS total_toks,
-        |  MAX(bin_no) * $capacity - SUM(toks) AS waste_toks,
-        |  SUM(toks) * 1000000 // (MAX(bin_no) * $capacity) AS fill_ppm
+        |  MAX(bin_no) AS n_bins, CAST(SUM(toks) AS BIGINT) AS total_toks,
+        |  CAST(MAX(bin_no) * $capacity - SUM(toks) AS BIGINT) AS waste_toks,
+        |  CAST(SUM(toks) * 1000000 // (MAX(bin_no) * $capacity) AS BIGINT) AS fill_ppm
         |FROM rp GROUP BY shard ORDER BY shard""".stripMargin
 
   /** The first-fit packing recursion (`rp(shard, doc_id, pos, toks,

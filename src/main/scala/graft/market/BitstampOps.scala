@@ -125,7 +125,11 @@ object BitstampOps {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val corr = fixAggressorOrder(l3, matches)
+      // eager checkpoint: corr drives three consumers (the emptiness
+      // probe, the output union, the log rewrite) and without it each
+      // round re-analyzes a plan that chains every prior round's join —
+      // lineage (and Catalyst analysis time) grows per iteration
+      val corr = fixAggressorOrder(l3, matches).localCheckpoint()
       if (corr.isEmpty) done = true
       else {
         out = if (out == null) corr else out.unionByName(corr)
@@ -141,6 +145,10 @@ object BitstampOps {
               coalesce(col("new_ts"), l3("microtimestamp")).as("microtimestamp")
             case c => l3(c)
           }.toIndexedSeq: _*)
+          // truncate the corrected log's lineage before the next round
+          // (the knnGraph discipline); lazy — materialized by the next
+          // round's first action, skipped entirely on the last round
+          .localCheckpoint(false)
       }
       round += 1
     }

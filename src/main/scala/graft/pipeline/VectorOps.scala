@@ -372,6 +372,37 @@ object VectorOps {
   def scaledCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
 
+  /** Per-cell occupancy cap for the SEMANTIC pair-block family
+    * ([[semDedup]] / [[knnGraph]] and their dependents) — the vector
+    * side's [[graft.pipeline.TextPipeline.BandBucketCap]]: with √n
+    * cells the EXPECTED cell is √n members, but k-means makes no
+    * promise about the max — a degenerate hot cell (one dominant mode)
+    * puts |cell|² pair work in ONE task. Cells past the cap are
+    * sub-split, bounding any task's pair block to ≤ cap² regardless of
+    * the data distribution. 4096 ⇒ ≤16M int-dot pairs per task, far
+    * above every test SF (no behavior change there) and of the order
+    * of a healthy cell at the 10⁸-vector tier. */
+  val CellCap = 4096
+
+  /** Sub-split oversized cells: nsub = ⌈|cell|/cap⌉ sub-buckets, a
+    * member lands in `id % nsub`. Sizing is one map-side-combinable
+    * groupBy broadcast back onto the assignment — NOT a window over
+    * cent_id, which would itself sort the hot cell in one task. The
+    * id-modulo split is deterministic (mirrored in the DuckDB
+    * oracles) and balanced for any non-adversarial id set; members of
+    * different sub-buckets stop seeing each other, the same accepted
+    * recall trade as the IVF cell boundary itself. */
+  private def withCellSub(assigned: DataFrame, idCol: String,
+      cap: Int): DataFrame = {
+    val sizes = assigned.groupBy("cent_id")
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("nsub", expr(s"(cell_n + ${cap - 1}) div $cap"))
+      .select("cent_id", "nsub")
+    assigned.join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("sub", col(idCol) % col("nsub"))
+      .drop("nsub")
+  }
+
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 2): DataFrame =
     ivfSearch(emb, nQueries, k, nCells, nProbe, trained = None)
@@ -624,14 +655,18 @@ object VectorOps {
     * every IVF path. Output: (vec_id, cent_id, ccos, kept). */
   def semDedup(emb: DataFrame, threshold: Double = 0.45,
       nCells: Int = 16,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
-    val assigned =
-      assignedWithCos(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
-    val a = assigned.select(col("cent_id"), col("vec_id").as("va"),
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
+    val assigned = withCellSub(
+      assignedWithCos(emb, trainedCents.getOrElse(ivfTrain(emb, nCells))),
+      "vec_id", cellCap)
+    val a = assigned.select(col("cent_id"), col("sub"),
+      col("vec_id").as("va"),
       col("q").as("qa"), col("nq").as("na"), col("ccos").as("cca"))
-    val b = assigned.select(col("cent_id"), col("vec_id").as("vb"),
+    val b = assigned.select(col("cent_id"), col("sub"),
+      col("vec_id").as("vb"),
       col("q").as("qb"), col("nq").as("nb"), col("ccos").as("ccb"))
-    val dominated = a.join(b, Seq("cent_id"))
+    val dominated = a.join(b, Seq("cent_id", "sub"))
       .filter(col("va") =!= col("vb"))
       .withColumn("cos", cosine)
       .filter(col("cos") >= threshold &&
@@ -657,20 +692,24 @@ object VectorOps {
     * the shared salted two-stage [[topKPerQuery]]. Output:
     * (va, rnk, vb, cos). */
   def knnGraph(emb: DataFrame, k: Int = 5, nCells: Int = 16,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
     // both self-join sides read the assignment — one lazy checkpoint
     // evaluates the scoring join + argmax once (the assignedWithCos
-    // discipline)
-    val assign =
-      ivfAssignments(emb, trainedCents.getOrElse(ivfTrain(emb, nCells)))
-        .localCheckpoint(false)
-    val q = assign.select(col("cent_id"), col("vb").as("query_id"),
+    // discipline); the occupancy guard sub-splits hot cells so one
+    // degenerate mode can't put |cell|² pair work in a single task
+    val assign = withCellSub(
+        ivfAssignments(emb, trainedCents.getOrElse(ivfTrain(emb, nCells))),
+        "vb", cellCap)
+      .localCheckpoint(false)
+    val q = assign.select(col("cent_id"), col("sub"),
+      col("vb").as("query_id"),
       col("qb").as("qa"), col("nb").as("na"))
     // prune the vector arrays BEFORE the ranking windows: cos is
     // computed at the pair join, but letting qa/qb (d longs each) ride
     // the two top-k shuffles multiplied the self-graph's shuffle bytes
     // ~14× at the 32k probe (VecScaleProbe)
-    val scored = q.join(assign, Seq("cent_id"))
+    val scored = q.join(assign, Seq("cent_id", "sub"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos", cosine)
       .select("query_id", "vb", "cos")
@@ -690,10 +729,12 @@ object VectorOps {
     * construction, so the CC input is linear in the collection.
     * Output: (vec_id, cluster_id, cluster_size, is_canonical). */
   def knnClusters(emb: DataFrame, k: Int = 5, nCells: Int = 16,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
     // the graph feeds both sides of the mutual join — checkpoint so
     // the whole search pipeline doesn't evaluate twice
-    val e = knnGraph(emb, k, nCells, trainedCents).select("va", "vb")
+    val e = knnGraph(emb, k, nCells, trainedCents, cellCap)
+      .select("va", "vb")
       .localCheckpoint(false)
     val mutual = e.join(
         e.select(col("vb").as("va"), col("va").as("vb")),
@@ -718,8 +759,9 @@ object VectorOps {
     * keep_doc, is_kept). */
   def semKeepBest(docs: DataFrame, emb: DataFrame, k: Int = 5,
       nCells: Int = 16,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
-    val labelled = knnClusters(emb, k, nCells, trainedCents)
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
+    val labelled = knnClusters(emb, k, nCells, trainedCents, cellCap)
     val qual = TextPipeline.qualityScore(docs)
       .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy("cluster_id")
@@ -742,7 +784,8 @@ object VectorOps {
     * ranking itself reuses the salted two-stage top-k. Output:
     * (query_id, n_exact, n_hit, recall). */
   def knnRecall(emb: DataFrame, k: Int = 5, nCells: Int = 16,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
     val q = quantized(emb)
     val a = q.select(col("vec_id").as("query_id"), col("q").as("qa"),
       col("nq").as("na"))
@@ -753,7 +796,7 @@ object VectorOps {
           .select("query_id", "vb", "cos"),   // prune arrays pre-rank
         k, col("cos").desc, col("vb"))
       .select(col("query_id"), col("vb").as("vec_id"))
-    val approx = knnGraph(emb, k, nCells, trainedCents)
+    val approx = knnGraph(emb, k, nCells, trainedCents, cellCap)
       .select(col("va").as("query_id"), col("vb").as("vec_id"))
     recallAgainst(exact, approx)
   }

@@ -921,8 +921,13 @@ object StreamingOps extends Serializable {
         val dup = kept.exists { u =>
           val dot = u.q.iterator.zip(v.q.iterator)
             .map { case (a, b) => a * b }.sum
-          dot.toDouble / (math.sqrt(u.nq.toDouble) *
-            math.sqrt(nq.toDouble)) >= threshold
+          val cos = dot.toDouble / (math.sqrt(u.nq.toDouble) *
+            math.sqrt(nq.toDouble))
+          // Double.compare (NaN greatest), NOT IEEE >=: a zero-norm
+          // vector yields NaN cosine, which batch semDedup (Spark's
+          // nan-safe ordering) and the DuckDB mirror both count as a
+          // duplicate hit — the stream must agree.
+          java.lang.Double.compare(cos, threshold) >= 0
         }
         if (!dup) kept = kept :+ KeptVec(v.vec_id, v.q, nq)
         out += VecKeep(v.vec_id, cent, !dup)

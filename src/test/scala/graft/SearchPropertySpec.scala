@@ -238,6 +238,69 @@ class SearchPropertySpec extends AnyFunSuite {
     assert(anyDrop, "fixture never exercised the drop path")
   }
 
+  test("knnGraph under a binding cell cap equals the sub-split model") {
+    // one-hot-cell fixture: nCells = 1 puts EVERY vector in one cell,
+    // the degenerate distribution the occupancy guard exists for; a
+    // binding cap (4) must sub-split by vec_id % ceil(n/cap) and
+    // restrict neighbors to the sub-bucket — exactly the model here.
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val cap = 4
+    val cases = (51 to 60).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    var anySplit = false
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }
+      val nsub = (q.length + cap - 1) / cap
+      if (nsub > 1) anySplit = true
+      val want = q.flatMap { case (va, qa) =>
+        q.filter { case (vb, _) => vb != va && vb % nsub == va % nsub }
+          .map { case (vb, qb) => (vb, cosModel(qa, qb)) }
+          .sortBy { case (vb, c) => (-c, vb) }
+          .take(3).zipWithIndex
+          .map { case ((vb, _), i) => (va, i + 1L, vb) }
+      }.toSet
+      val got = VectorOps.knnGraph(vs.toDF("vec_id", "embedding"),
+          k = 3, nCells = 1, cellCap = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vb"))).toSet
+      assert(got == want, s"capped knn mismatch for ${vs.map(_._2.toSeq)}")
+    }
+    assert(anySplit, "no case was large enough to bind the cap")
+  }
+
+  test("semDedup under a binding cell cap equals the sub-split model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val cap = 4
+    val tau = 0.97
+    val cases = (61 to 70).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    var anySplit = false
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }.toMap
+      val cent = centModel(vs.map(v => q(v._1)))
+      val ccos = q.map { case (id, qa) => id -> cosModel(qa, cent) }
+      val nsub = (q.size + cap - 1) / cap
+      if (nsub > 1) anySplit = true
+      val want = q.keys.map { v =>
+        val dropped = q.keys.exists(u => u != v && u % nsub == v % nsub &&
+          cosModel(q(u), q(v)) >= tau &&
+          (ccos(u) < ccos(v) || (ccos(u) == ccos(v) && u < v)))
+        v -> !dropped
+      }.toMap
+      val got = VectorOps.semDedup(vs.toDF("vec_id", "embedding"),
+          threshold = tau, nCells = 1, cellCap = cap)
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+        .toMap
+      assert(got == want,
+        s"capped semdedup mismatch for ${vs.map(_._2.toSeq)}")
+    }
+    assert(anySplit, "no case was large enough to bind the cap")
+  }
+
   test("substringDedup equals the driver model on random corpora") {
     // L = 3 on the 8-word alphabet: dense collisions, heavy overlap
     val cases = (21 to 30).map(i =>

@@ -263,8 +263,11 @@ class StreamingSpec extends AnyFunSuite {
         val dup = kept.exists { case (_, uq, unq) =>
           val dot = uq.iterator.zip(v.q.iterator)
             .map { case (a, b) => a * b }.sum
-          dot.toDouble / (math.sqrt(unq.toDouble) *
-            math.sqrt(nq.toDouble)) >= tau
+          val cos = dot.toDouble / (math.sqrt(unq.toDouble) *
+            math.sqrt(nq.toDouble))
+          // Double.compare, NOT IEEE >=: NaN cosine counts as a hit,
+          // matching batch semDedup and the DuckDB mirror
+          java.lang.Double.compare(cos, tau) >= 0
         }
         if (!dup) kept = kept :+ ((v.vec_id, v.q, nq))
         (v.vec_id, cent, !dup)
