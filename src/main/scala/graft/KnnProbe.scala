@@ -55,6 +55,51 @@ object KnnProbe {
       trainedCents = Some(cents)).rdd.count() }
     timed("knn_clusters") { VectorOps.knnClusters(emb, nCells = cells,
       trainedCents = Some(cents)).rdd.count() }
+
+    // ---- cell-skew scenario -------------------------------------
+    // Force ~90% of the collection into ONE cell: 9 of 10 vectors
+    // point at the all-ones direction (equal components — magnitude
+    // differs, direction is identical, so one centroid takes them
+    // all) — the degenerate mode the CellCap guard exists for. An
+    // 8× replication keeps the uncapped baseline feasible while the
+    // hot cell is big enough (~14 400 members ⇒ 2.1e8 pairs in ONE
+    // task) for the serialization to show; cap = 1024 binds hard.
+    val hot = base.crossJoin(broadcast((0 until 8).toDF("c8")))
+      .select((col("vec_id") * 8 + col("c8")).as("vec_id"),
+        when((col("vec_id") * 8 + col("c8")) % 10 =!= 0,
+            expr("transform(sequence(1, size(embedding)), " +
+              "i -> CAST(1.0 + pmod(vec_id, 7) / 1000.0 AS FLOAT))"))
+          .otherwise(col("embedding")).as("embedding"))
+      .repartition(64).localCheckpoint()
+    val hotN = hot.count()
+    val hotCells = VectorOps.scaledCells(hotN)
+    val hotCents = VectorOps.ivfTrain(hot, hotCells)
+    val cap = 1024
+    println(s"skew: n=$hotN cells=$hotCells cap=$cap " +
+      s"(hot cell ~${hotN * 9 / 10})")
+    // the bound itself: largest per-task pair block with / without
+    // the guard, from the assignment directly (pairs in a block of
+    // size m = m·(m−1))
+    val sizes = VectorOps.ivfAssignments(hot, hotCents)
+      .groupBy("cent_id").count().localCheckpoint()
+    val blockPairs = sizes
+      .withColumn("nsub", expr(s"(count + ${cap - 1}) div $cap"))
+      // modulo split of m members over nsub residues: block ≤ ⌈m/nsub⌉
+      .withColumn("blk", expr("ceil(count / nsub)"))
+      .agg(max(expr("count * (count - 1)")).as("uncapped"),
+        max(expr("blk * (blk - 1)")).as("capped"))
+      .collect()(0)
+    println(s"skew max per-task pairs: uncapped=${blockPairs.get(0)} " +
+      s"capped<=${blockPairs.get(1)}")
+    timed("skew_semdedup_capped") { VectorOps.semDedup(hot,
+      nCells = hotCells, trainedCents = Some(hotCents),
+      cellCap = cap).rdd.count() }
+    timed("skew_knn_graph_capped") { VectorOps.knnGraph(hot,
+      nCells = hotCells, trainedCents = Some(hotCents),
+      cellCap = cap).rdd.count() }
+    timed("skew_knn_graph_uncapped") { VectorOps.knnGraph(hot,
+      nCells = hotCells, trainedCents = Some(hotCents),
+      cellCap = Int.MaxValue).rdd.count() }
     spark.stop()
   }
 }

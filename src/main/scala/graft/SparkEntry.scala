@@ -768,10 +768,13 @@ object SparkEntry {
           Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("vec_id")),
-    // measured nProbe=1 boundary cost of the self-graph, per vector
+    // measured nProbe=1 boundary cost of the self-graph, per vector;
+    // the O(n²) exact ground truth is a stored eval artifact
+    // (exact_knn_build_s) so this row times the approximate path
     "pipe_knn_recall" -> ((s, d) =>
       VectorOps.knnRecall(Tables.load(s, d, "embeddings"),
-          trainedCents = Some(trainedIvf(s, d)))
+          trainedCents = Some(trainedIvf(s, d)),
+          exactBaseline = Some(exactKnnIndex(s, d)))
         .orderBy("query_id")),
     // semantic clusters: mutual-kNN symmetrization + the shared
     // pointer-jumping CC — edge count <= n*k, CC input linear in n
@@ -882,6 +885,18 @@ object SparkEntry {
     "pipe_sql_boilerplate" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM boilerplate('docs_sql')")
         .orderBy("doc_id")),
+    "pipe_sql_tfidf_terms" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM tfidf_terms('docs_sql')")
+        .orderBy("doc_id", "rnk")),
+    "pipe_sql_decon_bloom" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM decon_bloom('docs_sql')")
+        .orderBy("doc_id")),
+    "pipe_sql_dedup_audit" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM dedup_audit('docs_sql')")
+        .orderBy("doc_a", "doc_b")),
+    "pipe_sql_pack_stats" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM pack_stats('docs_sql')")
+        .orderBy("shard")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1095,6 +1110,25 @@ object SparkEntry {
       p
     })
 
+  /** Build-once memo for the EXACT self-kNN ground truth (per data
+    * dir) — the O(n²) eval baseline `pipe_knn_recall` grades against,
+    * persisted as its own parquet artifact so the timed recall row
+    * measures the approximate path + grading join (the deployment
+    * shape: ground truth is computed once per eval set, stored, and
+    * reused across every index configuration sweep). */
+  private val exactKnnMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def exactKnnIndex(s: SparkSession, d: String): DataFrame = {
+    val path = exactKnnMemo.getOrElseUpdate(d, {
+      val p = artifactPath("exact_knn", d)
+      VectorOps.exactSelfKnn(Tables.load(s, d, "embeddings"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Deterministic per-(artifact-kind, data-dir) location under the
     * JVM temp dir. `createTempDirectory` made every Verify/Bench run
     * grow /tmp by a fresh copy of each artifact (judge r7 #8); a
@@ -1158,6 +1192,7 @@ object SparkEntry {
       timed("pq_build_s") { pqIndex(s, d).count() },
       timed("ivf_train_s") { trainedIvf(s, d) },
       timed("ivf_index_build_s") { ivfIndex(s, d) },
+      timed("exact_knn_build_s") { exactKnnIndex(s, d).count() },
       timed("l2_lake_build_s") { level2Lake(s, d) },
       timed("l3_lake_build_s") { level3Lake(s, d) },
       timed("l3_compact_build_s") { level3LakeCompacted(s, d) },
@@ -1459,6 +1494,11 @@ object SparkEntry {
     "pipe_sql_bm25" -> Oracles.pipeBm25,
     "pipe_sql_dedup" -> Oracles.pipeDedupExact,
     "pipe_sql_substring_dedup" -> Oracles.pipeSubstringDedup,
+    "pipe_sql_tfidf_terms" -> Oracles.pipeTfidfTerms,
+    // the Bloom pre-filter is exact-verified — identical mirror
+    "pipe_sql_decon_bloom" -> Oracles.pipeDecontaminate,
+    "pipe_sql_dedup_audit" -> Oracles.pipeDedupAudit(),
+    "pipe_sql_pack_stats" -> Oracles.pipePackStats(),
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

@@ -127,7 +127,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.substringDedupTvf _,
       "dsir" -> graft.plans.GraftTableFunctions.dsirTvf _,
       "lm_score" -> graft.plans.GraftTableFunctions.lmScoreTvf _,
-      "nb_lang" -> graft.plans.GraftTableFunctions.nbLangTvf _)
+      "nb_lang" -> graft.plans.GraftTableFunctions.nbLangTvf _,
+      "tfidf_terms" -> graft.plans.GraftTableFunctions.tfidfTermsTvf _,
+      "decon_bloom" -> graft.plans.GraftTableFunctions.deconBloomTvf _,
+      "dedup_audit" -> graft.plans.GraftTableFunctions.dedupAuditTvf _,
+      "pack_stats" -> graft.plans.GraftTableFunctions.packStatsTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

@@ -128,6 +128,18 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               trainLang = u.strArgs.headOption.getOrElse("en"))
           case "nb_lang" =>
             graft.pipeline.TextPipeline.nbLangClassify(l3)
+          case "tfidf_terms" =>
+            graft.pipeline.TextPipeline.tfidfTerms(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 3)
+          case "decon_bloom" =>
+            graft.pipeline.TextPipeline.decontaminateBloom(l3)
+          case "dedup_audit" =>
+            graft.pipeline.TextPipeline.dedupAudit(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 20)
+          case "pack_stats" =>
+            graft.pipeline.TrainingData.packStats(l3, spark,
+              if (u.longArgs.nonEmpty) u.longArgs(0) else 256L,
+              if (u.longArgs.length > 1) u.longArgs(1).toInt else 16)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -425,6 +437,47 @@ object GraftTableFunctions {
   def nbLangTvf(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "nb_lang takes (docs_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "nb_lang")), "nb_lang", Nil)
+  }
+
+  /** `tfidf_terms('docs'[, k])` — top-k TF-IDF terms per document
+    * ([[graft.pipeline.TextPipeline.tfidfTerms]]). */
+  def tfidfTermsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "tfidf_terms takes (docs_table[, k])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "tfidf_terms")),
+      "tfidf_terms",
+      if (exprs.length == 2) Seq(longLit(exprs, 1, "tfidf_terms")) else Nil)
+  }
+
+  /** `decon_bloom('docs')` — Bloom-prefiltered benchmark
+    * decontamination report
+    * ([[graft.pipeline.TextPipeline.decontaminateBloom]]; the filter
+    * is exact-verified, so the report equals `decontaminate`). */
+  def deconBloomTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "decon_bloom takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "decon_bloom")),
+      "decon_bloom", Nil)
+  }
+
+  /** `dedup_audit('docs'[, n])` — deterministic near-dup audit sample
+    * with exact Jaccard ([[graft.pipeline.TextPipeline.dedupAudit]]). */
+  def dedupAuditTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "dedup_audit takes (docs_table[, n])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "dedup_audit")),
+      "dedup_audit",
+      if (exprs.length == 2) Seq(longLit(exprs, 1, "dedup_audit")) else Nil)
+  }
+
+  /** `pack_stats('docs'[, capacity[, n_shards]])` — per-shard packing
+    * report ([[graft.pipeline.TrainingData.packStats]]). */
+  def packStatsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "pack_stats takes (docs_table[, capacity[, n_shards]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "pack_stats")),
+      "pack_stats",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "pack_stats") })
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

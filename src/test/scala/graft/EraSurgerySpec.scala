@@ -66,4 +66,37 @@ class EraSurgerySpec extends AnyFunSuite {
       .orderBy("pair_id", "ts").collect().map(_.toSeq).toList
     assert(a == b)
   }
+
+  test("observational invisibility holds at random cut points (property)") {
+    // the BookPropertySpec discipline: a fixed-seed draw of cut
+    // instants across the log's whole span — cuts landing mid-chain,
+    // between episodes, and in quiet stretches all alike — each must
+    // leave snapshots at/around the cut AND the full L1 replay
+    // unchanged. 10 seeds; deterministic.
+    val l3c = l3.localCheckpoint()
+    val range = l3c.agg(min("microtimestamp"), max("microtimestamp"))
+      .collect()(0)
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
+    val rnd = new scala.util.Random(711L)
+    val baseSpread = MarketOps.spread(l3c, spark)
+      .orderBy("pair_id", "ts").collect().map(_.toSeq).toList
+    val probeOffsets = Seq(-3600000000L, 0L, 3600000000L)
+    for (i <- 1 to 10) {
+      val c = lo + 1 + math.abs(rnd.nextLong()) % math.max(1L, hi - lo)
+      val sp = EraSurgery.insertEra(l3c, c, 1).localCheckpoint()
+      for (off <- probeOffsets) {
+        val t = c + off
+        val a = MarketOps.orderBookAt(l3c, t)
+          .select("pair_id", "order_id", "side", "price", "amount")
+          .orderBy("pair_id", "order_id").collect().map(_.toSeq).toList
+        val b = MarketOps.orderBookAt(sp, t)
+          .select("pair_id", "order_id", "side", "price", "amount")
+          .orderBy("pair_id", "order_id").collect().map(_.toSeq).toList
+        assert(a == b, s"seed $i: snapshot diverged at cut=$c t=$t")
+      }
+      val replayed = MarketOps.spread(sp, spark)
+        .orderBy("pair_id", "ts").collect().map(_.toSeq).toList
+      assert(replayed == baseSpread, s"seed $i: L1 diverged at cut=$c")
+    }
+  }
 }

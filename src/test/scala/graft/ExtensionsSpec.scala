@@ -351,6 +351,24 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(s2.sql("SELECT * FROM boilerplate('docs_tvf', 5, 2)")) ==
         rows(TextPipeline.boilerplateRemove(docs, chunkWords = 5,
           maxDf = 2)))
+      assert(rows(s2.sql("SELECT * FROM tfidf_terms('docs_tvf')")) ==
+        rows(TextPipeline.tfidfTerms(docs)))
+      // top-k pass-through
+      assert(rows(s2.sql("SELECT * FROM tfidf_terms('docs_tvf', 5)")) ==
+        rows(TextPipeline.tfidfTerms(docs, k = 5)))
+      assert(rows(s2.sql("SELECT * FROM decon_bloom('docs_tvf')")) ==
+        rows(TextPipeline.decontaminateBloom(docs)))
+      assert(rows(s2.sql("SELECT * FROM dedup_audit('docs_tvf')")) ==
+        rows(TextPipeline.dedupAudit(docs)))
+      // sample-size pass-through
+      assert(rows(s2.sql("SELECT * FROM dedup_audit('docs_tvf', 7)")) ==
+        rows(TextPipeline.dedupAudit(docs, n = 7)))
+      assert(rows(s2.sql("SELECT * FROM pack_stats('docs_tvf')")) ==
+        rows(graft.pipeline.TrainingData.packStats(docs, s2)))
+      // capacity and shard-count pass-through
+      assert(rows(s2.sql("SELECT * FROM pack_stats('docs_tvf', 128, 8)")) ==
+        rows(graft.pipeline.TrainingData.packStats(docs, s2,
+          capacity = 128, nShards = 8)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -173,54 +173,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("streaming ANN probe equals batch kmeans-IVF across a checkpoint kill") {
+  test("streaming ANN probe equals batch kmeans-IVF across a kill-point matrix") {
     import spark.implicits._
     import graft.pipeline.VectorOps
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
     val cents = VectorOps.ivfTrain(emb)
-    val tmp = java.nio.file.Files
+    val base = java.nio.file.Files
       .createTempDirectory("graft-ann-probe").toString
-    val idx = tmp + "/index"
+    val idx = base + "/index"
     VectorOps.ivfAssignments(emb, cents)
       .write.mode("overwrite").parquet(idx)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"))
       .as[StreamingOps.QueryVec].collect().sortBy(_.vec_id)
-    val cut = queries.length / 2
-
-    val ckpt = tmp + "/ckpt"
-    val out = tmp + "/out"
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[StreamingOps.QueryVec](spark)
-    def start() = StreamingOps.annProbeStream(ms.toDS(), spark,
-        spark.read.parquet(idx), cents)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .format("parquet").option("path", out)
-      .start()
-
-    val q1 = start()
-    ms.addData(queries.slice(0, cut).toIndexedSeq)
-    q1.processAllAvailable()
-    ms.addData(queries.slice(cut, queries.length).toIndexedSeq)
-    q1.stop()                      // killed with the tail un-consumed
-    val q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
-
     val key = (r: Seq[Any]) => (r(0).asInstanceOf[Long],
       r(1).asInstanceOf[Long])
-    val streamed = spark.read.parquet(out)
-      .select("query_id", "rnk", "vec_id", "cos")
-      .collect().map(_.toSeq).toList.sortBy(key)
     val batch = VectorOps.annIvfKmeans(emb, trainedCents = Some(cents))
       .select("query_id", "rnk", "vec_id", "cos")
       .collect().map(_.toSeq).toList.sortBy(key)
-    assert(streamed.nonEmpty && streamed == batch)
+
+    // kill at several distinct barriers: after 1 query committed
+    // (early — most probe work still ahead), at the midpoint, and
+    // with only the last query pending (late — recovery must not
+    // re-emit the committed bulk)
+    for (cut <- Seq(1, queries.length / 2, queries.length - 1)) {
+      val tmp = base + s"/cut$cut"
+      val ckpt = tmp + "/ckpt"
+      val out = tmp + "/out"
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamingOps.QueryVec](spark)
+      def start() = StreamingOps.annProbeStream(ms.toDS(), spark,
+          spark.read.parquet(idx), cents)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+
+      val q1 = start()
+      ms.addData(queries.slice(0, cut).toIndexedSeq)
+      q1.processAllAvailable()
+      ms.addData(queries.slice(cut, queries.length).toIndexedSeq)
+      q1.stop()                    // killed with the tail un-consumed
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val streamed = spark.read.parquet(out)
+        .select("query_id", "rnk", "vec_id", "cos")
+        .collect().map(_.toSeq).toList.sortBy(key)
+      assert(streamed.nonEmpty && streamed == batch,
+        s"ann probe kill at cut=$cut diverged from batch")
+    }
   }
 
-  test("semDedupStream resumes the greedy scan from a checkpoint kill") {
+  test("semDedupStream resumes the greedy scan across a kill-point matrix") {
     import spark.implicits._
     import graft.pipeline.VectorOps
     val dir = "/root/testdata/sf0.001"
@@ -229,29 +236,7 @@ class StreamingSpec extends AnyFunSuite {
     val rows = VectorOps.assignedWithCos(emb, cents)
       .select(col("vec_id"), col("cent_id"), col("q"))
       .as[StreamingOps.VecOcc].collect().sortBy(_.vec_id)
-    val cut = rows.length / 2
     val tau = 0.45
-
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-semdedup").toString
-    val ckpt = tmp + "/ckpt"
-    val out = tmp + "/out"
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[StreamingOps.VecOcc](spark)
-    def start() = StreamingOps.semDedupStream(ms.toDS(), spark, tau)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .format("parquet").option("path", out)
-      .start()
-
-    val q1 = start()
-    ms.addData(rows.slice(0, cut).toIndexedSeq)
-    q1.processAllAvailable()
-    ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
-    q1.stop()                      // killed with the tail un-consumed
-    val q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
 
     // driver-side greedy model: per cell in vec_id order, drop iff an
     // EARLIER KEPT member sits at cosine >= tau (a restart that lost
@@ -273,13 +258,43 @@ class StreamingSpec extends AnyFunSuite {
         (v.vec_id, cent, !dup)
       }
     }.toSet
-    val got = spark.read.parquet(out)
-      .select("vec_id", "cent_id", "kept")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    assert(got.size === rows.length)   // every arrival decided once
-    assert(got === want)
-    assert(got.exists(!_._3), "fixture never exercised the drop path")
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-semdedup").toString
+    // kill at several distinct barriers: early (one committed batch —
+    // vec_ids interleave across cells, so EVERY cut is mid-cell for
+    // most cells: each cell's greedy scan resumes from partial kept
+    // state), midpoint, and late (one pending arrival)
+    for (cut <- Seq(rows.length / 8, rows.length / 2, rows.length - 1)) {
+      val tmp = base + s"/cut$cut"
+      val ckpt = tmp + "/ckpt"
+      val out = tmp + "/out"
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamingOps.VecOcc](spark)
+      def start() = StreamingOps.semDedupStream(ms.toDS(), spark, tau)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+
+      val q1 = start()
+      ms.addData(rows.slice(0, cut).toIndexedSeq)
+      q1.processAllAvailable()
+      ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
+      q1.stop()                    // killed with the tail un-consumed
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out)
+        .select("vec_id", "cent_id", "kept")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got.size === rows.length,
+        s"cut=$cut: an arrival was lost or decided twice")
+      assert(got === want, s"cut=$cut diverged from the greedy model")
+      assert(got.exists(!_._3), "fixture never exercised the drop path")
+    }
   }
 
   test("curatedSinkStream lands the batch split layout exactly once across a kill") {
