@@ -1311,13 +1311,14 @@ object TextPipeline {
     * `Σ c_b · delta_nano_b` — order-independent, bit-stable across
     * engines.
     *
-    * Scale shape: the model fit is ONE `nBuckets`-bounded conditional
-    * aggregate (map-side combine collapses every task to ≤ nBuckets
-    * rows before the shuffle, and p and q ride the same scan); the
-    * model table (≤ nBuckets rows) is BROADCAST into
-    * the per-doc bucket counts, whose only shuffle is the
-    * (doc_id, bucket) combine — O(docs · min(buckets, feats)) rows
-    * keyed by doc_id, uniform. Nothing corpus-sized is ever joined
+    * Scale shape: ONE corpus scan total — the checkpointed per-(doc,
+    * bucket) count frame (the query's only corpus-wide shuffle,
+    * O(docs · min(buckets, feats)) rows keyed by doc_id, uniform) is
+    * aggregated down to the ≤ nBuckets-row model (p and q in one
+    * conditional aggregate — each doc has one lang, so summing per-doc
+    * counts reproduces the per-occurrence counts exactly), and the
+    * model is BROADCAST back into the same frame for the per-doc dot
+    * product. Nothing corpus-sized is ever joined
     * shuffle-to-shuffle. `keep = logw_nano > 0` ("more target-like
     * than corpus-average") is the shuffle-free selection rule; a
     * global top-k selection composes with the salted
@@ -1327,15 +1328,20 @@ object TextPipeline {
     */
   def dsirWeights(docs: DataFrame, nBuckets: Int = DsirBuckets,
       targetLang: String = "en"): DataFrame = {
-    val fb = hashedFeatures(docs, nBuckets)
-    // BOTH bucket models in one conditional aggregate — one corpus
-    // scan fits p and q together; the ≤ nBuckets-row result is
-    // checkpointed so the totals and the model reuse it instead of
-    // re-deriving the full lineage (Catalyst does not share subplans
-    // across DataFrame references)
-    val cnts = fb.groupBy("bucket").agg(
-        count(lit(1)).as("all_c"),
-        count(when(col("lang") === targetLang, lit(1))).as("tgt_c"))
+    // ONE feature-explosion pass: the per-(doc, bucket) counts are the
+    // query's only corpus-wide intermediate, checkpointed once; both
+    // bucket models are aggregates OF that compact frame (each doc has
+    // one lang, so summing its per-doc counts reproduces the
+    // per-occurrence counts exactly) — a second explosion + wide
+    // shuffle for the model fit would redo the widest stage
+    val dc = hashedFeatures(docs, nBuckets)
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"), max("lang").as("lang"))
+      .localCheckpoint(false)
+    val cnts = dc.groupBy("bucket").agg(
+        sum("c").as("all_c"),
+        sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L)))
+          .as("tgt_c"))
       .localCheckpoint(false)
     val totals = cnts.agg(sum("all_c").as("all_t"), sum("tgt_c").as("tgt_t"))
     val nB = nBuckets.toDouble
@@ -1346,8 +1352,7 @@ object TextPipeline {
           ((col("all_c") + lit(1.0)) * (col("tgt_t") + lit(nB)))) * lit(1e9))
           .cast("long"))
       .select("bucket", "delta_nano")
-    fb.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-      .join(broadcast(model), "bucket")
+    dc.join(broadcast(model), "bucket")
       .groupBy("doc_id")
       .agg(sum("c").as("n_feats"),
         sum(col("c") * col("delta_nano")).as("logw_nano"))
@@ -1371,19 +1376,28 @@ object TextPipeline {
     * |langs|·B rows, BROADCAST), so per-doc scores are exact integer
     * sums; argmax ties break on lang ascending (deterministic).
     *
-    * Scale shape: one corpus scan for the model fit (checkpointed
-    * ≤ |langs|·B-row count table), one for the per-doc bucket counts;
-    * the scoring fanout is ×|langs| on the compact per-doc frame, and
-    * the only per-doc window is keyed by doc_id (no global sort).
+    * Scale shape: ONE corpus scan total — the checkpointed per-(doc,
+    * bucket) count frame feeds both the model fit (summed over the
+    * train split) and the scoring side; the scoring fanout is ×|langs|
+    * on the compact per-doc frame, and the only per-doc window is
+    * keyed by doc_id (no global sort).
     *
     * Output: (doc_id, lang, pred_lang, is_test, correct).
     */
   def nbLangClassify(docs: DataFrame,
       nBuckets: Int = DsirBuckets): DataFrame = {
     val nB = nBuckets.toDouble
-    val fb = hashedFeatures(docs, nBuckets)
-    val clb = fb.filter(col("doc_id") % 4 =!= 0)
-      .groupBy("lang", "bucket").agg(count(lit(1)).as("c_lb"))
+    // ONE feature-explosion pass (the dsirWeights discipline): the
+    // per-(doc, bucket) counts are checkpointed once and BOTH the
+    // model fit and the scoring side aggregate that compact frame —
+    // each doc has one lang, so summing per-doc counts over the train
+    // split reproduces the per-occurrence (lang, bucket) counts
+    val dc = hashedFeatures(docs, nBuckets)
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"), max("lang").as("lang"))
+      .localCheckpoint(false)
+    val clb = dc.filter(col("doc_id") % 4 =!= 0)
+      .groupBy("lang", "bucket").agg(sum("c").as("c_lb"))
       .localCheckpoint(false)
     val cl = clb.groupBy("lang").agg(sum("c_lb").as("c_l"))
     val nl = docs.filter(col("doc_id") % 4 =!= 0)
@@ -1405,9 +1419,6 @@ object TextPipeline {
           lit(1e9)).cast("long"))
       .withColumn("adj_nano", col("lp_nano") - col("floor_nano"))
       .select(col("bucket"), col("model_lang"), col("adj_nano"))
-    val dc = fb.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("c"), max("lang").as("lang"))
-      .localCheckpoint(false)
     val nf = dc.groupBy("doc_id")
       .agg(sum("c").as("n_feats"), max("lang").as("lang"))
     val obs = dc.join(broadcast(model), "bucket")

@@ -697,11 +697,17 @@ object VectorOps {
     // both self-join sides read the assignment — one lazy checkpoint
     // evaluates the scoring join + argmax once (the assignedWithCos
     // discipline); the occupancy guard sub-splits hot cells so one
-    // degenerate mode can't put |cell|² pair work in a single task
-    val assign = withCellSub(
-        ivfAssignments(emb, trainedCents.getOrElse(ivfTrain(emb, nCells))),
-        "vb", cellCap)
+    // degenerate mode can't put |cell|² pair work in a single task.
+    // The checkpoint sits BELOW the guard: withCellSub's sizing
+    // groupBy is a second consumer of the assignment, and an
+    // un-checkpointed assignment would re-run the whole scoring
+    // pipeline once for the sizes and again for the pair join
+    // (measured ~1.2× on the knn family when the guard landed);
+    // the guard's broadcast join itself is cheap to re-evaluate
+    val raw = ivfAssignments(emb,
+        trainedCents.getOrElse(ivfTrain(emb, nCells)))
       .localCheckpoint(false)
+    val assign = withCellSub(raw, "vb", cellCap)
     val q = assign.select(col("cent_id"), col("sub"),
       col("vb").as("query_id"),
       col("qb").as("qa"), col("nb").as("na"))
