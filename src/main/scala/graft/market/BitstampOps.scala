@@ -238,6 +238,10 @@ object BitstampOps {
     val proposed = cand
       .withColumn("mr", mr).withColumn("n_mr", nMr)
       .filter(col("mr").isNotNull && col("n_mr").isNotNull && ordered)
+      // the conflict anti-join reads proposed twice (as the probe and,
+      // via `conflicts`, as the build side) — one lazy checkpoint
+      // evaluates the two orientation joins once
+      .localCheckpoint(false)
     // a single event may not participate in two trades
     val conflicts = proposed.select(col("n_order_id").as("c_oid"),
       col("n_event_no").as("c_eno")).distinct()

@@ -635,8 +635,12 @@ object TextPipeline {
       minQuality: Double = 0.5): DataFrame = {
     val corpus = docs.filter(col("doc_id") >= benchMax)
       .select(col("doc_id"), col("text"))
+    // the narrow (doc_id, score) frame feeds the gate filter AND the
+    // final stat join — checkpointed so the quality text scan runs
+    // once, not once per consumer of `kept`'s lineage
     val qual = qualityScore(corpus)
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(false)
     val kept = corpus.join(
       qual.filter(col("quality_score") >= minQuality).select("doc_id"),
       "doc_id")
@@ -693,8 +697,12 @@ object TextPipeline {
       minQuality: Double = 0.5, L: Int = 4): DataFrame = {
     val corpus = docs.filter(col("doc_id") >= benchMax)
       .select(col("doc_id"), col("text"))
+    // k1's lineage is evaluated twice inside the k2 checkpoint (probe
+    // side + exactDedup's input) — the narrow checkpointed gate frame
+    // keeps the quality text scan out of the duplicated prefix
     val qual = qualityScore(corpus)
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(false)
     val k1 = corpus.join(
       qual.filter(col("quality_score") >= minQuality).select("doc_id"),
       "doc_id")
