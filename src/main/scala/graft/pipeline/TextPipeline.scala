@@ -1440,14 +1440,19 @@ object TextPipeline {
       .withColumn("score_nano",
         col("prior_nano") + col("n_feats") * col("floor_nano") +
           col("obs_nano"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score_nano").desc, col("model_lang"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // argmax by MAP-SIDE min(struct(−score, lang)), not a window: the
+    // ×|langs| scored frame collapses to one row per doc before the
+    // shuffle (the coarseCells argmax discipline); min orders by
+    // −score ascending = score descending, then lang ascending — the
+    // identical (score desc, lang asc) tie rule as the window form
+    scored.groupBy("doc_id")
+      .agg(min(struct((-col("score_nano")).as("ns"),
+          col("model_lang").as("ml"))).as("m"),
+        first(col("lang")).as("lang"))
       .select(col("doc_id"), col("lang"),
-        col("model_lang").as("pred_lang"),
+        col("m.ml").as("pred_lang"),
         (col("doc_id") % 4 === 0).as("is_test"),
-        (col("model_lang") === col("lang")).as("correct"))
+        (col("m.ml") === col("lang")).as("correct"))
   }
 
   /** CCNet-style n-gram language-model quality score (Wenzek et al.
