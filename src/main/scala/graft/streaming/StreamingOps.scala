@@ -907,13 +907,25 @@ object StreamingOps extends Serializable {
     * arrival count; with √n cells the per-key state is ~√n survivors.
     * Each verdict is emitted exactly once (Append), and because state
     * is per-cell and checkpointed, a kill+restart resumes the greedy
-    * scan mid-cell (`StreamingSpec`). */
+    * scan mid-cell (`StreamingSpec`).
+    *
+    * `subSplit` is the stream-side occupancy guard — the ingest
+    * analogue of the batch family's `VectorOps.CellCap` sub-split: a
+    * keyed stream cannot re-key on occupancy mid-run (state is bound
+    * to the group key at start), so the guard is a STATIC factor
+    * chosen from the deployment's expected cell size / cap. The group
+    * key becomes (cent_id, vec_id % subSplit): per-group state and
+    * per-arrival scan cost shrink ×subSplit, members of different
+    * sub-streams stop seeing each other — the same accepted recall
+    * trade as the batch sub-split and the IVF boundary itself.
+    * Default 1 = the plain per-cell greedy rule. */
   def semDedupStream(vecs: Dataset[VecOcc], spark: SparkSession,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45, subSplit: Int = 1): DataFrame = {
     import spark.implicits._
 
-    def update(cent: Long, batch: Iterator[VecOcc],
+    def update(key: (Long, Long), batch: Iterator[VecOcc],
         state: GroupState[CellState]): Iterator[VecKeep] = {
+      val cent = key._1
       var kept = state.getOption.map(_.kept).getOrElse(Nil)
       val out = List.newBuilder[VecKeep]
       batch.toSeq.sortBy(_.vec_id).foreach { v =>
@@ -936,7 +948,7 @@ object StreamingOps extends Serializable {
       out.result().iterator
     }
 
-    vecs.groupByKey(_.cent_id)
+    vecs.groupByKey(v => (v.cent_id, v.vec_id % subSplit))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
       .toDF()

@@ -297,6 +297,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupStream ingest sub-split bounds per-group state with per-sub greedy semantics") {
+    import spark.implicits._
+    import graft.pipeline.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = VectorOps.ivfTrain(emb)
+    val rows = VectorOps.assignedWithCos(emb, cents)
+      .select(col("vec_id"), col("cent_id"), col("q"))
+      .as[StreamingOps.VecOcc].collect().sortBy(_.vec_id)
+    val tau = 0.45
+    val S = 2
+
+    def cosOf(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      dot.toDouble /
+        (math.sqrt(a.iterator.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.iterator.map(x => x * x).sum.toDouble))
+    }
+    // the guard's declared semantics: the greedy scan runs per
+    // (cell, vec_id % split) sub-stream — members of different
+    // sub-streams never see each other
+    def greedy(vs0: Seq[StreamingOps.VecOcc], split: Long) =
+      vs0.groupBy(v => (v.cent_id, v.vec_id % split)).toSeq
+        .flatMap { case ((cent, _), vs) =>
+          var kept = List.empty[Seq[Long]]
+          vs.sortBy(_.vec_id).map { v =>
+            val dup = kept.exists(u =>
+              java.lang.Double.compare(cosOf(u, v.q), tau) >= 0)
+            if (!dup) kept = kept :+ v.q
+            (v.vec_id, cent, !dup)
+          }
+        }.toSet
+
+    // craft the boundary case the natural fixture lacks: a CLONE of a
+    // donor vector under an opposite-parity id — the unsplit rule
+    // drops it (its donor, or the donor's own dominator, is an earlier
+    // kept member at cosine >= tau), while under the split it lands in
+    // a sub-stream with no member near it and is KEPT
+    val cloneId = rows.map(_.vec_id).max + 1
+    val donor = rows.find { r =>
+      rows.filter(u => u.cent_id == r.cent_id &&
+          u.vec_id % S == cloneId % S)
+        .forall(u => java.lang.Double.compare(cosOf(u.q, r.q), tau) < 0)
+    }.getOrElse(fail("no donor vector with a clean opposite-parity sub-stream"))
+    val rows2 = rows :+
+      StreamingOps.VecOcc(cloneId, donor.cent_id, donor.q)
+    val want = greedy(rows2, S)
+    assert(want !== greedy(rows2, 1L),
+      "crafted fixture failed to exercise the sub-split boundary")
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-semdedup-sub").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.VecOcc](spark)
+    val q = StreamingOps.semDedupStream(ms.toDS(), spark, tau, subSplit = S)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("memory").queryName("graft_semdedup_sub").start()
+    ms.addData(rows2.take(rows2.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(rows2.drop(rows2.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_semdedup_sub")
+      .select("vec_id", "cent_id", "kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    spark.catalog.dropTempView("graft_semdedup_sub")
+    assert(got === want, "sub-split stream diverged from the per-sub greedy model")
+    assert(got.exists(v => v._1 == cloneId && v._3),
+      "the crafted clone was not kept by the sub-split stream")
+  }
+
   test("curatedSinkStream lands the batch split layout exactly once across a kill") {
     import spark.implicits._
     import graft.pipeline.TextPipeline
