@@ -1198,7 +1198,12 @@ object Oracles {
     * closing step plus the trailing open position per era. Return
     * columns are rounded to 8 decimals on both sides (ln/exp may differ
     * across libm implementations in the last ulp). */
-  def mktStrategy: String = {
+  /** The strategy recursion's CTE chain through `posr` (positions +
+    * log returns) — shared by [[mktStrategy]] and the position-trellis
+    * mirror [[mktPlotTrellis]]. Callers prepend Level3Cte + QuoteCte +
+    * DedupSpreadCte + ErasCte + EraTicksCte and must apply the
+    * WITH RECURSIVE rewrite. */
+  private def strategyPosCtes: String = {
     def i(t1: String, t2: String) = s"1e-6 * ABS(($t1 - $t2) / 1e6)"
     val A = "(s.el_p = 0 AND s.es_p = 0)"
     val B = "(s.el_p <> 0)"
@@ -1281,8 +1286,7 @@ object Oracles {
     val emitLong = s"$B AND NOT ($condB1) AND (($condB2) OR ($condB3))"
     val emitShort =
       s"NOT $A AND NOT $B AND NOT ($condC1) AND (($condC2) OR ($condC3))"
-    (Level3Cte + QuoteCte + DedupSpreadCte + ErasCte + EraTicksCte +
-      s""", tk AS (
+    s""", tk AS (
         |  SELECT pair_id, era_no, ts, bid, ask,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY pair_id, era_no
         |      ORDER BY ts) AS BIGINT) AS rn
@@ -1327,7 +1331,13 @@ object Oracles {
         |    THEN LN(open_price) - LN(close_price)
         |    ELSE LN(close_price) - LN(open_price) END AS lr
         |  FROM pos
-        |)
+        |)""".stripMargin
+  }
+
+  def mktStrategy: String =
+    (Level3Cte + QuoteCte + DedupSpreadCte + ErasCte + EraTicksCte +
+      strategyPosCtes +
+      """
         |SELECT pair_id, side, opened_at, open_price, closed_at, close_price,
         |  ROUND(CASE WHEN open_price > close_price
         |      THEN (EXP(-lr) - 1) * -10000
@@ -1338,7 +1348,6 @@ object Oracles {
         |FROM posr
         |ORDER BY pair_id, opened_at, closed_at""".stripMargin)
       .replaceFirst("WITH ", "WITH RECURSIVE ")
-  }
 
   /** Daily grid instants over [T0, T1]. */
   def GridInstants: Seq[Long] = (0 to 10).map(k => T0 + k * 86400000000L)
@@ -1370,7 +1379,10 @@ object Oracles {
       |  price_event_no, pair_id, exchange_id, event_id
       |FROM level3 ORDER BY event_id""".stripMargin
 
-  def mktTradingPeriod: String = Level3Cte + QuoteCte +
+  /** The trading-period VWAP walk's CTE chain through the deduped
+    * tick view `vtp` — shared by [[mktTradingPeriod]] and the
+    * position-trellis mirror. Callers prepend Level3Cte + QuoteCte. */
+  private val tradingPeriodCtes: String =
     """, walk AS (
       |  SELECT pair_id, ts, side, price, qty,
       |    SUM(qty) OVER (PARTITION BY pair_id, ts, side
@@ -1394,14 +1406,83 @@ object Oracles {
       |    ON p.pair_id = e.pair_id AND p.ts = e.ts
       |  GROUP BY e.pair_id, e.ts
       |), tpd AS (
-      |  SELECT *, ROW_NUMBER() OVER w AS rn,
-      |    LAG(buy_vwap) OVER w AS pbv, LAG(sell_vwap) OVER w AS psv
-      |  FROM tp WINDOW w AS (PARTITION BY pair_id ORDER BY ts)
-      |)
-      |SELECT pair_id, ts, buy_vwap, sell_vwap FROM tpd
-      |WHERE rn = 1 OR NOT (buy_vwap IS NOT DISTINCT FROM pbv
-      |  AND sell_vwap IS NOT DISTINCT FROM psv)
+      |  SELECT *, ROW_NUMBER() OVER wtp AS trn,
+      |    LAG(buy_vwap) OVER wtp AS pbv, LAG(sell_vwap) OVER wtp AS psv
+      |  FROM tp WINDOW wtp AS (PARTITION BY pair_id ORDER BY ts)
+      |), vtp AS (
+      |  SELECT pair_id, ts, buy_vwap, sell_vwap FROM tpd
+      |  WHERE trn = 1 OR NOT (buy_vwap IS NOT DISTINCT FROM pbv
+      |    AND sell_vwap IS NOT DISTINCT FROM psv)
+      |)""".stripMargin
+
+  def mktTradingPeriod: String = Level3Cte + QuoteCte + tradingPeriodCtes +
+    """
+      |SELECT pair_id, ts, buy_vwap, sell_vwap FROM vtp
       |ORDER BY pair_id, ts""".stripMargin
+
+  /** Mirror of `Analytics.dataAvailabilityGrid` (the
+    * plotDataAvailability data frame): intervals + dimension names +
+    * the facet's dense-rank row + the per-(exchange, pair) label
+    * anchor. */
+  def mktPlotAvail: String = Level3Cte + ErasCte +
+    s""", nxt AS (
+      |  SELECT *, LEAD(era) OVER (PARTITION BY pair_id ORDER BY era)
+      |    AS next_era
+      |  FROM eras
+      |), ivals AS (
+      |  SELECT pair_id, era AS interval_start, level3_ts AS interval_end,
+      |    'G' AS kind
+      |  FROM nxt
+      |  UNION ALL
+      |  SELECT pair_id, level3_ts, next_era, 'R' FROM nxt
+      |  WHERE next_era IS NOT NULL
+      |), exch AS (
+      |  SELECT * FROM (VALUES (1, 'bitfinex'), (2, 'bitstamp'),
+      |    (3, 'coinbase'), (4, 'moex')) AS t(exchange_id, exchange)
+      |), prs AS (
+      |  SELECT * FROM (VALUES (1, 'BTCUSD'), (2, 'LTCUSD'), (3, 'ETHUSD'),
+      |    (4, 'XRPUSD'), (5, 'BCHUSD'), (6, 'BTCEUR'), (7, 'ETHBTC'),
+      |    (8, 'SBERRUB'), (9, 'VTBRRUB'), (10, 'LKOHRUB'),
+      |    (11, 'GAZPRUB')) AS t(pair_id, pair)
+      |), named AS (
+      |  SELECT e.exchange, p.pair, i.interval_start, i.interval_end, i.kind
+      |  FROM ivals i
+      |  JOIN exch e ON e.exchange_id =
+      |    (CASE WHEN i.pair_id % 2 = 0 THEN 2 ELSE 1 END)
+      |  JOIN prs p ON p.pair_id = i.pair_id
+      |)
+      |SELECT exchange, pair,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY exchange ORDER BY pair DESC)
+      |    AS BIGINT) AS y,
+      |  interval_start, interval_end, kind,
+      |  MIN(interval_start) OVER (PARTITION BY exchange, pair) AS label_ts
+      |FROM named
+      |ORDER BY exchange, pair, interval_start, kind""".stripMargin
+
+  /** Mirror of `Analytics.positionTrellis` over the strategy's
+    * positions and the trading-period ticks: positions numbered per
+    * pair in open order, band-joined with the deduped non-null ticks
+    * inside [opened − 60 s, closed + 60 s], log-relative price rounded
+    * to 8 decimals (the mktStrategy discipline). */
+  def mktPlotTrellis: String =
+    (Level3Cte + QuoteCte + DedupSpreadCte + ErasCte + EraTicksCte +
+      strategyPosCtes + tradingPeriodCtes +
+      """, posn AS (
+        |  SELECT pair_id, opened_at, open_price, closed_at, close_price,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY pair_id
+        |      ORDER BY opened_at, closed_at) AS BIGINT) AS rn
+        |  FROM pos
+        |)
+        |SELECT p.pair_id, p.rn, p.opened_at, p.closed_at,
+        |  p.open_price, p.close_price, t.ts,
+        |  ROUND(LN((t.buy_vwap + t.sell_vwap) / 2.0) - LN(p.open_price), 8)
+        |    AS price
+        |FROM vtp t JOIN posn p ON t.pair_id = p.pair_id
+        |  AND t.ts >= p.opened_at - 60000000
+        |  AND t.ts <= p.closed_at + 60000000
+        |WHERE t.buy_vwap IS NOT NULL AND t.sell_vwap IS NOT NULL
+        |ORDER BY p.pair_id, p.rn, t.ts""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Moving depth summary at 6 h frequency (mirror of
     * GridOps.depthSummaryAtFreq). */

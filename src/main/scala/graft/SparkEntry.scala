@@ -290,6 +290,26 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"),
           col("interval_start"), col("interval_end"), col("kind"))
         .orderBy("pair_id", "interval_start", "kind")),
+    // the R client's two plot helpers, served as their plot-ready
+    // frames (rendering stays client-side): the availability grid's
+    // rects + facet rows + label anchors, and the position trellis'
+    // per-facet price series + segment overlay
+    "mkt_plot_avail" -> ((s, d) =>
+      Analytics.dataAvailabilityGrid(
+          Analytics.intervals(Level3Source.eras(level3(s, d))), s)
+        .orderBy("exchange", "pair", "interval_start", "kind")),
+    "mkt_plot_trellis" -> ((s, d) => {
+      val l3 = level3(s, d).localCheckpoint(false)
+      val pos = MarketOps.tradingStrategy(l3, s, phi = 0.5, rho = 1e-6)
+      val ticks = MarketOps.tradingPeriod(l3, s, 50)
+        .select(col("pair_id"), col("ts"),
+          col("sell_vwap").as("bid_price"), col("buy_vwap").as("ask_price"))
+      Analytics.positionTrellis(pos, ticks)
+        .select(col("pair_id").cast("long").as("pair_id"), col("rn"),
+          col("opened_at"), col("closed_at"), col("open_price"),
+          col("close_price"), col("ts"), col("price"))
+        .orderBy("pair_id", "rn", "ts")
+    }),
     "mkt_export" -> ((s, d) =>
       Analytics.export(level3(s, d))
         .select(col("id"), col("timestamp_ms"), col("exchange_timestamp_ms"),
@@ -1349,6 +1369,8 @@ object SparkEntry {
     "mkt_trades" -> Oracles.mktTrades,
     "mkt_summary" -> Oracles.mktSummary,
     "mkt_intervals" -> Oracles.mktIntervals,
+    "mkt_plot_avail" -> Oracles.mktPlotAvail,
+    "mkt_plot_trellis" -> Oracles.mktPlotTrellis,
     "mkt_export" -> Oracles.mktExport,
     "mkt_level3" -> Oracles.mktLevel3,
     "mkt_level3_incr" -> Oracles.mktLevel3,

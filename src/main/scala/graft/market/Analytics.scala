@@ -147,6 +147,70 @@ object Analytics {
       .filter(col("interval_end") - col("interval_start") >= minDurationMicros)
   }
 
+  /** Plot-ready frame of `plotDataAvailability` (reference
+    * `R/visualisation.R:24-63`): the rendering is the R client's
+    * ggplot, but every aesthetic it computes is relational and served
+    * here — exchange/pair names from the seeded dimensions, the rect
+    * row `y = dense_rank(desc(pair))` within each exchange facet, and
+    * the per-(exchange, pair) label anchor `label_ts =
+    * min(interval_start)` (the R code's separate geom_text frame,
+    * denormalized onto each rect row). Input = [[intervals]] output;
+    * the frame is O(eras) — tiny at any corpus scale, windows included.
+    */
+  def dataAvailabilityGrid(intervals: DataFrame,
+      spark: SparkSession): DataFrame = {
+    val named = intervals
+      .withColumn("exchange_id", Dimensions.exchangeOfPair(col("pair_id")))
+      .join(broadcast(Dimensions.exchangesDf(spark)), "exchange_id")
+      .join(broadcast(Dimensions.pairsDf(spark).select("pair_id", "pair")),
+        "pair_id")
+    named
+      .withColumn("y", dense_rank().over(
+        Window.partitionBy("exchange").orderBy(col("pair").desc))
+        .cast("long"))
+      .withColumn("label_ts", min("interval_start").over(
+        Window.partitionBy("exchange", "pair")))
+      .select("exchange", "pair", "y", "interval_start", "interval_end",
+        "kind", "label_ts")
+  }
+
+  /** Plot-ready frame of `plotPositionTrellis` (reference
+    * `R/visualisation.R:69-103`): each strategy position (numbered
+    * `rn` per pair in open order — the R code's `rn := .I`) joined
+    * with the trading-period ticks inside
+    * [opened_at − around, closed_at + around], carrying the facet's
+    * price series (`log(mid) − log(open_price)` when `logRelative`,
+    * the paper-trading default; raw mid otherwise) and the segment
+    * overlay columns. Tickless instants (null vwaps) are dropped.
+    * Scale shape: positions are O(strategy trades) — bounded, so the
+    * band join BROADCASTS them into the tick stream; ticks never
+    * reshuffle. Log prices round to 8 decimals (the [[MarketOps
+    * .tradingStrategy]] discipline — libm ulp differences). */
+  def positionTrellis(positions: DataFrame, ticks: DataFrame,
+      logRelative: Boolean = true,
+      aroundMicros: Long = 60000000L): DataFrame = {
+    val pos = positions
+      .select(col("pair_id").as("p_pair"), col("opened_at"),
+        col("open_price"), col("closed_at"), col("close_price"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_pair").orderBy("opened_at", "closed_at"))
+        .cast("long"))
+    val t = ticks
+      .select(col("pair_id"), col("ts"), col("bid_price"), col("ask_price"))
+      .filter(col("bid_price").isNotNull && col("ask_price").isNotNull)
+    val mid = (col("bid_price") + col("ask_price")) / lit(2.0)
+    val price =
+      if (logRelative) round(log(mid) - log(col("open_price")), 8)
+      else mid
+    t.join(broadcast(pos),
+        col("pair_id") === col("p_pair") &&
+          col("ts") >= col("opened_at") - lit(aroundMicros) &&
+          col("ts") <= col("closed_at") + lit(aroundMicros))
+      .select(col("pair_id"), col("rn"), col("opened_at"), col("closed_at"),
+        col("open_price"), col("close_price"), col("ts"),
+        price.as("price"))
+  }
+
   /** Flat export projection (CSV-shaped): millisecond timestamps,
     * action / direction labels. */
   def export(level3: DataFrame): DataFrame =
