@@ -34,6 +34,24 @@ object Bench {
     }
     calibOnce()
     val calibS = math.min(calibOnce(), calibOnce())
+    // second anchor with a DIFFERENT shape (sort/window vs the
+    // groupBy-sum above): two same-HEAD r11 runs showed the single
+    // scalar anchor under-correcting (normalized medians 0.70 vs 1.10
+    // on identical code) — host state moves shuffle-agg and sort-window
+    // costs differently, so cross-round reads get both anchors plus
+    // raw totals
+    def calibSortOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 64)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("v")))
+        .filter("rn <= 3").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibSortOnce()
+    val calibSortS = math.min(calibSortOnce(), calibSortOnce())
     // index artifacts (PQ codebook + stored code table) are built
     // OUTSIDE the timed rows and reported as their own number: the
     // pipe_ann_pq/ivfpq/recall rows then measure search against the
@@ -92,7 +110,7 @@ object Bench {
     val builds = buildTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(",")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,$builds,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,$builds,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout tail truncates long runs — also write the
     // COMPLETE report (every per-query second + calib + every build
