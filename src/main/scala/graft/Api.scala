@@ -194,6 +194,26 @@ class GraftApi(spark: SparkSession, level3: DataFrame) {
   def intervals(minDurationMicros: Long = 0L): DataFrame =
     Analytics.intervals(Level3Source.eras(level3), minDurationMicros)
 
+  /** `obadiah::plotDataAvailability`'s data frame (the rendering
+    * stays client-side): interval rects with dimension names, the
+    * per-exchange facet rows and the label anchors. */
+  def dataAvailabilityGrid(minDurationMicros: Long = 0L): DataFrame =
+    Analytics.dataAvailabilityGrid(intervals(minDurationMicros), spark)
+
+  /** `obadiah::plotPositionTrellis`'s data frame: each strategy
+    * position's trading-period tick series inside the around-window,
+    * log-relative by default, with the segment overlay columns. */
+  def positionTrellis(phi: Double = 0.5, rho: Double = 1e-6,
+      volumeUnits: Long = 50, logRelative: Boolean = true,
+      aroundMicros: Long = 60000000L): DataFrame =
+    Analytics.positionTrellis(
+      tradingStrategy(phi, rho),
+      tradingPeriod(volumeUnits).select(functions.col("pair_id"),
+        functions.col("ts"),
+        functions.col("sell_vwap").as("bid_price"),
+        functions.col("buy_vwap").as("ask_price")),
+      logRelative, aroundMicros)
+
   /** `obadiah::export` — flat CSV-shaped event projection. */
   def export(): DataFrame = Analytics.export(level3)
 

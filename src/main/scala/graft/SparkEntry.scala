@@ -310,6 +310,17 @@ object SparkEntry {
           col("close_price"), col("ts"), col("price"))
         .orderBy("pair_id", "rn", "ts")
     }),
+    // the same two plot frames from SQL TEXT (same mirrors)
+    "mkt_sql_plot_avail" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM plot_avail('l3_sql')")
+        .orderBy("exchange", "pair", "interval_start", "kind")),
+    "mkt_sql_plot_trellis" -> ((s, d) =>
+      sqlSession(s, d)
+        .sql("SELECT * FROM plot_trellis('l3_sql', 0.5, 1e-6, 50)")
+        .select(col("pair_id").cast("long").as("pair_id"), col("rn"),
+          col("opened_at"), col("closed_at"), col("open_price"),
+          col("close_price"), col("ts"), col("price"))
+        .orderBy("pair_id", "rn", "ts")),
     "mkt_export" -> ((s, d) =>
       Analytics.export(level3(s, d))
         .select(col("id"), col("timestamp_ms"), col("exchange_timestamp_ms"),
@@ -1371,6 +1382,8 @@ object SparkEntry {
     "mkt_intervals" -> Oracles.mktIntervals,
     "mkt_plot_avail" -> Oracles.mktPlotAvail,
     "mkt_plot_trellis" -> Oracles.mktPlotTrellis,
+    "mkt_sql_plot_avail" -> Oracles.mktPlotAvail,
+    "mkt_sql_plot_trellis" -> Oracles.mktPlotTrellis,
     "mkt_export" -> Oracles.mktExport,
     "mkt_level3" -> Oracles.mktLevel3,
     "mkt_level3_incr" -> Oracles.mktLevel3,

@@ -114,6 +114,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.eventsIntervalsTvf _,
       "summary" -> graft.plans.GraftTableFunctions.summaryTvf _,
       "export" -> graft.plans.GraftTableFunctions.exportTvf _,
+      "plot_avail" -> graft.plans.GraftTableFunctions.plotAvailTvf _,
+      "plot_trellis" -> graft.plans.GraftTableFunctions.plotTrellisTvf _,
       // the training-data pipeline surface from SQL text too
       "bm25" -> graft.plans.GraftTableFunctions.bm25Tvf _,
       "dedup_exact" -> graft.plans.GraftTableFunctions.dedupExactTvf _,

@@ -97,6 +97,13 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             api.intervals(u.longArgs.headOption.getOrElse(0L))
           case "summary" => api.summary()
           case "export" => api.export()
+          case "plot_avail" =>
+            api.dataAvailabilityGrid(u.longArgs.headOption.getOrElse(0L))
+          case "plot_trellis" =>
+            api.positionTrellis(
+              phi = if (u.dblArgs.nonEmpty) u.dblArgs(0) else 0.5,
+              rho = if (u.dblArgs.nonEmpty) u.dblArgs(1) else 1e-6,
+              volumeUnits = u.longArgs.headOption.getOrElse(50L))
           // pipeline surface (the relation is a DOCUMENTS table here,
           // not level3 — the marker mechanism is source-agnostic)
           case "bm25" =>
@@ -339,6 +346,31 @@ object GraftTableFunctions {
       "events_intervals",
       if (exprs.length == 2)
         Seq(longLit(exprs, 1, "events_intervals")) else Nil)
+  }
+
+  /** `plot_avail('l3'[, min_duration_us])` —
+    * `GraftApi.dataAvailabilityGrid` (the plotDataAvailability data
+    * frame). */
+  def plotAvailTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "plot_avail takes (level3_table[, min_duration_us])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "plot_avail")), "plot_avail",
+      if (exprs.length == 2) Seq(longLit(exprs, 1, "plot_avail")) else Nil)
+  }
+
+  /** `plot_trellis('l3'[, phi, rho[, volume_units]])` —
+    * `GraftApi.positionTrellis` (the plotPositionTrellis data frame,
+    * log-relative). */
+  def plotTrellisTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 3 || exprs.length == 4,
+      "plot_trellis takes (level3_table[, phi, rho[, volume_units]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "plot_trellis")),
+      "plot_trellis",
+      if (exprs.length == 4) Seq(longLit(exprs, 3, "plot_trellis")) else Nil,
+      Nil,
+      if (exprs.length >= 3)
+        Seq(dblLit(exprs, 1, "plot_trellis"), dblLit(exprs, 2, "plot_trellis"))
+      else Nil)
   }
 
   /** `summary('l3')` — `GraftApi.summary` (per-era feed statistics). */

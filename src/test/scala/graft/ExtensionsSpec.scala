@@ -291,6 +291,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(s2.sql("SELECT * FROM export('l3_tvf')")) ==
         rows(api.export()))
       assert(rows(s2.sql("SELECT * FROM summary('l3_tvf')")).nonEmpty)
+
+      // the served plot frames: SQL ≡ the Scala API, incl. parameters
+      assert(rows(s2.sql("SELECT * FROM plot_avail('l3_tvf')")) ==
+        rows(api.dataAvailabilityGrid()))
+      assert(rows(s2.sql("SELECT * FROM plot_avail('l3_tvf')")).nonEmpty)
+      assert(rows(s2.sql(
+          "SELECT * FROM plot_trellis('l3_tvf', 0.001, 0.0, 0)")) ==
+        rows(api.positionTrellis(phi = 0.001, rho = 0.0,
+          volumeUnits = 0L)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -29,7 +29,7 @@ class QueriesSpec extends AnyFunSuite {
       "mkt_sql_trades",
       // the trellis derives from the strategy's positions, which the
       // tiny tick stream at this SF never opens
-      "mkt_plot_trellis")
+      "mkt_plot_trellis", "mkt_sql_plot_trellis")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, dir).count()
     }
