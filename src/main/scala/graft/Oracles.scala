@@ -2671,6 +2671,80 @@ object Oracles {
       |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** The JL projection CTEs (`sg`, `cp`), mirroring
+    * `VectorOps.rprojVecs`: kComps ±1 hyperplanes from the SAME
+    * md5-parity sign rule as the LSH mirrors, each component the exact
+    * integer Σ s·q. Expects `ev` from [[QuantEmbCte]]. */
+  private def RprojCpCte(kComps: Int = 16): String =
+    s""", sg AS (
+      |  SELECT t.j, di.i,
+      |    CASE WHEN ascii(substr(md5(t.j || '#' || di.i), 1, 1)) % 2 = 1
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM range(0, $kComps) t(j), (SELECT DISTINCT i FROM ev) di
+      |), cp AS (
+      |  SELECT e.vec_id, s.j, CAST(SUM(s.s * e.q) AS BIGINT) AS comp
+      |  FROM ev e JOIN sg s ON s.i = e.i GROUP BY e.vec_id, s.j
+      |)""".stripMargin
+
+  /** Mirror of `VectorOps.rprojReport` (kComps = 16). */
+  def pipeRproj: String = QuantEmbCte + RprojCpCte() +
+    """
+      |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_comps,
+      |  CAST(SUM(comp) AS BIGINT) AS sum_proj,
+      |  CAST(SUM(comp * comp) AS BIGINT) AS norm_proj,
+      |  CAST(SUM(CASE WHEN comp > 0 THEN CAST(POW(2, j) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS srp_bits,
+      |  md5(string_agg(CAST(comp AS VARCHAR), ',' ORDER BY j)) AS proj_md5
+      |FROM cp GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** The JL retrieve-then-rerank ranking (`qd$sfx`/`cc$sfx`/`rr$sfx`):
+    * projected-space cosine over `cp` shortlists 20 per query, exact
+    * full-width cosine re-ranks. Expects `ev`/`nrm`/`cp`. */
+  private def RprojRankChain(sfx: String = ""): String =
+    s""", np AS (
+      |  SELECT vec_id, SUM(comp * comp) AS np FROM cp GROUP BY vec_id
+      |), pd AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS vb,
+      |    SUM(a.comp * b.comp) AS pdot
+      |  FROM cp a JOIN cp b
+      |    ON b.j = a.j AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+      |  GROUP BY a.vec_id, b.vec_id
+      |), pc AS (
+      |  SELECT query_id, vb, CAST(pdot AS DOUBLE) /
+      |    (SQRT(CAST(n1.np AS DOUBLE)) * SQRT(CAST(n2.np AS DOUBLE))) AS pcos
+      |  FROM pd JOIN np n1 ON n1.vec_id = query_id
+      |  JOIN np n2 ON n2.vec_id = vb
+      |), shl AS (
+      |  SELECT query_id, vb, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY pcos DESC, vb) AS prnk
+      |  FROM pc
+      |), qd$sfx AS (
+      |  SELECT query_id, shl.vb AS vec_id, SUM(a.q * b.q) AS dot
+      |  FROM shl JOIN ev a ON a.vec_id = query_id
+      |  JOIN ev b ON b.vec_id = shl.vb AND b.i = a.i
+      |  WHERE shl.prnk <= 20 GROUP BY query_id, shl.vb
+      |), cc$sfx AS (
+      |  SELECT query_id, qd$sfx.vec_id, CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(n1.nq AS DOUBLE)) * SQRT(CAST(n2.nq AS DOUBLE))) AS cos
+      |  FROM qd$sfx JOIN nrm n1 ON n1.vec_id = query_id
+      |  JOIN nrm n2 ON n2.vec_id = qd$sfx.vec_id
+      |), rr$sfx AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cc$sfx
+      |)""".stripMargin
+
+  /** Mirror of `VectorOps.annRproj` (kComps = 16, shortK = 20). */
+  def pipeAnnRproj: String = QuantEmbCte + RprojCpCte() + RprojRankChain() +
+    """
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Mirror of `VectorOps.annRecallRproj`: exact top-5 and the JL
+    * rerank top-5 both recomputed, recall = |∩| / |exact|. */
+  def pipeAnnRecallRproj: String = QuantEmbCte + RprojCpCte() +
+    ExactChainE() + RprojRankChain("_l") + RecallSelect("rr_l")
+
   /** The exact top-k chain (`qd_e`/`cc_e`/`rr_e`), shared by the two
     * recall oracles. Expects `ev`/`nrm` from [[QuantEmbCte]]. */
   private def ExactChainE(candFilter: String = ""): String =
@@ -4533,6 +4607,35 @@ object Oracles {
       |)
       |SELECT doc_id, rnk, word, tf, score_nano FROM s WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Mirror of `TextPipeline.cmsHeavyHitters` (depth 3, width 512,
+    * top 20): the count–min grid rebuilt cell-for-cell — bucket =
+    * md5-half of `r#word` mod width (the [[hexHalf]] spelling of
+    * Spark's `conv(substring(md5(..),1,8),16,10)`), estimate = MIN
+    * over the word's depth cells. */
+  def pipeCmsHeavy: String =
+    s"""WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |), wc AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
+      |), rh AS (
+      |  SELECT t.r, word, cnt, md5(t.r || '#' || word) AS dig
+      |  FROM wc, range(0, 3) t(r)
+      |), rb AS (
+      |  SELECT r, word, cnt, (${hexHalf(1)}) % 512 AS bucket FROM rh
+      |), sk AS (
+      |  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+      |  FROM rb GROUP BY r, bucket
+      |), topw AS (
+      |  SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 20
+      |)
+      |SELECT t.word AS word, t.cnt AS exact,
+      |  CAST(MIN(sk.cell) AS BIGINT) AS est,
+      |  CAST(MIN(sk.cell) - t.cnt AS BIGINT) AS overcount
+      |FROM topw t JOIN rb ON rb.word = t.word
+      |JOIN sk ON sk.r = rb.r AND sk.bucket = rb.bucket
+      |GROUP BY t.word, t.cnt
+      |ORDER BY exact DESC, word""".stripMargin
 
   def pipeVocab: String =
     """WITH wv AS (

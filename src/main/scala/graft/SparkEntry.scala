@@ -1053,6 +1053,24 @@ object SparkEntry {
       pipeline.TrainingData.bpeCoverage(Tables.load(s, d, "documents"), s,
           pipeline.TrainingData.mergePairs(trainedBpe(s, d)))
         .orderBy("source")),
+    // JL signed random projection: the reduced integer representation
+    // (16 comps from the md5-parity hyperplanes; srp_bits IS the
+    // lshBuckets bucket), the retrieve-then-rerank ANN through it,
+    // and its recall gauge against the exact baseline
+    "pipe_rproj" -> ((s, d) =>
+      pipeline.VectorOps.rprojReport(Tables.load(s, d, "embeddings"))
+        .orderBy("vec_id")),
+    "pipe_ann_rproj" -> ((s, d) =>
+      pipeline.VectorOps.annRproj(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id", "rnk")),
+    "pipe_ann_recall_rproj" -> ((s, d) =>
+      pipeline.VectorOps.annRecallRproj(Tables.load(s, d, "embeddings"))
+        .orderBy("query_id")),
+    // count-min-sketch heavy hitters: fixed-memory frequency grid,
+    // estimates graded against the exact counts on the top 20 words
+    "pipe_cms_heavy" -> ((s, d) =>
+      pipeline.TextPipeline.cmsHeavyHitters(Tables.load(s, d, "documents"))
+        .orderBy(col("exact").desc, col("word"))),
     "pipe_ann_recall" -> ((s, d) =>
       pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
@@ -1511,6 +1529,10 @@ object SparkEntry {
     "pipe_bpe_tokens" -> Oracles.pipeBpeTokens(),
     "pipe_bpe_encode" -> Oracles.pipeBpeEncode(),
     "pipe_bpe_coverage" -> Oracles.pipeBpeCoverage(),
+    "pipe_rproj" -> Oracles.pipeRproj,
+    "pipe_ann_rproj" -> Oracles.pipeAnnRproj,
+    "pipe_ann_recall_rproj" -> Oracles.pipeAnnRecallRproj,
+    "pipe_cms_heavy" -> Oracles.pipeCmsHeavy,
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,

@@ -813,6 +813,46 @@ object TextPipeline {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Count–min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * a `depth × width` counter grid where row r counts every word into
+    * bucket `md5half(r#word) mod width`, and a word's estimate is the
+    * MIN over its depth cells — always ≥ the true count, within
+    * εN with probability 1−δ at width=e/ε, depth=ln(1/δ). The sketch
+    * is THE streaming/merge-friendly frequency structure at corpus
+    * scale: fixed O(depth·width) memory however many distinct words
+    * exist, cells merge by addition across shards, and the build
+    * aggregates with map-side combine bounded by depth·width distinct
+    * keys per task — where an exact vocabulary count shuffles every
+    * distinct word. This op grades the sketch against the exact
+    * counts on the top-N words (overcount = est − exact ≥ 0, the
+    * collision error the width budget buys down); the exact side
+    * exists for the grade — a production ingest keeps only the grid.
+    * Bucket hashing is the portable md5-half primitive (same as the
+    * MinHash family), so any engine derives identical cells. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 3, width: Int = 512,
+      topN: Int = 20): DataFrame = {
+    val rs = array((0 until depth).map(lit(_)): _*)
+    val bucket = conv(substring(md5(concat_ws("#", col("r"), col("word"))),
+      1, 8), 16, 10).cast("long") % width
+    // one vocabulary pass feeds the grid build AND the top-N grade
+    val wc = docs.withColumn("words", wordsCol)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val sketch = wc.withColumn("r", explode(rs))
+      .withColumn("bucket", bucket)
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("cell"))
+    val top = wc.orderBy(col("cnt").desc, col("word")).limit(topN)
+    top.withColumn("r", explode(rs))
+      .withColumn("bucket", bucket)
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("word")
+      .agg(max(col("cnt")).as("exact"), min(col("cell")).as("est"))
+      .select(col("word"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("exact").desc, col("word"))
+  }
+
   /** Per-document TF-IDF keyword extraction: each document's top-`k`
     * terms by `tf · ln((N+1)/(df+1))` — the keyword signal corpus
     * analysis and weak labeling read per document (complement of

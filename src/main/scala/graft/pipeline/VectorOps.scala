@@ -885,6 +885,100 @@ object VectorOps {
       nQueries: Int, k: Int): DataFrame =
     recallAgainst(annTopK(emb, nQueries, k), approx)
 
+  // ---- Johnson–Lindenstrauss signed random projection ----------------
+  //
+  // The third compression family next to int8 (TrainingData.q8Index)
+  // and PQ: project the d-dim milli vectors onto kComps ±1
+  // hyperplanes and KEEP the integer magnitudes (where lshBuckets
+  // keeps only the sign bits). Achlioptas 2001 shows ±1 entries give
+  // the JL distance guarantee, and because both the inputs and the
+  // projection matrix are integers, every component is an EXACT
+  // BIGINT — the same engine-portability discipline as the milli
+  // quantization itself. The hyperplanes are the md5-parity signs of
+  // [[lshSign]], so the sign bit of component j IS the lshBuckets
+  // bucket bit j: one sign matrix serves both the sketch and the
+  // reduction.
+
+  /** (vec_id, q, nq, proj: Array[Long] of kComps exact components,
+    * nproj): the projection pass. One codegen'd dot per component
+    * against a constant ±1 literal vector — the bits×d matrix is
+    * driver-side literals, no per-row hashing (the [[lshBuckets]]
+    * evaluation shape). Per-row map, no shuffle. */
+  private[pipeline] def rprojVecs(emb: DataFrame, kComps: Int): DataFrame = {
+    val q = quantized(emb)
+    val first = emb.select(size(col("embedding"))).head(1)
+    if (first.isEmpty)
+      return q.withColumn("proj", lit(null).cast("array<bigint>"))
+        .withColumn("nproj", lit(0L)).limit(0)
+    val d = first(0).getInt(0)
+    val comps = array((0 until kComps).map { j =>
+      val signs = array((1 to d).map(i => lit(lshSign(j, i))): _*)
+      longArrayDot(col("q"), signs)
+    }: _*)
+    q.withColumn("proj", comps)
+      .withColumn("nproj", longArrayDot(col("proj"), col("proj")))
+  }
+
+  /** The persistable reduced representation, reported per vector:
+    * component count, exact sum / squared norm, the sign sketch
+    * (= the lshBuckets bucket at `bits = kComps`, by construction),
+    * and an order-sensitive fingerprint of the components. At corpus
+    * scale this row is the build pass of a JL-compressed scan: a
+    * 64-dim float vector becomes kComps longs (4× fewer multiplies
+    * per candidate in any downstream distance pass), with recall
+    * measured by [[annRecallRproj]] before the reduction is trusted. */
+  def rprojReport(emb: DataFrame, kComps: Int = 16): DataFrame = {
+    val srpBits = (0 until kComps).map { j =>
+      when(element_at(col("proj"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    rprojVecs(emb, kComps)
+      .select(col("vec_id"),
+        size(col("proj")).cast("long").as("n_comps"),
+        expr("aggregate(proj, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_proj"),
+        col("nproj").as("norm_proj"),
+        srpBits.as("srp_bits"),
+        md5(concat_ws(",", expr("transform(proj, x -> CAST(x AS STRING))")))
+          .as("proj_md5"))
+  }
+
+  /** ANN through the JL reduction: rank ALL candidates by cosine in
+    * the kComps-dim projected space (the cheap scan — integer dots
+    * over kComps components instead of d), keep a `shortK` shortlist
+    * per query, then re-rank the shortlist with the exact full-width
+    * cosine. The standard two-tier retrieve-then-rerank shape: the
+    * full vectors are touched for only shortK rows per query, so at
+    * corpus scale the scan cost drops by d/kComps while the error is
+    * bounded by the rerank. Shortlist and final ranking both go
+    * through the two-stage salted [[topKPerQuery]]. */
+  def annRproj(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      kComps: Int = 16, shortK: Int = 20): DataFrame = {
+    // one sign pass feeds both join sides
+    val pv = rprojVecs(emb, kComps).localCheckpoint(false)
+    val queries = pv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("proj").as("pa"),
+        col("nproj").as("npa"), col("q").as("qa"), col("nq").as("na"))
+    val cands = pv.select(col("vec_id").as("vb"), col("proj").as("pb"),
+      col("nproj").as("npb"), col("q").as("qb"), col("nq").as("nb"))
+    val pcos = longArrayDot(col("pa"), col("pb")).cast("double") /
+      (sqrt(col("npa").cast("double")) * sqrt(col("npb").cast("double")))
+    val scored = broadcast(queries).join(cands, col("query_id") =!= col("vb"))
+      .withColumn("pcos", pcos)
+    val short = topKPerQuery(scored, shortK, col("pcos").desc, col("vb"))
+      .withColumn("cos", cosine)
+    topKPerQuery(short.drop("rnk"), k, col("cos").desc, col("vb"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("vec_id"), col("cos"))
+  }
+
+  /** Recall@k of the JL retrieve-then-rerank path against the exact
+    * baseline — the gauge that chooses kComps/shortK before the
+    * reduction replaces full-width scans. */
+  def annRecallRproj(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      kComps: Int = 16, shortK: Int = 20): DataFrame =
+    recallAgainstExact(emb, annRproj(emb, nQueries, k, kComps, shortK),
+      nQueries, k)
+
   // ---- Product quantization (IVF-PQ's second stage) -----------------
   //
   // The standard trillion-scale ANN memory layout: each vector is

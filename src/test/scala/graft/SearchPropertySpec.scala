@@ -301,6 +301,96 @@ class SearchPropertySpec extends AnyFunSuite {
     assert(anySplit, "no case was large enough to bind the cap")
   }
 
+  // --- JL random projection + count-min sketch ----------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => "%02x".format(b & 0xff)).mkString
+
+  test("rprojReport equals the driver JL model; sign bits = lshBuckets") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    // independent re-derivation of the md5-parity hyperplane signs
+    def sign(j: Int, i: Int): Long =
+      if (md5hex(s"$j#$i").charAt(0).toInt % 2 == 1) 1L else -1L
+    val cases = (41 to 50).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val emb = vs.toDF("vec_id", "embedding")
+      val want = vs.map { case (id, v) =>
+        val q = milli(v)
+        val comps = (0 until 16).map(j =>
+          q.indices.map(ii => sign(j, ii + 1) * q(ii)).sum)
+        val srp = comps.zipWithIndex
+          .collect { case (c, j) if c > 0 => 1L << j }.sum
+        id -> ((comps.sum, comps.map(c => c * c).sum, srp,
+          md5hex(comps.mkString(","))))
+      }.toMap
+      val got = VectorOps.rprojReport(emb).collect().map(r =>
+        r.getAs[Long]("vec_id") -> ((r.getAs[Long]("sum_proj"),
+          r.getAs[Long]("norm_proj"), r.getAs[Long]("srp_bits"),
+          r.getAs[String]("proj_md5")))).toMap
+      assert(got == want, s"rproj mismatch for ${vs.map(_._2.toSeq)}")
+      // the sign sketch IS the LSH bucket at bits = kComps
+      val buckets = VectorOps.lshBuckets(emb, bits = 16).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+      vs.foreach { case (id, _) => assert(buckets(id) == want(id)._3) }
+    }
+  }
+
+  test("annRproj with a covering shortlist equals the exact top-k") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val cases = (41 to 50).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val emb = vs.toDF("vec_id", "embedding")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vec_id"))).toSet
+      // shortK ≥ n: the rerank sees every candidate, so the JL path
+      // must reproduce the exact ranking including all tie-breaks
+      val got = rows(VectorOps.annRproj(emb, nQueries = 3, k = 3,
+        shortK = 1000))
+      val want = rows(VectorOps.annTopK(emb, nQueries = 3, k = 3))
+      assert(got == want, s"annRproj mismatch for ${vs.map(_._2.toSeq)}")
+    }
+  }
+
+  test("cmsHeavyHitters equals the driver sketch model at a binding width") {
+    import spark.implicits._
+    val cases = (51 to 60).map(i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { c =>
+      val docs = c.docs.toDF("doc_id", "text")
+      // width 8 on the 8-word alphabet: collisions all but guaranteed,
+      // so the overcount path is genuinely exercised
+      val depth = 2
+      val width = 8
+      def bucket(r: Int, w: String): Long =
+        java.lang.Long.parseLong(md5hex(s"$r#$w").substring(0, 8), 16) % width
+      val cnt = c.docs.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cells = (for {
+        (w, n) <- cnt.toSeq; r <- 0 until depth
+      } yield ((r, bucket(r, w)), n))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val want = cnt.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+        .map { case (w, n) =>
+          val est = (0 until depth).map(r => cells((r, bucket(r, w)))).min
+          (w, n, est, est - n)
+        }.toSet
+      val got = TextPipeline.cmsHeavyHitters(docs, depth = depth,
+          width = width, topN = 20)
+        .collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("exact"),
+          r.getAs[Long]("est"), r.getAs[Long]("overcount"))).toSet
+      assert(got == want, s"cms mismatch for $c")
+      got.foreach { case (_, exact, est, over) =>
+        assert(est >= exact && over == est - exact)
+      }
+    }
+  }
+
   test("substringDedup equals the driver model on random corpora") {
     // L = 3 on the 8-word alphabet: dense collisions, heavy overlap
     val cases = (21 to 30).map(i =>
