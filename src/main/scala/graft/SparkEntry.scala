@@ -51,6 +51,7 @@ object SparkEntry {
       // what the Scala-API rows do
       level3(s2, d).createOrReplaceTempView("l3_sql")
       Tables.load(s2, d, "documents").createOrReplaceTempView("docs_sql")
+      Tables.load(s2, d, "embeddings").createOrReplaceTempView("emb_sql")
       s2
     })
 
@@ -928,6 +929,12 @@ object SparkEntry {
     "pipe_sql_pack_stats" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM pack_stats('docs_sql')")
         .orderBy("shard")),
+    "pipe_sql_cms_heavy" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM cms_heavy('docs_sql')")
+        .orderBy(col("exact").desc, col("word"))),
+    "pipe_sql_rproj" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM rproj('emb_sql')")
+        .orderBy("vec_id")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1556,6 +1563,8 @@ object SparkEntry {
     "pipe_sql_decon_bloom" -> Oracles.pipeDecontaminate,
     "pipe_sql_dedup_audit" -> Oracles.pipeDedupAudit(),
     "pipe_sql_pack_stats" -> Oracles.pipePackStats(),
+    "pipe_sql_cms_heavy" -> Oracles.pipeCmsHeavy,
+    "pipe_sql_rproj" -> Oracles.pipeRproj,
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

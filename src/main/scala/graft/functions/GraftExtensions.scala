@@ -133,7 +133,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "tfidf_terms" -> graft.plans.GraftTableFunctions.tfidfTermsTvf _,
       "decon_bloom" -> graft.plans.GraftTableFunctions.deconBloomTvf _,
       "dedup_audit" -> graft.plans.GraftTableFunctions.dedupAuditTvf _,
-      "pack_stats" -> graft.plans.GraftTableFunctions.packStatsTvf _)
+      "pack_stats" -> graft.plans.GraftTableFunctions.packStatsTvf _,
+      "cms_heavy" -> graft.plans.GraftTableFunctions.cmsHeavyTvf _,
+      "rproj" -> graft.plans.GraftTableFunctions.rprojTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

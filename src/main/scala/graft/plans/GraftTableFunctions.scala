@@ -147,6 +147,14 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.pipeline.TrainingData.packStats(l3, spark,
               if (u.longArgs.nonEmpty) u.longArgs(0) else 256L,
               if (u.longArgs.length > 1) u.longArgs(1).toInt else 16)
+          case "cms_heavy" =>
+            graft.pipeline.TextPipeline.cmsHeavyHitters(l3,
+              if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 3,
+              if (u.longArgs.length > 1) u.longArgs(1).toInt else 512,
+              if (u.longArgs.length > 2) u.longArgs(2).toInt else 20)
+          case "rproj" =>
+            graft.pipeline.VectorOps.rprojReport(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 16)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -510,6 +518,26 @@ object GraftTableFunctions {
       "pack_stats",
       exprs.drop(1).zipWithIndex.map { case (_, i) =>
         longLit(exprs, i + 1, "pack_stats") })
+  }
+
+  /** `cms_heavy('docs'[, depth[, width[, topn]]])` — count-min-sketch
+    * heavy hitters graded against exact counts
+    * ([[graft.pipeline.TextPipeline.cmsHeavyHitters]]). */
+  def cmsHeavyTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 4,
+      "cms_heavy takes (docs_table[, depth[, width[, topn]]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "cms_heavy")), "cms_heavy",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "cms_heavy") })
+  }
+
+  /** `rproj('embeddings'[, k])` — JL signed-random-projection report
+    * ([[graft.pipeline.VectorOps.rprojReport]]). */
+  def rprojTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "rproj takes (embeddings_table[, k])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "rproj")), "rproj",
+      if (exprs.length == 2) Seq(longLit(exprs, 1, "rproj")) else Nil)
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

@@ -378,6 +378,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(s2.sql("SELECT * FROM pack_stats('docs_tvf', 128, 8)")) ==
         rows(graft.pipeline.TrainingData.packStats(docs, s2,
           capacity = 128, nShards = 8)))
+      assert(rows(s2.sql("SELECT * FROM cms_heavy('docs_tvf')")) ==
+        rows(TextPipeline.cmsHeavyHitters(docs)))
+      // depth / width / top-n pass-through
+      assert(rows(s2.sql("SELECT * FROM cms_heavy('docs_tvf', 2, 8, 10)")) ==
+        rows(TextPipeline.cmsHeavyHitters(docs, depth = 2, width = 8,
+          topN = 10)))
+      val emb = Tables.load(s2, "/root/testdata/sf0.001", "embeddings")
+      emb.createOrReplaceTempView("emb_tvf")
+      assert(rows(s2.sql("SELECT * FROM rproj('emb_tvf')")) ==
+        rows(graft.pipeline.VectorOps.rprojReport(emb)))
+      // component-count pass-through
+      assert(rows(s2.sql("SELECT * FROM rproj('emb_tvf', 8)")) ==
+        rows(graft.pipeline.VectorOps.rprojReport(emb, kComps = 8)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
