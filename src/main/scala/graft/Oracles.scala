@@ -2745,6 +2745,15 @@ object Oracles {
   def pipeAnnRecallRproj: String = QuantEmbCte + RprojCpCte() +
     ExactChainE() + RprojRankChain("_l") + RecallSelect("rr_l")
 
+  /** Mirror of `VectorOps.gramMatrix`: the upper-triangle XᵀX grid
+    * recomputed by a per-vector subscript self-join. */
+  def pipeGram: String = QuantEmbCte +
+    """
+      |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+      |  CAST(SUM(a.q * b.q) AS BIGINT) AS g
+      |FROM ev a JOIN ev b ON b.vec_id = a.vec_id AND b.i >= a.i
+      |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
+
   /** The exact top-k chain (`qd_e`/`cc_e`/`rr_e`), shared by the two
     * recall oracles. Expects `ev`/`nrm` from [[QuantEmbCte]]. */
   private def ExactChainE(candFilter: String = ""): String =

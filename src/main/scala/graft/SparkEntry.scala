@@ -1078,6 +1078,11 @@ object SparkEntry {
     "pipe_cms_heavy" -> ((s, d) =>
       pipeline.TextPipeline.cmsHeavyHitters(Tables.load(s, d, "documents"))
         .orderBy(col("exact").desc, col("word"))),
+    // exact integer XtX grid: corpus-sized in, d^2 model-sized out —
+    // the PCA / covariance / whitening precursor
+    "pipe_gram" -> ((s, d) =>
+      pipeline.VectorOps.gramMatrix(Tables.load(s, d, "embeddings"))
+        .orderBy("i", "j")),
     "pipe_ann_recall" -> ((s, d) =>
       pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
@@ -1540,6 +1545,7 @@ object SparkEntry {
     "pipe_ann_rproj" -> Oracles.pipeAnnRproj,
     "pipe_ann_recall_rproj" -> Oracles.pipeAnnRecallRproj,
     "pipe_cms_heavy" -> Oracles.pipeCmsHeavy,
+    "pipe_gram" -> Oracles.pipeGram,
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,

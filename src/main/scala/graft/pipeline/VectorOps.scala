@@ -979,6 +979,31 @@ object VectorOps {
     recallAgainstExact(emb, annRproj(emb, nQueries, k, kComps, shortK),
       nQueries, k)
 
+  /** Exact integer Gram matrix of the milli-quantized collection —
+    * `G(i,j) = Σ_v q_i·q_j` over every vector, upper triangle
+    * (1-based dims, i ≤ j): the XᵀX statistic PCA, covariance
+    * estimation, and whitening all start from, and the canonical
+    * "corpus-sized in, model-sized out" aggregation. Scale shape: the
+    * double explode streams n·d² NARROW rows through whole-stage
+    * codegen into a hash aggregate with only d(d+1)/2 distinct keys,
+    * so map-side partials collapse everything before the shuffle —
+    * the exchange carries O(tasks · d²) rows, never O(n). The output
+    * (≈2k rows at d=64) is driver-collectible model state; the
+    * eigen-decomposition step is deliberately out of engine scope
+    * (O(d³) on a d×d table is driver work, like the PQ codebooks).
+    * Overflow envelope: Σ q_i·q_j < 2⁶³ holds to ~5·10¹¹ vectors at
+    * |q| ≤ 4000; beyond that, per-shard grids merge by addition in a
+    * wider type — the same shard-merge discipline as the CMS cells. */
+  def gramMatrix(emb: DataFrame): DataFrame =
+    quantized(emb).select(col("q"))
+      .select(col("q"), posexplode(col("q")).as(Seq("i0", "qi")))
+      .select(col("i0"), col("qi"), posexplode(col("q")).as(Seq("j0", "qj")))
+      .filter(col("j0") >= col("i0"))
+      .groupBy((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+      .orderBy("i", "j")
+
   // ---- Product quantization (IVF-PQ's second stage) -----------------
   //
   // The standard trillion-scale ANN memory layout: each vector is

@@ -357,6 +357,24 @@ class SearchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gramMatrix equals the driver XtX model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val cases = (61 to 70).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val qs = vs.map { case (_, v) => milli(v) }
+      val d = qs.head.length
+      val want = (for {
+        i <- 0 until d; j <- i until d
+      } yield (i + 1L, j + 1L, qs.map(q => q(i) * q(j)).sum)).toSet
+      val got = VectorOps.gramMatrix(vs.toDF("vec_id", "embedding"))
+        .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+          r.getAs[Long]("g"))).toSet
+      assert(got == want, s"gram mismatch for ${vs.map(_._2.toSeq)}")
+    }
+  }
+
   test("cmsHeavyHitters equals the driver sketch model at a binding width") {
     import spark.implicits._
     val cases = (51 to 60).map(i =>
