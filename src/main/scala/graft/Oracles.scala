@@ -4622,7 +4622,9 @@ object Oracles {
     * md5-half of `r#word` mod width (the [[hexHalf]] spelling of
     * Spark's `conv(substring(md5(..),1,8),16,10)`), estimate = MIN
     * over the word's depth cells. */
-  def pipeCmsHeavy: String =
+  /** The count–min grid CTEs (`wc`, `rb`, `sk`), shared by the batch
+    * heavy-hitters mirror and the streaming-grid mirror. */
+  private def CmsGridCte: String =
     s"""WITH w AS (
       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
       |), wc AS (
@@ -4635,7 +4637,17 @@ object Oracles {
       |), sk AS (
       |  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
       |  FROM rb GROUP BY r, bucket
-      |), topw AS (
+      |)""".stripMargin
+
+  /** Mirror of `StreamingOps.cmsReplay`'s final grid: the monotone
+    * cell totals after the whole stream equal the batch grid. */
+  def pipeCmsGrid: String = CmsGridCte +
+    """
+      |SELECT CAST(r AS BIGINT) AS r, bucket, cell FROM sk
+      |ORDER BY r, bucket""".stripMargin
+
+  def pipeCmsHeavy: String = CmsGridCte +
+    s""", topw AS (
       |  SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 20
       |)
       |SELECT t.word AS word, t.cnt AS exact,

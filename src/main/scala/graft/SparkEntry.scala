@@ -1078,6 +1078,12 @@ object SparkEntry {
     "pipe_cms_heavy" -> ((s, d) =>
       pipeline.TextPipeline.cmsHeavyHitters(Tables.load(s, d, "documents"))
         .orderBy(col("exact").desc, col("word"))),
+    // the sketch maintained on ingest: final grid (max of the
+    // monotone cell emissions) = the batch grid, mirror-checked
+    "pipe_cms_stream" -> ((s, d) =>
+      streaming.StreamingOps.cmsReplay(Tables.load(s, d, "documents"), s)
+        .groupBy("r", "bucket").agg(max(col("cell")).as("cell"))
+        .orderBy("r", "bucket")),
     // exact integer XtX grid: corpus-sized in, d^2 model-sized out —
     // the PCA / covariance / whitening precursor
     "pipe_gram" -> ((s, d) =>
@@ -1546,6 +1552,7 @@ object SparkEntry {
     "pipe_ann_recall_rproj" -> Oracles.pipeAnnRecallRproj,
     "pipe_cms_heavy" -> Oracles.pipeCmsHeavy,
     "pipe_gram" -> Oracles.pipeGram,
+    "pipe_cms_stream" -> Oracles.pipeCmsGrid,
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,

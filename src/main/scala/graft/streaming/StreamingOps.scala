@@ -660,6 +660,72 @@ object StreamingOps extends Serializable {
       .toDF()
   }
 
+  /** One (hash row, bucket) occurrence entering the streaming
+    * count–min sketch. */
+  case class CellOcc(r: Long, bucket: Long, cnt: Long)
+
+  /** A count–min cell's running total. */
+  case class CellCount(cnt: Long)
+
+  /** One refreshed cell emission: (row, bucket, cumulative count). */
+  case class CellOut(r: Long, bucket: Long, cell: Long)
+
+  /** Streaming count–min sketch over arriving documents — the
+    * frequency grid of [[graft.pipeline.TextPipeline.cmsHeavyHitters]]
+    * maintained on ingest. Each document's words hash into the same
+    * md5-half cells as the batch grid (a stateless explode — depth
+    * rows per word), and the stateful step is the minimal one: state
+    * per key is ONE counter, keys are bounded by depth·width however
+    * many distinct words the stream ever carries — the sketch's whole
+    * point, and the reason it is THE standard streaming frequency
+    * structure. Emissions (Append mode — an emission LOG, one row per
+    * touched cell per micro-batch) are the refreshed cumulative cell
+    * totals; totals are monotone, so the current grid is `max(cell)`
+    * per key over emissions, and after any prefix of the stream the
+    * grid equals the batch grid of the documents ingested so far —
+    * checkpoint-restartable like every counter here. */
+  def cmsStream(docs: Dataset[DocIn], spark: SparkSession,
+      depth: Int = 3, width: Int = 512): DataFrame = {
+    import spark.implicits._
+
+    def update(key: (Long, Long), batch: Iterator[CellOcc],
+        state: GroupState[CellCount]): Iterator[CellOut] = {
+      val tot = state.getOption.map(_.cnt).getOrElse(0L) +
+        batch.map(_.cnt).sum
+      state.update(CellCount(tot))
+      Iterator.single(CellOut(key._1, key._2, tot))
+    }
+
+    docs.toDF()
+      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(array((0 until depth).map(r => lit(r.toLong)): _*))
+        .as("r"), col("word"))
+      .select(col("r"),
+        (conv(substring(md5(concat_ws("#", col("r"), col("word"))), 1, 8),
+          16, 10).cast("long") % width).as("bucket"),
+        lit(1L).as("cnt"))
+      .as[CellOcc]
+      .groupByKey(o => (o.r, o.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Bounded replay of [[cmsStream]] — the VERIFY harness: the
+    * documents fed in doc_id order over `nChunks` micro-batches. The
+    * final grid (max per cell over the monotone emissions) equals the
+    * batch grid, which the DuckDB mirror recomputes directly. */
+  def cmsReplay(docs: DataFrame, spark: SparkSession, depth: Int = 3,
+      width: Int = 512, nChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text")).as[DocIn]
+      .collect().sortBy(_.doc_id)
+    replayChunked(spark, rows, (d: DocIn) => d.doc_id, nChunks,
+      "graft_cms_replay",
+      (ds: Dataset[DocIn], sp: SparkSession) =>
+        cmsStream(ds, sp, depth, width))
+  }
+
   /** One document entering the streaming packer (the
     * [[graft.pipeline.TrainingData.packInputs]] projection). */
   case class PackIn(shard: Int, sample_hash: String, doc_id: Long, toks: Long)

@@ -227,6 +227,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsStream grid equals the driver sketch across a kill-point matrix") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[StreamingOps.DocIn].collect().sortBy(_.doc_id)
+    val depth = 3
+    val width = 512
+
+    // driver-side grid: same md5-half buckets, exact cell sums
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => "%02x".format(b & 0xff))
+        .mkString
+    def bucket(r: Int, w: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$r#$w").substring(0, 8), 16) % width
+    val want = rows.flatMap(d => d.text.split(" ", -1))
+      .flatMap(w => (0 until depth).map(r => (r.toLong, bucket(r, w))))
+      .groupBy(identity).map { case (k, g) => (k._1, k._2, g.length.toLong) }
+      .toSet
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString
+    // a restart that lost a counter would undercount; one that
+    // replayed a committed batch would overcount — both caught by
+    // exact grid equality at every cut
+    for (cut <- Seq(rows.length / 8, rows.length / 2, rows.length - 1)) {
+      val tmp = base + s"/cut$cut"
+      val ckpt = tmp + "/ckpt"
+      val out = tmp + "/out"
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamingOps.DocIn](spark)
+      def start() = StreamingOps.cmsStream(ms.toDS(), spark, depth, width)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+
+      val q1 = start()
+      ms.addData(rows.slice(0, cut).toIndexedSeq)
+      q1.processAllAvailable()
+      ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
+      q1.stop()                    // killed with the tail un-consumed
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      // totals are monotone: the final grid is max(cell) per key
+      val got = spark.read.parquet(out)
+        .groupBy("r", "bucket").agg(max("cell").as("cell"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"cut=$cut diverged from the driver grid")
+    }
+  }
+
   test("semDedupStream resumes the greedy scan across a kill-point matrix") {
     import spark.implicits._
     import graft.pipeline.VectorOps
