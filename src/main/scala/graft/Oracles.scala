@@ -2754,6 +2754,61 @@ object Oracles {
       |FROM ev a JOIN ev b ON b.vec_id = a.vec_id AND b.i >= a.i
       |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
 
+  /** The integer power-iteration CTE chain (`gm`, `x0` … `x$iters`),
+    * mirroring `VectorOps.pcaIterate`: DuckDB's HUGEINT carries the
+    * same exact arithmetic as the driver's BigInt, and floor division
+    * is spelled with the explicit floorMod (`//` truncates). Each CTE
+    * references its predecessor exactly ONCE (the max is a window,
+    * not a second scalar CTE) — DuckDB inlines non-materialized CTEs,
+    * so a double reference would expand the chain exponentially; `gm`
+    * is MATERIALIZED for the same reason. Expects `ev`. */
+  private def PcaChain(iters: Int = 12): String = {
+    val steps = (1 to iters).map { t =>
+      s""", y$t AS (
+        |  SELECT g.i, SUM(g.g * x${t - 1}.v) AS y
+        |  FROM gm g JOIN x${t - 1} ON x${t - 1}.i = g.j GROUP BY g.i
+        |), x$t AS (
+        |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST((y*65536 - ((y*65536 % m + m) % m)) // m AS BIGINT)
+        |  END AS v
+        |  FROM (SELECT i, y, MAX(ABS(y)) OVER () AS m FROM y$t)
+        |)""".stripMargin
+    }.mkString
+    s""", gm AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+      |  FROM ev a JOIN ev b ON b.vec_id = a.vec_id
+      |  GROUP BY a.i, b.i
+      |), x0 AS (
+      |  SELECT DISTINCT i, CAST(65536 AS BIGINT) AS v FROM ev
+      |)""".stripMargin + steps
+  }
+
+  /** Mirror of `VectorOps.pcaLeading` (12 iterations): the final
+    * direction plus the Rayleigh-quotient floor. */
+  def pipePca(iters: Int = 12): String = QuantEmbCte + PcaChain(iters) +
+    s""", xf AS MATERIALIZED (SELECT i, v FROM x$iters)
+      |, yl AS (
+      |  SELECT g.i, SUM(g.g * xf.v) AS y
+      |  FROM gm g JOIN xf ON xf.i = g.j GROUP BY g.i
+      |), lam AS (
+      |  SELECT CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE
+      |    CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+      |  END AS lambda_est
+      |  FROM (SELECT SUM(xf.v * yl.y) AS num, SUM(xf.v * xf.v) AS den
+      |        FROM xf JOIN yl ON yl.i = xf.i)
+      |)
+      |SELECT CAST(xf.i AS BIGINT) AS i, xf.v AS v, lam.lambda_est
+      |FROM xf, lam ORDER BY i""".stripMargin
+
+  /** Mirror of `VectorOps.pcaProject`: every vector's exact integer
+    * dot with the converged direction. */
+  def pipePcaProject(iters: Int = 12): String = QuantEmbCte +
+    PcaChain(iters) +
+    s"""
+      |SELECT e.vec_id, CAST(SUM(e.q * x$iters.v) AS BIGINT) AS score
+      |FROM ev e JOIN x$iters ON x$iters.i = e.i
+      |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+
   /** The exact top-k chain (`qd_e`/`cc_e`/`rr_e`), shared by the two
     * recall oracles. Expects `ev`/`nrm` from [[QuantEmbCte]]. */
   private def ExactChainE(candFilter: String = ""): String =

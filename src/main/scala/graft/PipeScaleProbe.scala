@@ -123,8 +123,13 @@ object PipeScaleProbe {
     val (nLm, tLm) = timed(TextPipeline.lmScore(docs).rdd.count())
     val (nNb, tNb) = timed(TextPipeline.nbLangClassify(docs).rdd.count())
 
+    // count–min grid: the word explode is per-doc work, the aggregate
+    // collapses map-side into depth·width keys — docs/sec must stay
+    // flat however large the (perturbed, so k×) vocabulary grows
+    val (nCms, tCms) = timed(TextPipeline.cmsHeavyHitters(docs).rdd.count())
+
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"decon_bloom_viral":{"rows":$nDecB,"seconds":$tDecB%.1f,"docs_per_sec":${rate(tDecB)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}},"substring_dedup":{"rows":$nSsd,"seconds":$tSsd%.1f,"docs_per_sec":${rate(tSsd)}},"incr_dedup":{"rows":$nIncr,"probe_seconds":$tIncr%.1f,"index_build_seconds":$tIdx%.1f,"batch_docs_per_sec":${(nIncr / tIncr).toLong}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"cms_heavy":{"rows":$nCms,"seconds":$tCms%.1f,"docs_per_sec":${rate(tCms)}},"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"decon_bloom_viral":{"rows":$nDecB,"seconds":$tDecB%.1f,"docs_per_sec":${rate(tDecB)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}},"substring_dedup":{"rows":$nSsd,"seconds":$tSsd%.1f,"docs_per_sec":${rate(tSsd)}},"incr_dedup":{"rows":$nIncr,"probe_seconds":$tIncr%.1f,"index_build_seconds":$tIdx%.1f,"batch_docs_per_sec":${(nIncr / tIncr).toLong}}}""")
     spark.stop()
   }
 }

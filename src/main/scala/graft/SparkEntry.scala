@@ -1089,6 +1089,15 @@ object SparkEntry {
     "pipe_gram" -> ((s, d) =>
       pipeline.VectorOps.gramMatrix(Tables.load(s, d, "embeddings"))
         .orderBy("i", "j")),
+    // PCA leading component by integer power iteration on the gram
+    // model (driver work, like PQ codebooks) + the per-vector
+    // spectral projection — both exact integers on every engine
+    "pipe_pca" -> ((s, d) =>
+      pipeline.VectorOps.pcaLeading(Tables.load(s, d, "embeddings"))
+        .orderBy("i")),
+    "pipe_pca_project" -> ((s, d) =>
+      pipeline.VectorOps.pcaProject(Tables.load(s, d, "embeddings"))
+        .orderBy("vec_id")),
     "pipe_ann_recall" -> ((s, d) =>
       pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
@@ -1553,6 +1562,8 @@ object SparkEntry {
     "pipe_cms_heavy" -> Oracles.pipeCmsHeavy,
     "pipe_gram" -> Oracles.pipeGram,
     "pipe_cms_stream" -> Oracles.pipeCmsGrid,
+    "pipe_pca" -> Oracles.pipePca(),
+    "pipe_pca_project" -> Oracles.pipePcaProject(),
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,

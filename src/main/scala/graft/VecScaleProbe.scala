@@ -154,8 +154,20 @@ object VecScaleProbe {
     val (nKc, tKc) = timed(VectorOps.knnClusters(emb, nCells = sCells,
       trainedCents = Some(semCents)).rdd.count())
 
+    // JL reduction: the report is a pure per-row map (vecs/sec flat);
+    // the retrieve-then-rerank query scans kComps-dim ints for ALL
+    // candidates but touches full width only for the shortlist, so it
+    // must sit between ann_q8_probe and ann_brute as n grows
+    val (nRp, tRp) = timed(VectorOps.rprojReport(emb).rdd.count())
+    val (nRq, tRq) = timed(VectorOps.annRproj(emb).rdd.count())
+
+    // Gram matrix: n·d² explode collapsed by map-side partials into
+    // d(d+1)/2 keys — seconds must grow ~linearly in n with a
+    // constant-size shuffle/output
+    val (nG, tG) = timed(VectorOps.gramMatrix(emb).rdd.count())
+
     def rate(t: Double) = (n / t).toLong
-    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},"cluster_sample":{"rows":$nCs,"seconds":$tCs%.2f,"vecs_per_sec":${rate(tCs)}},"sem_cells":$sCells,"sem_ivf_train":{"seconds":$tSemTrain%.2f},"semdedup":{"rows":$nSd,"seconds":$tSd%.2f},"knn_graph":{"rows":$nKg,"seconds":$tKg%.2f},"knn_clusters":{"rows":$nKc,"seconds":$tKc%.2f},$nProbeSweep}""")
+    println(f"""{"vectors":$n,"k":$k,"quantize":{"rows":$nQ,"seconds":$tQ%.2f,"vecs_per_sec":${rate(tQ)}},"ann_brute":{"rows":$nB,"seconds":$tB%.2f},"ann_lsh":{"rows":$nL,"seconds":$tL%.2f},"ann_ivf":{"rows":$nI,"seconds":$tI%.2f},"q8_index_build":{"rows":$nIdx,"seconds":$tIdx%.2f},"ann_q8_probe":{"rows":$nQ8,"seconds":$tQ8%.2f},"neardup_candidates":{"pairs":$nCand,"pairs_per_vec":${nCand / n},"seconds":$tCand%.2f},"neardup_lsh":{"rows":$nND,"seconds":$tND%.2f},"ivf_train":{"seconds":$tIvfTrain%.2f},$ivfSweep,"pq_train_full":{"seconds":$tTrainFull%.2f},"pq_train_sample10":{"seconds":$tTrainSamp%.2f},"ann_pq_trained":{"rows":$nPq,"seconds":$tPq%.2f},"ann_ivfpq_trained":{"rows":$nIvfPq,"seconds":$tIvfPq%.2f},"cluster_sample":{"rows":$nCs,"seconds":$tCs%.2f,"vecs_per_sec":${rate(tCs)}},"sem_cells":$sCells,"sem_ivf_train":{"seconds":$tSemTrain%.2f},"semdedup":{"rows":$nSd,"seconds":$tSd%.2f},"knn_graph":{"rows":$nKg,"seconds":$tKg%.2f},"knn_clusters":{"rows":$nKc,"seconds":$tKc%.2f},"rproj_build":{"rows":$nRp,"seconds":$tRp%.2f,"vecs_per_sec":${rate(tRp)}},"ann_rproj":{"rows":$nRq,"seconds":$tRq%.2f},"gram":{"rows":$nG,"seconds":$tG%.2f,"vecs_per_sec":${rate(tG)}},$nProbeSweep}""")
     spark.stop()
   }
 }

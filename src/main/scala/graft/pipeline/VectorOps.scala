@@ -1004,6 +1004,77 @@ object VectorOps {
       .agg(sum(col("qi") * col("qj")).as("g"))
       .orderBy("i", "j")
 
+  /** The integer power iteration behind [[pcaLeading]] /
+    * [[pcaProject]]: `iters` rounds of `x ← ⌊(G·x)·2¹⁶ / max|G·x|⌋`
+    * (floor division, floorMod-emulated — the PQ-recenter discipline)
+    * from the all-65536 start vector, entirely in exact big-integer
+    * arithmetic so the DuckDB mirror's HUGEINT chain reproduces every
+    * component bit-for-bit. Returns (direction, Rayleigh-quotient
+    * floor ⌊xᵀGx / xᵀx⌋, d). Driver-side BY DESIGN: the iteration is
+    * O(iters·d²) on the d×d Gram model — the same bounded-model tier
+    * as the PQ codebooks and BPE merge table, never corpus work. */
+  private def pcaIterate(emb: DataFrame, iters: Int)
+      : (Array[Long], Long, Int) = {
+    val gm = gramMatrix(emb).collect()
+    if (gm.isEmpty) return (Array.empty, 0L, 0)
+    val d = gm.iterator.map(_.getLong(1)).max.toInt
+    val G = Array.ofDim[Long](d, d)
+    gm.foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      val j = r.getLong(1).toInt - 1
+      G(i)(j) = r.getLong(2)
+      G(j)(i) = r.getLong(2)
+    }
+    def floorDiv(s: BigInt, n: BigInt): BigInt =
+      (s - (((s % n) + n) % n)) / n
+    val S = BigInt(65536)
+    var x = Array.fill(d)(S)
+    def gx(): Array[BigInt] = Array.tabulate(d)(i =>
+      (0 until d).iterator.map(j => BigInt(G(i)(j)) * x(j)).sum)
+    for (_ <- 1 to iters) {
+      val y = gx()
+      val m = y.iterator.map(_.abs).max
+      x = if (m == 0) Array.fill(d)(BigInt(0))
+          else y.map(v => floorDiv(v * S, m))
+    }
+    val y = gx()
+    val num = (0 until d).iterator.map(i => x(i) * y(i)).sum
+    val den = x.iterator.map(v => v * v).sum
+    val lam = if (den == 0) BigInt(0) else floorDiv(num, den)
+    (x.map(_.toLong), lam.toLong, d)
+  }
+
+  /** Leading principal direction of the quantized collection —
+    * deterministic integer power iteration over [[gramMatrix]], with
+    * the eigenvalue floor as the Rayleigh quotient. One corpus pass
+    * (the Gram aggregation); everything after is bounded model work,
+    * and because the dynamics are pure integer arithmetic the result
+    * is engine-portable exactly (no float normalization to drift).
+    * Output: (i, v, lambda_est) — v on a ±2¹⁶ scale. Further
+    * components would deflate G ← G − λ·vvᵀ and repeat; one component
+    * is the spectral signal the filters below consume. */
+  def pcaLeading(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (x, lam, d) = pcaIterate(emb, iters)
+    (1 to d).map(i => (i.toLong, x(i - 1), lam))
+      .toDF("i", "v", "lambda_est")
+  }
+
+  /** Per-vector projection onto the leading principal direction — the
+    * exact integer spectral score `Σ q_i·v_i` (a 1-dim reduction: the
+    * outlier/curriculum signal). The component vector is a broadcast
+    * literal; the projection is one codegen'd dot per row, no
+    * shuffle. */
+  def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val (x, _, d) = pcaIterate(emb, iters)
+    val q = quantized(emb)
+    if (d == 0)
+      return q.select(col("vec_id"), lit(0L).as("score")).limit(0)
+    val comp = array(x.map(lit(_)): _*)
+    q.select(col("vec_id"), longArrayDot(col("q"), comp).as("score"))
+  }
+
   // ---- Product quantization (IVF-PQ's second stage) -----------------
   //
   // The standard trillion-scale ANN memory layout: each vector is

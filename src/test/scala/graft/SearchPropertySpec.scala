@@ -375,6 +375,57 @@ class SearchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pcaLeading/pcaProject equal the integer power-iteration model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    def model(qs: Seq[Array[Long]], iters: Int)
+        : (Array[Long], Long) = {
+      val d = qs.head.length
+      val G = Array.tabulate(d, d)((i, j) => qs.map(q => q(i) * q(j)).sum)
+      def fd(s: BigInt, n: BigInt): BigInt = (s - (((s % n) + n) % n)) / n
+      var x = Array.fill(d)(BigInt(65536))
+      def gx() = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(G(i)(j)) * x(j)).sum)
+      for (_ <- 1 to iters) {
+        val y = gx()
+        val m = y.map(_.abs).max
+        x = if (m == 0) Array.fill(d)(BigInt(0))
+            else y.map(v => fd(v * 65536, m))
+      }
+      val y = gx()
+      val den = x.map(v => v * v).sum
+      val lam = if (den == 0) BigInt(0)
+                else fd((0 until d).map(i => x(i) * y(i)).sum, den)
+      (x.map(_.toLong), lam.toLong)
+    }
+    val cases = (71 to 80).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val emb = vs.toDF("vec_id", "embedding")
+      val qs = vs.map { case (_, v) => milli(v) }
+      val (wx, wlam) = model(qs, 12)
+      val got = VectorOps.pcaLeading(emb).collect()
+        .map(r => (r.getAs[Long]("i"), r.getAs[Long]("v"),
+          r.getAs[Long]("lambda_est"))).sortBy(_._1)
+      assert(got.map(_._2).toSeq == wx.toSeq &&
+        got.forall(_._3 == wlam), s"pca mismatch for ${vs.map(_._2.toSeq)}")
+      val wantProj = vs.map { case (id, v) =>
+        id -> milli(v).zip(wx).map { case (a, b) => a * b }.sum }.toMap
+      val gotProj = VectorOps.pcaProject(emb).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score")).toMap
+      assert(gotProj == wantProj)
+    }
+    // planted dominant direction: a cloud hugging e1 must converge
+    // onto it — the direction is a real eigenvector estimate, not
+    // just a reproducible number
+    val planted = (0 until 30).map(i =>
+      (i.toLong, Array(1.0f, (i % 3) * 0.01f, (i % 5) * 0.01f)))
+    val v1 = VectorOps.pcaLeading(planted.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("v"))).toMap
+    assert(v1(1L) == 65536L &&
+      math.abs(v1(2L)) < 3000 && math.abs(v1(3L)) < 3000)
+  }
+
   test("cmsHeavyHitters equals the driver sketch model at a binding width") {
     import spark.implicits._
     val cases = (51 to 60).map(i =>
