@@ -4713,6 +4713,42 @@ object Oracles {
       |GROUP BY t.word, t.cnt
       |ORDER BY exact DESC, word""".stripMargin
 
+  /** Mirror of `TextPipeline.pmiBigrams` (minCount 5, top 20): the
+    * same counts and the same ln-expression tree, so the nano PMI is
+    * bit-identical. */
+  def pipePmiBigrams: String =
+    """WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |), uni AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS u
+      |  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+      |), nt AS (
+      |  SELECT CAST(SUM(u) AS BIGINT) AS n FROM uni
+      |), bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM w, LATERAL unnest(range(1, len(ws))) AS g(i)
+      |), bc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS b
+      |  FROM bg GROUP BY w1, w2
+      |), mt AS (
+      |  SELECT CAST(SUM(b) AS BIGINT) AS m FROM bc
+      |), sc AS (
+      |  SELECT bc.w1, bc.w2, bc.b AS b_cnt,
+      |    CAST(ROUND(LN((CAST(bc.b AS DOUBLE) * nt.n * nt.n) /
+      |      (CAST(mt.m AS DOUBLE) * u1.u * u2.u)) * 1000000000.0)
+      |      AS BIGINT) AS pmi_nano
+      |  FROM bc
+      |  JOIN uni u1 ON u1.word = bc.w1
+      |  JOIN uni u2 ON u2.word = bc.w2, nt, mt
+      |  WHERE bc.b >= 5
+      |), topb AS (
+      |  SELECT * FROM sc ORDER BY pmi_nano DESC, w1, w2 LIMIT 20
+      |)
+      |SELECT w1, w2, b_cnt, pmi_nano,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY pmi_nano DESC, w1, w2)
+      |    AS BIGINT) AS rnk
+      |FROM topb ORDER BY rnk""".stripMargin
+
   def pipeVocab: String =
     """WITH wv AS (
       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents

@@ -631,6 +631,11 @@ object SparkEntry {
     "pipe_vocab" -> ((s, d) =>
       TextPipeline.vocabTop(Tables.load(s, d, "documents"))
         .orderBy("rnk")),
+    // collocation mining: top bigrams by nano-quantized PMI — the
+    // multiword-expression signal tokenizer seeding reads
+    "pipe_pmi_bigrams" -> ((s, d) =>
+      TextPipeline.pmiBigrams(Tables.load(s, d, "documents"))
+        .orderBy("rnk")),
     // per-doc TF-IDF keywords: integer tf·idf_nano scores, per-doc
     // window — a viral term is one vocab row, never a posting join
     "pipe_tfidf_terms" -> ((s, d) =>
@@ -1477,6 +1482,7 @@ object SparkEntry {
     "pipe_incr_dedup" -> Oracles.pipeIncrDedup,
     "pipe_index_probe" -> Oracles.pipeIndexProbe,
     "pipe_vocab" -> Oracles.pipeVocab,
+    "pipe_pmi_bigrams" -> Oracles.pipePmiBigrams,
     "pipe_tfidf_terms" -> Oracles.pipeTfidfTerms,
     "pipe_dedup_exact" -> Oracles.pipeDedupExact,
     "pipe_dedup_norm" -> Oracles.pipeDedupNormalized,

@@ -853,6 +853,48 @@ object TextPipeline {
       .orderBy(col("exact").desc, col("word"))
   }
 
+  /** Top-N collocations by pointwise mutual information:
+    * `PMI(w1,w2) = ln(B·N² / (M·U₁·U₂))` over exact integer counts
+    * (B = adjacent-bigram count, U = unigram counts, N/M their
+    * totals), nano-quantized with ONE double ln per surviving bigram
+    * — the `tfidfTerms` idf_nano discipline, identical expression
+    * tree in the DuckDB mirror. The multiword-expression miner corpus
+    * analysis and tokenizer-seeding read. Scale shape: both explodes
+    * are doc-local; unigram and bigram counts aggregate with map-side
+    * combine on content keys; the `minCount` filter lands BEFORE the
+    * two vocabulary joins (AQE broadcasts the vocab side), and the
+    * final ranking is a distributed TakeOrderedAndProject over the
+    * thinned bigram table — a viral bigram is one row here. N and M
+    * are two bounded scalar aggregates (the `tfidfTerms` count
+    * precedent). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5,
+      topN: Int = 20): DataFrame = {
+    val words = docs.withColumn("words", wordsCol)
+    val uni = words.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("u"))
+      .localCheckpoint(false) // feeds N and both vocabulary joins
+    val nTok = uni.agg(sum("u")).head().getLong(0)
+    val bi = words.filter(size(col("words")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(words) - 1), " +
+        "i -> struct(element_at(words, i) AS w1, " +
+        "element_at(words, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+      .localCheckpoint(false) // feeds M and the scored projection
+    val m = bi.agg(sum("b")).head().getLong(0)
+    val w = Window.orderBy(col("pmi_nano").desc, col("w1"), col("w2"))
+    bi.filter(col("b") >= minCount)
+      .join(uni.select(col("word").as("w1"), col("u").as("u1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("u").as("u2")), "w2")
+      .withColumn("pmi_nano",
+        round(log((col("b").cast("double") * lit(nTok) * lit(nTok)) /
+          (lit(m).cast("double") * col("u1") * col("u2"))) * 1e9)
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("b").as("b_cnt"), col("pmi_nano"))
+      .orderBy(col("pmi_nano").desc, col("w1"), col("w2")).limit(topN)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   /** Per-document TF-IDF keyword extraction: each document's top-`k`
     * terms by `tf · ln((N+1)/(df+1))` — the keyword signal corpus
     * analysis and weak labeling read per document (complement of

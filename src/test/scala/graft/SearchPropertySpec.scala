@@ -460,6 +460,36 @@ class SearchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pmiBigrams equals the driver PMI model at minCount = 1") {
+    import spark.implicits._
+    val cases = (81 to 90).map(i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { c =>
+      val docs = c.docs.toDF("doc_id", "text")
+      val wordLists = c.docs.map(_._2.split(" ", -1).toVector)
+      val uni = wordLists.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val n = uni.values.sum
+      val bi = wordLists.flatMap(ws => ws.zip(ws.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val m = bi.values.sum
+      // the engine's exact expression tree: ((b·N)·N) / ((M·u1)·u2)
+      val scored = bi.toSeq.map { case ((w1, w2), b) =>
+        val pmi = math.round(math.log((b.toDouble * n * n) /
+          (m.toDouble * uni(w1) * uni(w2))) * 1e9)
+        (w1, w2, b, pmi)
+      }
+      val want = scored.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+        .take(20).zipWithIndex
+        .map { case ((w1, w2, b, p), i) => (w1, w2, b, p, i + 1L) }.toSet
+      val got = TextPipeline.pmiBigrams(docs, minCount = 1, topN = 20)
+        .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+          r.getAs[Long]("b_cnt"), r.getAs[Long]("pmi_nano"),
+          r.getAs[Long]("rnk"))).toSet
+      assert(got == want, s"pmi mismatch for $c")
+    }
+  }
+
   test("substringDedup equals the driver model on random corpora") {
     // L = 3 on the 8-word alphabet: dense collisions, heavy overlap
     val cases = (21 to 30).map(i =>
