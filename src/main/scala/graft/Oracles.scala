@@ -2762,26 +2762,30 @@ object Oracles {
     * not a second scalar CTE) — DuckDB inlines non-materialized CTEs,
     * so a double reference would expand the chain exponentially; `gm`
     * is MATERIALIZED for the same reason. Expects `ev`. */
-  private def PcaChain(iters: Int = 12): String = {
-    val steps = (1 to iters).map { t =>
-      s""", y$t AS (
-        |  SELECT g.i, SUM(g.g * x${t - 1}.v) AS y
-        |  FROM gm g JOIN x${t - 1} ON x${t - 1}.i = g.j GROUP BY g.i
-        |), x$t AS (
+  /** `iters` power-iteration steps over matrix CTE `mat(i, j, g)`
+    * from start vector `$v0`, producing `$v$iters`. */
+  private def PcaSteps(iters: Int, mat: String, v: String,
+      y: String): String =
+    (1 to iters).map { t =>
+      s""", $y$t AS (
+        |  SELECT g.i, SUM(g.g * $v${t - 1}.v) AS y
+        |  FROM $mat g JOIN $v${t - 1} ON $v${t - 1}.i = g.j GROUP BY g.i
+        |), $v$t AS (
         |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE
         |    CAST((y*65536 - ((y*65536 % m + m) % m)) // m AS BIGINT)
         |  END AS v
-        |  FROM (SELECT i, y, MAX(ABS(y)) OVER () AS m FROM y$t)
+        |  FROM (SELECT i, y, MAX(ABS(y)) OVER () AS m FROM $y$t)
         |)""".stripMargin
     }.mkString
+
+  private def PcaChain(iters: Int = 12): String =
     s""", gm AS MATERIALIZED (
       |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
       |  FROM ev a JOIN ev b ON b.vec_id = a.vec_id
       |  GROUP BY a.i, b.i
       |), x0 AS (
       |  SELECT DISTINCT i, CAST(65536 AS BIGINT) AS v FROM ev
-      |)""".stripMargin + steps
-  }
+      |)""".stripMargin + PcaSteps(iters, "gm", "x", "y")
 
   /** Mirror of `VectorOps.pcaLeading` (12 iterations): the final
     * direction plus the Rayleigh-quotient floor. */
@@ -2799,6 +2803,50 @@ object Oracles {
       |)
       |SELECT CAST(xf.i AS BIGINT) AS i, xf.v AS v, lam.lambda_est
       |FROM xf, lam ORDER BY i""".stripMargin
+
+  /** Mirror of `VectorOps.pcaSecond` (12 + 12 iterations): the first
+    * chain's direction deflates the Gram model elementwise
+    * (`H = G − ⌊xᵀGx·x_ix_j / (xᵀx)²⌋`, the same floorMod spelling),
+    * and the SAME step generator re-runs on `hm`. `xf`/`zf` are
+    * MATERIALIZED — each is referenced more than once (the rank-one
+    * product joins `xf` twice), and non-materialized CTEs inline
+    * exponentially. */
+  def pipePca2(iters: Int = 12): String = QuantEmbCte + PcaChain(iters) +
+    s""", xf AS MATERIALIZED (SELECT i, v FROM x$iters)
+      |, yl AS (
+      |  SELECT g.i, SUM(g.g * xf.v) AS y
+      |  FROM gm g JOIN xf ON xf.i = g.j GROUP BY g.i
+      |), nd AS (
+      |  SELECT SUM(xf.v * yl.y) AS num, SUM(xf.v * xf.v) AS den
+      |  FROM xf JOIN yl ON yl.i = xf.i
+      |), hm AS MATERIALIZED (
+      |  SELECT i, j, CASE WHEN n = 0 THEN gg
+      |    ELSE gg - (s - ((s % n + n) % n)) // n END AS g
+      |  FROM (
+      |    SELECT g.i AS i, g.j AS j, g.g AS gg,
+      |      nd.num * a.v * b.v AS s, nd.den * nd.den AS n
+      |    FROM gm g JOIN xf a ON a.i = g.i JOIN xf b ON b.i = g.j, nd
+      |  )
+      |), z0 AS (
+      |  SELECT DISTINCT i, CAST(65536 AS BIGINT) AS v FROM ev
+      |)""".stripMargin + PcaSteps(iters, "hm", "z", "w") +
+    s""", zf AS MATERIALIZED (SELECT i, v FROM z$iters)
+      |, yl2 AS (
+      |  SELECT g.i, SUM(g.g * zf.v) AS y
+      |  FROM hm g JOIN zf ON zf.i = g.j GROUP BY g.i
+      |), lam2 AS (
+      |  SELECT CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE
+      |    CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+      |  END AS lambda_est
+      |  FROM (SELECT SUM(zf.v * yl2.y) AS num, SUM(zf.v * zf.v) AS den
+      |        FROM zf JOIN yl2 ON yl2.i = zf.i)
+      |), ortho AS (
+      |  SELECT CAST(SUM(xf.v * zf.v) AS BIGINT) AS ortho_num
+      |  FROM xf JOIN zf ON zf.i = xf.i
+      |)
+      |SELECT CAST(zf.i AS BIGINT) AS i, zf.v AS v, lam2.lambda_est,
+      |  ortho.ortho_num
+      |FROM zf, lam2, ortho ORDER BY i""".stripMargin
 
   /** Mirror of `VectorOps.pcaProject`: every vector's exact integer
     * dot with the converged direction. */

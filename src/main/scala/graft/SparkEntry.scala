@@ -1103,6 +1103,9 @@ object SparkEntry {
     "pipe_pca_project" -> ((s, d) =>
       pipeline.VectorOps.pcaProject(Tables.load(s, d, "embeddings"))
         .orderBy("vec_id")),
+    "pipe_pca2" -> ((s, d) =>
+      pipeline.VectorOps.pcaSecond(Tables.load(s, d, "embeddings"))
+        .orderBy("i")),
     "pipe_ann_recall" -> ((s, d) =>
       pipeline.VectorOps.annRecall(Tables.load(s, d, "embeddings"))
         .orderBy("query_id")),
@@ -1570,6 +1573,7 @@ object SparkEntry {
     "pipe_cms_stream" -> Oracles.pipeCmsGrid,
     "pipe_pca" -> Oracles.pipePca(),
     "pipe_pca_project" -> Oracles.pipePcaProject(),
+    "pipe_pca2" -> Oracles.pipePca2(),
     "pipe_ann_recall" -> Oracles.pipeAnnRecall,
     "pipe_ann_recall_ivf" -> Oracles.pipeAnnRecallIvf,
     "pipe_profile" -> Oracles.pipeProfile,

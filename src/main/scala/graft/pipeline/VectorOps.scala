@@ -1013,34 +1013,51 @@ object VectorOps {
     * floor ⌊xᵀGx / xᵀx⌋, d). Driver-side BY DESIGN: the iteration is
     * O(iters·d²) on the d×d Gram model — the same bounded-model tier
     * as the PQ codebooks and BPE merge table, never corpus work. */
-  private def pcaIterate(emb: DataFrame, iters: Int)
-      : (Array[Long], Long, Int) = {
+  private def bigFloorDiv(s: BigInt, n: BigInt): BigInt =
+    (s - (((s % n) + n) % n)) / n
+
+  /** The collected Gram model as a symmetric BigInt matrix. */
+  private def gramBig(emb: DataFrame): (Array[Array[BigInt]], Int) = {
     val gm = gramMatrix(emb).collect()
-    if (gm.isEmpty) return (Array.empty, 0L, 0)
+    if (gm.isEmpty) return (Array.empty, 0)
     val d = gm.iterator.map(_.getLong(1)).max.toInt
-    val G = Array.ofDim[Long](d, d)
+    val G = Array.fill(d, d)(BigInt(0))
     gm.foreach { r =>
       val i = r.getLong(0).toInt - 1
       val j = r.getLong(1).toInt - 1
-      G(i)(j) = r.getLong(2)
-      G(j)(i) = r.getLong(2)
+      G(i)(j) = BigInt(r.getLong(2))
+      G(j)(i) = BigInt(r.getLong(2))
     }
-    def floorDiv(s: BigInt, n: BigInt): BigInt =
-      (s - (((s % n) + n) % n)) / n
+    (G, d)
+  }
+
+  /** `iters` power-iteration rounds on an arbitrary symmetric integer
+    * matrix; returns (direction, Rayleigh numerator xᵀMx, denominator
+    * xᵀx). */
+  private def powerIterate(mat: Array[Array[BigInt]], d: Int, iters: Int)
+      : (Array[BigInt], BigInt, BigInt) = {
     val S = BigInt(65536)
     var x = Array.fill(d)(S)
-    def gx(): Array[BigInt] = Array.tabulate(d)(i =>
-      (0 until d).iterator.map(j => BigInt(G(i)(j)) * x(j)).sum)
+    def mx(): Array[BigInt] = Array.tabulate(d)(i =>
+      (0 until d).iterator.map(j => mat(i)(j) * x(j)).sum)
     for (_ <- 1 to iters) {
-      val y = gx()
+      val y = mx()
       val m = y.iterator.map(_.abs).max
       x = if (m == 0) Array.fill(d)(BigInt(0))
-          else y.map(v => floorDiv(v * S, m))
+          else y.map(v => bigFloorDiv(v * S, m))
     }
-    val y = gx()
+    val y = mx()
     val num = (0 until d).iterator.map(i => x(i) * y(i)).sum
     val den = x.iterator.map(v => v * v).sum
-    val lam = if (den == 0) BigInt(0) else floorDiv(num, den)
+    (x, num, den)
+  }
+
+  private def pcaIterate(emb: DataFrame, iters: Int)
+      : (Array[Long], Long, Int) = {
+    val (g, d) = gramBig(emb)
+    if (d == 0) return (Array.empty, 0L, 0)
+    val (x, num, den) = powerIterate(g, d, iters)
+    val lam = if (den == 0) BigInt(0) else bigFloorDiv(num, den)
     (x.map(_.toLong), lam.toLong, d)
   }
 
@@ -1050,15 +1067,45 @@ object VectorOps {
     * (the Gram aggregation); everything after is bounded model work,
     * and because the dynamics are pure integer arithmetic the result
     * is engine-portable exactly (no float normalization to drift).
-    * Output: (i, v, lambda_est) — v on a ±2¹⁶ scale. Further
-    * components would deflate G ← G − λ·vvᵀ and repeat; one component
-    * is the spectral signal the filters below consume. */
+    * Output: (i, v, lambda_est) — v on a ±2¹⁶ scale. [[pcaSecond]]
+    * deflates and repeats for the second component. */
   def pcaLeading(emb: DataFrame, iters: Int = 12): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (x, lam, d) = pcaIterate(emb, iters)
     (1 to d).map(i => (i.toLong, x(i - 1), lam))
       .toDF("i", "v", "lambda_est")
+  }
+
+  /** Second principal component by exact integer deflation: the
+    * deflated matrix `H_ij = G_ij − ⌊(xᵀGx)·x_i·x_j / (xᵀx)²⌋`
+    * (elementwise floor — error ≤ 1 per cell against the real
+    * rank-one subtraction, negligible at Gram magnitudes), then the
+    * same integer power iteration on H. Everything stays in exact
+    * big-integer arithmetic, so the mirror's HUGEINT chain matches
+    * bit-for-bit, and `ortho_num = Σ x1_i·x2_i` is emitted as the
+    * built-in near-orthogonality diagnostic (small relative to
+    * ~2³² component norms when deflation worked). Output:
+    * (i, v, lambda_est, ortho_num). */
+  def pcaSecond(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (g, d) = gramBig(emb)
+    if (d == 0)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("i", "v", "lambda_est", "ortho_num")
+    val (x1, num, den) = powerIterate(g, d, iters)
+    val n2 = den * den
+    val h =
+      if (den == 0) g // zero collection: nothing to deflate
+      else Array.tabulate(d, d)((i, j) =>
+        g(i)(j) - bigFloorDiv(num * x1(i) * x1(j), n2))
+    val (x2, num2, den2) = powerIterate(h, d, iters)
+    val lam2 = if (den2 == 0) BigInt(0) else bigFloorDiv(num2, den2)
+    val ortho = (0 until d).map(i => x1(i) * x2(i)).sum
+    (1 to d).map(i =>
+        (i.toLong, x2(i - 1).toLong, lam2.toLong, ortho.toLong))
+      .toDF("i", "v", "lambda_est", "ortho_num")
   }
 
   /** Per-vector projection onto the leading principal direction — the

@@ -415,15 +415,62 @@ class SearchPropertySpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score")).toMap
       assert(gotProj == wantProj)
     }
+    // pcaSecond: driver deflation model on the same cases
+    def model2(qs: Seq[Array[Long]], iters: Int)
+        : (Array[Long], Long, Long) = {
+      val d = qs.head.length
+      def fd(s: BigInt, n: BigInt): BigInt = (s - (((s % n) + n) % n)) / n
+      def iterate(m: Array[Array[BigInt]])
+          : (Array[BigInt], BigInt, BigInt) = {
+        var x = Array.fill(d)(BigInt(65536))
+        def mx() = Array.tabulate(d)(i =>
+          (0 until d).map(j => m(i)(j) * x(j)).sum)
+        for (_ <- 1 to iters) {
+          val y = mx()
+          val mm = y.map(_.abs).max
+          x = if (mm == 0) Array.fill(d)(BigInt(0))
+              else y.map(v => fd(v * 65536, mm))
+        }
+        val y = mx()
+        (x, (0 until d).map(i => x(i) * y(i)).sum, x.map(v => v * v).sum)
+      }
+      val g = Array.tabulate(d, d)((i, j) =>
+        BigInt(qs.map(q => q(i) * q(j)).sum))
+      val (x1, num, den) = iterate(g)
+      val h = if (den == 0) g else Array.tabulate(d, d)((i, j) =>
+        g(i)(j) - fd(num * x1(i) * x1(j), den * den))
+      val (x2, num2, den2) = iterate(h)
+      val lam2 = if (den2 == 0) BigInt(0) else fd(num2, den2)
+      (x2.map(_.toLong), lam2.toLong,
+        (0 until d).map(i => x1(i) * x2(i)).sum.toLong)
+    }
+    cases.foreach { vs =>
+      val emb = vs.toDF("vec_id", "embedding")
+      val (wx2, wlam2, wortho) = model2(vs.map { case (_, v) => milli(v) }, 12)
+      val got2 = VectorOps.pcaSecond(emb).collect()
+        .map(r => (r.getAs[Long]("i"), r.getAs[Long]("v"),
+          r.getAs[Long]("lambda_est"), r.getAs[Long]("ortho_num")))
+        .sortBy(_._1)
+      assert(got2.map(_._2).toSeq == wx2.toSeq &&
+        got2.forall(t => t._3 == wlam2 && t._4 == wortho),
+        s"pca2 mismatch for ${vs.map(_._2.toSeq)}")
+    }
+
     // planted dominant direction: a cloud hugging e1 must converge
     // onto it — the direction is a real eigenvector estimate, not
-    // just a reproducible number
+    // just a reproducible number; the deflated second component must
+    // leave e1 (near-orthogonal, mass in the residual dims)
     val planted = (0 until 30).map(i =>
       (i.toLong, Array(1.0f, (i % 3) * 0.01f, (i % 5) * 0.01f)))
-    val v1 = VectorOps.pcaLeading(planted.toDF("vec_id", "embedding"))
+    val pdf = planted.toDF("vec_id", "embedding")
+    val v1 = VectorOps.pcaLeading(pdf)
       .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("v"))).toMap
     assert(v1(1L) == 65536L &&
       math.abs(v1(2L)) < 3000 && math.abs(v1(3L)) < 3000)
+    val r2 = VectorOps.pcaSecond(pdf).collect()
+    val v2 = r2.map(r => (r.getAs[Long]("i"), r.getAs[Long]("v"))).toMap
+    assert(math.abs(v2(1L)) < math.max(math.abs(v2(2L)), math.abs(v2(3L))),
+      s"second component still dominated by e1: $v2")
   }
 
   test("cmsHeavyHitters equals the driver sketch model at a binding width") {
