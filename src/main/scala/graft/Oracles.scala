@@ -3820,6 +3820,52 @@ object Oracles {
       |LEFT JOIN com ON com.doc_a = s.doc_a AND com.doc_b = s.doc_b
       |ORDER BY s.doc_a, s.doc_b""".stripMargin)
 
+  /** Mirror of `TextPipeline.dedupRecall` (sampleMod 2, τ 0.5): the
+    * posting-join exact-Jaccard truth and the banded candidates both
+    * rebuilt on the doc_id % 2 sample. */
+  def pipeDedupRecall: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE doc_id % 2 = 0
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(words)-1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |  FROM w
+      |)""".stripMargin + MinhashHhBnd +
+    """, cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd c
+      |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), shc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh
+      |  GROUP BY doc_id
+      |), com AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM sh a JOIN sh b
+      |    ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), truth AS (
+      |  SELECT com.doc_a, com.doc_b
+      |  FROM com JOIN shc ca ON ca.doc_id = com.doc_a
+      |  JOIN shc cb ON cb.doc_id = com.doc_b
+      |  WHERE CAST(com.n_common AS DOUBLE) /
+      |    CAST(ca.nsh + cb.nsh - com.n_common AS DOUBLE) >= 0.5
+      |), agg AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+      |     JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+      |      AS n_hit
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_docs,
+      |  n_true, n_cand, n_hit,
+      |  CASE WHEN n_cand = 0 THEN 0.0
+      |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec,
+      |  CASE WHEN n_true = 0 THEN 0.0
+      |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+      |FROM agg""".stripMargin
+
   /** Mirror of `TextPipeline.sourceDrift`: identical formula —
     * FLOOR(1e9 · p · LN(p/q)) per term over exact counts, BIGINT
     * sum per source. */

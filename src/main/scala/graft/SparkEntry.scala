@@ -957,6 +957,11 @@ object SparkEntry {
     "pipe_dedup_audit" -> ((s, d) =>
       TextPipeline.dedupAudit(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
+    // candidate-quality gauge: precision/recall of the banded
+    // candidates vs exact-Jaccard truth on a bounded sample — the
+    // ann_recall discipline applied to the dedup family
+    "pipe_dedup_recall" -> ((s, d) =>
+      TextPipeline.dedupRecall(Tables.load(s, d, "documents"))),
     // drift monitor: KL(source || corpus) in exact nano units — the
     // number that catches a shifted source before it poisons the mix
     "pipe_source_drift" -> ((s, d) =>
@@ -1538,6 +1543,7 @@ object SparkEntry {
     "pipe_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_source_drift" -> Oracles.pipeSourceDrift,
     "pipe_dedup_audit" -> Oracles.pipeDedupAudit(),
+    "pipe_dedup_recall" -> Oracles.pipeDedupRecall,
     "pipe_sql_source_drift" -> Oracles.pipeSourceDrift,
     "pipe_sql_boilerplate" -> Oracles.pipeBoilerplate(),
     "pipe_multimodal" -> Oracles.pipeMultimodal,

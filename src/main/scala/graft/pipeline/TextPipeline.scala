@@ -1117,6 +1117,61 @@ object TextPipeline {
             .cast("double")).as("jaccard"))
   }
 
+  /** Candidate-quality gauge for the near-dup generator: precision
+    * and recall of the banded MinHash candidates against exact
+    * shingle-Jaccard ≥ τ ground truth, on a deterministic
+    * 1/sampleMod document sample — the [[graft.pipeline.VectorOps]]
+    * `annRecall` discipline applied to dedup (measure on a sample,
+    * tune k/r/cap, then trust the bands on the full corpus). The
+    * exact truth is computed by the POSTING join (pairs sharing ≥ 1
+    * shingle, then the Jaccard filter — a zero-overlap pair is 0 < τ
+    * by definition), so even the truth side never materializes the
+    * sample's pair square; the candidate side is the production
+    * generator itself restricted to the sample. Docs with no
+    * shingles (< 3 words) carry no Jaccard and are outside the truth
+    * space on both engines. ONE output row: sample size, truth/
+    * candidate/hit counts, precision (hits/candidates — join work
+    * wasted on non-dups) and recall (hits/truth — what the bands
+    * miss at τ). */
+  def dedupRecall(docs: DataFrame, sampleMod: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+      .localCheckpoint(false) // feeds the exact side AND the bands
+    val shx = sample.select(col("doc_id"),
+        explode(array_distinct(shingles(split(col("text"), " "))))
+          .as("shingle"))
+      .localCheckpoint(false) // both sides of the posting self-join
+    val sizes = shx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val truth = shx.as("a")
+      .join(shx.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        "doc_b")
+      .filter(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double")
+          >= threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val cand = minhashCandidates(sample)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+    val nDocs = sample.count()
+    truth.join(cand, Seq("doc_a", "doc_b"), "full")
+      .agg(count(col("t")).as("n_true"), count(col("c")).as("n_cand"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1)))
+          .as("n_hit"))
+      .select(lit(nDocs).as("n_docs"), col("n_true"), col("n_cand"),
+        col("n_hit"),
+        when(col("n_cand") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") /
+            col("n_cand").cast("double")).as("prec"),
+        when(col("n_true") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") /
+            col("n_true").cast("double")).as("recall"))
+  }
+
   /** Distribution drift per source: KL(source ‖ corpus) over the term
     * distribution — the monitoring number that catches a source whose
     * language shifted (scraper broke, domain changed) before it

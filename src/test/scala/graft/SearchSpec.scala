@@ -466,6 +466,27 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(2).getAs[Long]("dup_spans") === 0L)
   }
 
+  test("dedupRecall grades the bands against exact-Jaccard truth") {
+    // docs 2/4: identical (jaccard 1 >= tau, identical signatures so
+    // the bands MUST pair them); docs 6/8: disjoint text (jaccard 0 —
+    // outside the truth set); doc 3: odd id, outside the mod-2 sample
+    val dup = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (2L, dup), (4L, dup),
+      (6L, (1 to 12).map(i => s"x$i").mkString(" ")),
+      (8L, (1 to 12).map(i => s"y$i").mkString(" ")),
+      (3L, dup))
+    val r = TextPipeline.dedupRecall(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_true") === 1L)
+    assert(r.getAs[Long]("n_hit") === 1L)
+    assert(r.getAs[Double]("recall") === 1.0)
+    val hit = r.getAs[Long]("n_hit")
+    assert(hit <= r.getAs[Long]("n_cand") &&
+      r.getAs[Double]("prec") ===
+        hit.toDouble / r.getAs[Long]("n_cand"))
+  }
+
   test("substringDedup merges overlapping and touching intervals") {
     // docs 1/2 share words 1..9 (grams at 1,2 -> span [1,9]) and doc 1
     // additionally shares words 10..17 with doc 3: spans [1,9] and
