@@ -113,6 +113,72 @@ object Oracles {
       |  CAST(SUM(duration_us) AS BIGINT) / 1000000.0 AS total_duration_sec
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Mirror of `CoreQueries.funnel`: the per-step min-ts chain as
+    * four chained per-user aggregates. */
+  def q08Funnel: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS ty, epoch_us(ts) AS t FROM events
+      |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+      |), u1 AS (
+      |  SELECT user_id, MIN(CASE WHEN ty = 'signup' THEN t END) AS t1
+      |  FROM e GROUP BY user_id
+      |), u2 AS (
+      |  SELECT e.user_id, MIN(t) AS t2 FROM e
+      |  JOIN u1 ON u1.user_id = e.user_id
+      |  WHERE ty = 'view' AND t > t1 GROUP BY e.user_id
+      |), u3 AS (
+      |  SELECT e.user_id, MIN(t) AS t3 FROM e
+      |  JOIN u2 ON u2.user_id = e.user_id
+      |  WHERE ty = 'click' AND t > t2 GROUP BY e.user_id
+      |), u4 AS (
+      |  SELECT e.user_id, MIN(t) AS t4 FROM e
+      |  JOIN u3 ON u3.user_id = e.user_id
+      |  WHERE ty = 'purchase' AND t > t3 GROUP BY e.user_id
+      |), s AS (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u1 WHERE t1 IS NOT NULL)
+      |      AS s1,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u2) AS s2,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u3) AS s3,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u4) AS s4
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step_no, 'signup' AS step,
+      |    s1 AS n_users, 1.0 AS conv FROM s
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'view', s2,
+      |    CASE WHEN s1 = 0 THEN 0.0
+      |      ELSE CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) END FROM s
+      |  UNION ALL SELECT CAST(3 AS BIGINT), 'click', s3,
+      |    CASE WHEN s2 = 0 THEN 0.0
+      |      ELSE CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE) END FROM s
+      |  UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', s4,
+      |    CASE WHEN s3 = 0 THEN 0.0
+      |      ELSE CAST(s4 AS DOUBLE) / CAST(s3 AS DOUBLE) END FROM s
+      |) ORDER BY step_no""".stripMargin
+
+  /** Mirror of `CoreQueries.retention`: integer epoch-weeks, distinct
+    * (user, week) activity, min-week cohorts. */
+  def q09Retention: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      |  FROM events
+      |), coh AS (
+      |  SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id
+      |), sz AS (
+      |  SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |  FROM coh GROUP BY cw
+      |), act AS (
+      |  SELECT coh.cw AS cohort_week, uw.w - coh.cw AS week_no,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM uw JOIN coh ON coh.user_id = uw.user_id
+      |  GROUP BY coh.cw, uw.w - coh.cw
+      |)
+      |SELECT cohort_week, week_no, n_active, sz.cohort_size,
+      |  CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+      |    AS retention
+      |FROM act JOIN sz ON sz.cw = act.cohort_week
+      |ORDER BY cohort_week, week_no""".stripMargin
+
   def q04TopOrders: String =
     """WITH ranked AS (
       |  SELECT c_mktsegment, o_orderkey, o_totalprice, c_custkey,

@@ -68,6 +68,8 @@ object SparkEntry {
     "q05_asof_enrich" -> ((s, d) => CoreQueries.asofEnrich(s, d)),
     "q06_json_props" -> ((s, d) => CoreQueries.jsonProps(s, d)),
     "q07_asof_operator" -> ((s, d) => CoreQueries.asofEnrichOperator(s, d)),
+    "q08_funnel" -> ((s, d) => CoreQueries.funnel(s, d)),
+    "q09_retention" -> ((s, d) => CoreQueries.retention(s, d)),
     "mkt_spread" -> ((s, d) =>
       MarketOps.spread(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -1398,6 +1400,8 @@ object SparkEntry {
     "q05_asof_enrich" -> Oracles.q05AsofEnrich,
     "q06_json_props" -> Oracles.q06JsonProps,
     "q07_asof_operator" -> Oracles.q07AsofOperator,
+    "q08_funnel" -> Oracles.q08Funnel,
+    "q09_retention" -> Oracles.q09Retention,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     // SQL-text rows: the TVF surface against the SAME mirrors as the

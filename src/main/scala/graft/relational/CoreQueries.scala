@@ -92,9 +92,90 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
-  /** Top-N orders per customer market segment by order value — window
-    * rank + filter (reference analogue: dense_rank level cut,
-    * `db/get_schema.sql:588-598`). */
+  /** Ordered conversion funnel over the event stream: a user reaches
+    * step s only with a step-s event STRICTLY after their step-(s−1)
+    * time (the min-ts chain — the standard product-analytics funnel).
+    * One shuffle on user_id; the per-user chain folds inside a single
+    * aggregate row via array HOFs (`array_min ∘ filter`), never a
+    * per-step self-join over the event table, so k steps cost one
+    * corpus pass however long the funnel. Output: (step_no, step,
+    * n_users, conv) with conv = the step-over-step conversion
+    * fraction. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsMicros(col("ts")).as("t")))
+
+  /** [[funnel]] over a pre-projected `(user_id, event_type, t)` frame
+    * — the seam the fixture spec drives with partial-conversion
+    * users. */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ev = events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type").as("ty"), col("t"))
+    val perUser = ev.groupBy("user_id")
+      .agg(collect_list(struct(col("t"), col("ty"))).as("evs"))
+      .withColumn("t1",
+        expr("array_min(transform(filter(evs, e -> e.ty = 'signup'), " +
+          "e -> e.t))"))
+      .withColumn("t2",
+        expr("array_min(transform(filter(evs, e -> e.ty = 'view' " +
+          "AND e.t > t1), e -> e.t))"))
+      .withColumn("t3",
+        expr("array_min(transform(filter(evs, e -> e.ty = 'click' " +
+          "AND e.t > t2), e -> e.t))"))
+      .withColumn("t4",
+        expr("array_min(transform(filter(evs, e -> e.ty = 'purchase' " +
+          "AND e.t > t3), e -> e.t))"))
+    perUser
+      .agg(sum(when(col("t1").isNotNull, 1)).as("s1"),
+        sum(when(col("t2").isNotNull, 1)).as("s2"),
+        sum(when(col("t3").isNotNull, 1)).as("s3"),
+        sum(when(col("t4").isNotNull, 1)).as("s4"))
+      .selectExpr("stack(4, " +
+        "CAST(1 AS BIGINT), 'signup',   s1, CAST(NULL AS BIGINT), " +
+        "CAST(2 AS BIGINT), 'view',     s2, s1, " +
+        "CAST(3 AS BIGINT), 'click',    s3, s2, " +
+        "CAST(4 AS BIGINT), 'purchase', s4, s3) " +
+        "AS (step_no, step, n_users, n_prev)")
+      .withColumn("conv",
+        when(col("n_prev").isNull, lit(1.0))
+          .when(col("n_prev") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") /
+            col("n_prev").cast("double")))
+      .select("step_no", "step", "n_users", "conv")
+      .orderBy("step_no")
+  }
+
+  /** Weekly cohort retention: cohort = a user's first-activity week
+    * (integer weeks since the epoch — pure integer division, no
+    * calendar edge to diverge on), retained at offset w if the user
+    * has ANY event in cohort+w. Two shuffles (per-user cohort, then
+    * the (cohort, offset) grid); the distinct (user, week) frame
+    * bounds everything at users × active-weeks. Output per (cohort,
+    * offset): active users, cohort size, retention fraction. */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.load(spark, dir, "events")
+      .select(col("user_id"), tsMicros(col("ts")).as("t")))
+
+  /** [[retention]] over a pre-projected `(user_id, t)` frame. */
+  private[graft] def retentionOf(events: DataFrame): DataFrame = {
+    val wk = 7L * 86400 * 1000000
+    val uw = events
+      .select(col("user_id"), expr(s"t DIV $wk").as("w"))
+      .distinct()
+      .localCheckpoint(false) // feeds the cohort agg AND the offset join
+    val cohort = uw.groupBy("user_id").agg(min("w").as("cw"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_no"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes.withColumnRenamed("cw", "cohort_week"), "cohort_week")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .select("cohort_week", "week_no", "n_active", "cohort_size",
+        "retention")
+      .orderBy("cohort_week", "week_no")
+  }
   def topOrdersPerSegment(spark: SparkSession, dir: String, topN: Int = 5)
       : DataFrame = {
     val o = Tables.load(spark, dir, "orders")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.relational.CoreQueries
+
+/** Fixture tests for the event-analytics queries (the sf0.01 oracle
+  * corpus is dense — every user converts and returns every week — so
+  * these fixtures are what exercise the partial-conversion and
+  * churn paths). */
+class FunnelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-funnel")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val M = 1000000L
+
+  test("funnel counts strictly-ordered step chains only") {
+    // u1: full chain in order; u2: purchase BEFORE click (stops at
+    // view — the strict > rule); u3: signup only; u4: starts at view
+    // (no signup — contributes to no step); 'error' rows are ignored
+    val ev = Seq(
+      (1L, "signup", 10 * M), (1L, "view", 20 * M),
+      (1L, "click", 30 * M), (1L, "purchase", 40 * M),
+      (1L, "error", 15 * M),
+      (2L, "signup", 10 * M), (2L, "purchase", 15 * M),
+      (2L, "view", 20 * M), (2L, "click", 30 * M),
+      (3L, "signup", 10 * M),
+      (4L, "view", 10 * M), (4L, "click", 20 * M)
+    ).toDF("user_id", "event_type", "t")
+    val got = CoreQueries.funnelOf(ev).collect()
+      .map(r => (r.getAs[Long]("step_no"), r.getAs[String]("step"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("conv")))
+    // u2 reaches click at 30M (> view 20M) but its purchase at 15M
+    // precedes the click -> not counted at step 4
+    assert(got.toSeq == Seq(
+      (1L, "signup", 3L, 1.0),
+      (2L, "view", 2L, 2.0 / 3.0),
+      (3L, "click", 2L, 1.0),
+      (4L, "purchase", 1L, 0.5)))
+  }
+
+  test("retention cohorts churn by distinct activity week") {
+    val wk = 7L * 86400 * M
+    // cohort week 0: u1 active weeks 0,1,3; u2 active week 0 only.
+    // cohort week 1: u3 active weeks 1,2.
+    val ev = Seq(
+      (1L, 1 * M), (1L, wk + M), (1L, 3 * wk + M), (1L, 3 * wk + 2 * M),
+      (2L, 2 * M),
+      (3L, wk + 5 * M), (3L, 2 * wk + M)
+    ).toDF("user_id", "t")
+    val got = CoreQueries.retentionOf(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_no"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+        r.getAs[Double]("retention")))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (0L, 3L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0),
+      (1L, 1L, 1L, 1L, 1.0)))
+  }
+}
