@@ -179,6 +179,20 @@ object Oracles {
       |FROM act JOIN sz ON sz.cw = act.cohort_week
       |ORDER BY cohort_week, week_no""".stripMargin
 
+  /** Mirror of `StreamingOps.eventRatesReplay`: the closed tumbling
+    * windows equal the batch GROUP BY over µs-bucketed event time and
+    * milli-quantized values. */
+  def q10EventRatesStream: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      |  FROM events
+      |)
+      |SELECT (t // 3600000000) * 3600000000 AS win_start_us, user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(vm) AS BIGINT) AS sum_vmilli
+      |FROM e GROUP BY 1, 2 ORDER BY win_start_us, user_id""".stripMargin
+
   def q04TopOrders: String =
     """WITH ranked AS (
       |  SELECT c_mktsegment, o_orderkey, o_totalprice, c_custkey,

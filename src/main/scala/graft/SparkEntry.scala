@@ -70,6 +70,11 @@ object SparkEntry {
     "q07_asof_operator" -> ((s, d) => CoreQueries.asofEnrichOperator(s, d)),
     "q08_funnel" -> ((s, d) => CoreQueries.funnel(s, d)),
     "q09_retention" -> ((s, d) => CoreQueries.retention(s, d)),
+    // Spark's BUILT-IN stateful windowed aggregation (watermark-closed
+    // tumbling windows), replayed and checked against the batch grid
+    "q10_event_rates_stream" -> ((s, d) =>
+      streaming.StreamingOps.eventRatesReplay(Tables.load(s, d, "events"), s)
+        .orderBy("win_start_us", "user_id")),
     "mkt_spread" -> ((s, d) =>
       MarketOps.spread(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -1402,6 +1407,7 @@ object SparkEntry {
     "q07_asof_operator" -> Oracles.q07AsofOperator,
     "q08_funnel" -> Oracles.q08Funnel,
     "q09_retention" -> Oracles.q09Retention,
+    "q10_event_rates_stream" -> Oracles.q10EventRatesStream,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     // SQL-text rows: the TVF surface against the SAME mirrors as the

@@ -550,13 +550,50 @@ object StreamingOps extends Serializable {
       .filter(col("pair_id") =!= Int.MinValue)
   }
 
+  /** One event entering the windowed-rate stream: user, event-time
+    * µs, milli-quantized value. */
+  case class EvIn(userId: Long, tsUs: Long, vm: Long)
+
   /** Tumbling-window event-rate aggregation with watermarking — the
-    * streaming twin of `obanalytics.summary`'s per-era rates. */
-  def eventRates(raw: DataFrame, windowSec: Int = 3600): DataFrame =
-    raw
-      .withWatermark("ts", "2 minutes")
-      .groupBy(window(col("ts"), s"$windowSec seconds"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    * one streaming primitive the custom-state ops here don't cover:
+    * Spark's BUILT-IN stateful windowed aggregation (state managed by
+    * the engine, closed windows emitted in Append mode once the
+    * watermark passes). Values are milli-quantized longs so the sums
+    * are exact integers on any engine — a double sum would depend on
+    * arrival order. */
+  def eventRates(events: Dataset[EvIn], windowSec: Int = 3600): DataFrame =
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(window(col("event_time"), s"$windowSec seconds"),
+        col("userId"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("sum_vmilli"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("userId").as("user_id"), col("n_events"), col("sum_vmilli"))
+
+  /** Bounded replay of [[eventRates]]: events in (ts, user) order over
+    * `nChunks` micro-batches, with two far-future sentinel rows (the
+    * [[tradesReplay]] double-advance — the watermark moves at batch
+    * END, so two advancer batches close every real window). The
+    * emitted closed windows equal the batch GROUP BY, which the
+    * DuckDB mirror recomputes directly. */
+  def eventRatesReplay(events: DataFrame, spark: SparkSession,
+      windowSec: Int = 3600, nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("user_id").as("userId"),
+        graft.Tables.tsMicros(col("ts")).as("tsUs"),
+        round(col("value") * 1000).cast("long").as("vm"))
+      .as[EvIn].collect().sortBy(e => (e.tsUs, e.userId))
+    if (rows.isEmpty) return eventRates(spark.emptyDataset[EvIn], windowSec)
+    val maxTs = rows.map(_.tsUs).max
+    val flush = Seq(2L, 4L).map(h =>
+      EvIn(Long.MinValue, maxTs + h * 3600L * 1000000L, 0L))
+    replayChunked(spark, rows, (e: EvIn) => e.tsUs, nChunks,
+      "graft_event_rates_replay",
+      (ds: Dataset[EvIn], sp: SparkSession) => eventRates(ds, windowSec),
+      flushRows = flush)
+      .filter(col("user_id") =!= Long.MinValue)
+  }
 
   /** One (doc, chunk) occurrence on the ingest stream. */
   case class ChunkOcc(doc_id: Long, chunk_hash: String)

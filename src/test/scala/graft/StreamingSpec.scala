@@ -227,6 +227,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("eventRates windowed aggregation survives a checkpoint kill") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("userId"),
+        Tables.tsMicros(col("ts")).as("tsUs"),
+        round(col("value") * 1000).cast("long").as("vm"))
+      .as[StreamingOps.EvIn].collect().sortBy(e => (e.tsUs, e.userId))
+    val want = rows.groupBy(e => (e.tsUs / 3600000000L * 3600000000L,
+        e.userId))
+      .map { case ((w, u), g) =>
+        (w, u, g.length.toLong, g.map(_.vm).sum) }.toSet
+    val maxTs = rows.map(_.tsUs).max
+    val flush = Seq(2L, 4L).map(h =>
+      StreamingOps.EvIn(Long.MinValue, maxTs + h * 3600L * 1000000L, 0L))
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-evrates").toString
+    val ckpt = tmp + "/ckpt"
+    val out = tmp + "/out"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.EvIn](spark)
+    def start() = StreamingOps.eventRates(ms.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    val cut = rows.length / 2
+    val q1 = start()
+    ms.addData(rows.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
+    q1.stop()                      // killed with the tail un-consumed
+    val q2 = start()
+    flush.foreach { f => ms.addData(Seq(f)); q2.processAllAvailable() }
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .filter(col("user_id") =!= Long.MinValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want, "recovered windowed state diverged from batch")
+  }
+
   test("cmsStream grid equals the driver sketch across a kill-point matrix") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
