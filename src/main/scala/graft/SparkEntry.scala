@@ -75,6 +75,19 @@ object SparkEntry {
     "q10_event_rates_stream" -> ((s, d) =>
       streaming.StreamingOps.eventRatesReplay(Tables.load(s, d, "events"), s)
         .orderBy("win_start_us", "user_id")),
+    // the funnel maintained on ingest: per-user depth emissions are
+    // monotone, so max-per-user aggregates to the batch funnel and
+    // the row lands on q08's mirror unchanged
+    "q11_funnel_stream" -> ((s, d) => {
+      val depth = streaming.StreamingOps
+        .funnelReplay(Tables.load(s, d, "events"), s)
+        .groupBy("user_id").agg(max("step").as("step"))
+      CoreQueries.funnelShape(depth.agg(
+        sum(when(col("step") >= 1, 1)).as("s1"),
+        sum(when(col("step") >= 2, 1)).as("s2"),
+        sum(when(col("step") >= 3, 1)).as("s3"),
+        sum(when(col("step") >= 4, 1)).as("s4")))
+    }),
     "mkt_spread" -> ((s, d) =>
       MarketOps.spread(level3(s, d), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
@@ -1408,6 +1421,7 @@ object SparkEntry {
     "q08_funnel" -> Oracles.q08Funnel,
     "q09_retention" -> Oracles.q09Retention,
     "q10_event_rates_stream" -> Oracles.q10EventRatesStream,
+    "q11_funnel_stream" -> Oracles.q08Funnel,
     "mkt_spread" -> Oracles.mktSpread,
     "mkt_order_book" -> Oracles.mktOrderBook,
     // SQL-text rows: the TVF surface against the SAME mirrors as the

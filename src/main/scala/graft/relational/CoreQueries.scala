@@ -126,11 +126,18 @@ object CoreQueries {
       .withColumn("t4",
         expr("array_min(transform(filter(evs, e -> e.ty = 'purchase' " +
           "AND e.t > t3), e -> e.t))"))
-    perUser
+    funnelShape(perUser
       .agg(sum(when(col("t1").isNotNull, 1)).as("s1"),
         sum(when(col("t2").isNotNull, 1)).as("s2"),
         sum(when(col("t3").isNotNull, 1)).as("s3"),
-        sum(when(col("t4").isNotNull, 1)).as("s4"))
+        sum(when(col("t4").isNotNull, 1)).as("s4")))
+  }
+
+  /** Folds a one-row `(s1, s2, s3, s4)` step-count frame into the
+    * funnel's output shape — shared by the batch query and the
+    * streaming replay row so both land on the same mirror. */
+  private[graft] def funnelShape(counts: DataFrame): DataFrame =
+    counts
       .selectExpr("stack(4, " +
         "CAST(1 AS BIGINT), 'signup',   s1, CAST(NULL AS BIGINT), " +
         "CAST(2 AS BIGINT), 'view',     s2, s1, " +
@@ -144,7 +151,6 @@ object CoreQueries {
             col("n_prev").cast("double")))
       .select("step_no", "step", "n_users", "conv")
       .orderBy("step_no")
-  }
 
   /** Weekly cohort retention: cohort = a user's first-activity week
     * (integer weeks since the epoch — pure integer division, no

@@ -550,6 +550,71 @@ object StreamingOps extends Serializable {
       .filter(col("pair_id") =!= Int.MinValue)
   }
 
+  /** One event entering the streaming funnel. */
+  case class FunnelEvIn(userId: Long, ty: String, t: Long)
+
+  /** Per-user funnel state: reach time of each step, -1 = unreached. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+
+  /** One funnel verdict emission: the user's deepest step so far. */
+  case class FunnelOut(user_id: Long, step: Long)
+
+  /** Streaming conversion funnel — `CoreQueries.funnelOf`'s min-ts
+    * chain maintained on ingest. For an IN-ORDER event stream the
+    * incremental greedy rule IS the batch chain: the first signup a
+    * user shows is their min, and the first step-s event STRICTLY
+    * after the step-(s−1) time is the chain's min because arrival
+    * order = event order (equal-timestamp events can never advance a
+    * step past themselves under the strict >). State per user is four
+    * longs; emissions (Append log) are the user's deepest step after
+    * each touched batch — monotone, so the live funnel is
+    * `max(step)` per user. */
+  def funnelStream(ev: Dataset[FunnelEvIn], spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+
+    def update(user: Long, batch: Iterator[FunnelEvIn],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+      batch.toSeq.sortBy(e => (e.t, e.ty)).foreach { e =>
+        val k = steps.indexOf(e.ty)
+        s = k match {
+          case 0 if s.t1 < 0 => s.copy(t1 = e.t)
+          case 1 if s.t2 < 0 && s.t1 >= 0 && e.t > s.t1 => s.copy(t2 = e.t)
+          case 2 if s.t3 < 0 && s.t2 >= 0 && e.t > s.t2 => s.copy(t3 = e.t)
+          case 3 if s.t4 < 0 && s.t3 >= 0 && e.t > s.t3 => s.copy(t4 = e.t)
+          case _ => s
+        }
+      }
+      state.update(s)
+      val step = Seq(s.t1, s.t2, s.t3, s.t4).takeWhile(_ >= 0).length
+      Iterator.single(FunnelOut(user, step.toLong))
+    }
+
+    ev.filter(e => steps.contains(e.ty))
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Bounded replay of [[funnelStream]]: events in ts order over
+    * `nChunks` micro-batches; the final per-user depth (max over the
+    * monotone emissions) aggregates to EXACTLY the batch funnel —
+    * the row reuses `Oracles.q08Funnel` unchanged. */
+  def funnelReplay(events: DataFrame, spark: SparkSession,
+      nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("user_id").as("userId"),
+        col("event_type").as("ty"),
+        graft.Tables.tsMicros(col("ts")).as("t"))
+      .as[FunnelEvIn].collect().sortBy(e => (e.t, e.userId, e.ty))
+    replayChunked(spark, rows, (e: FunnelEvIn) => e.t, nChunks,
+      "graft_funnel_replay",
+      (ds: Dataset[FunnelEvIn], sp: SparkSession) => funnelStream(ds, sp))
+  }
+
   /** One event entering the windowed-rate stream: user, event-time
     * µs, milli-quantized value. */
   case class EvIn(userId: Long, tsUs: Long, vm: Long)

@@ -227,6 +227,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelStream resumes the per-user chain across a checkpoint kill") {
+    import spark.implicits._
+    val M = 1000000L
+    // u1 full chain; u2 purchase BEFORE click (stops at click depth 3
+    // — its purchase at 15M precedes the click at 30M); u3 signup
+    // only; u4 never signs up (depth 0)
+    val rows = Seq(
+      StreamingOps.FunnelEvIn(1L, "signup", 10 * M),
+      StreamingOps.FunnelEvIn(2L, "signup", 10 * M),
+      StreamingOps.FunnelEvIn(3L, "signup", 10 * M),
+      StreamingOps.FunnelEvIn(4L, "view", 10 * M),
+      StreamingOps.FunnelEvIn(2L, "purchase", 15 * M),
+      StreamingOps.FunnelEvIn(1L, "view", 20 * M),
+      StreamingOps.FunnelEvIn(2L, "view", 20 * M),
+      StreamingOps.FunnelEvIn(4L, "click", 25 * M),
+      StreamingOps.FunnelEvIn(1L, "click", 30 * M),
+      StreamingOps.FunnelEvIn(2L, "click", 30 * M),
+      StreamingOps.FunnelEvIn(1L, "purchase", 40 * M)
+    ).sortBy(_.t)
+    val want = Map(1L -> 4L, 2L -> 3L, 3L -> 1L, 4L -> 0L)
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-funnelstream").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.FunnelEvIn](spark)
+    def start() = StreamingOps.funnelStream(ms.toDS(), spark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("parquet").option("path", tmp + "/out")
+      .start()
+    // kill between u2's purchase (wasted, chain at view) and its
+    // click: a restart that lost t2 would wrongly re-admit the
+    // purchase; one that lost t1 would stall the chain
+    val cut = rows.indexWhere(e => e.t == 20 * M)
+    val q1 = start()
+    ms.addData(rows.slice(0, cut).toIndexedSeq)
+    q1.processAllAvailable()
+    ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
+    q1.stop()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(tmp + "/out")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("step")
+        .as("step"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "recovered funnel state diverged from batch")
+  }
+
   test("eventRates windowed aggregation survives a checkpoint kill") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
