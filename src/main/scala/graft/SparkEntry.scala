@@ -52,6 +52,7 @@ object SparkEntry {
       level3(s2, d).createOrReplaceTempView("l3_sql")
       Tables.load(s2, d, "documents").createOrReplaceTempView("docs_sql")
       Tables.load(s2, d, "embeddings").createOrReplaceTempView("emb_sql")
+      Tables.load(s2, d, "events").createOrReplaceTempView("events_sql")
       s2
     })
 
@@ -960,6 +961,17 @@ object SparkEntry {
     "pipe_sql_rproj" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM rproj('emb_sql')")
         .orderBy("vec_id")),
+    "pipe_sql_pmi_bigrams" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM pmi_bigrams('docs_sql')")
+        .orderBy("rnk")),
+    "pipe_sql_dedup_recall" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM dedup_recall('docs_sql')")),
+    "q08_sql_funnel" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM funnel('events_sql')")
+        .orderBy("step_no")),
+    "q09_sql_retention" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM retention('events_sql')")
+        .orderBy("cohort_week", "week_no")),
     "pipe_bm25" -> ((s, d) =>
       pipeline.Search.bm25TopK(Tables.load(s, d, "documents"))
         .orderBy("query_id", "rnk")),
@@ -1629,6 +1641,10 @@ object SparkEntry {
     "pipe_sql_pack_stats" -> Oracles.pipePackStats(),
     "pipe_sql_cms_heavy" -> Oracles.pipeCmsHeavy,
     "pipe_sql_rproj" -> Oracles.pipeRproj,
+    "pipe_sql_pmi_bigrams" -> Oracles.pipePmiBigrams,
+    "pipe_sql_dedup_recall" -> Oracles.pipeDedupRecall,
+    "q08_sql_funnel" -> Oracles.q08Funnel,
+    "q09_sql_retention" -> Oracles.q09Retention,
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

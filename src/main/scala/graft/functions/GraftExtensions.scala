@@ -135,7 +135,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dedup_audit" -> graft.plans.GraftTableFunctions.dedupAuditTvf _,
       "pack_stats" -> graft.plans.GraftTableFunctions.packStatsTvf _,
       "cms_heavy" -> graft.plans.GraftTableFunctions.cmsHeavyTvf _,
-      "rproj" -> graft.plans.GraftTableFunctions.rprojTvf _)
+      "rproj" -> graft.plans.GraftTableFunctions.rprojTvf _,
+      "pmi_bigrams" -> graft.plans.GraftTableFunctions.pmiBigramsTvf _,
+      "dedup_recall" -> graft.plans.GraftTableFunctions.dedupRecallTvf _,
+      "funnel" -> graft.plans.GraftTableFunctions.funnelTvf _,
+      "retention" -> graft.plans.GraftTableFunctions.retentionTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** SQL table-function surface for the engine's primary entry points —
@@ -155,6 +156,21 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "rproj" =>
             graft.pipeline.VectorOps.rprojReport(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 16)
+          case "pmi_bigrams" =>
+            graft.pipeline.TextPipeline.pmiBigrams(l3,
+              if (u.longArgs.nonEmpty) u.longArgs(0) else 5L,
+              if (u.longArgs.length > 1) u.longArgs(1).toInt else 20)
+          case "dedup_recall" =>
+            graft.pipeline.TextPipeline.dedupRecall(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 2,
+              if (u.dblArgs.nonEmpty) u.dblArgs.head else 0.5)
+          case "funnel" =>
+            graft.relational.CoreQueries.funnelOf(l3.select(
+              col("user_id"), col("event_type"),
+              graft.Tables.tsMicros(col("ts")).as("t")))
+          case "retention" =>
+            graft.relational.CoreQueries.retentionOf(l3.select(
+              col("user_id"), graft.Tables.tsMicros(col("ts")).as("t")))
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -538,6 +554,44 @@ object GraftTableFunctions {
       "rproj takes (embeddings_table[, k])")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "rproj")), "rproj",
       if (exprs.length == 2) Seq(longLit(exprs, 1, "rproj")) else Nil)
+  }
+
+  /** `pmi_bigrams('docs'[, min_count[, topn]])` — top collocations by
+    * nano PMI ([[graft.pipeline.TextPipeline.pmiBigrams]]). */
+  def pmiBigramsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "pmi_bigrams takes (docs_table[, min_count[, topn]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "pmi_bigrams")),
+      "pmi_bigrams",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "pmi_bigrams") })
+  }
+
+  /** `dedup_recall('docs'[, sample_mod[, tau]])` — banded-candidate
+    * precision/recall vs exact-Jaccard truth
+    * ([[graft.pipeline.TextPipeline.dedupRecall]]). */
+  def dedupRecallTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "dedup_recall takes (docs_table[, sample_mod[, tau]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "dedup_recall")),
+      "dedup_recall",
+      if (exprs.length >= 2) Seq(longLit(exprs, 1, "dedup_recall")) else Nil,
+      Nil,
+      if (exprs.length == 3) Seq(dblLit(exprs, 2, "dedup_recall")) else Nil)
+  }
+
+  /** `funnel('events')` — ordered conversion funnel
+    * ([[graft.relational.CoreQueries.funnelOf]]). */
+  def funnelTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "funnel takes (events_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "funnel")), "funnel", Nil)
+  }
+
+  /** `retention('events')` — weekly cohort retention
+    * ([[graft.relational.CoreQueries.retentionOf]]). */
+  def retentionTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "retention takes (events_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "retention")), "retention", Nil)
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

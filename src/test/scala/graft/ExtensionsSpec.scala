@@ -391,6 +391,28 @@ class ExtensionsSpec extends AnyFunSuite {
       // component-count pass-through
       assert(rows(s2.sql("SELECT * FROM rproj('emb_tvf', 8)")) ==
         rows(graft.pipeline.VectorOps.rprojReport(emb, kComps = 8)))
+      assert(rows(s2.sql("SELECT * FROM pmi_bigrams('docs_tvf')")) ==
+        rows(TextPipeline.pmiBigrams(docs)))
+      // min-count and top-n pass-through
+      assert(rows(s2.sql("SELECT * FROM pmi_bigrams('docs_tvf', 1, 5)")) ==
+        rows(TextPipeline.pmiBigrams(docs, minCount = 1, topN = 5)))
+      assert(rows(s2.sql("SELECT * FROM dedup_recall('docs_tvf')")) ==
+        rows(TextPipeline.dedupRecall(docs)))
+      // sample-mod and tau pass-through
+      assert(rows(s2.sql("SELECT * FROM dedup_recall('docs_tvf', 1, 0.3)")) ==
+        rows(TextPipeline.dedupRecall(docs, sampleMod = 1,
+          threshold = 0.3)))
+      val evt = Tables.load(s2, "/root/testdata/sf0.001", "events")
+      evt.createOrReplaceTempView("events_tvf")
+      import graft.relational.CoreQueries
+      import graft.Tables.tsMicros
+      import org.apache.spark.sql.functions.col
+      assert(rows(s2.sql("SELECT * FROM funnel('events_tvf')")) ==
+        rows(CoreQueries.funnelOf(evt.select(col("user_id"),
+          col("event_type"), tsMicros(col("ts")).as("t")))))
+      assert(rows(s2.sql("SELECT * FROM retention('events_tvf')")) ==
+        rows(CoreQueries.retentionOf(evt.select(col("user_id"),
+          tsMicros(col("ts")).as("t")))))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
