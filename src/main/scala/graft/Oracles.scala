@@ -182,6 +182,28 @@ object Oracles {
   /** Mirror of `StreamingOps.eventRatesReplay`: the closed tumbling
     * windows equal the batch GROUP BY over µs-bucketed event time and
     * milli-quantized values. */
+  /** Mirror of `CoreQueries.eventAnomalies`: the same cross-multiplied
+    * integer 3σ test, HUGEINT where the engine uses decimal(38,0). */
+  def q12Anomaly: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(ROUND(value * 1000) AS BIGINT) AS v_milli
+      |  FROM events
+      |), st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type,
+      |    CAST(SUM(v_milli) AS BIGINT) AS s,
+      |    SUM(CAST(v_milli AS HUGEINT) * v_milli) AS ssq
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type, e.v_milli,
+      |  CAST(st.s // st.n_type AS BIGINT) AS mean_milli, st.n_type
+      |FROM e JOIN st USING (event_type)
+      |WHERE (CAST(st.n_type AS HUGEINT) * e.v_milli - st.s)
+      |    * (CAST(st.n_type AS HUGEINT) * e.v_milli - st.s)
+      |  > 9 * (CAST(st.n_type AS HUGEINT) * st.ssq
+      |    - CAST(st.s AS HUGEINT) * st.s)
+      |ORDER BY e.event_id""".stripMargin
+
   def q10EventRatesStream: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS t,
@@ -3348,6 +3370,48 @@ object Oracles {
       |SELECT va, rnk, vb, cos FROM krr WHERE rnk <= $k
       |ORDER BY va, rnk""".stripMargin
 
+  /** Mirror of `VectorOps.pageRank`: the same all-integer damped
+    * fixpoint over the kNN edges (`krr`, rnk ≤ k), one generated CTE
+    * pair per iteration (the PcaChain discipline — iterations are
+    * unrolled, not recursive, so each step's floor divisions land
+    * identically). Inflow sums are CAST to BIGINT per round: DuckDB
+    * widens SUM(BIGINT) to HUGEINT, Spark keeps long. The edge,
+    * degree, universe, and per-round rank CTEs are MATERIALIZED
+    * (the PcaChain discipline): the chain references each of them
+    * per round, and inlined re-expansion would re-run the whole kNN
+    * subtree ~2× per iteration (measured 326 s vs ~8 s at sf0.01). */
+  def pipePageRank(k: Int = 5, nCells: Int = 16, iters: Int = 8): String = {
+    val chain = (1 to iters).map { i =>
+      s""", pc$i AS (
+      |  SELECT e.vb AS vec_id,
+      |    CAST(SUM((85 * p.pr) // (100 * d.deg)) AS BIGINT) AS inflow
+      |  FROM pe e JOIN pdeg d USING (va)
+      |  JOIN pr${i - 1} p ON p.vec_id = e.va
+      |  GROUP BY e.vb
+      |), pr$i AS MATERIALIZED (
+      |  SELECT n.vec_id,
+      |    CAST(150000000 + COALESCE(c.inflow, 0) AS BIGINT) AS pr
+      |  FROM puni n LEFT JOIN pc$i c USING (vec_id)
+      |)""".stripMargin
+    }.mkString
+    KnnCte(nCells) +
+    s""", pe AS MATERIALIZED (
+      |  SELECT va, vb FROM krr WHERE rnk <= $k
+      |), pdeg AS MATERIALIZED (
+      |  SELECT va, CAST(COUNT(*) AS BIGINT) AS deg FROM pe GROUP BY va
+      |), puni AS MATERIALIZED (
+      |  SELECT vec_id FROM nrm
+      |), pr0 AS (
+      |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS pr FROM puni
+      |)""".stripMargin + chain +
+    s"""
+      |SELECT n.vec_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
+      |  p.pr AS pr_nano
+      |FROM puni n LEFT JOIN pdeg d ON d.va = n.vec_id
+      |JOIN pr$iters p ON p.vec_id = n.vec_id
+      |ORDER BY n.vec_id""".stripMargin
+  }
+
   /** Mirror of `VectorOps.knnRecall`: exact all-pairs self-kNN vs the
     * trained-cell self-search (`krr`), recall per vector. */
   def pipeKnnRecall(k: Int = 5, nCells: Int = 16): String =
@@ -4098,6 +4162,22 @@ object Oracles {
       |    / len(string_split(text, ' ')) AS mean_word_len,
       |  $qualityScoreSql AS quality_score
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mirror of `TextPipeline.sourceCap`: top-`cap` documents per
+    * source by quality score, doc_id tiebreak. The mirror's plain
+    * per-source window is the semantics; the engine's two-stage
+    * salted rank must land on the same rows. */
+  def pipeSourceCap(cap: Int = 10): String =
+    s"""WITH q AS (
+      |  SELECT doc_id, $qualityScoreSql AS quality_score FROM documents
+      |), r AS (
+      |  SELECT d.source, d.doc_id, q.quality_score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY q.quality_score DESC, d.doc_id) AS BIGINT) AS rnk
+      |  FROM documents d JOIN q USING (doc_id)
+      |)
+      |SELECT source, rnk, doc_id, quality_score FROM r
+      |WHERE rnk <= $cap ORDER BY source, rnk""".stripMargin
 
   /** Mirror of [[graft.pipeline.TextPipeline.lengthBuckets]] at the
     * default boundaries. */

@@ -71,6 +71,9 @@ object SparkEntry {
     "q07_asof_operator" -> ((s, d) => CoreQueries.asofEnrichOperator(s, d)),
     "q08_funnel" -> ((s, d) => CoreQueries.funnel(s, d)),
     "q09_retention" -> ((s, d) => CoreQueries.retention(s, d)),
+    // integer-exact 3-sigma outlier screen: 5-row stats broadcast back,
+    // the event table never reshuffles
+    "q12_anomaly" -> ((s, d) => CoreQueries.eventAnomalies(s, d)),
     // Spark's BUILT-IN stateful windowed aggregation (watermark-closed
     // tumbling windows), replayed and checked against the batch grid
     "q10_event_rates_stream" -> ((s, d) =>
@@ -813,6 +816,12 @@ object SparkEntry {
       VectorOps.knnGraph(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("va", "rnk")),
+    // centrality over the same kNN edges: all-integer damped PageRank,
+    // one edge shuffle per fixed iteration
+    "pipe_pagerank" -> ((s, d) =>
+      VectorOps.pageRank(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
     // ONLINE semantic dedup: arrival-order greedy per cell over the
     // stored centroids; state = kept survivors only
     "pipe_semdedup_stream" -> ((s, d) =>
@@ -883,6 +892,11 @@ object SparkEntry {
     "pipe_quality" -> ((s, d) =>
       TextPipeline.qualityScore(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // domain balancing: top-cap docs per source by quality, two-stage
+    // salted rank so a hot domain never sorts in one task
+    "pipe_source_cap" -> ((s, d) =>
+      TextPipeline.sourceCap(Tables.load(s, d, "documents"))
+        .orderBy("source", "rnk")),
     "pipe_tokens" -> ((s, d) =>
       TextPipeline.tokenCounts(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_ws_tokens"), col("n_alpha_tokens"),
@@ -969,6 +983,15 @@ object SparkEntry {
     "q08_sql_funnel" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM funnel('events_sql')")
         .orderBy("step_no")),
+    "q12_sql_anomaly" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM anomaly('events_sql')")
+        .orderBy("event_id")),
+    "pipe_sql_source_cap" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM source_cap('docs_sql')")
+        .orderBy("source", "rnk")),
+    "pipe_sql_pagerank" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM pagerank('emb_sql')")
+        .orderBy("vec_id")),
     "q09_sql_retention" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM retention('events_sql')")
         .orderBy("cohort_week", "week_no")),
@@ -1432,6 +1455,7 @@ object SparkEntry {
     "q07_asof_operator" -> Oracles.q07AsofOperator,
     "q08_funnel" -> Oracles.q08Funnel,
     "q09_retention" -> Oracles.q09Retention,
+    "q12_anomaly" -> Oracles.q12Anomaly,
     "q10_event_rates_stream" -> Oracles.q10EventRatesStream,
     "q11_funnel_stream" -> Oracles.q08Funnel,
     "mkt_spread" -> Oracles.mktSpread,
@@ -1551,6 +1575,7 @@ object SparkEntry {
     "pipe_semdedup" -> Oracles.pipeSemDedup(),
     "pipe_semdedup_stream" -> Oracles.pipeSemDedupStream(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
+    "pipe_pagerank" -> Oracles.pipePageRank(),
     "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
     "pipe_knn_recall" -> Oracles.pipeKnnRecall(),
     "pipe_sem_keep_best" -> Oracles.pipeSemKeepBest(),
@@ -1571,6 +1596,7 @@ object SparkEntry {
     "pipe_ann_recall_ivfpq" -> Oracles.pipeAnnRecallIvfPq(),
     "pipe_langid" -> Oracles.pipeLangId,
     "pipe_quality" -> Oracles.pipeQuality,
+    "pipe_source_cap" -> Oracles.pipeSourceCap(),
     "pipe_tokens" -> Oracles.pipeTokens,
     "pipe_fingerprint" -> Oracles.pipeFingerprint,
     "pipe_repetition" -> Oracles.pipeRepetition,
@@ -1645,6 +1671,9 @@ object SparkEntry {
     "pipe_sql_dedup_recall" -> Oracles.pipeDedupRecall,
     "q08_sql_funnel" -> Oracles.q08Funnel,
     "q09_sql_retention" -> Oracles.q09Retention,
+    "q12_sql_anomaly" -> Oracles.q12Anomaly,
+    "pipe_sql_source_cap" -> Oracles.pipeSourceCap(),
+    "pipe_sql_pagerank" -> Oracles.pipePageRank(),
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

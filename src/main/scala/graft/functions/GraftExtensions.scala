@@ -139,7 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "pmi_bigrams" -> graft.plans.GraftTableFunctions.pmiBigramsTvf _,
       "dedup_recall" -> graft.plans.GraftTableFunctions.dedupRecallTvf _,
       "funnel" -> graft.plans.GraftTableFunctions.funnelTvf _,
-      "retention" -> graft.plans.GraftTableFunctions.retentionTvf _)
+      "retention" -> graft.plans.GraftTableFunctions.retentionTvf _,
+      "anomaly" -> graft.plans.GraftTableFunctions.anomalyTvf _,
+      "source_cap" -> graft.plans.GraftTableFunctions.sourceCapTvf _,
+      "pagerank" -> graft.plans.GraftTableFunctions.pageRankTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

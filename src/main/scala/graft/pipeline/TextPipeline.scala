@@ -775,6 +775,28 @@ object TextPipeline {
         max(col("doc_id")).as("last_doc"))
       .withColumn("n_exact_dups", col("n_docs") - col("n_distinct"))
 
+  /** Per-source quota cap (Common Crawl-style domain balancing): keep
+    * the top `cap` documents per source by quality score (doc_id
+    * tiebreak), so no domain can dominate the mix however many pages
+    * it contributed — the selection counterpart of the fractional
+    * [[stratifiedSample]]. Ranking is the salted two-stage top-k
+    * ([[VectorOps.topKPerQuery]]): stage 1 ranks within
+    * (source, salt) partials and keeps ≤ cap each, stage 2 ranks the
+    * ≤ cap·nSalt survivors — a hot domain with 10⁹ pages never sorts
+    * in one task, which a plain per-source window would do. */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val qual = qualityScore(docs).select("doc_id", "quality_score")
+    val scored = docs.select("doc_id", "source")
+      .join(qual, Seq("doc_id"))
+      .select(col("source").as("query_id"), col("doc_id").as("vb"),
+        col("quality_score"))
+    VectorOps.topKPerQuery(scored, cap,
+        col("quality_score").desc, col("vb"))
+      .select(col("query_id").as("source"),
+        col("rnk").cast("long").as("rnk"), col("vb").as("doc_id"),
+        col("quality_score"))
+  }
+
   /** KMV (k-minimum-values) distinct-shingle estimator: the k smallest
     * shingle hashes determine `(k-1) / h_k` (hash mapped to [0,1)) —
     * a cardinality estimate from k rows of state instead of a full

@@ -1493,4 +1493,58 @@ object VectorOps {
     recallAgainst(annTopKL2(emb, nQueries, k),
       annIvfPq(emb, nQueries, k, nCells = nCells, nProbe = nProbe,
         trained = trained, codes = codes, coarseCents = coarseCents))
+
+  /** PageRank over the kNN similarity graph (Page et al. 1999) — the
+    * iterative-graph primitive the component family ([[knnClusters]])
+    * doesn't cover: centrality instead of connectivity, the "most
+    * prototypical examples" score a curation run samples by (and the
+    * inverse of SemDeDup's redundancy ordering). All-integer fixpoint
+    * so any engine reproduces it bit-for-bit: ranks are nano-scaled
+    * longs, one step is
+    * `r'(v) = 0.15·10⁹ + Σ_{u→v} (85·r(u)) div (100·outdeg(u))`,
+    * floor division on both engines; mass lost to flooring and to
+    * dangling nodes (an empty sub-cell has no out-edges) is dropped,
+    * NOT redistributed — documented so the mirror agrees exactly.
+    *
+    * Scale shape: the edge set is ≤ n·k rows by construction, carries
+    * its (static) out-degree inline, and is computed ONCE — hash-
+    * partitioned on the join key `va` before the checkpoint, so no
+    * iteration ever reshuffles it; each round is then one co-located
+    * rank join plus one groupBy-dst shuffle of ≤ n·k contribution
+    * rows — no driver state, no growing lineage (each round's ranks
+    * are lazily checkpointed, the [[knnGraph]] discipline). Rounds
+    * are fixed (`iters`), the production knob: ~8 rounds reaches
+    * 1e-3 relative movement at damping 0.85 regardless of n. */
+  def pageRank(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      iters: Int = 8,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    // inline out-degree via a per-source window: sources hold ≤ k
+    // rows each, and the window's shuffle leaves the edge list
+    // hash-partitioned on the iteration join key (one knnGraph
+    // evaluation — a deg self-join would run the kNN search twice)
+    val edges = knnGraph(emb, k, nCells, trainedCents)
+      .select(col("va"), col("vb"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("va")))
+      .localCheckpoint(false)
+    val universe = quantized(emb).select("vec_id").localCheckpoint(false)
+    var ranks = universe.withColumn("pr_nano", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("vec_id", "va"), Seq("va"))
+        .select(col("vb").as("vec_id"),
+          expr("(85 * pr_nano) div (100 * deg)").as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("inflow"))
+      ranks = universe.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000000L) + coalesce(col("inflow"), lit(0L)))
+            .as("pr_nano"))
+        .localCheckpoint(false)
+    }
+    universe
+      .join(edges.select(col("va").as("vec_id"), col("deg")).distinct(),
+        Seq("vec_id"), "left")
+      .join(ranks, Seq("vec_id"))
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("out_deg"), col("pr_nano"))
+  }
 }

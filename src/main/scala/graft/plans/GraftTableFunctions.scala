@@ -171,6 +171,16 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "retention" =>
             graft.relational.CoreQueries.retentionOf(l3.select(
               col("user_id"), graft.Tables.tsMicros(col("ts")).as("t")))
+          case "anomaly" =>
+            graft.relational.CoreQueries.eventAnomaliesOf(l3)
+          case "source_cap" =>
+            graft.pipeline.TextPipeline.sourceCap(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 10)
+          case "pagerank" =>
+            graft.pipeline.VectorOps.pageRank(l3,
+              if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
+              iters =
+                if (u.longArgs.length > 1) u.longArgs(1).toInt else 8)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -592,6 +602,32 @@ object GraftTableFunctions {
   def retentionTvf(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "retention takes (events_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "retention")), "retention", Nil)
+  }
+
+  /** `anomaly('events')` — integer 3σ outlier screen
+    * ([[graft.relational.CoreQueries.eventAnomaliesOf]]). */
+  def anomalyTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "anomaly takes (events_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "anomaly")), "anomaly", Nil)
+  }
+
+  /** `source_cap('docs'[, cap])` — per-source quality quota
+    * ([[graft.pipeline.TextPipeline.sourceCap]]). */
+  def sourceCapTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "source_cap takes (docs_table[, cap])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "source_cap")), "source_cap",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "source_cap")))
+  }
+
+  /** `pagerank('emb'[, k[, iters]])` — kNN-graph centrality
+    * ([[graft.pipeline.VectorOps.pageRank]]). */
+  def pageRankTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "pagerank takes (emb_table[, k[, iters]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "pagerank")), "pagerank",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "pagerank") })
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

@@ -182,6 +182,44 @@ object CoreQueries {
         "retention")
       .orderBy("cohort_week", "week_no")
   }
+  /** Per-type 3σ outliers over the event stream — the data-quality
+    * screen a pipeline runs before trusting `value` aggregates.
+    * Integer-exact cross-multiplied test: an event is flagged iff
+    * `(n·v − s)² > 9·(n·ssq − s²)` over milli-quantized values (≡
+    * |v − μ| > 3σ population-σ, with no division or sqrt to diverge
+    * on). The squared-sum products overflow int64 past ~10⁷ rows, so
+    * the comparison runs in decimal(38,0) (HUGEINT on the mirror);
+    * ssq itself is summed in decimal — at corpus scale Σv² of
+    * milli-quantized values passes 9.2·10¹⁸ around 10¹² rows. Two
+    * passes: one groupBy for the 5-row stats frame (map-side
+    * combined), then a broadcast join back — the event table never
+    * reshuffles. */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame =
+    eventAnomaliesOf(Tables.load(spark, dir, "events"))
+
+  /** [[eventAnomalies]] over a pre-loaded events frame. */
+  private[graft] def eventAnomaliesOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_milli"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_type"),
+      sum(col("v_milli")).as("s"),
+      sum((col("v_milli") * col("v_milli")).cast("decimal(28,0)"))
+        .as("ssq"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev",
+        col("n_type").cast(d38) * col("v_milli").cast(d38)
+          - col("s").cast(d38))
+      .withColumn("var9",
+        lit(9).cast(d38) * (col("n_type").cast(d38) * col("ssq").cast(d38)
+          - col("s").cast(d38) * col("s").cast(d38)))
+      .filter(col("dev") * col("dev") > col("var9"))
+      .select(col("event_id"), col("event_type"), col("v_milli"),
+        expr("s div n_type").as("mean_milli"), col("n_type"))
+      .orderBy("event_id")
+  }
+
   def topOrdersPerSegment(spark: SparkSession, dir: String, topN: Int = 5)
       : DataFrame = {
     val o = Tables.load(spark, dir, "orders")

@@ -20,6 +20,23 @@ class DataSelectionSpec extends AnyFunSuite {
   private def docs(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "text", "lang")
 
+  test("sourceCap keeps top-cap docs per source by quality, id tiebreak") {
+    // two equal-quality good docs (ids 1 and 3, same text -> exact
+    // score tie, broken by doc_id), one medium, one junk in source a;
+    // a single junk doc in source b still survives (cap is per-source)
+    val good = "the cat and the dog sat on a mat in the sun and " +
+      "the rain and the wind and more"
+    val d = Seq(
+      (1L, good, "a"), (3L, good, "a"),
+      (5L, "99 numbers 42 here 7", "a"), (7L, "1 2 3", "a"),
+      (2L, "1 2 3", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = TextPipeline.sourceCap(d, cap = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(got == Set(("a", 1L, 1L), ("a", 2L, 3L), ("b", 1L, 2L)))
+  }
+
   test("dsirWeights: target-slice docs weigh positive, others negative") {
     // Disjoint vocabularies: every feature of doc 1 appears only in the
     // target (en) slice, every feature of doc 2 only outside it.

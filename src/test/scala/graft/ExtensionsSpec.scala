@@ -413,6 +413,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(s2.sql("SELECT * FROM retention('events_tvf')")) ==
         rows(CoreQueries.retentionOf(evt.select(col("user_id"),
           tsMicros(col("ts")).as("t")))))
+      assert(rows(s2.sql("SELECT * FROM anomaly('events_tvf')")) ==
+        rows(CoreQueries.eventAnomaliesOf(evt)))
+      assert(rows(s2.sql("SELECT * FROM source_cap('docs_tvf')")) ==
+        rows(TextPipeline.sourceCap(docs)))
+      // cap pass-through
+      assert(rows(s2.sql("SELECT * FROM source_cap('docs_tvf', 3)")) ==
+        rows(TextPipeline.sourceCap(docs, cap = 3)))
+      assert(rows(s2.sql("SELECT * FROM pagerank('emb_tvf')")) ==
+        rows(graft.pipeline.VectorOps.pageRank(emb)))
+      // k and iteration pass-through
+      assert(rows(s2.sql("SELECT * FROM pagerank('emb_tvf', 3, 4)")) ==
+        rows(graft.pipeline.VectorOps.pageRank(emb, k = 3, iters = 4)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

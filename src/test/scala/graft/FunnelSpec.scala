@@ -67,4 +67,21 @@ class FunnelSpec extends AnyFunSuite {
       (1L, 0L, 1L, 1L, 1.0),
       (1L, 1L, 1L, 1L, 1.0)))
   }
+
+  test("eventAnomalies flags only the 3-sigma deviant; zero variance flags none") {
+    // type a: 20 events at 10.0 plus one at 200.0 — a lone deviant
+    // among n identical peers sits at z² = n−1, so n = 21 puts it
+    // strictly past 9 while the peers stay inside; type b: constant
+    // values (variance 0), where dev² > 0 must flag nothing
+    val ev = ((1L to 20L).map(i => (i, "a", 10.0)) ++
+      Seq((21L, "a", 200.0)) ++
+      (22L to 25L).map(i => (i, "b", 5.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = CoreQueries.eventAnomaliesOf(ev).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("v_milli"), r.getAs[Long]("mean_milli"),
+        r.getAs[Long]("n_type")))
+    // s = 20·10000 + 200000 = 400000, mean = 400000 div 21 = 19047
+    assert(got.toSeq == Seq((21L, "a", 200000L, 19047L, 21L)))
+  }
 }

@@ -205,6 +205,43 @@ class SearchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank at one cell equals the driver integer fixpoint") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val iters = 4
+    val cases = (71 to 80).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }
+      val ids = q.map(_._1)
+      // edge model = the brute-force kNN model already proven against
+      // knnGraph; the fixpoint below is the independent model under test
+      val edges = q.flatMap { case (va, qa) =>
+        q.filter(_._1 != va)
+          .map { case (vb, qb) => (vb, cosModel(qa, qb)) }
+          .sortBy { case (vb, c) => (-c, vb) }
+          .take(3).map { case (vb, _) => (va, vb) }
+      }
+      val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+      var r = ids.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to iters) {
+        val inflow = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => (85L * r(u)) / (100L * deg(u)) }.sum
+        }
+        r = ids.map(v => v -> (150000000L + inflow.getOrElse(v, 0L))).toMap
+      }
+      val want = ids.map(v => (v, deg.getOrElse(v, 0L), r(v))).toSet
+      val got = VectorOps.pageRank(vs.toDF("vec_id", "embedding"),
+          k = 3, nCells = 1, iters = iters)
+        .collect()
+        .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("out_deg"),
+          x.getAs[Long]("pr_nano"))).toSet
+      assert(got == want, s"pagerank mismatch for ${vs.map(_._2.toSeq)}")
+      // total mass can only shed (floor division + dangling drop)
+      assert(got.toSeq.map(_._3).sum <= ids.size * 1000000000L)
+    }
+  }
+
   test("semDedup at one cell equals the exists-dominance model") {
     import graft.pipeline.VectorOps
     import spark.implicits._
