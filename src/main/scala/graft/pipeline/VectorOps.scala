@@ -1521,11 +1521,21 @@ object VectorOps {
     // inline out-degree via a per-source window: sources hold ≤ k
     // rows each, and the window's shuffle leaves the edge list
     // hash-partitioned on the iteration join key (one knnGraph
-    // evaluation — a deg self-join would run the kNN search twice)
+    // evaluation — a deg self-join would run the kNN search twice).
+    // persist(), NOT localCheckpoint: a checkpoint's ExistingRDD
+    // reports unknown partitioning and every round would re-Exchange
+    // all n·k edge rows; the cached plan keeps the window's
+    // HashPartitioning(va), so per round the edge table is scanned
+    // from memory and either broadcast (small n) or sort-merge-joined
+    // in place on its preserved partitioning — never recomputed,
+    // never hash-re-Exchanged (GraphProbe prints the round plan:
+    // InMemoryTableScan with no Exchange above it). Lineage is fixed
+    // (edges are computed once), so the checkpoint's
+    // lineage-flattening job isn't needed here.
     val edges = knnGraph(emb, k, nCells, trainedCents)
       .select(col("va"), col("vb"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("va")))
-      .localCheckpoint(false)
+      .persist()
     val universe = quantized(emb).select("vec_id").localCheckpoint(false)
     var ranks = universe.withColumn("pr_nano", lit(1000000000L))
     for (_ <- 1 to iters) {
