@@ -37,6 +37,43 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(got == Set(("a", 1L, 1L), ("a", 2L, 3L), ("b", 1L, 2L)))
   }
 
+  test("sourceCap equals the per-source sort model on random corpora") {
+    // quality comes from the (separately oracle-gated) qualityScore;
+    // what this pins is the two-stage salted rank: it must select and
+    // rank EXACTLY like a plain per-source (quality desc, doc_id) sort
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("the", "and", "cat", "dog", "run", "42", "a1b",
+      "lorem", "ipsum", "x")
+    val genDocs = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("s0", "s1", "s2")
+        len <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(len, Gen.oneOf(words))
+      } yield (src, ws.mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((src, t), i) =>
+      (i.toLong * 3 + 1, t, src) } // sparse ids
+    val cap = 3
+    (11 to 20).map(i => genDocs(Gen.Parameters.default, Seed(i.toLong)).get)
+      .foreach { rows =>
+        val d = rows.toDF("doc_id", "text", "source")
+        val qual = TextPipeline.qualityScore(d).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            r.getAs[Double]("quality_score")).toMap
+        val want = rows.groupBy(_._3).flatMap { case (src, ds) =>
+          ds.map(_._1).sortBy(id => (-qual(id), id)).take(cap)
+            .zipWithIndex.map { case (id, i) =>
+              (src, i + 1L, id, qual(id)) }
+        }.toSet
+        val got = TextPipeline.sourceCap(d, cap).collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score")))
+          .toSet
+        assert(got == want, s"sourceCap mismatch on ${rows.take(6)}...")
+      }
+  }
+
   test("dsirWeights: target-slice docs weigh positive, others negative") {
     // Disjoint vocabularies: every feature of doc 1 appears only in the
     // target (en) slice, every feature of doc 2 only outside it.

@@ -85,4 +85,25 @@ class DeterminismSpec extends AnyFunSuite {
       TextPipeline.boilerplateRemove(docs)
     }
   }
+
+  test("pageRank fixpoint is invariant to the shuffle width") {
+    assertInvariant("pageRank") { s =>
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.pageRank(emb, iters = 3)
+    }
+  }
+
+  test("sourceCap survivors are invariant to the shuffle width") {
+    // the salt count changes with the conf — the kept SET must not
+    assertInvariant("sourceCap") { s =>
+      val docs = Tables.load(s, dir, "documents")
+      TextPipeline.sourceCap(docs)
+    }
+  }
+
+  test("eventAnomalies flags are invariant to the shuffle width") {
+    assertInvariant("eventAnomalies") { s =>
+      graft.relational.CoreQueries.eventAnomalies(s, dir)
+    }
+  }
 }

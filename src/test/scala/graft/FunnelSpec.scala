@@ -84,4 +84,38 @@ class FunnelSpec extends AnyFunSuite {
     // s = 20·10000 + 200000 = 400000, mean = 400000 div 21 = 19047
     assert(got.toSeq == Seq((21L, "a", 200000L, 19047L, 21L)))
   }
+
+  test("eventAnomalies equals the BigInt driver model on random values") {
+    // exercises the decimal(38,0) product path and the milli rounding
+    // against exact BigInteger arithmetic
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        ty <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0.0, 600.0)
+      } yield (ty, v))
+    } yield rows.zipWithIndex.map { case ((ty, v), i) => (i.toLong, ty, v) }
+    (91 to 100).map(i => genCase(Gen.Parameters.default, Seed(i.toLong)).get)
+      .foreach { rows =>
+        val byType = rows.groupBy(_._2)
+        val want = rows.flatMap { case (id, ty, v) =>
+          val vs = byType(ty).map(r => BigInt(math.round(r._3 * 1000)))
+          val (n, s) = (BigInt(vs.size), vs.sum)
+          val ssq = vs.map(x => x * x).sum
+          val vm = BigInt(math.round(v * 1000))
+          val dev = n * vm - s
+          if (dev * dev > 9 * (n * ssq - s * s))
+            Some((id, ty, vm.toLong, (s / n).toLong, n.toLong))
+          else None
+        }
+        val got = CoreQueries.eventAnomaliesOf(
+            rows.toDF("event_id", "event_type", "value")).collect()
+          .map(r => (r.getAs[Long]("event_id"),
+            r.getAs[String]("event_type"), r.getAs[Long]("v_milli"),
+            r.getAs[Long]("mean_milli"), r.getAs[Long]("n_type"))).toSeq
+        assert(got == want, s"anomaly mismatch on $rows")
+      }
+  }
 }
