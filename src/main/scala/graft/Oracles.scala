@@ -3073,6 +3073,34 @@ object Oracles {
         |FROM hv""".stripMargin
   }
 
+  /** Mirror of `TextPipeline.sourceDistinctEstimate`: the KMV sketch
+    * per source — k smallest distinct 48-bit shingle hashes via a
+    * plain per-source rank (the engine's two-stage salted top-k must
+    * select the same minima). */
+  def pipeSourceDistinct(k: Int = 64): String = {
+    val hv = (1 to 12).map { i =>
+      val mult = 1L << (4 * (12 - i))
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString(" + ")
+    DocShinglesCte +
+      s""", shs AS (
+        |  SELECT DISTINCT d.source, md5(sh.shingle) AS h
+        |  FROM sh JOIN documents d USING (doc_id)
+        |), shv AS (
+        |  SELECT source, ($hv) AS hv FROM shs
+        |), srk AS (
+        |  SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY hv) AS rn
+        |  FROM (SELECT DISTINCT source, hv FROM shv)
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS k_minima,
+        |  MAX(hv) AS kth_hash,
+        |  CAST(COUNT(*) - 1 AS DOUBLE) * 281474976710656
+        |    / CAST(MAX(hv) AS DOUBLE) AS est_distinct
+        |FROM srk WHERE rn <= $k GROUP BY source
+        |ORDER BY source""".stripMargin
+  }
+
   /** Mirror of `TextPipeline.corpusProfile`. */
   def pipeProfile: String =
     """SELECT source,
@@ -3410,6 +3438,49 @@ object Oracles {
       |FROM puni n LEFT JOIN pdeg d ON d.va = n.vec_id
       |JOIN pr$iters p ON p.vec_id = n.vec_id
       |ORDER BY n.vec_id""".stripMargin
+  }
+
+  /** Mirror of `VectorOps.labelPropagate`: the same synchronous
+    * majority-vote rounds over the kNN edges, unrolled as generated
+    * CTEs with the majority picked by an explicit
+    * `(cnt DESC, lab ASC)` window (≡ the engine's
+    * `max(struct(cnt, −lab))` argmax). Edge/truth/per-round label
+    * CTEs MATERIALIZED, as in [[pipePageRank]]. */
+  def pipeLabelProp(k: Int = 5, nCells: Int = 16, iters: Int = 3,
+      seedMod: Int = 10): String = {
+    val chain = (1 to iters).map { i =>
+      s""", lv$i AS (
+      |  SELECT e.va AS vec_id, l.lab, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM le e JOIN ll${i - 1} l ON l.vec_id = e.vb
+      |  WHERE l.lab >= 0 GROUP BY e.va, l.lab
+      |), lm$i AS (
+      |  SELECT vec_id, lab AS maj FROM (
+      |    SELECT vec_id, lab, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cnt DESC, lab ASC) AS rn FROM lv$i)
+      |  WHERE rn = 1
+      |), ll$i AS MATERIALIZED (
+      |  SELECT t.vec_id, CAST(CASE WHEN t.is_seed THEN t.true_label
+      |    ELSE COALESCE(m.maj, -1) END AS BIGINT) AS lab
+      |  FROM ltr t LEFT JOIN lm$i m USING (vec_id)
+      |)""".stripMargin
+    }.mkString
+    KnnCte(nCells) +
+    s""", le AS MATERIALIZED (
+      |  SELECT va, vb FROM krr WHERE rnk <= $k
+      |), ltr AS MATERIALIZED (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+      |    vec_id % $seedMod = 0 AS is_seed
+      |  FROM embeddings
+      |), ll0 AS (
+      |  SELECT vec_id, CASE WHEN is_seed THEN true_label
+      |    ELSE CAST(-1 AS BIGINT) END AS lab
+      |  FROM ltr
+      |)""".stripMargin + chain +
+    s"""
+      |SELECT t.vec_id, t.is_seed, t.true_label, l.lab AS prop_label,
+      |  (l.lab >= 0 AND l.lab = t.true_label) AS agree
+      |FROM ltr t JOIN ll$iters l USING (vec_id)
+      |ORDER BY t.vec_id""".stripMargin
   }
 
   /** Mirror of `VectorOps.knnRecall`: exact all-pairs self-kNN vs the

@@ -822,6 +822,12 @@ object SparkEntry {
       VectorOps.pageRank(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("vec_id")),
+    // semi-supervised auto-labeling: majority-vote rounds over the kNN
+    // edges from a 1-in-10 seed set, graded against held-out truth
+    "pipe_label_prop" -> ((s, d) =>
+      VectorOps.labelPropagate(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
     // ONLINE semantic dedup: arrival-order greedy per cell over the
     // stored centroids; state = kept survivors only
     "pipe_semdedup_stream" -> ((s, d) =>
@@ -897,6 +903,10 @@ object SparkEntry {
     "pipe_source_cap" -> ((s, d) =>
       TextPipeline.sourceCap(Tables.load(s, d, "documents"))
         .orderBy("source", "rnk")),
+    // per-domain KMV: unique-content forecast before a dedup run
+    "pipe_source_distinct" -> ((s, d) =>
+      TextPipeline.sourceDistinctEstimate(Tables.load(s, d, "documents"))
+        .orderBy("source")),
     "pipe_tokens" -> ((s, d) =>
       TextPipeline.tokenCounts(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_ws_tokens"), col("n_alpha_tokens"),
@@ -992,6 +1002,12 @@ object SparkEntry {
     "pipe_sql_pagerank" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM pagerank('emb_sql')")
         .orderBy("vec_id")),
+    "pipe_sql_label_prop" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM label_prop('emb_sql')")
+        .orderBy("vec_id")),
+    "pipe_sql_source_distinct" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM source_distinct('docs_sql')")
+        .orderBy("source")),
     "q09_sql_retention" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM retention('events_sql')")
         .orderBy("cohort_week", "week_no")),
@@ -1576,6 +1592,10 @@ object SparkEntry {
     "pipe_semdedup_stream" -> Oracles.pipeSemDedupStream(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
     "pipe_pagerank" -> Oracles.pipePageRank(),
+    "pipe_label_prop" -> Oracles.pipeLabelProp(),
+    "pipe_sql_label_prop" -> Oracles.pipeLabelProp(),
+    "pipe_source_distinct" -> Oracles.pipeSourceDistinct(),
+    "pipe_sql_source_distinct" -> Oracles.pipeSourceDistinct(),
     "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
     "pipe_knn_recall" -> Oracles.pipeKnnRecall(),
     "pipe_sem_keep_best" -> Oracles.pipeSemKeepBest(),

@@ -142,7 +142,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "retention" -> graft.plans.GraftTableFunctions.retentionTvf _,
       "anomaly" -> graft.plans.GraftTableFunctions.anomalyTvf _,
       "source_cap" -> graft.plans.GraftTableFunctions.sourceCapTvf _,
-      "pagerank" -> graft.plans.GraftTableFunctions.pageRankTvf _)
+      "pagerank" -> graft.plans.GraftTableFunctions.pageRankTvf _,
+      "label_prop" -> graft.plans.GraftTableFunctions.labelPropTvf _,
+      "source_distinct" ->
+        graft.plans.GraftTableFunctions.sourceDistinctTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

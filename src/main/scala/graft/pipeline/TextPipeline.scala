@@ -825,6 +825,35 @@ object TextPipeline {
           col("kth_hash").cast("double")).as("est_distinct"))
   }
 
+  /** Per-source KMV distinct-shingle estimate: [[distinctShingleEstimate]]
+    * stratified by source — the dedup-planning table that says how
+    * much UNIQUE content each domain actually contributes (a domain
+    * with many pages and few distinct shingles is near-duplicate spam;
+    * the ratio to its raw volume is the dedup-yield forecast). Same
+    * md5-derived 48-bit integer hash, k smallest DISTINCT hashes per
+    * source; the per-source ranking is the salted two-stage top-k
+    * ([[VectorOps.topKPerQuery]] ascending), so the biggest domain
+    * never sorts its shingle set in one task. Estimate =
+    * (k−1)·space/h_k, the one float division. */
+  def sourceDistinctEstimate(docs: DataFrame, k: Int = 64): DataFrame = {
+    val hex = "0123456789abcdef"
+    val hBits = (1 to 12).map { i =>
+      val mult = 1L << (4 * (12 - i))
+      expr(s"(locate(substring(h, $i, 1), '$hex') - 1) * ${mult}L")
+    }.reduce(_ + _)
+    val space = math.pow(16, 12)
+    val hashes = shingled(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .select(col("source").as("query_id"), hBits.as("vb")).distinct()
+    VectorOps.topKPerQuery(hashes, k, col("vb").asc)
+      .groupBy(col("query_id").as("source"))
+      .agg(count(lit(1)).as("k_minima"), max(col("vb")).as("kth_hash"))
+      .select(col("source"), col("k_minima"), col("kth_hash"),
+        ((col("k_minima") - 1).cast("double") * space /
+          col("kth_hash").cast("double")).as("est_distinct"))
+  }
+
   /** Corpus vocabulary: top-N words by occurrence count. */
   def vocabTop(docs: DataFrame, topN: Int = 20): DataFrame = {
     val w = Window.orderBy(col("n").desc, col("word"))

@@ -1557,4 +1557,58 @@ object VectorOps {
       .select(col("vec_id"),
         coalesce(col("deg"), lit(0L)).as("out_deg"), col("pr_nano"))
   }
+
+  /** Label propagation over the kNN graph (Zhu & Ghahramani 2002 made
+    * discrete): the semi-supervised auto-labeler — every `seedMod`-th
+    * vector keeps its true label, the rest start unlabeled (−1) and
+    * each round adopt the MAJORITY label among their k nearest
+    * neighbors' current labels (unlabeled neighbors ignored; ties to
+    * the smallest label — fully deterministic, no scores to drift).
+    * Seeds are clamped every round. Because the table carries ground
+    * truth, the output doubles as the accuracy gauge a deployment
+    * reads before trusting the labeler: `is_seed`, the propagated
+    * `prop_label`, the held-out `true_label`, and `match` per vector.
+    *
+    * Scale shape: identical to [[pageRank]] — the ≤ n·k edge list is
+    * built once and persist()ed hash-partitioned on the gather key,
+    * each round is one co-located label join + one (va, label)
+    * count + the map-side argmax (`max(struct(cnt, −label))`, the
+    * ivfAssignments discipline — never a per-va sort), labels
+    * re-checkpoint per round. Rounds are the reach knob: r rounds
+    * label everything within r hops of a seed. */
+  def labelPropagate(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      iters: Int = 3, seedMod: Int = 10,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val edges = knnGraph(emb, k, nCells, trainedCents)
+      .select(col("va"), col("vb"))
+      .persist()
+    val truth = emb
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        (col("vec_id") % seedMod === 0).as("is_seed"))
+      .localCheckpoint(false)
+    var labels = truth.select(col("vec_id"),
+      when(col("is_seed"), col("true_label")).otherwise(lit(-1L))
+        .as("lab"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("vec_id").as("vb"), col("lab")), Seq("vb"))
+        .filter(col("lab") >= 0)
+        .groupBy(col("va"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("va").as("vec_id"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("best"))
+        .select(col("vec_id"), (-col("best.nl")).as("maj"))
+      labels = truth
+        .join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("is_seed"), col("true_label"))
+            .otherwise(coalesce(col("maj"), lit(-1L))).as("lab"))
+        .localCheckpoint(false)
+    }
+    truth.join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("is_seed"), col("true_label"),
+        col("lab").as("prop_label"),
+        (col("lab") >= 0 && col("lab") === col("true_label"))
+          .as("agree"))
+  }
 }

@@ -181,6 +181,16 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
               iters =
                 if (u.longArgs.length > 1) u.longArgs(1).toInt else 8)
+          case "label_prop" =>
+            graft.pipeline.VectorOps.labelPropagate(l3,
+              if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
+              iters =
+                if (u.longArgs.length > 1) u.longArgs(1).toInt else 3,
+              seedMod =
+                if (u.longArgs.length > 2) u.longArgs(2).toInt else 10)
+          case "source_distinct" =>
+            graft.pipeline.TextPipeline.sourceDistinctEstimate(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 64)
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -628,6 +638,26 @@ object GraftTableFunctions {
     UnresolvedGraftCall(rel(strLit(exprs, 0, "pagerank")), "pagerank",
       exprs.drop(1).zipWithIndex.map { case (_, i) =>
         longLit(exprs, i + 1, "pagerank") })
+  }
+
+  /** `label_prop('emb'[, k[, iters[, seed_mod]]])` — kNN-graph label
+    * propagation ([[graft.pipeline.VectorOps.labelPropagate]]). */
+  def labelPropTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 4,
+      "label_prop takes (emb_table[, k[, iters[, seed_mod]]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "label_prop")), "label_prop",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "label_prop") })
+  }
+
+  /** `source_distinct('docs'[, k])` — per-source KMV distinct
+    * estimate ([[graft.pipeline.TextPipeline.sourceDistinctEstimate]]). */
+  def sourceDistinctTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "source_distinct takes (docs_table[, k])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "source_distinct")),
+      "source_distinct",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "source_distinct")))
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

@@ -106,4 +106,19 @@ class DeterminismSpec extends AnyFunSuite {
       graft.relational.CoreQueries.eventAnomalies(s, dir)
     }
   }
+
+  test("labelPropagate labels are invariant to the shuffle width") {
+    assertInvariant("labelPropagate") { s =>
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.labelPropagate(emb, iters = 2)
+    }
+  }
+
+  test("sourceDistinctEstimate minima are invariant to the shuffle width") {
+    // the ascending salted top-k path (the others rank descending)
+    assertInvariant("sourceDistinctEstimate") { s =>
+      val docs = Tables.load(s, dir, "documents")
+      TextPipeline.sourceDistinctEstimate(docs, k = 16)
+    }
+  }
 }

@@ -425,6 +425,17 @@ class ExtensionsSpec extends AnyFunSuite {
       // k and iteration pass-through
       assert(rows(s2.sql("SELECT * FROM pagerank('emb_tvf', 3, 4)")) ==
         rows(graft.pipeline.VectorOps.pageRank(emb, k = 3, iters = 4)))
+      assert(rows(s2.sql("SELECT * FROM label_prop('emb_tvf')")) ==
+        rows(graft.pipeline.VectorOps.labelPropagate(emb)))
+      // k / iters / seed-mod pass-through
+      assert(rows(s2.sql("SELECT * FROM label_prop('emb_tvf', 3, 2, 4)")) ==
+        rows(graft.pipeline.VectorOps.labelPropagate(emb, k = 3,
+          iters = 2, seedMod = 4)))
+      assert(rows(s2.sql("SELECT * FROM source_distinct('docs_tvf')")) ==
+        rows(TextPipeline.sourceDistinctEstimate(docs)))
+      // k pass-through
+      assert(rows(s2.sql("SELECT * FROM source_distinct('docs_tvf', 8)")) ==
+        rows(TextPipeline.sourceDistinctEstimate(docs, k = 8)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -242,6 +242,53 @@ class SearchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagate at one cell equals the majority-vote model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    val iters = 2
+    val cases = (81 to 90).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }
+      val ids = q.map(_._1)
+      val truth = ids.map(id => id -> (id % 3)).toMap
+      val seed = ids.map(id => id -> (id % 2 == 0)).toMap
+      val edges = q.flatMap { case (va, qa) =>
+        q.filter(_._1 != va)
+          .map { case (vb, qb) => (vb, cosModel(qa, qb)) }
+          .sortBy { case (vb, c) => (-c, vb) }
+          .take(3).map { case (vb, _) => (va, vb) }
+      }
+      var lab = ids.map(id =>
+        id -> (if (seed(id)) truth(id) else -1L)).toMap
+      for (_ <- 1 to iters) {
+        val byVa = edges.groupBy(_._1)
+        lab = ids.map { id =>
+          id -> (if (seed(id)) truth(id)
+          else {
+            val votes = byVa.getOrElse(id, Nil).map(e => lab(e._2))
+              .filter(_ >= 0)
+            if (votes.isEmpty) -1L
+            else votes.groupBy(identity).toSeq
+              .map { case (l, os) => (os.size, l) }
+              .sortBy { case (c, l) => (-c, l) }.head._2
+          })
+        }.toMap
+      }
+      val want = ids.map(id => (id, seed(id), truth(id), lab(id),
+        lab(id) >= 0 && lab(id) == truth(id))).toSet
+      val emb = vs.map { case (id, v) => (id, v, (id % 3).toInt) }
+        .toDF("vec_id", "embedding", "label")
+      val got = VectorOps.labelPropagate(emb, k = 3, nCells = 1,
+          iters = iters, seedMod = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Boolean]("is_seed"),
+          r.getAs[Long]("true_label"), r.getAs[Long]("prop_label"),
+          r.getAs[Boolean]("agree"))).toSet
+      assert(got == want, s"labelprop mismatch for ${vs.map(_._2.toSeq)}")
+    }
+  }
+
   test("semDedup at one cell equals the exists-dominance model") {
     import graft.pipeline.VectorOps
     import spark.implicits._

@@ -503,4 +503,35 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[Long]("dup_words") === 17L)
     assert(row.getAs[String]("clean_md5") === md5Hex("tail1 tail2"))
   }
+
+  test("sourceDistinctEstimate equals the driver KMV model per source") {
+    // source a: two docs sharing one shingle (distinct-shingle count
+    // 5, not 6); source b: one doc with 2 shingles; k = 4 makes the
+    // kth minimum binding for a and exhaustive for b
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5", "a"),   // shingles: w1w2w3 w2w3w4 w3w4w5
+      (2L, "w3 w4 w5 w6 w7", "a"),   // w3w4w5 (dup) w4w5w6 w5w6w7
+      (3L, "q1 q2 q3 q4", "b")       // q1q2q3 q2q3q4
+    ).toDF("doc_id", "text", "source")
+    def h48(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val space = math.pow(16, 12)
+    val model = Map(
+      "a" -> Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5", "w4 w5 w6",
+        "w5 w6 w7"),
+      "b" -> Seq("q1 q2 q3", "q2 q3 q4")
+    ).map { case (src, sh) =>
+      val mins = sh.map(h48).distinct.sorted.take(4)
+      src -> ((mins.size.toLong, mins.max,
+        (mins.size - 1).toDouble * space / mins.max.toDouble))
+    }
+    val got = TextPipeline.sourceDistinctEstimate(d, k = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("k_minima"), r.getAs[Long]("kth_hash"),
+          r.getAs[Double]("est_distinct")))).toMap
+    assert(got == model)
+  }
 }
