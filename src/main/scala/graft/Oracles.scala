@@ -4209,16 +4209,49 @@ object Oracles {
 
   /** The quality-score expression over a `text` column (shared by
     * `pipeQuality` and the end-to-end curation oracle). */
-  private def qualityScoreSql: String =
-    """CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500 THEN 4 ELSE 0 END
+  /** The integer quality points (0..10) shared by the score and the
+    * sampling weight — kept integral so no float round-trip exists to
+    * cast differently across engines. */
+  private def qualityPointsSql: String =
+    """CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500 THEN 4 ELSE 0 END
       |   + CASE WHEN len(list_filter(string_split(text, ' '),
       |       x -> x IN ('the','and','of','to','a','in','is','it','for','on'))) * 5
       |       >= len(string_split(text, ' ')) THEN 3 ELSE 0 END
       |   + CASE WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10
       |       <= length(text) THEN 2 ELSE 0 END
       |   + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-      |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
-      |   AS DOUBLE) / 10""".stripMargin
+      |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END""".stripMargin
+
+  private def qualityScoreSql: String =
+    s"CAST($qualityPointsSql AS DOUBLE) / 10"
+
+  /** Mirror of `TrainingData.weightedSample`: the same Madow
+    * systematic-PPS walk as one plain prefix-sum window (the engine's
+    * bucket-offset construction must produce the identical global
+    * cumsum in (sample_key, doc_id) order). */
+  def pipeWeightedSample(targetN: Int = 50,
+      salt: String = "sample0"): String =
+    s"""WITH q AS (
+      |  SELECT doc_id, CAST($qualityPointsSql AS BIGINT) + 1 AS w
+      |  FROM documents
+      |), k AS (
+      |  SELECT d.doc_id, md5('$salt#' || d.text) AS sample_key, q.w
+      |  FROM documents d JOIN q USING (doc_id)
+      |), c AS (
+      |  SELECT doc_id, w,
+      |    CAST(SUM(w) OVER (ORDER BY sample_key, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+      |  FROM k
+      |), t AS (
+      |  SELECT GREATEST(1, CAST(SUM(w) AS BIGINT) // $targetN) AS stride
+      |  FROM k
+      |)
+      |SELECT c.doc_id, c.w, c.cum_w,
+      |  CAST(c.cum_w // t.stride - (c.cum_w - c.w) // t.stride AS BIGINT)
+      |    AS n_picks
+      |FROM c, t
+      |WHERE c.cum_w // t.stride > (c.cum_w - c.w) // t.stride
+      |ORDER BY c.doc_id""".stripMargin
 
   def pipeQuality: String =
     s"""SELECT doc_id,

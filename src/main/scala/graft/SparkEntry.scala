@@ -907,6 +907,11 @@ object SparkEntry {
     "pipe_source_distinct" -> ((s, d) =>
       TextPipeline.sourceDistinctEstimate(Tables.load(s, d, "documents"))
         .orderBy("source")),
+    // Madow systematic PPS: weighted sampling with no RNG and no ln —
+    // the stride walk over the bucket-offset global prefix sum
+    "pipe_weighted_sample" -> ((s, d) =>
+      pipeline.TrainingData.weightedSample(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
     "pipe_tokens" -> ((s, d) =>
       TextPipeline.tokenCounts(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_ws_tokens"), col("n_alpha_tokens"),
@@ -1008,6 +1013,9 @@ object SparkEntry {
     "pipe_sql_source_distinct" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM source_distinct('docs_sql')")
         .orderBy("source")),
+    "pipe_sql_weighted_sample" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM weighted_sample('docs_sql')")
+        .orderBy("doc_id")),
     "q09_sql_retention" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM retention('events_sql')")
         .orderBy("cohort_week", "week_no")),
@@ -1596,6 +1604,8 @@ object SparkEntry {
     "pipe_sql_label_prop" -> Oracles.pipeLabelProp(),
     "pipe_source_distinct" -> Oracles.pipeSourceDistinct(),
     "pipe_sql_source_distinct" -> Oracles.pipeSourceDistinct(),
+    "pipe_weighted_sample" -> Oracles.pipeWeightedSample(),
+    "pipe_sql_weighted_sample" -> Oracles.pipeWeightedSample(),
     "pipe_knn_clusters" -> Oracles.pipeKnnClusters(),
     "pipe_knn_recall" -> Oracles.pipeKnnRecall(),
     "pipe_sem_keep_best" -> Oracles.pipeSemKeepBest(),

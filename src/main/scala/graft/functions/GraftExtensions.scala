@@ -145,7 +145,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "pagerank" -> graft.plans.GraftTableFunctions.pageRankTvf _,
       "label_prop" -> graft.plans.GraftTableFunctions.labelPropTvf _,
       "source_distinct" ->
-        graft.plans.GraftTableFunctions.sourceDistinctTvf _)
+        graft.plans.GraftTableFunctions.sourceDistinctTvf _,
+      "weighted_sample" ->
+        graft.plans.GraftTableFunctions.weightedSampleTvf _)
     more.foreach { case (name, builder) =>
       e.injectTableFunction((
         new FunctionIdentifier(name),

@@ -161,6 +161,60 @@ object TrainingData {
     * `w / (2·w_max)` — pure integer comparison, no RNG, stable under
     * any partitioning. Complements [[TextPipeline.langBalance]] (hard
     * caps): rates preserve relative volume within a weight class. */
+  /** Weighted sampling without replacement by SYSTEMATIC PPS (Madow
+    * 1949): documents line up in deterministic md5-shuffled order,
+    * weights (integer quality tenths + 1) cumulate into a global
+    * prefix sum, and every multiple of `stride = totalW div targetN`
+    * picks the document whose weight interval it lands in — selection
+    * probability ∝ weight, exactly integer, no ln/no RNG (the
+    * Efraimidis–Spirakis key needs a float log that no two libms
+    * round identically; the systematic walk needs only division).
+    * The prefix sum is the [[shuffleOrder]] bucket-offset
+    * construction (12-bit key-prefix buckets, tiny offset window,
+    * per-bucket parallel cumsum) — no global single-task window at
+    * any size. A document heavier than the stride is picked more
+    * than once: `n_picks` counts the stride multiples inside its
+    * interval (with-replacement multiplicity, the PPS convention).
+    * Output: the picked docs with their weight, inclusive cumulative
+    * weight, and pick multiplicity. */
+  def weightedSample(docs: DataFrame, targetN: Int = 50,
+      salt: String = "sample0"): DataFrame = {
+    // weight = integer quality points + 1 (1..11), rebuilt from the
+    // component columns — NOT from quality_score*10: that float
+    // round-trip casts differently across engines (Spark truncates,
+    // DuckDB rounds)
+    val qual = TextPipeline.qualityScore(docs)
+      .select(col("doc_id"),
+        (when(col("n_words").between(20, 500), 4L).otherwise(0L)
+          + when(col("n_stop") * 5 >= col("n_words"), 3L).otherwise(0L)
+          + when(col("n_digits") * 10 <= col("n_chars_m"), 2L).otherwise(0L)
+          + when(col("mean_word_len").between(3.0, 10.0), 1L).otherwise(0L)
+          + 1L).as("w"))
+    val keyed = docs.select(col("doc_id"),
+        md5(concat(lit(salt), lit("#"), col("text"))).as("sample_key"))
+      .join(qual, Seq("doc_id"))
+      .withColumn("bucket",
+        expr("conv(substring(sample_key, 1, 3), 16, 10)").cast("long"))
+    val offsets = keyed.groupBy("bucket").agg(sum("w").as("bw"))
+      .withColumn("bucket_offset",
+        sum("bw").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"),
+        coalesce(col("bucket_offset"), lit(0L)).as("bucket_offset"))
+    val wIn = Window.partitionBy("bucket").orderBy("sample_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = keyed.join(broadcast(offsets), "bucket")
+      .withColumn("cum_w", col("bucket_offset") + sum("w").over(wIn))
+    val total = cum.agg(sum("w").as("total_w"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("stride",
+        greatest(lit(1L), expr("total_w div " + targetN)))
+      .withColumn("n_picks",
+        expr("cum_w div stride - (cum_w - w) div stride"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("w"), col("cum_w"), col("n_picks"))
+  }
+
   def sourceMix(docs: DataFrame, wMax: Int = 2): DataFrame = {
     val h = md5(concat(lit("mix#"), col("text")))
     val bucket = ((ascii(substring(h, 1, 1)) * 65536 +

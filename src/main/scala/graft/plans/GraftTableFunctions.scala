@@ -191,6 +191,10 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "source_distinct" =>
             graft.pipeline.TextPipeline.sourceDistinctEstimate(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 64)
+          case "weighted_sample" =>
+            graft.pipeline.TrainingData.weightedSample(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 50,
+              u.strArgs.headOption.getOrElse("sample0"))
           case other => throw new IllegalStateException(
             s"unknown graft table function: $other")
         }
@@ -658,6 +662,19 @@ object GraftTableFunctions {
     UnresolvedGraftCall(rel(strLit(exprs, 0, "source_distinct")),
       "source_distinct",
       exprs.drop(1).map(_ => longLit(exprs, 1, "source_distinct")))
+  }
+
+  /** `weighted_sample('docs'[, n[, salt]])` — systematic PPS sampling
+    * ([[graft.pipeline.TrainingData.weightedSample]]). */
+  def weightedSampleTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "weighted_sample takes (docs_table[, n[, salt]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "weighted_sample")),
+      "weighted_sample",
+      if (exprs.length >= 2) Seq(longLit(exprs, 1, "weighted_sample"))
+      else Nil,
+      if (exprs.length == 3) Seq(strLit(exprs, 2, "weighted_sample"))
+      else Nil)
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

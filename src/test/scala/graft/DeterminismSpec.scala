@@ -121,4 +121,13 @@ class DeterminismSpec extends AnyFunSuite {
       TextPipeline.sourceDistinctEstimate(docs, k = 16)
     }
   }
+
+  test("weightedSample picks are invariant to the shuffle width") {
+    // the bucket-offset global prefix sum must not depend on how the
+    // per-bucket cumsums were partitioned
+    assertInvariant("weightedSample") { s =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.TrainingData.weightedSample(docs)
+    }
+  }
 }

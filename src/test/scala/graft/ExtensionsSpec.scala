@@ -436,6 +436,13 @@ class ExtensionsSpec extends AnyFunSuite {
       // k pass-through
       assert(rows(s2.sql("SELECT * FROM source_distinct('docs_tvf', 8)")) ==
         rows(TextPipeline.sourceDistinctEstimate(docs, k = 8)))
+      assert(rows(s2.sql("SELECT * FROM weighted_sample('docs_tvf')")) ==
+        rows(graft.pipeline.TrainingData.weightedSample(docs)))
+      // n and salt pass-through
+      assert(rows(
+        s2.sql("SELECT * FROM weighted_sample('docs_tvf', 9, 'epoch1')")) ==
+        rows(graft.pipeline.TrainingData.weightedSample(docs,
+          targetN = 9, salt = "epoch1")))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

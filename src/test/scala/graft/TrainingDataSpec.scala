@@ -314,4 +314,52 @@ class TrainingDataSpec extends AnyFunSuite {
     val cosines = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
+
+  test("weightedSample equals the driver systematic-PPS walk") {
+    // weights come from the (separately oracle-gated) quality points;
+    // what this pins is the bucket-offset prefix sum + stride walk
+    import graft.pipeline.TextPipeline
+    val texts = (1L to 30L).map { i =>
+      // vary quality: every 3rd doc is a long stopword-rich text
+      val t = if (i % 3 == 0)
+        ("the and of to a in is it for on " * 3).trim + s" tail$i"
+      else s"x$i y$i ${i}1"
+      (i * 7 + 2, t) // sparse ids
+    }
+    val d = docs(texts: _*)
+    val targetN = 5
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // driver model: the same weights, plain sort + cumsum + stride
+    val qual = TextPipeline.qualityScore(d).collect().map { r =>
+      val pts =
+        (if (r.getAs[Long]("n_words") >= 20 &&
+          r.getAs[Long]("n_words") <= 500) 4L else 0L) +
+        (if (r.getAs[Long]("n_stop") * 5 >= r.getAs[Long]("n_words")) 3L
+         else 0L) +
+        (if (r.getAs[Long]("n_digits") * 10 <= r.getAs[Long]("n_chars_m"))
+          2L else 0L) +
+        (if (r.getAs[Double]("mean_word_len") >= 3.0 &&
+          r.getAs[Double]("mean_word_len") <= 10.0) 1L else 0L)
+      r.getAs[Long]("doc_id") -> (pts + 1)
+    }.toMap
+    val ordered = texts.map { case (id, t) =>
+      (md5Hex(s"sample0#$t"), id, qual(id)) }.sorted
+    val totalW = ordered.map(_._3).sum
+    val stride = math.max(1L, totalW / targetN)
+    var cum = 0L
+    val want = ordered.flatMap { case (_, id, w) =>
+      cum += w
+      val picks = cum / stride - (cum - w) / stride
+      if (picks > 0) Some((id, w, cum, picks)) else None
+    }.sortBy(_._1)
+    val got = TrainingData.weightedSample(d, targetN).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+        r.getAs[Long]("cum_w"), r.getAs[Long]("n_picks"))).toSeq
+    assert(got == want)
+    // the walk selects ~targetN distinct docs, weighted: total picks
+    // = totalW div stride ∈ [targetN, targetN + targetN)
+    assert(got.map(_._4).sum == totalW / stride)
+  }
 }
