@@ -74,6 +74,11 @@ object SparkEntry {
     // integer-exact 3-sigma outlier screen: 5-row stats broadcast back,
     // the event table never reshuffles
     "q12_anomaly" -> ((s, d) => CoreQueries.eventAnomalies(s, d)),
+    // the same screen SERVED: stats stored batch, events scored on
+    // ingest by a stateless stream-static join -> q12's mirror unchanged
+    "q13_anomaly_stream" -> ((s, d) =>
+      streaming.StreamingOps.anomalyProbeReplay(Tables.load(s, d, "events"), s)
+        .orderBy("event_id")),
     // Spark's BUILT-IN stateful windowed aggregation (watermark-closed
     // tumbling windows), replayed and checked against the batch grid
     "q10_event_rates_stream" -> ((s, d) =>
@@ -1480,6 +1485,7 @@ object SparkEntry {
     "q08_funnel" -> Oracles.q08Funnel,
     "q09_retention" -> Oracles.q09Retention,
     "q12_anomaly" -> Oracles.q12Anomaly,
+    "q13_anomaly_stream" -> Oracles.q12Anomaly,
     "q10_event_rates_stream" -> Oracles.q10EventRatesStream,
     "q11_funnel_stream" -> Oracles.q08Funnel,
     "mkt_spread" -> Oracles.mktSpread,

@@ -199,14 +199,28 @@ object CoreQueries {
 
   /** [[eventAnomalies]] over a pre-loaded events frame. */
   private[graft] def eventAnomaliesOf(events: DataFrame): DataFrame = {
-    val d38 = "decimal(38,0)"
     val ev = events.select(col("event_id"), col("event_type"),
       round(col("value") * 1000).cast("long").as("v_milli"))
-    val stats = ev.groupBy("event_type").agg(
+    flagAnomalies(ev, anomalyStatsOf(ev)).orderBy("event_id")
+  }
+
+  /** The per-type stats model the 3σ test needs — the TRAINED side of
+    * the screen (5 rows here; one row per event type anywhere). A
+    * deployment builds this batch and stores it; the streaming probe
+    * joins fresh events against it. */
+  private[graft] def anomalyStatsOf(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type").agg(
       count(lit(1)).as("n_type"),
       sum(col("v_milli")).as("s"),
       sum((col("v_milli") * col("v_milli")).cast("decimal(28,0)"))
         .as("ssq"))
+
+  /** The stateless scoring half: broadcast-join events against the
+    * stats model and keep the 3σ outliers. Works identically on a
+    * batch frame and on a stream (stream-static join — no state). */
+  private[graft] def flagAnomalies(ev: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("dev",
         col("n_type").cast(d38) * col("v_milli").cast(d38)
@@ -217,7 +231,6 @@ object CoreQueries {
       .filter(col("dev") * col("dev") > col("var9"))
       .select(col("event_id"), col("event_type"), col("v_milli"),
         expr("s div n_type").as("mean_milli"), col("n_type"))
-      .orderBy("event_id")
   }
 
   def topOrdersPerSegment(spark: SparkSession, dir: String, topN: Int = 5)

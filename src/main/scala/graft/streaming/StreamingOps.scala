@@ -615,6 +615,41 @@ object StreamingOps extends Serializable {
       (ds: Dataset[FunnelEvIn], sp: SparkSession) => funnelStream(ds, sp))
   }
 
+  /** One event entering the anomaly probe stream. */
+  case class AnomEv(event_id: Long, event_type: String, v_milli: Long)
+
+  /** Streaming 3σ anomaly screen against a STORED stats model — the
+    * train-batch / serve-stream shape ([[indexProbeStream]]'s idiom
+    * for data quality): the per-type stats are built once batch
+    * ([[graft.relational.CoreQueries.anomalyStatsOf]]) and every
+    * arriving event is scored by a stream-static broadcast join —
+    * completely STATELESS, so checkpoint recovery is structural (no
+    * state store at all) and emissions are exactly the batch
+    * [[graft.relational.CoreQueries.flagAnomalies]] rows for the
+    * streamed events. */
+  def anomalyProbeStream(ev: Dataset[AnomEv], stats: DataFrame): DataFrame =
+    graft.relational.CoreQueries.flagAnomalies(ev.toDF(), stats)
+
+  /** Bounded replay of [[anomalyProbeStream]]: the stats model is
+    * trained batch on the SAME event window, so the emissions equal
+    * the batch `q12_anomaly` rows and the row lands on its mirror
+    * unchanged — stream ≡ batch ≡ independent SQL. */
+  def anomalyProbeReplay(events: DataFrame, spark: SparkSession,
+      nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ev = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_milli"))
+    // the stored model: 5 rows, pinned eagerly so the streaming side
+    // reads an artifact rather than re-aggregating the corpus
+    val stats = graft.relational.CoreQueries.anomalyStatsOf(ev)
+      .localCheckpoint()
+    val rows = ev.as[AnomEv].collect().sortBy(_.event_id)
+    replayChunked(spark, rows, (e: AnomEv) => e.event_id, nChunks,
+      "graft_anomaly_probe",
+      (ds: Dataset[AnomEv], sp: SparkSession) =>
+        anomalyProbeStream(ds, stats))
+  }
+
   /** One event entering the windowed-rate stream: user, event-time
     * µs, milli-quantized value. */
   case class EvIn(userId: Long, tsUs: Long, vm: Long)

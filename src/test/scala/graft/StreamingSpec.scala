@@ -1107,4 +1107,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(batch.values.exists(r => r(2) == false))
   }
+
+  test("streaming anomaly probe equals the batch screen on the boundary fixture") {
+    import spark.implicits._
+    import graft.relational.CoreQueries
+    // the FunnelSpec discriminating set: a lone deviant at exactly
+    // past z² = 9 among 20 identical peers, plus a zero-variance type
+    // that must flag nothing — served through the stored-stats probe
+    // in 4 micro-batches
+    val ev = ((1L to 20L).map(i => (i, "a", 10.0)) ++
+      Seq((21L, "a", 200.0)) ++
+      (22L to 25L).map(i => (i, "b", 5.0)))
+      .toDF("event_id", "event_type", "value")
+    val streamed = StreamingOps.anomalyProbeReplay(ev, spark)
+      .collect().map(_.toSeq).toSet
+    val batch = CoreQueries.eventAnomaliesOf(ev)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.size === 1)
+  }
 }
