@@ -75,7 +75,8 @@ object GraphProbe {
     val emb = base.crossJoin(copies)
       .select((col("vec_id") * k + col("copy")).as("vec_id"),
         expr("concat(slice(embedding, copy + 1, size(embedding) - copy), " +
-          "slice(embedding, 1, copy))").as("embedding"))
+          "slice(embedding, 1, copy))").as("embedding"),
+        col("label"))
       .repartition(64)
       .localCheckpoint()
     val n = emb.count()
@@ -94,6 +95,8 @@ object GraphProbe {
       iters = 2, trainedCents = Some(cents)).rdd.count() }
     timed("pagerank_8it") { VectorOps.pageRank(emb, nCells = cells,
       iters = 8, trainedCents = Some(cents)).rdd.count() }
+    timed("label_prop_3it") { VectorOps.labelPropagate(emb,
+      nCells = cells, trainedCents = Some(cents)).rdd.count() }
 
     spark.stop()
   }
