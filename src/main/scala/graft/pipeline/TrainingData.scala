@@ -195,7 +195,12 @@ object TrainingData {
       .join(qual, Seq("doc_id"))
       .withColumn("bucket",
         expr("conv(substring(sample_key, 1, 3), 16, 10)").cast("long"))
-    val offsets = keyed.groupBy("bucket").agg(sum("w").as("bw"))
+    // ONE corpus aggregation feeds both the offsets window and the
+    // total (≤4096 rows pinned) — deriving the total from the corpus
+    // again would be a third full pass over the scored documents
+    val bucketSums = keyed.groupBy("bucket").agg(sum("w").as("bw"))
+      .localCheckpoint(false)
+    val offsets = bucketSums
       .withColumn("bucket_offset",
         sum("bw").over(Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)))
@@ -205,7 +210,7 @@ object TrainingData {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = keyed.join(broadcast(offsets), "bucket")
       .withColumn("cum_w", col("bucket_offset") + sum("w").over(wIn))
-    val total = cum.agg(sum("w").as("total_w"))
+    val total = bucketSums.agg(sum("bw").as("total_w"))
     cum.crossJoin(broadcast(total))
       .withColumn("stride",
         greatest(lit(1L), expr("total_w div " + targetN)))
