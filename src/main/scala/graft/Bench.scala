@@ -112,6 +112,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,$builds,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // the full line above outgrew the driver's captured stdout tail in
+    // r11 (parsed: null); a short summary AFTER it guarantees the tail
+    // always ends with one complete parseable JSON line — per-query
+    // detail stays in the full line / the committed bench artifact
+    val nFail = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
     // the driver's stdout tail truncates long runs — also write the
     // COMPLETE report (every per-query second + calib + every build
     // timing) to a committable artifact when asked (docs/bench/rN.json)

@@ -4035,9 +4035,10 @@ object Oracles {
       |LEFT JOIN com ON com.doc_a = s.doc_a AND com.doc_b = s.doc_b
       |ORDER BY s.doc_a, s.doc_b""".stripMargin)
 
-  /** Mirror of `TextPipeline.dedupRecall` (sampleMod 2, τ 0.5): the
-    * posting-join exact-Jaccard truth and the banded candidates both
-    * rebuilt on the doc_id % 2 sample. */
+  /** Mirror of `TextPipeline.dedupRecall` (sampleMod 2, τ 0.5, dfCap
+    * 50): the posting-join exact-Jaccard truth (over the df-capped
+    * shingle space — `shr`) and the banded candidates both rebuilt on
+    * the doc_id % 2 sample. */
   def pipeDedupRecall: String =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -4051,13 +4052,18 @@ object Oracles {
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |  FROM bnd a JOIN bnd c
       |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |), shr AS (
+      |  SELECT doc_id, shingle FROM sh
+      |  WHERE shingle IN (
+      |    SELECT shingle FROM sh GROUP BY shingle
+      |    HAVING COUNT(*) <= 50)
       |), shc AS (
-      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM shr
       |  GROUP BY doc_id
       |), com AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(COUNT(*) AS BIGINT) AS n_common
-      |  FROM sh a JOIN sh b
+      |  FROM shr a JOIN shr b
       |    ON b.shingle = a.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
       |), truth AS (

@@ -1178,19 +1178,33 @@ object TextPipeline {
     * shingle, then the Jaccard filter — a zero-overlap pair is 0 < τ
     * by definition), so even the truth side never materializes the
     * sample's pair square; the candidate side is the production
-    * generator itself restricted to the sample. Docs with no
-    * shingles (< 3 words) carry no Jaccard and are outside the truth
-    * space on both engines. ONE output row: sample size, truth/
-    * candidate/hit counts, precision (hits/candidates — join work
-    * wasted on non-dups) and recall (hits/truth — what the bands
-    * miss at τ). */
+    * generator itself restricted to the sample. The truth's posting
+    * lists carry the SAME occupancy discipline as every bucketed op
+    * here ([[ngramJaccard]]'s dfCap): shingles whose in-sample
+    * document frequency exceeds `dfCap` (boilerplate — license
+    * headers, templates) are dropped before the self-join, bounding
+    * the hottest shingle's pair fan-out at dfCap² instead of df² —
+    * one viral shingle can no longer put a quadratic key in one
+    * task. Truth Jaccard (intersection AND set sizes) is defined on
+    * the capped shingle space, keeping the gauge self-consistent and
+    * oracle-expressible. Docs with no shingles (< 3 words) carry no
+    * Jaccard and are outside the truth space on both engines. ONE
+    * output row: sample size, truth/candidate/hit counts, precision
+    * (hits/candidates — join work wasted on non-dups) and recall
+    * (hits/truth — what the bands miss at τ). */
   def dedupRecall(docs: DataFrame, sampleMod: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
       .localCheckpoint(false) // feeds the exact side AND the bands
-    val shx = sample.select(col("doc_id"),
+    val shAll = sample.select(col("doc_id"),
         explode(array_distinct(shingles(split(col("text"), " "))))
           .as("shingle"))
+      .localCheckpoint(false) // feeds the DF count AND the semi-join
+    val shx = shAll.join(
+        shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+          .select("shingle"),
+        Seq("shingle"), "left_semi")
       .localCheckpoint(false) // both sides of the posting self-join
     val sizes = shx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val truth = shx.as("a")

@@ -105,32 +105,55 @@ object CoreQueries {
     funnelOf(Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), tsMicros(col("ts")).as("t")))
 
+  /** The funnel's step ladder, shared with the streaming twin. */
+  private[graft] val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** One step of the funnel's greedy min-ts fold: advances the 4-slot
+    * reach-time vector `ts` (−1 = unreached) with one event. Applied
+    * over a user's events in event-time order this IS the min-ts
+    * chain: the first signup seen is the min, and the first step-k
+    * event strictly after ts(k−1) is the chain's min because
+    * iteration order = event order (within-tie order is irrelevant —
+    * an event at the same timestamp as ts(k−1) can never pass the
+    * strict >). Shared by the batch fold below and
+    * [[graft.streaming.StreamingOps.funnelStream]]'s per-batch state
+    * update, so batch and stream provably apply one rule. */
+  private[graft] def funnelAdvance(ts: Array[Long], ty: String,
+      t: Long): Unit = {
+    val k = funnelSteps.indexOf(ty)
+    if (k == 0) { if (ts(0) < 0) ts(0) = t }
+    else if (k > 0 && ts(k) < 0 && ts(k - 1) >= 0 && t > ts(k - 1))
+      ts(k) = t
+  }
+
   /** [[funnel]] over a pre-projected `(user_id, event_type, t)` frame
     * — the seam the fixture spec drives with partial-conversion
-    * users. */
+    * users. Bounded per-user state: one shuffle on user_id with a
+    * SECONDARY SORT on (t, ty) (`flatMapSortedGroups` — Spark sorts
+    * within partitions, never buffering a group), then the four-long
+    * greedy fold [[funnelAdvance]] per user. A pathological user with
+    * 10⁸ events costs that task iteration time, not a multi-GB
+    * `collect_list` aggregation buffer — the per-task memory is O(1)
+    * in the hottest user's event count. */
   private[graft] def funnelOf(events: DataFrame): DataFrame = {
-    val steps = Seq("signup", "view", "click", "purchase")
-    val ev = events.filter(col("event_type").isin(steps: _*))
-      .select(col("user_id"), col("event_type").as("ty"), col("t"))
-    val perUser = ev.groupBy("user_id")
-      .agg(collect_list(struct(col("t"), col("ty"))).as("evs"))
-      .withColumn("t1",
-        expr("array_min(transform(filter(evs, e -> e.ty = 'signup'), " +
-          "e -> e.t))"))
-      .withColumn("t2",
-        expr("array_min(transform(filter(evs, e -> e.ty = 'view' " +
-          "AND e.t > t1), e -> e.t))"))
-      .withColumn("t3",
-        expr("array_min(transform(filter(evs, e -> e.ty = 'click' " +
-          "AND e.t > t2), e -> e.t))"))
-      .withColumn("t4",
-        expr("array_min(transform(filter(evs, e -> e.ty = 'purchase' " +
-          "AND e.t > t3), e -> e.t))"))
-    funnelShape(perUser
-      .agg(sum(when(col("t1").isNotNull, 1)).as("s1"),
-        sum(when(col("t2").isNotNull, 1)).as("s2"),
-        sum(when(col("t3").isNotNull, 1)).as("s3"),
-        sum(when(col("t4").isNotNull, 1)).as("s4")))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.filter(col("event_type").isin(funnelSteps: _*))
+      .select(col("user_id").cast("long").as("_1"),
+        col("event_type").as("_2"), col("t").cast("long").as("_3"))
+      .as[(Long, String, Long)]
+    val depth = ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("_3"), col("_2")) { (_, it) =>
+        val ts = Array.fill(4)(-1L)
+        it.foreach(e => funnelAdvance(ts, e._2, e._3))
+        Iterator.single(ts.takeWhile(_ >= 0).length.toLong)
+      }
+      .toDF("depth")
+    funnelShape(depth
+      .agg(sum(when(col("depth") >= 1, 1)).as("s1"),
+        sum(when(col("depth") >= 2, 1)).as("s2"),
+        sum(when(col("depth") >= 3, 1)).as("s3"),
+        sum(when(col("depth") >= 4, 1)).as("s4")))
   }
 
   /** Folds a one-row `(s1, s2, s3, s4)` step-count frame into the

@@ -572,24 +572,20 @@ object StreamingOps extends Serializable {
   def funnelStream(ev: Dataset[FunnelEvIn], spark: SparkSession)
       : DataFrame = {
     import spark.implicits._
-    val steps = Seq("signup", "view", "click", "purchase")
+    val steps = graft.relational.CoreQueries.funnelSteps
 
     def update(user: Long, batch: Iterator[FunnelEvIn],
         state: GroupState[FunnelState]): Iterator[FunnelOut] = {
-      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
-      batch.toSeq.sortBy(e => (e.t, e.ty)).foreach { e =>
-        val k = steps.indexOf(e.ty)
-        s = k match {
-          case 0 if s.t1 < 0 => s.copy(t1 = e.t)
-          case 1 if s.t2 < 0 && s.t1 >= 0 && e.t > s.t1 => s.copy(t2 = e.t)
-          case 2 if s.t3 < 0 && s.t2 >= 0 && e.t > s.t2 => s.copy(t3 = e.t)
-          case 3 if s.t4 < 0 && s.t3 >= 0 && e.t > s.t3 => s.copy(t4 = e.t)
-          case _ => s
-        }
-      }
+      val s0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+      // the SAME greedy rule the batch query folds per sorted group —
+      // one shared implementation, so stream ≡ batch by construction
+      val ts = Array(s0.t1, s0.t2, s0.t3, s0.t4)
+      batch.toSeq.sortBy(e => (e.t, e.ty)).foreach(e =>
+        graft.relational.CoreQueries.funnelAdvance(ts, e.ty, e.t))
+      val s = FunnelState(ts(0), ts(1), ts(2), ts(3))
       state.update(s)
-      val step = Seq(s.t1, s.t2, s.t3, s.t4).takeWhile(_ >= 0).length
-      Iterator.single(FunnelOut(user, step.toLong))
+      Iterator.single(FunnelOut(user,
+        ts.takeWhile(_ >= 0).length.toLong))
     }
 
     ev.filter(e => steps.contains(e.ty))

@@ -47,6 +47,27 @@ class FunnelSpec extends AnyFunSuite {
       (4L, "purchase", 1L, 0.5)))
   }
 
+  test("funnel folds a pathological hot user in O(1) state") {
+    // one bot with 200k events (the 100×-scale skew shape: a single
+    // user whose event list would be a multi-GB collect_list buffer)
+    // plus a normal full-chain user; the sorted-group greedy fold
+    // must land on the exact min-ts chain for both. The bot's chain:
+    // t1=0 (first signup), t2=1M+1, t3=2M+2, t4=3M+3 -> depth 4.
+    val bot = (0 until 200000).map { i =>
+      val ty = i % 4 match {
+        case 0 => "signup"; case 1 => "view"
+        case 2 => "click"; case _ => "purchase"
+      }
+      (9L, ty, (i % 4) * M + i.toLong)
+    }
+    val ev = (bot ++ Seq((1L, "signup", 10 * M), (1L, "view", 20 * M),
+      (1L, "click", 30 * M), (1L, "purchase", 40 * M)))
+      .toDF("user_id", "event_type", "t")
+    val got = CoreQueries.funnelOf(ev).collect()
+      .map(r => (r.getAs[Long]("step_no"), r.getAs[Long]("n_users")))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
   test("retention cohorts churn by distinct activity week") {
     val wk = 7L * 86400 * M
     // cohort week 0: u1 active weeks 0,1,3; u2 active week 0 only.

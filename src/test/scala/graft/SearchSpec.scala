@@ -487,6 +487,27 @@ class SearchSpec extends AnyFunSuite {
         hit.toDouble / r.getAs[Long]("n_cand"))
   }
 
+  test("dedupRecall's truth side drops viral shingles at the dfCap") {
+    // docs 6/8/10 are identical copies of a viral text: every one of
+    // their shingles has in-sample df 3 > cap 2, so the cap strips
+    // the whole group out of the TRUTH space (their pairs would be
+    // df² fan-out on one shingle key at scale) — while docs 2/4
+    // (identical, df 2 <= cap) remain a truth pair. The bands still
+    // candidate the viral trio (identical signatures), so the cap
+    // binding shows up as n_true = 1 with n_cand >= 4.
+    val pair = (1 to 12).map(i => s"p$i").mkString(" ")
+    val viral = (1 to 12).map(i => s"v$i").mkString(" ")
+    val d = docs(
+      (2L, pair), (4L, pair),
+      (6L, viral), (8L, viral), (10L, viral))
+    val r = TextPipeline.dedupRecall(d, dfCap = 2).collect().head
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_true") === 1L) // (2,4) only — cap bound
+    assert(r.getAs[Long]("n_cand") >= 4L) // bands still pair the trio
+    assert(r.getAs[Long]("n_hit") === 1L)
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
+
   test("substringDedup merges overlapping and touching intervals") {
     // docs 1/2 share words 1..9 (grams at 1,2 -> span [1,9]) and doc 1
     // additionally shares words 10..17 with doc 3: spans [1,9] and
