@@ -68,6 +68,45 @@ object GraphProbe {
       .mkString("\n"))
     edges.unpersist()
 
+    // --- label-prop round shape (verdict r11 #9) -------------------
+    // one voting round in isolation, edges cached exactly as
+    // labelPropagate caches them (repartitioned on vb): the join must
+    // shuffle ONLY the label side; the argmax groupBys shuffle vote
+    // rows, which is the round's own work
+    val lpEdges = VectorOps.knnGraph(small)
+      .select(col("va"), col("vb"))
+      .repartition(col("vb"))
+      .persist()
+    lpEdges.count()
+    val labels0 = small
+      .select(col("vec_id").as("vb"),
+        when(col("vec_id") % 10 === 0, col("label").cast("long"))
+          .otherwise(lit(-1L)).as("lab"))
+      .localCheckpoint(false)
+    val lpRound = lpEdges.join(labels0, Seq("vb"))
+      .filter(col("lab") >= 0)
+      .groupBy(col("va"), col("lab"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("va").as("vec_id"))
+      .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("best"))
+    lpRound.collect()
+    val lpPlan = lpRound.queryExecution.executedPlan.toString
+    println("---- label-prop one-round plan ----")
+    println(lpPlan.split("\n")
+      .filter(l => l.contains("Exchange") || l.contains("InMemoryTableScan")
+        || l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("ExistingRDD"))
+      .mkString("\n"))
+    // the full final-iteration plan: cached edges contribute zero
+    // exchanges and nothing re-reads parquet
+    val lp = VectorOps.labelPropagate(small, iters = 2)
+    lp.collect()
+    val lpLines = lp.queryExecution.executedPlan.toString.split("\n")
+    println(s"lp_final_exchanges=" + lpLines.count(_.contains("Exchange")))
+    println(s"lp_final_scans_parquet="
+      + lpLines.count(_.contains("Scan parquet")))
+    lpEdges.unpersist()
+
     // --- iteration cost vs collection size ------------------------
     import spark.implicits._
     val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")

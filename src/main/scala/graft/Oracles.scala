@@ -3539,6 +3539,44 @@ object Oracles {
       |  GROUP BY cluster_id
       |)""".stripMargin
 
+  /** Mirror of `VectorOps.triangleStats`: the same mutual a<b edge
+    * list (`mke`), per-node degree over both directions, ordered
+    * wedges closed against the edge list, and the integer
+    * coefficient `(2e9·t) // (deg·(deg−1))`. */
+  def pipeTriangles(k: Int = 5, nCells: Int = 16): String =
+    KnnCte(nCells) +
+    s""", ke AS (
+      |  SELECT va, vb FROM krr WHERE rnk <= $k
+      |), mke AS (
+      |  SELECT a.va, a.vb FROM ke a
+      |  JOIN ke b ON b.va = a.vb AND b.vb = a.va
+      |  WHERE a.va < a.vb
+      |), tund AS (
+      |  SELECT va AS a, vb AS b FROM mke
+      |  UNION ALL SELECT vb, va FROM mke
+      |), tdeg AS (
+      |  SELECT a AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM tund GROUP BY a
+      |), ttri AS (
+      |  SELECT w.v AS vec_id, CAST(COUNT(*) AS BIGINT) AS triangles
+      |  FROM (
+      |    SELECT x.a AS v, x.b AS p, y.b AS q2
+      |    FROM tund x JOIN tund y ON y.a = x.a AND y.b > x.b) w
+      |  JOIN mke m ON m.va = w.p AND m.vb = w.q2
+      |  GROUP BY w.v
+      |)
+      |SELECT e.vec_id,
+      |  COALESCE(d.deg, 0) AS deg,
+      |  COALESCE(t.triangles, 0) AS triangles,
+      |  CASE WHEN COALESCE(d.deg, 0) >= 2
+      |    THEN (2000000000 * COALESCE(t.triangles, 0))
+      |      // (d.deg * (d.deg - 1))
+      |    ELSE 0 END AS coeff_nano
+      |FROM embeddings e
+      |LEFT JOIN tdeg d ON d.vec_id = e.vec_id
+      |LEFT JOIN ttri t ON t.vec_id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
   /** Mirror of `VectorOps.knnClusters`: mutual-kNN edges (each
     * endpoint in the other's top-k) closed into connected components
     * by the recursive-reach / min-label pattern of

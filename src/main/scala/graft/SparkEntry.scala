@@ -854,6 +854,13 @@ object SparkEntry {
           trainedCents = Some(trainedIvf(s, d)),
           exactBaseline = Some(exactKnnIndex(s, d)))
         .orderBy("query_id")),
+    // graph-structure QA: per-vector triangle count + local
+    // clustering coefficient over the mutual kNN edges (deg <= k by
+    // construction, so the wedge join is skew-free n*k^2/2)
+    "pipe_triangles" -> ((s, d) =>
+      VectorOps.triangleStats(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
     // semantic clusters: mutual-kNN symmetrization + the shared
     // pointer-jumping CC — edge count <= n*k, CC input linear in n
     "pipe_knn_clusters" -> ((s, d) =>
@@ -1000,6 +1007,36 @@ object SparkEntry {
         .orderBy("rnk")),
     "pipe_sql_dedup_recall" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM dedup_recall('docs_sql')")),
+    "pipe_sql_gram" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM gram('emb_sql')")
+        .orderBy("i", "j")),
+    "pipe_sql_pca" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM pca('emb_sql')")
+        .orderBy("i")),
+    "pipe_sql_pca2" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM pca2('emb_sql')")
+        .orderBy("i")),
+    "pipe_sql_pca_project" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM pca_project('emb_sql')")
+        .orderBy("vec_id")),
+    "pipe_sql_cluster_sample" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM cluster_sample('emb_sql')")
+        .orderBy("cent_id", "rnk")),
+    "pipe_sql_quantiles" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM quantiles('docs_sql')")
+        .orderBy("source", "q")),
+    "pipe_sql_knn_graph" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM knn_graph('emb_sql')")
+        .orderBy("va", "rnk")),
+    "pipe_sql_knn_clusters" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM knn_clusters('emb_sql')")
+        .orderBy("vec_id")),
+    "pipe_sql_semdedup" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM semdedup('emb_sql')")
+        .orderBy("vec_id")),
+    "pipe_sql_triangles" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM triangles('emb_sql')")
+        .orderBy("vec_id")),
     "q08_sql_funnel" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM funnel('events_sql')")
         .orderBy("step_no")),
@@ -1605,6 +1642,7 @@ object SparkEntry {
     "pipe_semdedup" -> Oracles.pipeSemDedup(),
     "pipe_semdedup_stream" -> Oracles.pipeSemDedupStream(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
+    "pipe_triangles" -> Oracles.pipeTriangles(),
     "pipe_pagerank" -> Oracles.pipePageRank(),
     "pipe_label_prop" -> Oracles.pipeLabelProp(),
     "pipe_sql_label_prop" -> Oracles.pipeLabelProp(),
@@ -1710,6 +1748,16 @@ object SparkEntry {
     "q12_sql_anomaly" -> Oracles.q12Anomaly,
     "pipe_sql_source_cap" -> Oracles.pipeSourceCap(),
     "pipe_sql_pagerank" -> Oracles.pipePageRank(),
+    "pipe_sql_gram" -> Oracles.pipeGram,
+    "pipe_sql_pca" -> Oracles.pipePca(),
+    "pipe_sql_pca2" -> Oracles.pipePca2(),
+    "pipe_sql_pca_project" -> Oracles.pipePcaProject(),
+    "pipe_sql_cluster_sample" -> Oracles.pipeClusterSample(),
+    "pipe_sql_quantiles" -> Oracles.pipeQuantiles,
+    "pipe_sql_knn_graph" -> Oracles.pipeKnnGraph(),
+    "pipe_sql_knn_clusters" -> Oracles.pipeKnnClusters(),
+    "pipe_sql_semdedup" -> Oracles.pipeSemDedup(),
+    "pipe_sql_triangles" -> Oracles.pipeTriangles(),
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
   )

@@ -144,6 +144,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "source_cap" -> graft.plans.GraftTableFunctions.sourceCapTvf _,
       "pagerank" -> graft.plans.GraftTableFunctions.pageRankTvf _,
       "label_prop" -> graft.plans.GraftTableFunctions.labelPropTvf _,
+      "gram" -> graft.plans.GraftTableFunctions.gramTvf _,
+      "pca" -> graft.plans.GraftTableFunctions.pcaTvf _,
+      "pca2" -> graft.plans.GraftTableFunctions.pca2Tvf _,
+      "pca_project" ->
+        graft.plans.GraftTableFunctions.pcaProjectTvf _,
+      "cluster_sample" ->
+        graft.plans.GraftTableFunctions.clusterSampleTvf _,
+      "quantiles" -> graft.plans.GraftTableFunctions.quantilesTvf _,
+      "knn_graph" -> graft.plans.GraftTableFunctions.knnGraphTvf _,
+      "knn_clusters" ->
+        graft.plans.GraftTableFunctions.knnClustersTvf _,
+      "semdedup" -> graft.plans.GraftTableFunctions.semDedupTvf _,
+      "triangles" -> graft.plans.GraftTableFunctions.trianglesTvf _,
       "source_distinct" ->
         graft.plans.GraftTableFunctions.sourceDistinctTvf _,
       "weighted_sample" ->

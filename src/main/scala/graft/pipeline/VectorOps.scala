@@ -457,6 +457,26 @@ object VectorOps {
     * the same deterministic md5 Bernoulli sample as [[pqTrain]] — the
     * lake-scale path. Returns the centroid matrix: O(nCells·d) driver
     * state, the same bounded-artifact class as the PQ codebook. */
+  /** Session-lifetime memo of [[ivfTrain]] keyed by the collection's
+    * CANONICALIZED analyzed plan (two routes to the same parquet —
+    * a `Tables.load` frame and a SQL temp view — canonicalize to the
+    * same scan) plus the training parameters. The centroid matrix is
+    * a stored model artifact, not per-query work ([[pqTrain]]'s
+    * discipline); the memo gives the SQL TVF surface the SAME
+    * train-once cost model the Scala API rows get from their
+    * artifact memo — without it, every `pagerank('emb_sql')` call
+    * re-ran Lloyd training inside the query. */
+  private val ivfTrainMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Double), Array[Array[Long]]]
+
+  def ivfTrainCached(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+      sampleFraction: Double = 1.0): Array[Array[Long]] = {
+    val key = (emb.queryExecution.analyzed.canonicalized.toString,
+      nCells, iters, sampleFraction)
+    ivfTrainMemo.getOrElseUpdate(key,
+      ivfTrain(emb, nCells, iters, sampleFraction))
+  }
+
   def ivfTrain(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
       sampleFraction: Double = 1.0): Array[Array[Long]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
@@ -751,6 +771,63 @@ object VectorOps {
         emb.select(col("vec_id").as("doc_id")), mutual)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"), col("is_canonical"))
+  }
+
+  /** Per-vector triangle count and local clustering coefficient
+    * (Watts–Strogatz) over the MUTUAL kNN graph — the graph-structure
+    * QA gauge for an embedding space: tight semantic neighborhoods
+    * close their triangles (coefficient near 1), uniformly random or
+    * collapsed spaces do not, and the per-node number flags vectors
+    * whose neighborhoods are incoherent. All-integer output
+    * (`coeff_nano` = ⌊2·10⁹·t / (deg·(deg−1))⌋) — engine-exact.
+    *
+    * Scale shape: mutual degree is ≤ k by construction (a mutual edge
+    * needs BOTH directions in a top-k list), so the wedge join is
+    * bounded at n·k²/2 rows with NO skew possible — the hottest node
+    * generates k(k−1)/2 wedges, same as every other node. The closing
+    * edge-membership join is keyed on the (smaller, larger) edge pair
+    * against the ≤ n·k/2 mutual list. Output: (vec_id, deg,
+    * triangles, coeff_nano) over the FULL collection (isolated
+    * vectors report deg 0). */
+  def triangleStats(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
+    val e = knnGraph(emb, k, nCells, trainedCents, cellCap)
+      .select("va", "vb")
+      .localCheckpoint(false)
+    // undirected unique pairs a < b; feeds the wedge join twice and
+    // the closing membership join — checkpoint once
+    val mutual = e.join(
+        e.select(col("vb").as("va"), col("va").as("vb")),
+        Seq("va", "vb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("a"), col("vb").as("b"))
+      .localCheckpoint(false)
+    val und = mutual.select(col("a"), col("b"))
+      .union(mutual.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+    // wedges centered at v with ordered endpoints p < q2: the pair
+    // (p, q2) closes the triangle iff it is itself a mutual edge
+    val wedges = und.as("x").join(und.as("y"),
+        col("x.a") === col("y.a") && col("y.b") > col("x.b"))
+      .select(col("x.a").as("v"), col("x.b").as("p"),
+        col("y.b").as("q2"))
+    val tri = wedges.join(
+        mutual.select(col("a").as("p"), col("b").as("q2")),
+        Seq("p", "q2"))
+      .groupBy(col("v").as("vec_id"))
+      .agg(count(lit(1)).as("triangles"))
+    emb.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(tri, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff_nano",
+        when(col("deg") >= 2,
+          expr("(2000000000 * triangles) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
   }
 
   /** Keep-best over the SEMANTIC clusters: [[knnClusters]] labels
@@ -1579,8 +1656,16 @@ object VectorOps {
   def labelPropagate(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       iters: Int = 3, seedMod: Int = 10,
       trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    // the voting join is keyed on vb (who my neighbor IS, to read its
+    // label), not va — so the cached edge list must be
+    // hash-partitioned on vb or every round re-Exchanges n·k edges;
+    // an explicit repartition pins it (knnGraph's own output
+    // partitioning follows the va-side top-k). persist(), not
+    // checkpoint, for the same partitioning-amnesia reason as
+    // pageRank's edge list. GraphProbe prints the per-round plan.
     val edges = knnGraph(emb, k, nCells, trainedCents)
       .select(col("va"), col("vb"))
+      .repartition(col("vb"))
       .persist()
     val truth = emb
       .select(col("vec_id"), col("label").cast("long").as("true_label"),

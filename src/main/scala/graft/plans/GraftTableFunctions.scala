@@ -180,14 +180,57 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.pipeline.VectorOps.pageRank(l3,
               if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
               iters =
-                if (u.longArgs.length > 1) u.longArgs(1).toInt else 8)
+                if (u.longArgs.length > 1) u.longArgs(1).toInt else 8,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
           case "label_prop" =>
             graft.pipeline.VectorOps.labelPropagate(l3,
               if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
               iters =
                 if (u.longArgs.length > 1) u.longArgs(1).toInt else 3,
               seedMod =
-                if (u.longArgs.length > 2) u.longArgs(2).toInt else 10)
+                if (u.longArgs.length > 2) u.longArgs(2).toInt else 10,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "gram" =>
+            graft.pipeline.VectorOps.gramMatrix(l3)
+          case "pca" =>
+            graft.pipeline.VectorOps.pcaLeading(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 12)
+          case "pca2" =>
+            graft.pipeline.VectorOps.pcaSecond(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 12)
+          case "pca_project" =>
+            graft.pipeline.VectorOps.pcaProject(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 12)
+          case "cluster_sample" =>
+            graft.pipeline.VectorOps.clusterSample(l3,
+              perCell =
+                if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 8,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "quantiles" =>
+            graft.pipeline.TextPipeline.lengthQuantiles(l3)
+          case "knn_graph" =>
+            graft.pipeline.VectorOps.knnGraph(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "knn_clusters" =>
+            graft.pipeline.VectorOps.knnClusters(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "semdedup" =>
+            graft.pipeline.VectorOps.semDedup(l3,
+              if (u.dblArgs.nonEmpty) u.dblArgs.head else 0.45,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "triangles" =>
+            graft.pipeline.VectorOps.triangleStats(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
           case "source_distinct" =>
             graft.pipeline.TextPipeline.sourceDistinctEstimate(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 64)
@@ -675,6 +718,100 @@ object GraftTableFunctions {
       else Nil,
       if (exprs.length == 3) Seq(strLit(exprs, 2, "weighted_sample"))
       else Nil)
+  }
+
+  /** `gram('emb')` — exact integer Gram matrix
+    * ([[graft.pipeline.VectorOps.gramMatrix]]). */
+  def gramTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "gram takes (emb_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "gram")), "gram", Nil)
+  }
+
+  /** `pca('emb'[, iters])` — leading principal direction
+    * ([[graft.pipeline.VectorOps.pcaLeading]]). */
+  def pcaTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "pca takes (emb_table[, iters])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "pca")), "pca",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "pca")))
+  }
+
+  /** `pca2('emb'[, iters])` — second principal direction
+    * ([[graft.pipeline.VectorOps.pcaSecond]]). */
+  def pca2Tvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "pca2 takes (emb_table[, iters])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "pca2")), "pca2",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "pca2")))
+  }
+
+  /** `pca_project('emb'[, iters])` — per-vector spectral projection
+    * ([[graft.pipeline.VectorOps.pcaProject]]). */
+  def pcaProjectTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "pca_project takes (emb_table[, iters])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "pca_project")),
+      "pca_project",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "pca_project")))
+  }
+
+  /** `cluster_sample('emb'[, per_cell])` — top-cosine exemplars per
+    * k-means cell ([[graft.pipeline.VectorOps.clusterSample]]). */
+  def clusterSampleTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "cluster_sample takes (emb_table[, per_cell])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "cluster_sample")),
+      "cluster_sample",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "cluster_sample")))
+  }
+
+  /** `quantiles('docs')` — per-source length quantiles
+    * ([[graft.pipeline.TextPipeline.lengthQuantiles]]). */
+  def quantilesTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "quantiles takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "quantiles")),
+      "quantiles", Nil)
+  }
+
+  /** `knn_graph('emb'[, k])` — IVF-bounded kNN edges
+    * ([[graft.pipeline.VectorOps.knnGraph]]). */
+  def knnGraphTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "knn_graph takes (emb_table[, k])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "knn_graph")),
+      "knn_graph",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "knn_graph")))
+  }
+
+  /** `knn_clusters('emb'[, k])` — mutual-kNN connected components
+    * ([[graft.pipeline.VectorOps.knnClusters]]). */
+  def knnClustersTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "knn_clusters takes (emb_table[, k])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "knn_clusters")),
+      "knn_clusters",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "knn_clusters")))
+  }
+
+  /** `triangles('emb'[, k])` — mutual-kNN triangle counts and local
+    * clustering coefficients
+    * ([[graft.pipeline.VectorOps.triangleStats]]). */
+  def trianglesTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "triangles takes (emb_table[, k])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "triangles")),
+      "triangles",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "triangles")))
+  }
+
+  /** `semdedup('emb'[, tau])` — cluster-then-prune semantic dedup
+    * ([[graft.pipeline.VectorOps.semDedup]]). */
+  def semDedupTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "semdedup takes (emb_table[, tau])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "semdedup")), "semdedup",
+      Nil, Nil,
+      exprs.drop(1).map(_ => dblLit(exprs, 1, "semdedup")))
   }
 
   /** `depth_summary('l3', start_us, end_us, freq_us[, bps_step,

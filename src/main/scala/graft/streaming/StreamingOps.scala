@@ -448,10 +448,31 @@ object StreamingOps extends Serializable {
       (implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     val replaySpark = spark.newSession()
     replaySpark.conf.set("spark.sql.shuffle.partitions", "4")
+    // a replay lives for 3-4 triggers: the state store's background
+    // maintenance (snapshot compaction, file GC — sized for
+    // long-running jobs) only contends with the foreground commits
+    // here, and there is no restart to retain history for
+    replaySpark.conf.set(
+      "spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    replaySpark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // the replay's checkpoint (offset WAL, commit log, state-store
+    // deltas) is pure harness scaffolding discarded on stop, yet at
+    // 3-4 micro-batches its per-batch fsyncs are ~60% of trigger time
+    // (measured: state commit ~220ms + WAL/offsets ~90ms per batch on
+    // this box). Put it on the RAM filesystem when one exists —
+    // a real deployment checkpoints to durable DFS, but verifying
+    // batch-equivalence needs no durability
+    val ckBase = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base = if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      java.nio.file.Files.createTempDirectory(base, "graft_replay_ck_")
+    }
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[T](replaySpark)
     val q = build(ms.toDS(), replaySpark)
       .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", ckBase.toString)
       .queryName(queryName).start()
     try {
       val target = math.max(1, rows.length / nChunks + 1)
@@ -468,12 +489,27 @@ object StreamingOps extends Serializable {
         ms.addData(Seq(fr))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // reclaim the RAM-disk checkpoint immediately — /dev/shm is a
+      // shared, memory-backed resource
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(ckBase)
+    }
     // pin the result before dropping the sink's backing view (which
-    // lives in the cloned session's catalog)
-    val out = replaySpark.table(queryName).localCheckpoint()
+    // lives in the cloned session's catalog). The memory sink already
+    // holds every emitted row ON THE DRIVER, so the pin is a plain
+    // local materialization — a localCheckpoint here would instead
+    // run two jobs to scatter the rows back into block storage
+    // (~0.3s of pure harness overhead per replay row, measured)
+    val sink = replaySpark.table(queryName)
+    val (schema, data) = (sink.schema, sink.collect())
     replaySpark.catalog.dropTempView(queryName)
-    out
+    spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
   }
 
   /** Bounded replay of [[l1Stream]] over a level3 frame — the VERIFY
@@ -553,8 +589,10 @@ object StreamingOps extends Serializable {
   /** One event entering the streaming funnel. */
   case class FunnelEvIn(userId: Long, ty: String, t: Long)
 
-  /** Per-user funnel state: reach time of each step, -1 = unreached. */
-  case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+  /** Per-user funnel state: reach time of each step (-1 = unreached)
+    * plus the max event time already folded — the late-data fence. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long,
+      tMax: Long)
 
   /** One funnel verdict emission: the user's deepest step so far. */
   case class FunnelOut(user_id: Long, step: Long)
@@ -568,7 +606,21 @@ object StreamingOps extends Serializable {
     * step past themselves under the strict >). State per user is four
     * longs; emissions (Append log) are the user's deepest step after
     * each touched batch — monotone, so the live funnel is
-    * `max(step)` per user. */
+    * `max(step)` per user.
+    *
+    * OUT-OF-ORDER CONTRACT: the min-ts chain references event time,
+    * so disorder can change the answer. Within a micro-batch, events
+    * are sorted — any intra-batch disorder is fully repaired. Across
+    * batches the stream enforces per-user monotonicity with a fence:
+    * an event whose time is BELOW the user's max already-folded time
+    * is late and is DROPPED (the declared policy of every
+    * watermark'd aggregation; equal-time arrivals still fold — the
+    * strict > keeps them from regressing a chain). The verdict is
+    * deterministic for any arrival order: the folded events are
+    * exactly those non-decreasing in per-user arrival time.
+    * `StreamingSpec` pins the fence with a late event that the naive
+    * greedy rule WOULD have (wrongly, non-batch-equivalently)
+    * admitted. */
   def funnelStream(ev: Dataset[FunnelEvIn], spark: SparkSession)
       : DataFrame = {
     import spark.implicits._
@@ -576,13 +628,20 @@ object StreamingOps extends Serializable {
 
     def update(user: Long, batch: Iterator[FunnelEvIn],
         state: GroupState[FunnelState]): Iterator[FunnelOut] = {
-      val s0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+      val s0 = state.getOption.getOrElse(
+        FunnelState(-1L, -1L, -1L, -1L, Long.MinValue))
       // the SAME greedy rule the batch query folds per sorted group —
-      // one shared implementation, so stream ≡ batch by construction
+      // one shared implementation, so stream ≡ batch by construction;
+      // the tMax fence drops cross-batch late events (see contract)
       val ts = Array(s0.t1, s0.t2, s0.t3, s0.t4)
-      batch.toSeq.sortBy(e => (e.t, e.ty)).foreach(e =>
-        graft.relational.CoreQueries.funnelAdvance(ts, e.ty, e.t))
-      val s = FunnelState(ts(0), ts(1), ts(2), ts(3))
+      var tMax = s0.tMax
+      batch.toSeq.sortBy(e => (e.t, e.ty)).foreach { e =>
+        if (e.t >= tMax) {
+          graft.relational.CoreQueries.funnelAdvance(ts, e.ty, e.t)
+          tMax = e.t
+        }
+      }
+      val s = FunnelState(ts(0), ts(1), ts(2), ts(3), tMax)
       state.update(s)
       Iterator.single(FunnelOut(user,
         ts.takeWhile(_ >= 0).length.toLong))
@@ -1117,7 +1176,22 @@ object StreamingOps extends Serializable {
     * per-arrival scan cost shrink ×subSplit, members of different
     * sub-streams stop seeing each other — the same accepted recall
     * trade as the batch sub-split and the IVF boundary itself.
-    * Default 1 = the plain per-cell greedy rule. */
+    * Default 1 = the plain per-cell greedy rule.
+    *
+    * OUT-OF-ORDER CONTRACT: unlike the funnel, the online rule here
+    * does not reference event time at all — "earlier" means earlier
+    * ARRIVAL, the definition of online dedup (a service dedupes each
+    * arrival against what it has already kept; ids are assigned at
+    * ingest). An out-of-order id is therefore NOT dropped: it is
+    * deduped against the kept set at its arrival position, a
+    * deterministic verdict for the arrival sequence (intra-batch
+    * order is still restored by the vec_id sort, so a shuffle cannot
+    * perturb emissions). Batch-equivalence to [[graft.pipeline
+    * .VectorOps]]'s vec_id-ordered greedy holds exactly when ingest
+    * order = id order (the replay harness and any monotone-id
+    * source); `StreamingSpec` pins the divergence: a late-arriving
+    * lower id loses to the already-kept higher id, where the batch
+    * rule would keep the lower. */
   def semDedupStream(vecs: Dataset[VecOcc], spark: SparkSession,
       threshold: Double = 0.45, subSplit: Int = 1): DataFrame = {
     import spark.implicits._

@@ -443,6 +443,42 @@ class ExtensionsSpec extends AnyFunSuite {
         s2.sql("SELECT * FROM weighted_sample('docs_tvf', 9, 'epoch1')")) ==
         rows(graft.pipeline.TrainingData.weightedSample(docs,
           targetN = 9, salt = "epoch1")))
+      import graft.pipeline.VectorOps
+      assert(rows(s2.sql("SELECT * FROM gram('emb_tvf')")) ==
+        rows(VectorOps.gramMatrix(emb)))
+      assert(rows(s2.sql("SELECT * FROM pca('emb_tvf')")) ==
+        rows(VectorOps.pcaLeading(emb)))
+      // iteration pass-through
+      assert(rows(s2.sql("SELECT * FROM pca('emb_tvf', 4)")) ==
+        rows(VectorOps.pcaLeading(emb, iters = 4)))
+      assert(rows(s2.sql("SELECT * FROM pca2('emb_tvf')")) ==
+        rows(VectorOps.pcaSecond(emb)))
+      assert(rows(s2.sql("SELECT * FROM pca_project('emb_tvf')")) ==
+        rows(VectorOps.pcaProject(emb)))
+      assert(rows(s2.sql("SELECT * FROM cluster_sample('emb_tvf')")) ==
+        rows(VectorOps.clusterSample(emb)))
+      // per-cell pass-through
+      assert(rows(s2.sql("SELECT * FROM cluster_sample('emb_tvf', 3)")) ==
+        rows(VectorOps.clusterSample(emb, perCell = 3)))
+      assert(rows(s2.sql("SELECT * FROM quantiles('docs_tvf')")) ==
+        rows(TextPipeline.lengthQuantiles(docs)))
+      assert(rows(s2.sql("SELECT * FROM knn_graph('emb_tvf')")) ==
+        rows(VectorOps.knnGraph(emb)))
+      // k pass-through
+      assert(rows(s2.sql("SELECT * FROM knn_graph('emb_tvf', 3)")) ==
+        rows(VectorOps.knnGraph(emb, k = 3)))
+      assert(rows(s2.sql("SELECT * FROM knn_clusters('emb_tvf')")) ==
+        rows(VectorOps.knnClusters(emb)))
+      assert(rows(s2.sql("SELECT * FROM semdedup('emb_tvf')")) ==
+        rows(VectorOps.semDedup(emb)))
+      // threshold pass-through
+      assert(rows(s2.sql("SELECT * FROM semdedup('emb_tvf', 0.9)")) ==
+        rows(VectorOps.semDedup(emb, threshold = 0.9)))
+      assert(rows(s2.sql("SELECT * FROM triangles('emb_tvf')")) ==
+        rows(VectorOps.triangleStats(emb)))
+      // k pass-through
+      assert(rows(s2.sql("SELECT * FROM triangles('emb_tvf', 3)")) ==
+        rows(VectorOps.triangleStats(emb, k = 3)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -220,6 +220,35 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleStats counts closed wedges per vector with exact coefficients") {
+    import graft.pipeline.VectorOps
+    // one cell (explicit single centroid), k = 2: trio 0/1/2 are
+    // mutually nearest (a closed triangle), 3/4 pair off, 5 is
+    // orthogonal to everyone (k-lists still name others, but nobody
+    // names 5 back -> mutual degree 0)
+    val emb = Seq(
+      (0L, Array(100f, 1f, 0f, 0f)),
+      (1L, Array(100f, 0f, 1f, 0f)),
+      (2L, Array(100f, 0f, 0f, 1f)),
+      (3L, Array(0f, 100f, 1f, 0f)),
+      (4L, Array(0f, 100f, 0f, 1f)),
+      (5L, Array(0f, 0f, 100f, 100f))).toDF("vec_id", "embedding")
+    val cents = Some(Array(Array(1000L, 0L, 0L, 0L)))
+    val got = VectorOps.triangleStats(emb, k = 2, trainedCents = cents)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("triangles"), r.getAs[Long]("coeff_nano")))
+    // trio: deg 2, one triangle, coeff = 2e9*1/(2*1) = 1e9 (closed);
+    // pair: deg 1 (coefficient undefined -> 0); isolated: all zeros
+    assert(got.toSeq === Seq(
+      (0L, 2L, 1L, 1000000000L),
+      (1L, 2L, 1L, 1000000000L),
+      (2L, 2L, 1L, 1000000000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 1L, 0L, 0L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("knnClusters closes mutual-kNN edges into per-cell components") {
     import graft.pipeline.VectorOps
     val emb = Seq(

@@ -277,6 +277,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want, "recovered funnel state diverged from batch")
   }
 
+  test("funnelStream drops a cross-batch late event at the tMax fence") {
+    import spark.implicits._
+    val M = 1000000L
+    // batch 1: u1 signs up (10M) and clicks (50M) — the click cannot
+    // advance (no view yet), but it moves the user's fence to 50M.
+    // batch 2: a VIEW at 20M arrives late. The naive greedy rule
+    // would admit it (20M > t1=10M -> depth 2, a verdict no batch
+    // recompute over the same events would produce); the declared
+    // contract drops it: depth stays 1. An in-order later view (60M)
+    // then advances normally -> final depth 2 via the 60M view.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-funnel-late").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.FunnelEvIn](spark)
+    val q = StreamingOps.funnelStream(ms.toDS(), spark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("memory").queryName("graft_funnel_late").start()
+    ms.addData(Seq(StreamingOps.FunnelEvIn(1L, "signup", 10 * M),
+      StreamingOps.FunnelEvIn(1L, "click", 50 * M)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingOps.FunnelEvIn(1L, "view", 20 * M)))
+    q.processAllAvailable()
+    val midDepth = spark.table("graft_funnel_late")
+      .agg(org.apache.spark.sql.functions.max("step")).collect()(0).getLong(0)
+    assert(midDepth === 1L,
+      "late view crossed the fence and advanced the chain")
+    ms.addData(Seq(StreamingOps.FunnelEvIn(1L, "view", 60 * M)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_funnel_late")
+      .agg(org.apache.spark.sql.functions.max("step")).collect()(0).getLong(0)
+    spark.catalog.dropTempView("graft_funnel_late")
+    assert(got === 2L, "in-order view after the fence failed to advance")
+  }
+
+  test("semDedupStream verdicts are arrival-order-defined for an out-of-order id") {
+    import spark.implicits._
+    // same direction, ids REVERSED across batches: v2 arrives first
+    // (kept), v1 arrives late. The declared online contract dedupes
+    // the late arrival against the kept set at its arrival position:
+    // v1 is dropped — where the batch (vec_id-ordered) rule would
+    // keep v1 and drop v2. A third, orthogonal late id stays kept.
+    val tau = 0.45
+    val a = Seq(3L, 0L, 0L, 0L)
+    val b = Seq(0L, 3L, 0L, 0L) // cos(a,b)=0 < tau
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-semdedup-late").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.VecOcc](spark)
+    val q = StreamingOps.semDedupStream(ms.toDS(), spark, tau)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("memory").queryName("graft_semdedup_late").start()
+    ms.addData(Seq(StreamingOps.VecOcc(2L, 0L, a)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingOps.VecOcc(1L, 0L, a),
+      StreamingOps.VecOcc(0L, 0L, b)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_semdedup_late")
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    spark.catalog.dropTempView("graft_semdedup_late")
+    assert(got === Map(2L -> true, 1L -> false, 0L -> true),
+      "arrival-order dedup verdicts diverged from the declared contract")
+  }
+
   test("eventRates windowed aggregation survives a checkpoint kill") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
