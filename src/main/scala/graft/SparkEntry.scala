@@ -71,6 +71,12 @@ object SparkEntry {
     "q07_asof_operator" -> ((s, d) => CoreQueries.asofEnrichOperator(s, d)),
     "q08_funnel" -> ((s, d) => CoreQueries.funnel(s, d)),
     "q09_retention" -> ((s, d) => CoreQueries.retention(s, d)),
+    // gap-window sessionization on ingest: Spark's engine-managed
+    // session_window state; closed sessions aggregate to the batch
+    // gaps-and-islands twin, so the row reuses q03's mirror
+    "q14_sessions_stream" -> ((s, d) =>
+      streaming.StreamingOps.sessionsReplay(Tables.load(s, d, "events"), s)
+        .orderBy("user_id")),
     // integer-exact 3-sigma outlier screen: 5-row stats broadcast back,
     // the event table never reshuffles
     "q12_anomaly" -> ((s, d) => CoreQueries.eventAnomalies(s, d)),
@@ -1521,6 +1527,7 @@ object SparkEntry {
     "q07_asof_operator" -> Oracles.q07AsofOperator,
     "q08_funnel" -> Oracles.q08Funnel,
     "q09_retention" -> Oracles.q09Retention,
+    "q14_sessions_stream" -> Oracles.q03Sessionize,
     "q12_anomaly" -> Oracles.q12Anomaly,
     "q13_anomaly_stream" -> Oracles.q12Anomaly,
     "q10_event_rates_stream" -> Oracles.q10EventRatesStream,

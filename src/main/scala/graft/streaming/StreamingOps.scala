@@ -750,6 +750,67 @@ object StreamingOps extends Serializable {
       .filter(col("user_id") =!= Long.MinValue)
   }
 
+  /** Session-window sessionization on ingest — the engine-managed
+    * GAP-window primitive ([[eventRates]] covers tumbling windows;
+    * this is Spark's built-in `session_window`, state merged by the
+    * engine, sessions emitted in Append mode once the watermark
+    * passes their close). Per closed session: user, event count, and
+    * the exact µs first/last event times — so duration is
+    * max−min like the batch gaps-and-islands twin
+    * ([[graft.relational.CoreQueries.sessionize]]), NOT window
+    * end−start (a session window's end is last event + gap).
+    *
+    * Boundary semantics vs the batch twin, documented because they
+    * differ by one µs: gaps-and-islands keeps an event at EXACTLY
+    * `gap` after its predecessor in the same session (`> gap`
+    * splits); `session_window` merges only on strict overlap, so the
+    * same event starts a new session. The oracle data carries no
+    * exact-boundary gap (verified at every SF), and any real clock
+    * has sub-gap jitter; a deployment that needs the closed-boundary
+    * rule shifts the gap by one µs. */
+  def sessionsStream(ev: Dataset[EvIn], gapMin: Int = 30): DataFrame =
+    ev.toDF()
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(session_window(col("event_time"), s"$gapMin minutes"),
+        col("userId"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsUs")).as("min_t"), max(col("tsUs")).as("max_t"))
+      .select(col("userId").as("user_id"), col("n_events"),
+        col("min_t"), col("max_t"))
+
+  /** Bounded replay of [[sessionsStream]] aggregated to the batch
+    * [[graft.relational.CoreQueries.sessionize]] output shape — the
+    * emitted closed sessions ARE the gaps-and-islands sessions (no
+    * boundary gaps in the corpus), so the row lands on `q03`'s
+    * DuckDB mirror unchanged: stream ≡ batch ≡ independent SQL. The
+    * double far-future sentinel closes every real session (the
+    * [[eventRatesReplay]] idiom; watermark moves at batch end). */
+  def sessionsReplay(events: DataFrame, spark: SparkSession,
+      gapMin: Int = 30, nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("user_id").as("userId"),
+        graft.Tables.tsMicros(col("ts")).as("tsUs"),
+        lit(0L).as("vm"))
+      .as[EvIn].collect().sortBy(e => (e.tsUs, e.userId))
+    if (rows.isEmpty)
+      return sessionsStream(spark.emptyDataset[EvIn], gapMin)
+    val maxTs = rows.map(_.tsUs).max
+    val flush = Seq(2L, 4L).map(h =>
+      EvIn(Long.MinValue, maxTs + h * 3600L * 1000000L, 0L))
+    val sess = replayChunked(spark, rows, (e: EvIn) => e.tsUs, nChunks,
+      "graft_sessions_replay",
+      (ds: Dataset[EvIn], sp: SparkSession) => sessionsStream(ds, gapMin),
+      flushRows = flush)
+      .filter(col("user_id") =!= Long.MinValue)
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        (sum(col("max_t") - col("min_t")) / 1000000.0)
+          .as("total_duration_sec"))
+  }
+
   /** One (doc, chunk) occurrence on the ingest stream. */
   case class ChunkOcc(doc_id: Long, chunk_hash: String)
 

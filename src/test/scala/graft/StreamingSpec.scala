@@ -345,6 +345,57 @@ class StreamingSpec extends AnyFunSuite {
       "arrival-order dedup verdicts diverged from the declared contract")
   }
 
+  test("sessionsStream merges a session across batches and a checkpoint kill") {
+    import spark.implicits._
+    val M = 1000000L
+    val gap = 30L * 60 * M
+    // u1: three events 10 min apart (ONE session even though they
+    // arrive in three different micro-batches — the engine must merge
+    // session state across batches and across a restart), then a
+    // fourth event past the gap (a second session). u2: one event.
+    val rows = Seq(
+      StreamingOps.EvIn(1L, 10 * M, 0L),
+      StreamingOps.EvIn(2L, 11 * M, 0L),
+      StreamingOps.EvIn(1L, 10 * M + 600 * M, 0L),
+      StreamingOps.EvIn(1L, 10 * M + 1200 * M, 0L),
+      StreamingOps.EvIn(1L, 10 * M + 1200 * M + gap + M, 0L))
+    val maxTs = rows.map(_.tsUs).max
+    val flush = Seq(2L, 4L).map(h =>
+      StreamingOps.EvIn(Long.MinValue, maxTs + h * 3600L * M, 0L))
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sessions").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.EvIn](spark)
+    def start() = StreamingOps.sessionsStream(ms.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("parquet").option("path", tmp + "/out")
+      .start()
+    val q1 = start()
+    ms.addData(Seq(rows(0), rows(1)))
+    q1.processAllAvailable()
+    ms.addData(Seq(rows(2)))
+    q1.stop() // kill mid-session: the open session lives in state
+    val q2 = start()
+    q2.processAllAvailable()
+    ms.addData(Seq(rows(3), rows(4)))
+    q2.processAllAvailable()
+    flush.foreach { f => ms.addData(Seq(f)); q2.processAllAvailable() }
+    q2.stop()
+
+    val got = spark.read.parquet(tmp + "/out")
+      .filter(col("user_id") =!= Long.MinValue)
+      .select("user_id", "n_events", "min_t", "max_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 3L, 10 * M, 10 * M + 1200 * M), // merged across 3 batches + kill
+      (1L, 1L, 10 * M + 1200 * M + gap + M, 10 * M + 1200 * M + gap + M),
+      (2L, 1L, 11 * M, 11 * M)),
+      "session windows diverged from the gaps-and-islands sessions")
+  }
+
   test("eventRates windowed aggregation survives a checkpoint kill") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
