@@ -1292,10 +1292,17 @@ object StreamingOps extends Serializable {
     * collection's vectors, pre-assigned under the stored centroids,
     * fed in vec_id order over `nChunks` micro-batches; the emitted
     * verdicts equal the per-cell greedy scan, which the DuckDB mirror
-    * recomputes as a linear recursion carrying the kept list. */
+    * recomputes as a linear recursion carrying the kept list.
+    * nChunks = 2: the timed oracle row needs exactly ONE micro-batch
+    * boundary to exercise cross-batch state carry (each trigger costs
+    * ~0.3-0.45 s of fixed engine overhead — planning, offset/commit
+    * logs, state-store commit — regardless of data); redundant
+    * boundaries live in the UNTIMED spec tier, where the
+    * `StreamingSpec` kill matrix still drives 3 barriers plus
+    * restarts. */
   def semDedupReplay(emb: DataFrame, spark: SparkSession,
       cents: Array[Array[Long]], threshold: Double = 0.45,
-      nChunks: Int = 3): DataFrame = {
+      nChunks: Int = 2): DataFrame = {
     import spark.implicits._
     val rows = graft.pipeline.VectorOps.assignedWithCos(emb, cents)
       .select(col("vec_id"), col("cent_id"), col("q"))
