@@ -4024,6 +4024,39 @@ object Oracles {
       |SELECT query_id, rnk, doc_id, score_nano, cos
       |FROM hrnk WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** Mirror of [[graft.pipeline.Search.hybridSearch]]: BM25 ranking
+    * (`brnk`) fused with the positive's IVF-cell neighbors (`krr`) by
+    * integer reciprocal ranks — `⌊1e9 / (60 + rnk)⌋` per list, full
+    * outer on (query, doc), ROW_NUMBER re-rank. */
+  def pipeHybridSearch(kEach: Int = 10, k: Int = 5,
+      rrfK: Int = 60): String =
+    Bm25Ctes +
+      ", " + KnnCte(16).stripPrefix("WITH ") +
+    s""", ypos AS (
+      |  SELECT query_id, doc_id AS pos_id FROM brnk WHERE rnk = 1
+      |), ylex AS (
+      |  SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk_lex
+      |  FROM brnk WHERE rnk <= $kEach
+      |), ysem AS (
+      |  SELECT p.query_id, kr.vb AS doc_id, kr.rnk AS rnk_sem
+      |  FROM ypos p JOIN krr kr ON kr.va = p.pos_id
+      |  WHERE kr.rnk <= $kEach
+      |), yfused AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(COALESCE(1000000000 // ($rrfK + l.rnk_lex), 0)
+      |       + COALESCE(1000000000 // ($rrfK + s.rnk_sem), 0)
+      |      AS BIGINT) AS rrf_nano,
+      |    CAST(CAST(l.rnk_lex IS NOT NULL AS INT)
+      |       + CAST(s.rnk_sem IS NOT NULL AS INT) AS BIGINT) AS n_lists
+      |  FROM ylex l FULL JOIN ysem s USING (query_id, doc_id)
+      |), yrnk AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM yfused
+      |)
+      |SELECT query_id, rnk, doc_id, rrf_nano, n_lists
+      |FROM yrnk WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   def pipeScrub: String =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))

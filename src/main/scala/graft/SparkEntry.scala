@@ -1074,6 +1074,13 @@ object SparkEntry {
       pipeline.Search.hardNegatives(Tables.load(s, d, "documents"),
           Tables.load(s, d, "embeddings"))
         .orderBy("query_id", "rnk")),
+    // hybrid retrieval: BM25 and query-by-example kNN fused by
+    // integer reciprocal ranks (no float score scales to tune)
+    "pipe_hybrid_search" -> ((s, d) =>
+      pipeline.Search.hybridSearch(Tables.load(s, d, "documents"),
+          Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("query_id", "rnk")),
     "pipe_scrub" -> ((s, d) =>
       TextPipeline.scrubPii(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1767,5 +1774,6 @@ object SparkEntry {
     "pipe_sql_triangles" -> Oracles.pipeTriangles(),
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
+    "pipe_hybrid_search" -> Oracles.pipeHybridSearch(),
   )
 }

@@ -141,4 +141,52 @@ object Search {
       .select(col("query_id"), col("rnk"), col("doc_id"),
         col("score_nano"), col("cos"))
   }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * the standard way a curation pipeline combines a LEXICAL ranking
+    * (BM25) with a SEMANTIC one (nearest neighbors in embedding
+    * space) without tuning score scales — each list contributes
+    * `⌊10⁹ / (rrfK + rank)⌋` per document and the fused integer sum
+    * re-ranks. The semantic list is query-by-example: the BM25 top-1
+    * positive's vector retrieves its IVF-cell neighbors (the
+    * [[hardNegatives]] cross-modal composition, `doc_id ≡ vec_id`),
+    * so a document that never matches a query term but sits next to
+    * the best lexical hit still surfaces — the recall win hybrid
+    * search exists for.
+    *
+    * Scale shape: both lists are O(queries · kEach) and the fusion
+    * join is tiny; the corpus-sized work is one BM25 pass (postings
+    * semi-joined to query vocabulary before anything wide) and the
+    * IVF-bounded kNN kernel — at deployment scale the semantic side
+    * reads the STORED index ([[graft.streaming.StreamingOps]]'
+    * annProbe idiom) instead of recomputing the self-graph. Integer
+    * reciprocal ranks make the fusion bit-stable on any engine — no
+    * float score normalization to diverge on. Output: (query_id,
+    * rnk, doc_id, rrf_nano, n_lists), n_lists = how many of the two
+    * rankings surfaced the document. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame,
+      queries: Seq[(Long, String)] = Bm25Queries,
+      kEach: Int = 10, k: Int = 5, rrfK: Int = 60,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val lex = bm25TopK(docs, queries, kEach)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_lex"))
+      .localCheckpoint(false) // feeds the positive AND the lex side
+    val pos = lex.filter(col("rnk_lex") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"))
+    val sem = VectorOps.knnGraph(emb, kEach, trainedCents = trainedCents)
+      .join(broadcast(pos), col("va") === col("pos_id"))
+      .select(col("query_id"), col("vb").as("doc_id"),
+        col("rnk").as("rnk_sem"))
+    val fused = lex
+      .join(sem, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id").as("vb"),
+        (coalesce(expr(s"1000000000 div ($rrfK + rnk_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + rnk_sem)"), lit(0L)))
+          .as("rrf_nano"),
+        (col("rnk_lex").isNotNull.cast("long") +
+          col("rnk_sem").isNotNull.cast("long")).as("n_lists"))
+    VectorOps.topKPerQuery(fused, k, col("rrf_nano").desc, col("vb"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vb").as("doc_id"), col("rrf_nano"), col("n_lists"))
+  }
 }

@@ -220,6 +220,39 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("hybridSearch fuses lexical and semantic ranks by integer RRF") {
+    import graft.pipeline.{Search, VectorOps}
+    // doc 0 is the lexical positive (alpha x2 + beta), doc 1 a weak
+    // lexical match; docs 2/3 never match a query term. Embeddings:
+    // doc 3 is doc 0's nearest neighbor, doc 2 second, doc 1 last.
+    // RRF consensus: doc 1 (in BOTH lists) must outrank doc 0 (lex
+    // rank 1 only), and doc 3 surfaces with no lexical match at all.
+    val docs = Seq(
+      (0L, "alpha beta alpha"),
+      (1L, "alpha noise1 noise2"),
+      (2L, "gamma delta"),
+      (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(100f, 1f, 0f, 0f)),
+      (1L, Array(0f, 0f, 100f, 0f)),
+      (2L, Array(0f, 100f, 0f, 0f)),
+      (3L, Array(100f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Search.hybridSearch(docs, emb,
+        queries = Seq(7L -> "alpha beta"), kEach = 10, k = 5,
+        trainedCents = Some(Array(Array(1000L, 0L, 0L, 0L))))
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_nano"), r.getAs[Long]("n_lists")))
+    // 1e9 div 61 = 16393442, div 62 = 16129032, div 63 = 15873015;
+    // doc 1 = lex rank 2 + sem rank 3; docs 0 and 3 tie (lex-1 vs
+    // sem-1) -> doc_id breaks it; doc 2 = sem rank 2 only
+    assert(got.toSeq === Seq(
+      (1L, 1L, 16129032L + 15873015L, 2L),
+      (2L, 0L, 16393442L, 1L),
+      (3L, 3L, 16393442L, 1L),
+      (4L, 2L, 16129032L, 1L)))
+  }
+
   test("triangleStats counts closed wedges per vector with exact coefficients") {
     import graft.pipeline.VectorOps
     // one cell (explicit single centroid), k = 2: trio 0/1/2 are
