@@ -173,7 +173,13 @@ object Search {
       .localCheckpoint(false) // feeds the positive AND the lex side
     val pos = lex.filter(col("rnk_lex") === 1)
       .select(col("query_id"), col("doc_id").as("pos_id"))
-    val sem = VectorOps.knnGraph(emb, kEach, trainedCents = trainedCents)
+    // the kNN kernel with its QUERY side restricted to the positives:
+    // row-identical to filtering the full self-graph (same cells,
+    // sub-splits, cosine, tiebreak — the krr mirror still matches)
+    // at O(positives · cell) pair cost instead of Σ|cell|²
+    val sem = VectorOps.knnGraphFor(emb,
+        Some(pos.select(col("pos_id").as("va"))), kEach,
+        trainedCents = trainedCents)
       .join(broadcast(pos), col("va") === col("pos_id"))
       .select(col("query_id"), col("vb").as("doc_id"),
         col("rnk").as("rnk_sem"))

@@ -713,6 +713,21 @@ object VectorOps {
     * (va, rnk, vb, cos). */
   def knnGraph(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame =
+    knnGraphFor(emb, None, k, nCells, trainedCents, cellCap)
+
+  /** [[knnGraph]] with the QUERY side optionally restricted to a
+    * given id set (a small broadcastable frame with one `va` column):
+    * the ranking rows produced are EXACTLY the full graph's rows for
+    * those sources (same cells, same sub-splits, same cosine and
+    * tiebreak), but the pair join shrinks from Σ|cell|² to
+    * Σ_{queried cells} |restricted|·|cell| — the shape for
+    * query-by-example retrieval ([[graft.pipeline.Search
+    * .hybridSearch]]), where recomputing the whole self-graph for a
+    * handful of probes would dominate the query. */
+  private[pipeline] def knnGraphFor(emb: DataFrame,
+      vaIds: Option[DataFrame], k: Int = 5, nCells: Int = 16,
+      trainedCents: Option[Array[Array[Long]]] = None,
       cellCap: Int = CellCap): DataFrame = {
     // both self-join sides read the assignment — one lazy checkpoint
     // evaluates the scoring join + argmax once (the assignedWithCos
@@ -728,9 +743,12 @@ object VectorOps {
         trainedCents.getOrElse(ivfTrain(emb, nCells)))
       .localCheckpoint(false)
     val assign = withCellSub(raw, "vb", cellCap)
-    val q = assign.select(col("cent_id"), col("sub"),
+    val qAll = assign.select(col("cent_id"), col("sub"),
       col("vb").as("query_id"),
       col("qb").as("qa"), col("nb").as("na"))
+    val q = vaIds.fold(qAll)(ids =>
+      qAll.join(broadcast(ids.select(col("va").as("query_id"))),
+        Seq("query_id")))
     // prune the vector arrays BEFORE the ranking windows: cos is
     // computed at the pair join, but letting qa/qb (d longs each) ride
     // the two top-k shuffles multiplied the self-graph's shuffle bytes

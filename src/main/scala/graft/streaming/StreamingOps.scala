@@ -492,10 +492,13 @@ object StreamingOps extends Serializable {
     } finally {
       q.stop()
       // reclaim the RAM-disk checkpoint immediately — /dev/shm is a
-      // shared, memory-backed resource
+      // shared, memory-backed resource (close the directory stream:
+      // a dozen replays per bench JVM would otherwise leak handles)
       def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
         java.nio.file.Files.deleteIfExists(p); ()
       }
       rm(ckBase)
