@@ -1046,6 +1046,9 @@ object SparkEntry {
     "q08_sql_funnel" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM funnel('events_sql')")
         .orderBy("step_no")),
+    "q03_sql_sessionize" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM sessions('events_sql')")
+        .orderBy("user_id")),
     "q12_sql_anomaly" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM anomaly('events_sql')")
         .orderBy("event_id")),
@@ -1758,6 +1761,7 @@ object SparkEntry {
     "pipe_sql_pmi_bigrams" -> Oracles.pipePmiBigrams,
     "pipe_sql_dedup_recall" -> Oracles.pipeDedupRecall,
     "q08_sql_funnel" -> Oracles.q08Funnel,
+    "q03_sql_sessionize" -> Oracles.q03Sessionize,
     "q09_sql_retention" -> Oracles.q09Retention,
     "q12_sql_anomaly" -> Oracles.q12Anomaly,
     "pipe_sql_source_cap" -> Oracles.pipeSourceCap(),

@@ -139,6 +139,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "pmi_bigrams" -> graft.plans.GraftTableFunctions.pmiBigramsTvf _,
       "dedup_recall" -> graft.plans.GraftTableFunctions.dedupRecallTvf _,
       "funnel" -> graft.plans.GraftTableFunctions.funnelTvf _,
+      "sessions" -> graft.plans.GraftTableFunctions.sessionsTvf _,
       "retention" -> graft.plans.GraftTableFunctions.retentionTvf _,
       "anomaly" -> graft.plans.GraftTableFunctions.anomalyTvf _,
       "source_cap" -> graft.plans.GraftTableFunctions.sourceCapTvf _,

@@ -168,6 +168,10 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.relational.CoreQueries.funnelOf(l3.select(
               col("user_id"), col("event_type"),
               graft.Tables.tsMicros(col("ts")).as("t")))
+          case "sessions" =>
+            graft.relational.CoreQueries.sessionizeOf(l3.select(
+              col("user_id"), col("event_id"),
+              graft.Tables.tsMicros(col("ts")).as("t")))
           case "retention" =>
             graft.relational.CoreQueries.retentionOf(l3.select(
               col("user_id"), graft.Tables.tsMicros(col("ts")).as("t")))
@@ -718,6 +722,14 @@ object GraftTableFunctions {
       else Nil,
       if (exprs.length == 3) Seq(strLit(exprs, 2, "weighted_sample"))
       else Nil)
+  }
+
+  /** `sessions('events')` — per-user gaps-and-islands session stats
+    * ([[graft.relational.CoreQueries.sessionizeOf]]). */
+  def sessionsTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "sessions takes (events_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "sessions")),
+      "sessions", Nil)
   }
 
   /** `gram('emb')` — exact integer Gram matrix

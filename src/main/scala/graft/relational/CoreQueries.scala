@@ -68,10 +68,14 @@ object CoreQueries {
     * pattern as the reference's era detection,
     * `db/bitfinex_schema.sql:332-361`): a >30 min silence per user splits
     * a session. Returns per-user session stats. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("t")))
+
+  /** [[sessionize]] over a pre-projected `(user_id, event_id, t)`
+    * frame — the seam the SQL TVF expands to. */
+  private[graft] def sessionizeOf(ev: DataFrame): DataFrame = {
     val gapMicros = 30L * 60 * 1000000
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("t"))
     val wUser = Window.partitionBy("user_id").orderBy("t", "event_id")
     val sessions = ev
       .withColumn("prev_t", lag("t", 1).over(wUser))

@@ -413,6 +413,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows(s2.sql("SELECT * FROM retention('events_tvf')")) ==
         rows(CoreQueries.retentionOf(evt.select(col("user_id"),
           tsMicros(col("ts")).as("t")))))
+      assert(rows(s2.sql("SELECT * FROM sessions('events_tvf')")) ==
+        rows(CoreQueries.sessionizeOf(evt.select(col("user_id"),
+          col("event_id"), tsMicros(col("ts")).as("t")))))
       assert(rows(s2.sql("SELECT * FROM anomaly('events_tvf')")) ==
         rows(CoreQueries.eventAnomaliesOf(evt)))
       assert(rows(s2.sql("SELECT * FROM source_cap('docs_tvf')")) ==
