@@ -116,8 +116,23 @@ object Bench {
     // r11 (parsed: null); a short summary AFTER it guarantees the tail
     // always ends with one complete parseable JSON line — per-query
     // detail stays in the full line / the committed bench artifact
+    // distinct metric name: a full (untruncated) stdout carries both
+    // lines, and a consumer matching the FIRST "total" or summing
+    // metric rows must not double-count or mis-schema (ADVICE r12)
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}"""
+    println(summary)
+    // the driver's stdout capture has failed to parse twice (r11 tail
+    // truncation, r12 [info] prefix) — ALWAYS persist both lines to a
+    // fixed committable path so the repo is self-evidencing even when
+    // the invoker's capture breaks; Try-guarded for read-only cwds
+    scala.util.Try {
+      val fixed = java.nio.file.Paths.get("docs", "bench",
+        "last_summary.json")
+      java.nio.file.Files.createDirectories(fixed.getParent)
+      java.nio.file.Files.writeString(fixed, line + "\n" + summary + "\n")
+    }
     // the driver's stdout tail truncates long runs — also write the
     // COMPLETE report (every per-query second + calib + every build
     // timing) to a committable artifact when asked (docs/bench/rN.json)

@@ -157,17 +157,23 @@ object Search {
     * Scale shape: both lists are O(queries · kEach) and the fusion
     * join is tiny; the corpus-sized work is one BM25 pass (postings
     * semi-joined to query vocabulary before anything wide) and the
-    * IVF-bounded kNN kernel — at deployment scale the semantic side
-    * reads the STORED index ([[graft.streaming.StreamingOps]]'
-    * annProbe idiom) instead of recomputing the self-graph. Integer
-    * reciprocal ranks make the fusion bit-stable on any engine — no
-    * float score normalization to diverge on. Output: (query_id,
-    * rnk, doc_id, rrf_nano, n_lists), n_lists = how many of the two
-    * rankings surfaced the document. */
+    * IVF-bounded kNN kernel. With `storedIndex` given (the persisted
+    * `(vb, cent_id, qb, nb)` assignment lake of
+    * [[VectorOps.ivfAssignments]]) the semantic side reads the STORED
+    * posting lists — the [[graft.streaming.StreamingOps]] annProbe
+    * idiom, zero passes over the raw embedding table per query batch,
+    * the 100 TB serving shape; without it the assignment is computed
+    * from `emb` in-query (one corpus pass — the self-contained oracle
+    * shape). Both routes are row-identical under the same centroids.
+    * Integer reciprocal ranks make the fusion bit-stable on any
+    * engine — no float score normalization to diverge on. Output:
+    * (query_id, rnk, doc_id, rrf_nano, n_lists), n_lists = how many
+    * of the two rankings surfaced the document. */
   def hybridSearch(docs: DataFrame, emb: DataFrame,
       queries: Seq[(Long, String)] = Bm25Queries,
       kEach: Int = 10, k: Int = 5, rrfK: Int = 60,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+      trainedCents: Option[Array[Array[Long]]] = None,
+      storedIndex: Option[DataFrame] = None): DataFrame = {
     val lex = bm25TopK(docs, queries, kEach)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_lex"))
       .localCheckpoint(false) // feeds the positive AND the lex side
@@ -177,9 +183,11 @@ object Search {
     // row-identical to filtering the full self-graph (same cells,
     // sub-splits, cosine, tiebreak — the krr mirror still matches)
     // at O(positives · cell) pair cost instead of Σ|cell|²
-    val sem = VectorOps.knnGraphFor(emb,
-        Some(pos.select(col("pos_id").as("va"))), kEach,
-        trainedCents = trainedCents)
+    val posIds = Some(pos.select(col("pos_id").as("va")))
+    val sem = storedIndex
+      .map(ix => VectorOps.knnGraphFromIndex(ix, posIds, kEach))
+      .getOrElse(VectorOps.knnGraphFor(emb, posIds, kEach,
+        trainedCents = trainedCents))
       .join(broadcast(pos), col("va") === col("pos_id"))
       .select(col("query_id"), col("vb").as("doc_id"),
         col("rnk").as("rnk_sem"))

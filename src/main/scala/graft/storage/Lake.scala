@@ -234,4 +234,51 @@ object Lake {
       .sortWithinPartitions("key")
       .write.partitionBy("band").mode("append").parquet(s"$path/bands")
   }
+
+  /** The persisted IVF assignment lake `(vb, cent_id, qb, nb)` — the
+    * posting-list half of a trained ANN index
+    * ([[graft.pipeline.VectorOps.ivfAssignments]]); the other half is
+    * the O(nCells·d) centroid matrix, a driver artifact. Files are
+    * clustered by cell so a probe's `cent_id` join touches few row
+    * groups (min/max skipping — `cent_id` stays a data column rather
+    * than a `partitionBy` subtree: partition-column type inference
+    * must never reshape the frame the probe joins). */
+  def writeIvfIndex(emb: DataFrame, cents: Array[Array[Long]],
+      path: String): Unit =
+    graft.pipeline.VectorOps.ivfAssignments(emb, cents)
+      .repartition(col("cent_id"))
+      .sortWithinPartitions("cent_id", "vb")
+      .write.mode("overwrite").parquet(path)
+
+  /** Append one ingest batch to the stored IVF index — the ANN twin
+    * of [[appendDedupIndex]], the step a daily-growing corpus needs so
+    * the index never rebuilds per ingest: the new vectors are assigned
+    * under the SAME stored centroids and their postings land beside
+    * the old files; readers ([[graft.streaming.StreamingOps
+    * .annProbeStream]], [[graft.pipeline.VectorOps
+    * .knnGraphFromIndex]]) are unchanged, and the grown index equals a
+    * scratch rebuild over the union given the same centroids
+    * (per-row max-cosine assignment has no cross-row dependence —
+    * `LakeSpec` pins it). The caller screens genuinely-new ids
+    * ([[graft.pipeline.VectorOps.incrAnnAssign]]'s anti-join).
+    *
+    * CENTROID-DRIFT CONTRACT: appending never retrains, so cells only
+    * stay probe-efficient while the ingest distribution matches the
+    * training distribution. Gauge drift per batch with
+    * [[graft.pipeline.VectorOps.ivfCellDrift]] (KL of the new batch's
+    * cell-occupancy histogram against the stored index's); retrain +
+    * rebuild when it drifts past the deployment's threshold — the
+    * same trigger discipline as the MinHash index's periodic
+    * compaction, and a cheap gauge because both histograms are
+    * nCells-row aggregates. */
+  def appendIvfIndex(newEmb: DataFrame, cents: Array[Array[Long]],
+      path: String): Unit =
+    graft.pipeline.VectorOps.ivfAssignments(newEmb, cents)
+      .repartition(col("cent_id"))
+      .sortWithinPartitions("cent_id", "vb")
+      .write.mode("append").parquet(path)
+
+  /** Read the IVF assignment lake back. */
+  def readIvfIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

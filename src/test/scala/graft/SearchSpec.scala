@@ -253,6 +253,77 @@ class SearchSpec extends AnyFunSuite {
       (4L, 2L, 16129032L, 1L)))
   }
 
+  test("hybridSearch over the stored index equals the recompute route") {
+    import graft.pipeline.{Search, VectorOps}
+    // same fixture as the RRF test; the semantic side served from a
+    // PERSISTED assignment lake (the 100 TB shape — zero passes over
+    // the embedding table) must be row-identical to in-query
+    // re-assignment under the same centroids
+    val docs = Seq(
+      (0L, "alpha beta alpha"),
+      (1L, "alpha noise1 noise2"),
+      (2L, "gamma delta"),
+      (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(100f, 1f, 0f, 0f)),
+      (1L, Array(0f, 0f, 100f, 0f)),
+      (2L, Array(0f, 100f, 0f, 0f)),
+      (3L, Array(100f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1000L, 0L, 0L, 0L), Array(0L, 1000L, 0L, 0L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hybrid_ix_").toString
+    try {
+      VectorOps.ivfAssignments(emb, cents)
+        .write.mode("overwrite").parquet(dir)
+      val stored = Search.hybridSearch(docs, emb,
+          queries = Seq(7L -> "alpha beta"), kEach = 10, k = 5,
+          storedIndex = Some(spark.read.parquet(dir)))
+        .orderBy("rnk").collect().map(_.toSeq)
+      val recomputed = Search.hybridSearch(docs, emb,
+          queries = Seq(7L -> "alpha beta"), kEach = 10, k = 5,
+          trainedCents = Some(cents))
+        .orderBy("rnk").collect().map(_.toSeq)
+      assert(stored.toSeq === recomputed.toSeq)
+      assert(stored.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("ivfTrainCached retrains when the parquet at its path is overwritten") {
+    import graft.pipeline.VectorOps
+    // the memo keys on plan + DATA fingerprint: overwriting the same
+    // path in-session must retrain (ADVICE r12 — a plan-only key
+    // silently served centroids trained on the old data)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_memo_").toString
+    def write(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir)
+    try {
+      write(Seq((0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
+        (2L, Array(9f, 1f)), (3L, Array(1f, 9f))))
+      val c1 = VectorOps.ivfTrainCached(
+        spark.read.parquet(dir), nCells = 2, iters = 1)
+      // second call on UNCHANGED data: memo hit, same object
+      val c1b = VectorOps.ivfTrainCached(
+        spark.read.parquet(dir), nCells = 2, iters = 1)
+      assert(c1b eq c1)
+      write(Seq((0L, Array(0f, 7f)), (1L, Array(7f, 0f)),
+        (2L, Array(1f, 6f)), (3L, Array(6f, 1f))))
+      val c2 = VectorOps.ivfTrainCached(
+        spark.read.parquet(dir), nCells = 2, iters = 1)
+      val fresh = VectorOps.ivfTrain(
+        spark.read.parquet(dir), nCells = 2, iters = 1)
+      assert(c2.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
+      assert(c2.map(_.toSeq).toSeq !== c1.map(_.toSeq).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("triangleStats counts closed wedges per vector with exact coefficients") {
     import graft.pipeline.VectorOps
     // one cell (explicit single centroid), k = 2: trio 0/1/2 are
