@@ -3165,8 +3165,18 @@ object Oracles {
     * the lower cell) and recenters element-wise with the EXACT
     * integer floor division (the PqCte discipline — a double
     * round-trip would diverge past 2^53); an emptied cell keeps its
-    * previous centroid. Ends with `cents(cent_id, i, q)`. */
-  private def IvfTrainCte(cells: String, iters: Int = 2): String = {
+    * previous centroid. Ends with `cents(cent_id, i, q)`.
+    *
+    * `src` is the exploded-vector CTE the training reads (default
+    * `ev`, the whole collection — the historical, byte-identical
+    * form). A RESTRICTED source (e.g. `evb`, the incremental-ANN base
+    * split) trains on its rows alone; its seed relabels the lowest
+    * `cells` vec_ids densely to 0..cells−1 because the engine's
+    * centroid array is position-indexed — on `ev`'s dense ids the two
+    * seed forms coincide, so the special case preserves every
+    * pre-existing mirror verbatim. */
+  private def IvfTrainCte(cells: String, iters: Int = 2,
+      src: String = "ev"): String = {
     // CTE names are icb* (not cb*): PqCte's per-subspace codebooks
     // already own cb0..cb2, and the IVF-PQ-kmeans mirror composes both
     def round(idx: Int): String = {
@@ -3175,7 +3185,7 @@ object Oracles {
         |  SELECT cent_id, SUM(q*q) AS cnq FROM $prev GROUP BY cent_id
         |), ad_t$idx AS (
         |  SELECT e.vec_id, c.cent_id, SUM(e.q * c.q) AS dot
-        |  FROM ev e JOIN $prev c ON c.i = e.i
+        |  FROM $src e JOIN $prev c ON c.i = e.i
         |  GROUP BY e.vec_id, c.cent_id
         |), rk_t$idx AS (
         |  SELECT vec_id, cent_id FROM (
@@ -3192,14 +3202,26 @@ object Oracles {
         |    SELECT a.cent_id, e.i,
         |      CAST((SUM(e.q) - ((SUM(e.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
         |        // COUNT(*) AS BIGINT) AS c
-        |    FROM rk_t$idx a JOIN ev e ON e.vec_id = a.vec_id
+        |    FROM rk_t$idx a JOIN $src e ON e.vec_id = a.vec_id
         |    GROUP BY a.cent_id, e.i
         |  ) u ON u.cent_id = p.cent_id AND u.i = p.i
         |)""".stripMargin
     }
-    s""", icb0 AS (
-      |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $cells
-      |)""".stripMargin +
+    val seed =
+      if (src == "ev")
+        s""", icb0 AS (
+          |  SELECT vec_id AS cent_id, i, q FROM ev WHERE vec_id < $cells
+          |)""".stripMargin
+      else
+        s""", icb0 AS (
+          |  SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cent_id,
+          |    i, q
+          |  FROM $src
+          |  WHERE vec_id IN (
+          |    SELECT DISTINCT vec_id FROM $src ORDER BY vec_id
+          |    LIMIT $cells)
+          |)""".stripMargin
+    seed +
       (1 to iters).map(round).mkString +
       s""", cents AS (
       |  SELECT cent_id, i, q FROM icb$iters
@@ -3248,6 +3270,94 @@ object Oracles {
   /** Mirror of `VectorOps.annRecallIvfKmeans`. */
   def pipeAnnRecallIvfKmeans: String =
     IvfChain(trained = true) + ExactChainE() + RecallSelect("rr")
+
+  /** The max-cosine assignment of EVERY vector to base-trained cells —
+    * shared by [[pipeIncrAnn]] and [[pipeAnnDrift]]: Lloyd runs on the
+    * BASE split alone (`evb`, vec_id % 4 ≠ 0 — the already-indexed
+    * corpus), then the whole collection is assigned under those frozen
+    * centroids with the engine's (cos DESC, cent_id) tie rule. Because
+    * per-row assignment has no cross-row dependence, this full-rebuild
+    * formulation EQUALS the engine's incremental path (stored base
+    * postings ∪ freshly-assigned batch) — the equivalence the
+    * incremental-ANN row exists to prove. Ends with
+    * `iasg(vec_id, cent_id)`. */
+  private def IncrAssignCte(nCells: Int = 16): String =
+    QuantEmbCte +
+    """
+      |, evb AS (
+      |  SELECT * FROM ev WHERE vec_id % 4 <> 0
+      |)""".stripMargin +
+    IvfTrainCte(nCells.toString, src = "evb") +
+    """
+      |, iccn AS (
+      |  SELECT cent_id, SUM(q*q) AS cnq FROM cents GROUP BY cent_id
+      |), icad AS (
+      |  SELECT e.vec_id, c.cent_id, SUM(e.q * c.q) AS dot
+      |  FROM ev e JOIN cents c ON c.i = e.i
+      |  GROUP BY e.vec_id, c.cent_id
+      |), icac AS (
+      |  SELECT a.vec_id, a.cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST(a.dot AS DOUBLE) /
+      |        (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(cn.cnq AS DOUBLE)))
+      |        DESC, a.cent_id) AS crn
+      |  FROM icad a JOIN nrm n ON n.vec_id = a.vec_id
+      |  JOIN iccn cn ON cn.cent_id = a.cent_id
+      |), iasg AS (
+      |  SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id
+      |  FROM icac WHERE crn = 1
+      |)""".stripMargin
+
+  /** Mirror of [[graft.pipeline.VectorOps.incrAnnAssign]] over the
+    * %-4 base/batch split: the engine probes the STORED base index and
+    * assigns only the batch under the stored centroids; the mirror is
+    * the equivalent scratch rebuild — every vector assigned under
+    * base-trained centroids, `is_new` = membership in the batch. */
+  def pipeIncrAnn(nCells: Int = 16): String =
+    IncrAssignCte(nCells) +
+    """
+      |SELECT vec_id, cent_id, (vec_id % 4 = 0) AS is_new
+      |FROM iasg ORDER BY vec_id""".stripMargin
+
+  /** Mirror of [[graft.pipeline.VectorOps.ivfCellDrift]] between the
+    * stored base index and one ingest batch: per-cell occupancy
+    * histograms over cells occupied by EITHER side (the engine's full
+    * join), +1 Laplace smoothing with that joint cell count as the
+    * smoothing denominator's added mass, and the [[pipeSourceDrift]]
+    * integerization `⌊10⁹·p·ln(p/q)⌋` summed to one row. */
+  def pipeAnnDrift(nCells: Int = 16): String =
+    IncrAssignCte(nCells) +
+    """
+      |, dbh AS (
+      |  SELECT cent_id, COUNT(*) AS base_n FROM iasg
+      |  WHERE vec_id % 4 <> 0 GROUP BY cent_id
+      |), dnh AS (
+      |  SELECT cent_id, COUNT(*) AS new_n FROM iasg
+      |  WHERE vec_id % 4 = 0 GROUP BY cent_id
+      |), dj AS (
+      |  SELECT COALESCE(b.cent_id, n.cent_id) AS cent_id,
+      |    COALESCE(b.base_n, 0) AS base_n,
+      |    COALESCE(n.new_n, 0) AS new_n
+      |  FROM dnh n FULL JOIN dbh b ON b.cent_id = n.cent_id
+      |), dt AS (
+      |  SELECT SUM(base_n) AS base_tot, SUM(new_n) AS new_tot,
+      |    COUNT(*) AS n_cells
+      |  FROM dj
+      |), dk AS (
+      |  SELECT
+      |    CAST(j.new_n + 1 AS DOUBLE) /
+      |      CAST(t.new_tot + t.n_cells AS DOUBLE) AS p,
+      |    CAST(j.base_n + 1 AS DOUBLE) /
+      |      CAST(t.base_tot + t.n_cells AS DOUBLE) AS q
+      |  FROM dj j, dt t
+      |)
+      |SELECT
+      |  (SELECT CAST(n_cells AS BIGINT) FROM dt) AS n_cells,
+      |  (SELECT CAST(base_tot AS BIGINT) FROM dt) AS n_base,
+      |  (SELECT CAST(new_tot AS BIGINT) FROM dt) AS n_new,
+      |  CAST(SUM(CAST(FLOOR(1e9 * p * LN(p / q)) AS BIGINT)) AS BIGINT)
+      |    AS kl_nano
+      |FROM dk""".stripMargin
 
   /** Mirror of `VectorOps.semDedup`: Lloyd-trained cells (same
     * IvfTrainCte), assignment with centroid cosine kept, within-cell

@@ -885,6 +885,31 @@ object SparkEntry {
           Tables.load(s, d, "embeddings"), s, trainedIvf(s, d),
           ivfIndex(s, d))
         .orderBy("query_id", "rnk")),
+    // INCREMENTAL index maintenance: the ingest batch (% 4 = 0) is
+    // screened and assigned against the STORED base index under frozen
+    // base-trained centroids — base embeddings are never re-read, only
+    // the batch pays assignment arithmetic. Mirror = scratch rebuild
+    // over base ∪ batch (per-row assignment has no cross-row
+    // dependence, so incremental ≡ full; LakeSpec pins the same claim
+    // at the append-to-parquet layer)
+    "pipe_incr_ann" -> ((s, d) =>
+      VectorOps.incrAnnAssign(
+          Tables.load(s, d, "embeddings").filter(col("vec_id") % 4 === 0),
+          trainedIvfBase(s, d),
+          storage.Lake.readIvfIndex(s, ivfBaseIndex(s, d)))
+        .orderBy("vec_id")),
+    "pipe_sql_incr_ann" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM incr_ann('emb_sql')")
+        .orderBy("vec_id")),
+    // the retrain trigger for an append-maintained index: KL drift of
+    // the batch's cell-occupancy histogram vs the stored index's —
+    // two nCells-row aggregates, integer-exact nano units
+    "pipe_ann_drift" -> ((s, d) =>
+      VectorOps.ivfCellDrift(
+        storage.Lake.readIvfIndex(s, ivfBaseIndex(s, d)),
+        VectorOps.ivfAssignments(
+          Tables.load(s, d, "embeddings").filter(col("vec_id") % 4 === 0),
+          trainedIvfBase(s, d)))),
     // the FULLY-composed deployment index: k-means-trained coarse
     // cells bound the scan, stored PQ codes bound the memory, exact
     // re-rank bounds the error — all three artifacts prebuilt
@@ -1299,6 +1324,36 @@ object SparkEntry {
     ivfMemo.getOrElseUpdate(d,
       VectorOps.ivfTrain(Tables.load(s, d, "embeddings")))
 
+  /** Train-once memo for the incremental-ANN BASE centroids (per data
+    * dir): Lloyd over the % 4 ≠ 0 split alone — the "yesterday's
+    * corpus" the stored index was built from, frozen so today's ingest
+    * batch appends under them ([[graft.storage.Lake.appendIvfIndex]]'s
+    * drift contract). */
+  private val ivfBaseMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+
+  private def trainedIvfBase(s: SparkSession,
+      d: String): Array[Array[Long]] =
+    ivfBaseMemo.getOrElseUpdate(d,
+      VectorOps.ivfTrain(Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") % 4 =!= 0)))
+
+  /** Build-once memo for the BASE IVF assignment lake (per data dir):
+    * the stored index the incremental rows probe and append to —
+    * base postings only, written under [[trainedIvfBase]]'s frozen
+    * centroids. Returns the PATH. */
+  private val ivfBaseIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfBaseIndex(s: SparkSession, d: String): String =
+    ivfBaseIndexMemo.getOrElseUpdate(d, {
+      val p = artifactPath("ivf_base_index", d)
+      storage.Lake.writeIvfIndex(
+        Tables.load(s, d, "embeddings").filter(col("vec_id") % 4 =!= 0),
+        trainedIvfBase(s, d), p)
+      p
+    })
+
   private def trainedPq(s: SparkSession, d: String): VectorOps.PqModel =
     pqMemo.getOrElseUpdate(d,
       VectorOps.pqTrain(Tables.load(s, d, "embeddings")))
@@ -1423,6 +1478,7 @@ object SparkEntry {
       timed("pq_build_s") { pqIndex(s, d).count() },
       timed("ivf_train_s") { trainedIvf(s, d) },
       timed("ivf_index_build_s") { ivfIndex(s, d) },
+      timed("ivf_base_index_build_s") { ivfBaseIndex(s, d) },
       timed("exact_knn_build_s") { exactKnnIndex(s, d).count() },
       timed("l2_lake_build_s") { level2Lake(s, d) },
       timed("l3_lake_build_s") { level3Lake(s, d) },
@@ -1677,6 +1733,9 @@ object SparkEntry {
     "pipe_sem_keep_best" -> Oracles.pipeSemKeepBest(),
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
+    "pipe_incr_ann" -> Oracles.pipeIncrAnn(),
+    "pipe_sql_incr_ann" -> Oracles.pipeIncrAnn(),
+    "pipe_ann_drift" -> Oracles.pipeAnnDrift(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
     "pipe_label_sim" -> Oracles.pipeLabelSim,
     "pipe_cluster_sample" -> Oracles.pipeClusterSample(),

@@ -158,6 +158,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.knnClustersTvf _,
       "semdedup" -> graft.plans.GraftTableFunctions.semDedupTvf _,
       "triangles" -> graft.plans.GraftTableFunctions.trianglesTvf _,
+      "incr_ann" -> graft.plans.GraftTableFunctions.incrAnnTvf _,
       "source_distinct" ->
         graft.plans.GraftTableFunctions.sourceDistinctTvf _,
       "weighted_sample" ->

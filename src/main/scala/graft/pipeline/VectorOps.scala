@@ -520,8 +520,15 @@ object VectorOps {
         val bucket = conv(substring(h, 1, 4), 16, 10).cast("long")
         qAll.filter(bucket < lit((sampleFraction * 65536).toLong))
       }
-    var cents: Array[Array[Long]] = qAll.filter(col("vec_id") < nCells)
-      .orderBy("vec_id").select("q").collect()
+    // seeds = the nCells LOWEST vec_ids of the input (TakeOrdered —
+    // never a full sort). On a dense-id collection this is exactly the
+    // historical `vec_id < nCells` filter (every SQL mirror's seed CTE
+    // stays valid); on a RESTRICTED frame — e.g. the incremental-ANN
+    // base split, whose ids skip every 4th — a value filter would
+    // under-seed and fail the require below
+    var cents: Array[Array[Long]] = qAll
+      .orderBy("vec_id").limit(nCells).orderBy("vec_id")
+      .select("q").collect()
       .map(_.getSeq[Long](0).toArray)
     require(cents.length == nCells,
       s"collection smaller than nCells=$nCells centroid seeds")

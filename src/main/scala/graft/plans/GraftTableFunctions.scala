@@ -235,6 +235,18 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
               trainedCents =
                 Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "incr_ann" =>
+            // base (% 4 ≠ 0) = the already-indexed corpus; batch = the
+            // ingest. Training is the session-memoized artifact
+            // (ivfTrainCached); the base assignment is recomputed
+            // in-query here — the API row (`pipe_incr_ann`) is the
+            // lake-serving shape that reads the stored postings
+            val annBase = l3.filter(col("vec_id") % 4 =!= 0)
+            val annCents =
+              graft.pipeline.VectorOps.ivfTrainCached(annBase)
+            graft.pipeline.VectorOps.incrAnnAssign(
+              l3.filter(col("vec_id") % 4 === 0), annCents,
+              graft.pipeline.VectorOps.ivfAssignments(annBase, annCents))
           case "source_distinct" =>
             graft.pipeline.TextPipeline.sourceDistinctEstimate(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 64)
@@ -814,6 +826,16 @@ object GraftTableFunctions {
     UnresolvedGraftCall(rel(strLit(exprs, 0, "triangles")),
       "triangles",
       exprs.drop(1).map(_ => longLit(exprs, 1, "triangles")))
+  }
+
+  /** `incr_ann('emb')` — incremental ANN-index maintenance view: the
+    * % 4 ≠ 0 split is the indexed base, % 4 = 0 the ingest batch
+    * assigned under the base-trained frozen centroids
+    * ([[graft.pipeline.VectorOps.incrAnnAssign]]). */
+  def incrAnnTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "incr_ann takes (emb_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "incr_ann")),
+      "incr_ann", Nil)
   }
 
   /** `semdedup('emb'[, tau])` — cluster-then-prune semantic dedup

@@ -298,6 +298,82 @@ class LakeSpec extends AnyFunSuite {
     assert(g.nonEmpty && g == probe(fresh))
   }
 
+  test("appended IVF index equals a rebuild; online probe serves the grown lake") {
+    import graft.pipeline.VectorOps
+    // nightly ANN-ingest loop: index the base split, append the batch
+    // under the SAME frozen centroids, and the grown lake must equal a
+    // from-scratch rebuild over the union — per-row max-cosine
+    // assignment has no cross-row dependence, so append ≡ rebuild
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(false)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val cents = VectorOps.ivfTrain(base)
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft-ivf-grown").toString
+    Lake.writeIvfIndex(base, cents, grown)
+    Lake.appendIvfIndex(batch, cents, grown)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivf-fresh").toString
+    Lake.writeIvfIndex(emb, cents, fresh)
+    def assignRows(p: String) = Lake.readIvfIndex(spark, p)
+      .select("vb", "cent_id", "qb", "nb")
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    val g = assignRows(grown)
+    assert(g.nonEmpty && g == assignRows(fresh))
+
+    // and the ONLINE reader over the GROWN lake: streamed probe
+    // emissions equal the batch kmeans-IVF search under the same
+    // centroids — appended postings serve queries with no rebuild
+    val key = (r: Seq[Any]) => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long])
+    val streamed = graft.streaming.StreamingOps
+      .annProbeReplay(emb, spark, cents, grown)
+      .select("query_id", "rnk", "vec_id", "cos")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    val twin = VectorOps.annIvfKmeans(emb, trainedCents = Some(cents))
+      .select("query_id", "rnk", "vec_id", "cos")
+      .collect().map(_.toSeq).toList.sortBy(key)
+    assert(streamed.nonEmpty && streamed == twin)
+  }
+
+  test("incrAnnAssign over the stored index equals a scratch rebuild") {
+    import graft.pipeline.VectorOps
+    // the view-level equivalence (the oracle row's claim, pinned
+    // in-process): stored base postings ∪ frozen-centroid batch
+    // assignment = assigning the whole collection at once
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(false)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val cents = VectorOps.ivfTrain(base)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-incr").toString
+    Lake.writeIvfIndex(base, cents, path)
+    val incr = VectorOps.incrAnnAssign(batch, cents,
+        Lake.readIvfIndex(spark, path))
+      .select("vec_id", "cent_id")
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    val scratch = VectorOps.ivfAssignments(emb, cents)
+      .select(col("vb").as("vec_id"), col("cent_id"))
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(incr.nonEmpty && incr == scratch)
+    // the drift gauge over a matched-distribution batch reads near 0:
+    // |kl| < 0.2 nats (sf0.001's 500-vector batch carries ~0.08 of
+    // pure sampling noise under +1 smoothing; a genuinely shifted
+    // source reads well over 1), with every vector counted
+    val drift = VectorOps.ivfCellDrift(
+        Lake.readIvfIndex(spark, path),
+        VectorOps.ivfAssignments(batch, cents))
+      .collect().head
+    assert(drift.getAs[Long]("n_base") + drift.getAs[Long]("n_new") ==
+      emb.count())
+    assert(math.abs(drift.getAs[Long]("kl_nano")) < 200000000L)
+  }
+
   test("dedup index probe matches full recompute on the real corpus") {
     import graft.pipeline.TextPipeline
     // incremental-vs-full equivalence on sf0.001: index the base slice,

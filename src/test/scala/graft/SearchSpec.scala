@@ -542,6 +542,27 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[String]("clean_md5") === md5Hex("mid"))
   }
 
+  test("substringDedup catches a chunk-misaligned 60-word span chunkDedup misses") {
+    // the Lee-et-al ExactSubstr property at ARBITRARY boundaries: a
+    // repeated 60-word span placed at word offset 4 in one doc and
+    // offset 2 in the other never aligns with chunkDedup's fixed
+    // 10-word chunk grid (4 ≢ 2 mod 10), so the chunk-hash op finds
+    // ZERO shared chunks — while the L-gram span union flags the full
+    // span in both docs regardless of offset
+    val span = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, s"a1 a2 a3 $span a4 a5"),
+      (2L, s"b1 $span b2 b3 b4 b5 b6 b7"))
+    assert(TextPipeline.chunkDedup(d).count() === 0L,
+      "fixed-grid chunk hashing must NOT see the misaligned span")
+    val rows = TextPipeline.substringDedup(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_spans"),
+        r.getAs[Long]("dup_words"), r.getAs[String]("clean_md5")))
+    assert(rows(0) === ((1L, 1L, 60L, md5Hex("a1 a2 a3 a4 a5"))))
+    assert(rows(1) === ((2L, 1L, 60L,
+      md5Hex("b1 b2 b3 b4 b5 b6 b7"))))
+  }
+
   test("tfidfTerms ranks rare repeated terms above ubiquitous ones") {
     // "common" appears in every doc → idf = ln(4/4) = 0 → score 0;
     // each doc's own repeated rare term must rank first

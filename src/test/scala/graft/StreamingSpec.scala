@@ -396,6 +396,93 @@ class StreamingSpec extends AnyFunSuite {
       "session windows diverged from the gaps-and-islands sessions")
   }
 
+  test("sessionsStream keeps an exact-gap event in session, matching batch") {
+    import spark.implicits._
+    val M = 1000000L
+    val gap = 30L * 60 * M
+    // the closed-boundary rule: an event EXACTLY gap after its
+    // predecessor stays in the session (the batch twin's `> gap`
+    // split); one µs past the gap splits. Before the +1µs window
+    // shift the stream split the first pair — the parity with q03
+    // rested on the corpus never containing an exact-boundary gap
+    val t0 = 10 * M
+    val rows = Seq(
+      StreamingOps.EvIn(1L, t0, 0L),
+      StreamingOps.EvIn(1L, t0 + gap, 0L),        // exact gap: SAME session
+      StreamingOps.EvIn(1L, t0 + 2 * gap + M, 0L)) // gap + 1µs: splits
+    val flush = Seq(2L, 4L).map(h =>
+      StreamingOps.EvIn(Long.MinValue, t0 + 3 * gap + h * 3600L * M, 0L))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sessions-bnd").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.EvIn](spark)
+    val q = StreamingOps.sessionsStream(ms.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("parquet").option("path", tmp + "/out")
+      .start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    flush.foreach { f => ms.addData(Seq(f)); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(tmp + "/out")
+      .filter(col("user_id") =!= Long.MinValue)
+      .select("user_id", "n_events", "min_t", "max_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 2L, t0, t0 + gap),
+      (1L, 1L, t0 + 2 * gap + M, t0 + 2 * gap + M)))
+    // and the batch gaps-and-islands twin sees the identical split:
+    // 2 sessions, the exact-gap pair merged (duration = gap)
+    val batch = graft.relational.CoreQueries.sessionizeOf(
+        rows.map(e => (e.userId, e.tsUs, e.tsUs))
+          .toDF("user_id", "event_id", "t"))
+      .collect().head
+    assert(batch.getAs[Long]("n_sessions") === 2L)
+    assert(batch.getAs[Long]("max_session_events") === 2L)
+    assert(batch.getAs[Double]("total_duration_sec") === gap / 1e6)
+  }
+
+  test("sessionsStream merges two open sessions on a late in-watermark event") {
+    import spark.implicits._
+    val M = 1000000L
+    // gap 1 min < the 2 min watermark delay, so a bridging event can
+    // arrive event-time-late yet above the watermark: A at t0 and B at
+    // t0+90s open as TWO sessions (90s > gap); C at t0+45s then lands
+    // late (after B was processed) but in-watermark, overlaps both,
+    // and the engine must MERGE the open sessions into one
+    val t0 = 3600 * M
+    val a = StreamingOps.EvIn(1L, t0, 0L)
+    val b = StreamingOps.EvIn(1L, t0 + 90 * M, 0L)
+    val c = StreamingOps.EvIn(1L, t0 + 45 * M, 0L)
+    val flush = Seq(1L, 2L).map(h =>
+      StreamingOps.EvIn(Long.MinValue, t0 + h * 3600L * M, 0L))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sessions-late").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.EvIn](spark)
+    val q = StreamingOps.sessionsStream(ms.toDS(), gapMin = 1)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .format("parquet").option("path", tmp + "/out")
+      .start()
+    ms.addData(Seq(a)); q.processAllAvailable()
+    ms.addData(Seq(b)); q.processAllAvailable()
+    // C: event time before B (late) but watermark is only at
+    // B − 2 min = t0 − 30s, so C is in-watermark and must be applied
+    ms.addData(Seq(c)); q.processAllAvailable()
+    flush.foreach { f => ms.addData(Seq(f)); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(tmp + "/out")
+      .filter(col("user_id") =!= Long.MinValue)
+      .select("user_id", "n_events", "min_t", "max_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, 3L, t0, t0 + 90 * M)),
+      "late in-watermark event failed to bridge the two open sessions")
+  }
+
   test("eventRates windowed aggregation survives a checkpoint kill") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
