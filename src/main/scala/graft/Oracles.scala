@@ -3138,6 +3138,11 @@ object Oracles {
     QuantEmbCte +
       (if (trained) IvfTrainCte(cells) else "") +
       IvfCoarseCte(cells, providedCents = trained) +
+      IvfSearchTail(candFilter)
+
+  /** The exact within-cell ranking tail (`qd` … `rr`) shared by
+    * [[IvfChain]] and the grown-index probe mirror. */
+  private def IvfSearchTail(candFilter: String = ""): String =
     s""", qd AS (
       |  SELECT query_id, cand.vec_id, SUM(a.q * b.q) AS dot
       |  FROM cand
@@ -3307,6 +3312,27 @@ object Oracles {
       |  SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id
       |  FROM icac WHERE crn = 1
       |)""".stripMargin
+
+  /** Mirror of the ANN probe served from the GROWN (append-maintained)
+    * index: centroids Lloyd-trained on the BASE split alone, the
+    * whole collection assigned under them (what the stored base index
+    * plus the appended batch postings contain — append ≡ rebuild), and
+    * the standard IVF search (nProbe=2, k=5) over those cells. The
+    * engine side replays query vectors through `annProbeStream`
+    * against the grown lake; per-row assignment independence makes the
+    * two formulations equal. */
+  def pipeIncrAnnProbe(nCells: Int = 16): String =
+    QuantEmbCte +
+    """
+      |, evb AS (
+      |  SELECT * FROM ev WHERE vec_id % 4 <> 0
+      |)""".stripMargin +
+    IvfTrainCte(nCells.toString, src = "evb") +
+    IvfCoarseCte(nCells.toString, providedCents = true) +
+    IvfSearchTail() +
+    """
+      |SELECT query_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
 
   /** Mirror of [[graft.pipeline.VectorOps.incrAnnAssign]] over the
     * %-4 base/batch split: the engine probes the STORED base index and

@@ -901,6 +901,16 @@ object SparkEntry {
     "pipe_sql_incr_ann" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM incr_ann('emb_sql')")
         .orderBy("vec_id")),
+    // ONLINE retrieval over the APPEND-MAINTAINED index: the query
+    // stream probes the grown lake (base postings + one appended
+    // ingest batch, frozen centroids) — proves appended postings serve
+    // queries with no rebuild. Mirror = base-trained IVF search over
+    // the full collection (append ≡ rebuild)
+    "pipe_incr_ann_probe" -> ((s, d) =>
+      streaming.StreamingOps.annProbeReplay(
+          Tables.load(s, d, "embeddings"), s, trainedIvfBase(s, d),
+          ivfGrownIndex(s, d))
+        .orderBy("query_id", "rnk")),
     // the retrain trigger for an append-maintained index: KL drift of
     // the batch's cell-occupancy histogram vs the stored index's —
     // two nCells-row aggregates, integer-exact nano units
@@ -1354,6 +1364,25 @@ object SparkEntry {
       p
     })
 
+  /** Build-once memo for the GROWN index (per data dir): the base
+    * index plus one appended ingest batch under the same frozen
+    * centroids — the append-maintained lake `pipe_incr_ann_probe`
+    * serves queries from (exactly the nightly-ingest artifact;
+    * `LakeSpec` proves grown ≡ rebuilt). */
+  private val ivfGrownIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfGrownIndex(s: SparkSession, d: String): String =
+    ivfGrownIndexMemo.getOrElseUpdate(d, {
+      val p = artifactPath("ivf_grown_index", d)
+      val emb = Tables.load(s, d, "embeddings")
+      storage.Lake.writeIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+        trainedIvfBase(s, d), p)
+      storage.Lake.appendIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+        trainedIvfBase(s, d), p)
+      p
+    })
+
   private def trainedPq(s: SparkSession, d: String): VectorOps.PqModel =
     pqMemo.getOrElseUpdate(d,
       VectorOps.pqTrain(Tables.load(s, d, "embeddings")))
@@ -1479,6 +1508,7 @@ object SparkEntry {
       timed("ivf_train_s") { trainedIvf(s, d) },
       timed("ivf_index_build_s") { ivfIndex(s, d) },
       timed("ivf_base_index_build_s") { ivfBaseIndex(s, d) },
+      timed("ivf_grown_index_build_s") { ivfGrownIndex(s, d) },
       timed("exact_knn_build_s") { exactKnnIndex(s, d).count() },
       timed("l2_lake_build_s") { level2Lake(s, d) },
       timed("l3_lake_build_s") { level3Lake(s, d) },
@@ -1734,6 +1764,7 @@ object SparkEntry {
     // the streaming probe's emissions ARE the batch kmeans-IVF rows
     "pipe_ann_probe_stream" -> Oracles.pipeAnnIvfKmeans(),
     "pipe_incr_ann" -> Oracles.pipeIncrAnn(),
+    "pipe_incr_ann_probe" -> Oracles.pipeIncrAnnProbe(),
     "pipe_sql_incr_ann" -> Oracles.pipeIncrAnn(),
     "pipe_ann_drift" -> Oracles.pipeAnnDrift(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
