@@ -281,4 +281,32 @@ object Lake {
   /** Read the IVF assignment lake back. */
   def readIvfIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact an append-grown IVF index: every ingest appends its own
+    * cell-clustered files, so after many batches a probe's `cent_id`
+    * row-group skip touches one small file PER BATCH — this rewrite
+    * restores one-file-per-cell-cluster clustering (content
+    * byte-identical; readers unchanged). Same crash-safe
+    * move-aside/swap/rollback protocol as [[compactLevel3]], same
+    * maintenance cadence as the MinHash index compaction. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compact_tmp"
+    spark.read.parquet(path)
+      .repartition(col("cent_id"))
+      .sortWithinPartitions("cent_id", "vb")
+      .write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    require(!fs.exists(old),
+      s"$old exists — a prior compaction crashed mid-swap; recover it first")
+    require(fs.rename(p, old), s"could not move $p aside to $old")
+    if (!fs.rename(tmpP, p)) {
+      fs.rename(old, p)
+      sys.error(s"could not move compacted data $tmp into place at $p")
+    }
+    fs.delete(old, true)
+    ()
+  }
 }

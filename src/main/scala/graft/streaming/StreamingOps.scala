@@ -1215,6 +1215,70 @@ object StreamingOps extends Serializable {
           k, nProbe))
   }
 
+  /** ONLINE index maintenance — the streaming half of the incremental
+    * ANN story ([[graft.storage.Lake.appendIvfIndex]] is the nightly
+    * batch form; this is the as-they-arrive form): each arriving
+    * vector is quantized and assigned to its coarse cell by a pure
+    * per-row expression against the DRIVER-LITERAL frozen centroids
+    * (the [[annProbeStream]] discipline — no shuffle, no streaming
+    * state), and `foreachBatch` appends the new postings to the
+    * stored assignment lake in the exact [[graft.pipeline.VectorOps
+    * .ivfAssignments]] layout, so every reader (`annProbeStream`,
+    * `knnGraphFromIndex`) serves the grown index unchanged.
+    *
+    * IDEMPOTENT under micro-batch redelivery: the write is guarded by
+    * a left-anti id screen against the CURRENT index (the
+    * [[graft.pipeline.VectorOps.incrAnnAssign]] screen, run inside
+    * the batch sink), so at-least-once delivery yields
+    * effectively-once postings — `LakeSpec` replays a duplicate batch
+    * and pins the lake unchanged. The screen is index-sized and
+    * id-keyed, never corpus-history-sized. The centroid-drift retrain
+    * contract is the gauge on [[graft.storage.Lake.appendIvfIndex]];
+    * this stream never retrains. */
+  def annIngestStream(vecs: Dataset[QueryVec], spark: SparkSession,
+      cents: Array[Array[Long]], indexPath: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.{floatArrayMilli, longArrayDot}
+    // negated cosine first in the struct → ascending struct order IS
+    // (ccos desc, cent_id asc); element 1 is the assignment — the
+    // batch rule for every real centroid. (Degenerate caveat shared
+    // with annProbeStream's probe pick: an ALL-ZERO centroid scores
+    // ccos = NaN, and negation keeps NaN sorting last here while the
+    // batch argmax treats NaN as greatest — only reachable from an
+    // all-zero training slice, which ivfTrain cannot emit from
+    // non-zero data.)
+    val cellScores = cents.zipWithIndex.map { case (c, j) =>
+      val cq = array(c.map(lit): _*)
+      val cnq = c.map(x => x * x).sum
+      val ccos = longArrayDot(col("qb"), cq).cast("double") /
+        (sqrt(col("nb").cast("double")) * sqrt(lit(cnq.toDouble)))
+      struct((-ccos).as("negc"), lit(j.toLong).as("cent_id"))
+    }
+    vecs.toDF()
+      .withColumn("qb", floatArrayMilli(col("embedding")))
+      .withColumn("nb", longArrayDot(col("qb"), col("qb")))
+      .withColumn("cent_id",
+        element_at(array_sort(array(cellScores: _*)), 1)("cent_id"))
+      .select(col("vec_id").as("vb"), col("cent_id"), col("qb"),
+        col("nb"))
+  }
+
+  /** The `foreachBatch` sink body for [[annIngestStream]]: screen the
+    * batch's ids against the stored index, append survivors clustered
+    * by cell. Exposed separately so the spec can also call it directly
+    * to simulate a REDELIVERED batch. */
+  def annIngestAppend(batch: org.apache.spark.sql.DataFrame,
+      indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val seen = spark.read.parquet(indexPath)
+      .select(col("vb").as("seen_vb"))
+    batch.join(seen, batch("vb") === col("seen_vb"), "left_anti")
+      .select("vb", "cent_id", "qb", "nb")
+      .repartition(col("cent_id"))
+      .sortWithinPartitions("cent_id", "vb")
+      .write.mode("append").parquet(indexPath)
+  }
+
   /** One embedding arrival on the ingest stream, already assigned to
     * its coarse cell (assignment is a per-row expression against the
     * driver-literal centroids — the [[annProbeStream]] discipline — so

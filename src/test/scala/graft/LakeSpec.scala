@@ -338,6 +338,72 @@ class LakeSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == twin)
   }
 
+  test("streamed ingest appends to the IVF lake idempotently, equals rebuild") {
+    import graft.pipeline.VectorOps
+    import graft.streaming.StreamingOps
+    val spark2 = spark
+    import spark2.implicits._
+    // vectors arrive AS A STREAM: per-row frozen-centroid assignment,
+    // foreachBatch append behind the id screen. Chunk 1 is delivered
+    // TWICE (at-least-once redelivery) — the screen must keep the
+    // lake identical to a scratch rebuild, no duplicate postings
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(false)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val cents = VectorOps.ivfTrain(base)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ivf-ingest").toString
+    val ix = tmp + "/ix"
+    Lake.writeIvfIndex(base, cents, ix)
+    val rows = batch.select(col("vec_id"), col("embedding"))
+      .as[StreamingOps.QueryVec].collect().sortBy(_.vec_id)
+    val cut = rows.length / 2
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.QueryVec](spark)
+    val q = StreamingOps.annIngestStream(ms.toDS(), spark, cents, ix)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.annIngestAppend(b, ix))
+      .start()
+    ms.addData(rows.slice(0, cut).toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(rows.slice(cut, rows.length).toIndexedSeq)
+    q.processAllAvailable()
+    // simulate a REDELIVERED first chunk (a sink retry in a real
+    // deployment): the screen must reject every row
+    ms.addData(rows.slice(0, cut).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val fresh = tmp + "/fresh"
+    Lake.writeIvfIndex(emb, cents, fresh)
+    def rowsOf(p: String) = Lake.readIvfIndex(spark, p)
+      .select("vb", "cent_id", "qb", "nb")
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    val grown = rowsOf(ix)
+    assert(grown.size === emb.count())
+    assert(grown === rowsOf(fresh))
+    // maintenance: each streamed batch appended its own files —
+    // compaction restores one-file-per-cell-cluster clustering with
+    // content byte-identical and the probe reader untouched
+    def nFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = nFiles(ix)
+    Lake.compactIvfIndex(spark, ix)
+    assert(nFiles(ix) < before, s"compaction must shrink $before files")
+    assert(rowsOf(ix) === grown)
+    val probed = graft.streaming.StreamingOps
+      .annProbeReplay(emb, spark, cents, ix)
+      .select("query_id", "rnk", "vec_id", "cos")
+      .collect().map(_.toSeq).toList
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(probed.nonEmpty)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("incrAnnAssign over the stored index equals a scratch rebuild") {
     import graft.pipeline.VectorOps
     // the view-level equivalence (the oracle row's claim, pinned
