@@ -5041,6 +5041,44 @@ object Oracles {
       |FROM sig s JOIN dims d ON d.doc_id = s.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `Multimodal.ppmHashNearDup` by the OPPOSITE
+    * formulation: exact all-pairs Hamming over the closed-form aHash
+    * (the engine goes through the 6/5/5 pigeonhole band join — a
+    * lost-candidate band bug diverges here). */
+  def pipeMediaPhashNear(tau: Int = 2): String =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents
+      |), cell AS (
+      |  SELECT doc_id, gy, gx,
+      |    (doc_id*7 + (3*((gy*h//4)*w + (gx*w//4)) + 0)*13) % 256
+      |    + (doc_id*7 + (3*((gy*h//4)*w + (gx*w//4)) + 1)*13) % 256
+      |    + (doc_id*7 + (3*((gy*h//4)*w + (gx*w//4)) + 2)*13) % 256 AS lum
+      |  FROM dims, range(4) t1(gy), range(4) t2(gx)
+      |), tot AS (
+      |  SELECT doc_id, SUM(lum) AS tot FROM cell GROUP BY doc_id
+      |), sig AS (
+      |  SELECT c.doc_id,
+      |    CAST(SUM(CASE WHEN lum*16 > tot
+      |      THEN CAST(POW(2, gy*4+gx) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS ahash
+      |  FROM cell c JOIN tot USING (doc_id) GROUP BY c.doc_id
+      |), prs AS (
+      |  SELECT a.doc_id AS d, b.doc_id AS o
+      |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+      |""".stripMargin +
+    s"""    AND bit_count(xor(a.ahash, b.ahash)) <= $tau
+      |), near AS (
+      |  SELECT d AS doc_id, MIN(o) AS near_min_id,
+      |    CAST(COUNT(DISTINCT o) AS BIGINT) AS n_near
+      |  FROM prs GROUP BY d
+      |)
+      |SELECT s.doc_id, s.ahash, n.near_min_id,
+      |  COALESCE(n.n_near, 0) AS n_near,
+      |  COALESCE(n.near_min_id < s.doc_id, FALSE) AS is_near_dup
+      |FROM sig s LEFT JOIN near n USING (doc_id)
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Closed-form mirror of `Multimodal.y4mFrameDiffs`: per adjacent
     * frame pair, Σ|y_f(j) − y_{f−1}(j)| over the luma plane of the
     * frame formula `(doc_id·13 + f·7 + j·23) mod 256`. */

@@ -1178,6 +1178,12 @@ object SparkEntry {
     "pipe_media_phash" -> ((s, d) =>
       pipeline.Multimodal.ppmHashDedup(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
+    // image NEAR-dup: banded Hamming over the perceptual hash (the
+    // SimHash pigeonhole in the multimodal tier); oracle = exact
+    // all-pairs Hamming, the opposite formulation
+    "pipe_media_phash_near" -> ((s, d) =>
+      pipeline.Multimodal.ppmHashNearDup(Tables.load(s, d, "documents"), s)
+        .orderBy("doc_id")),
     "pipe_media_png" -> ((s, d) =>
       pipeline.Multimodal.pngFeatures(Tables.load(s, d, "documents"), s)
         .orderBy("doc_id")),
@@ -1798,6 +1804,7 @@ object SparkEntry {
     "pipe_media_wav" -> Oracles.pipeMediaWav,
     "pipe_media_ppm" -> Oracles.pipeMediaPpm,
     "pipe_media_phash" -> Oracles.pipeMediaPhash,
+    "pipe_media_phash_near" -> Oracles.pipeMediaPhashNear(),
     "pipe_media_wav_zcr" -> Oracles.pipeMediaWavZcr,
     "pipe_media_y4m_sad" -> Oracles.pipeMediaY4mSad,
     "pipe_media_png" -> Oracles.pipeMediaPng,

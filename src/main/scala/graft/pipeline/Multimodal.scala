@@ -303,6 +303,49 @@ object Multimodal {
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
+  /** Image NEAR-dup by perceptual-hash Hamming distance — the SimHash
+    * pigeonhole discipline applied to the multimodal tier: two 16-bit
+    * aHashes within Hamming ≤ 2 must agree EXACTLY on at least one of
+    * three disjoint bit bands (6/5/5 bits — 2 differing bits can
+    * touch at most 2 bands), so candidates come from a band equi-join
+    * on content-derived keys (uniform, skew-free) and only candidates
+    * pay the exact `bit_count(xor)` residual — never an all-pairs
+    * image comparison. Per image: minimal near neighbor, distinct
+    * neighbor count, and the keeper verdict (`near_min_id < doc_id`,
+    * the incremental-dedup rule). The ORACLE is the opposite
+    * formulation — exact all-pairs Hamming in SQL — so a band-split
+    * bug that loses a candidate breaks hash equality. */
+  def ppmHashNearDup(docs: DataFrame, spark: SparkSession,
+      tau: Int = 2): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, ppmPayload(id)))
+      .mapPartitions(decodePpmHash).toDF()
+      .select(col("doc_id"), col("ahash"))
+      .localCheckpoint(false) // sig pass runs once, feeds both sides
+    val banded = sigs.select(col("doc_id"), col("ahash"),
+      posexplode(array(
+        col("ahash").bitwiseAND(lit(0x3fL)),
+        shiftright(col("ahash"), 6).bitwiseAND(lit(0x1fL)),
+        shiftright(col("ahash"), 11).bitwiseAND(lit(0x1fL))))
+        .as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("d"), col("b.doc_id").as("o"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= tau)
+    val near = cand.groupBy(col("d").as("doc_id"))
+      .agg(min("o").as("near_min_id"),
+        countDistinct("o").as("n_near"))
+    sigs.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ahash"), col("near_min_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("near_min_id") < col("doc_id"), lit(false))
+          .as("is_near_dup"))
+  }
+
   case class PngFeatures(doc_id: Long, width: Long, height: Long,
       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
   case class Y4mFeatures(doc_id: Long, width: Long, height: Long,
