@@ -901,6 +901,8 @@ object SparkEntry {
     "pipe_sql_incr_ann" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM incr_ann('emb_sql')")
         .orderBy("vec_id")),
+    "pipe_sql_ann_drift" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM ann_drift('emb_sql')")),
     // ONLINE retrieval over the APPEND-MAINTAINED index: the query
     // stream probes the grown lake (base postings + one appended
     // ingest batch, frozen centroids) — proves appended postings serve
@@ -1773,6 +1775,7 @@ object SparkEntry {
     "pipe_incr_ann_probe" -> Oracles.pipeIncrAnnProbe(),
     "pipe_sql_incr_ann" -> Oracles.pipeIncrAnn(),
     "pipe_ann_drift" -> Oracles.pipeAnnDrift(),
+    "pipe_sql_ann_drift" -> Oracles.pipeAnnDrift(),
     "pipe_ann_recall_ivf_kmeans" -> Oracles.pipeAnnRecallIvfKmeans,
     "pipe_label_sim" -> Oracles.pipeLabelSim,
     "pipe_cluster_sample" -> Oracles.pipeClusterSample(),

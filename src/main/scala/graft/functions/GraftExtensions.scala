@@ -159,6 +159,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "semdedup" -> graft.plans.GraftTableFunctions.semDedupTvf _,
       "triangles" -> graft.plans.GraftTableFunctions.trianglesTvf _,
       "incr_ann" -> graft.plans.GraftTableFunctions.incrAnnTvf _,
+      "ann_drift" -> graft.plans.GraftTableFunctions.annDriftTvf _,
       "source_distinct" ->
         graft.plans.GraftTableFunctions.sourceDistinctTvf _,
       "weighted_sample" ->

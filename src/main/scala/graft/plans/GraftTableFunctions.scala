@@ -235,6 +235,16 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
               trainedCents =
                 Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "ann_drift" =>
+            // same base/batch split as incr_ann; the gauge compares
+            // the batch's cell histogram to the base index's
+            val adBase = l3.filter(col("vec_id") % 4 =!= 0)
+            val adCents =
+              graft.pipeline.VectorOps.ivfTrainCached(adBase)
+            graft.pipeline.VectorOps.ivfCellDrift(
+              graft.pipeline.VectorOps.ivfAssignments(adBase, adCents),
+              graft.pipeline.VectorOps.ivfAssignments(
+                l3.filter(col("vec_id") % 4 === 0), adCents))
           case "incr_ann" =>
             // base (% 4 ≠ 0) = the already-indexed corpus; batch = the
             // ingest. Training is the session-memoized artifact
@@ -836,6 +846,15 @@ object GraftTableFunctions {
     require(exprs.length == 1, "incr_ann takes (emb_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "incr_ann")),
       "incr_ann", Nil)
+  }
+
+  /** `ann_drift('emb')` — the append-index retrain gauge over the
+    * same % 4 base/batch split
+    * ([[graft.pipeline.VectorOps.ivfCellDrift]]). */
+  def annDriftTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "ann_drift takes (emb_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "ann_drift")),
+      "ann_drift", Nil)
   }
 
   /** `semdedup('emb'[, tau])` — cluster-then-prune semantic dedup
