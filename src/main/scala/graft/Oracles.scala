@@ -3313,6 +3313,39 @@ object Oracles {
       |  FROM icac WHERE crn = 1
       |)""".stripMargin
 
+  /** Mirror of [[graft.pipeline.VectorOps.semDecon]]: exact cosine of
+    * every corpus vector against every benchmark vector
+    * (vec_id < benchMax), hits at cos ≥ tau counted and the argmax
+    * benchmark kept (ties to the lower b_id). */
+  def pipeSemDecon(benchMax: Long = 10, tau: String = "0.4"): String =
+    QuantEmbCte +
+    s"""
+      |, bvs AS (
+      |  SELECT vec_id AS b_id, i, q FROM ev WHERE vec_id < $benchMax
+      |), sdd AS (
+      |  SELECT e.vec_id, b.b_id, SUM(e.q * b.q) AS dot
+      |  FROM ev e JOIN bvs b ON b.i = e.i
+      |  WHERE e.vec_id >= $benchMax
+      |  GROUP BY e.vec_id, b.b_id
+      |), sdc AS (
+      |  SELECT d.vec_id, d.b_id, CAST(d.dot AS DOUBLE) /
+      |    (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(bn.nq AS DOUBLE))) AS cos
+      |  FROM sdd d JOIN nrm n ON n.vec_id = d.vec_id
+      |  JOIN nrm bn ON bn.vec_id = d.b_id
+      |), sdh AS (
+      |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |    FIRST(b_id ORDER BY cos DESC, b_id) AS top_bench_id,
+      |    MAX(cos) AS top_cos
+      |  FROM sdc WHERE cos >= $tau GROUP BY vec_id
+      |)
+      |SELECT n.vec_id,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  h.top_bench_id, h.top_cos,
+      |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+      |FROM nrm n LEFT JOIN sdh h ON h.vec_id = n.vec_id
+      |WHERE n.vec_id >= $benchMax
+      |ORDER BY n.vec_id""".stripMargin
+
   /** Mirror of the ANN probe served from the GROWN (append-maintained)
     * index: centroids Lloyd-trained on the BASE split alone, the
     * whole collection assigned under them (what the stored base index

@@ -633,6 +633,12 @@ object SparkEntry {
           col("side"), col("price"), col("amount"), col("is_maker"),
           col("is_crossed"))
         .orderBy("pair_id", "order_id")),
+    // embedding-space leakage screen: the paraphrase-robust complement
+    // of the n-gram decontaminate — one broadcast of the benchmark
+    // vectors, per-row integer dots, no shuffle before the aggregate
+    "pipe_sem_decon" -> ((s, d) =>
+      VectorOps.semDecon(Tables.load(s, d, "embeddings"))
+        .orderBy("vec_id")),
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1724,6 +1730,7 @@ object SparkEntry {
     "mkt_ob_flags" -> Oracles.mktObFlags,
     "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
+    "pipe_sem_decon" -> Oracles.pipeSemDecon(),
     // the Bloom pre-filter is exact — identical mirror
     "pipe_decon_bloom" -> Oracles.pipeDecontaminate,
     "pipe_e2e" -> Oracles.pipeE2e,
