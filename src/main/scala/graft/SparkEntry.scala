@@ -909,6 +909,9 @@ object SparkEntry {
         .orderBy("vec_id")),
     "pipe_sql_ann_drift" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM ann_drift('emb_sql')")),
+    "pipe_sql_sem_decon" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM sem_decon('emb_sql')")
+        .orderBy("vec_id")),
     // ONLINE retrieval over the APPEND-MAINTAINED index: the query
     // stream probes the grown lake (base postings + one appended
     // ingest batch, frozen centroids) — proves appended postings serve
@@ -1731,6 +1734,7 @@ object SparkEntry {
     "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_sem_decon" -> Oracles.pipeSemDecon(),
+    "pipe_sql_sem_decon" -> Oracles.pipeSemDecon(),
     // the Bloom pre-filter is exact — identical mirror
     "pipe_decon_bloom" -> Oracles.pipeDecontaminate,
     "pipe_e2e" -> Oracles.pipeE2e,

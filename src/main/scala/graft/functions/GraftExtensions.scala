@@ -160,6 +160,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "triangles" -> graft.plans.GraftTableFunctions.trianglesTvf _,
       "incr_ann" -> graft.plans.GraftTableFunctions.incrAnnTvf _,
       "ann_drift" -> graft.plans.GraftTableFunctions.annDriftTvf _,
+      "sem_decon" -> graft.plans.GraftTableFunctions.semDeconTvf _,
       "source_distinct" ->
         graft.plans.GraftTableFunctions.sourceDistinctTvf _,
       "weighted_sample" ->

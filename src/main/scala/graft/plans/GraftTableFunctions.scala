@@ -235,6 +235,10 @@ object GraftCallResolution extends Rule[LogicalPlan] {
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
               trainedCents =
                 Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+          case "sem_decon" =>
+            graft.pipeline.VectorOps.semDecon(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head else 10L,
+              if (u.dblArgs.nonEmpty) u.dblArgs.head else 0.4)
           case "ann_drift" =>
             // same base/batch split as incr_ann; the gauge compares
             // the batch's cell histogram to the base index's
@@ -846,6 +850,19 @@ object GraftTableFunctions {
     require(exprs.length == 1, "incr_ann takes (emb_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "incr_ann")),
       "incr_ann", Nil)
+  }
+
+  /** `sem_decon('emb'[, benchMax[, tau]])` — semantic decontamination
+    * against the benchmark slice
+    * ([[graft.pipeline.VectorOps.semDecon]]). */
+  def semDeconTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "sem_decon takes (emb_table[, bench_max[, tau]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "sem_decon")),
+      "sem_decon",
+      if (exprs.length > 1) Seq(longLit(exprs, 1, "sem_decon")) else Nil,
+      Nil,
+      if (exprs.length > 2) Seq(dblLit(exprs, 2, "sem_decon")) else Nil)
   }
 
   /** `ann_drift('emb')` — the append-index retrain gauge over the

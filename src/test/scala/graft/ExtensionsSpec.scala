@@ -386,6 +386,28 @@ class ExtensionsSpec extends AnyFunSuite {
           topN = 10)))
       val emb = Tables.load(s2, "/root/testdata/sf0.001", "embeddings")
       emb.createOrReplaceTempView("emb_tvf")
+      // round-13 incremental-ANN TVFs: SQL ≡ API under the SAME
+      // base-trained centroids (ivfTrainCached shares the memo)
+      locally {
+        import graft.pipeline.VectorOps
+        val annBase = emb.filter(
+          org.apache.spark.sql.functions.col("vec_id") % 4 =!= 0)
+        val annBatch = emb.filter(
+          org.apache.spark.sql.functions.col("vec_id") % 4 === 0)
+        val cs = VectorOps.ivfTrainCached(annBase)
+        assert(rows(s2.sql("SELECT * FROM incr_ann('emb_tvf')")) ==
+          rows(VectorOps.incrAnnAssign(annBatch, cs,
+            VectorOps.ivfAssignments(annBase, cs))))
+        assert(rows(s2.sql("SELECT * FROM ann_drift('emb_tvf')")) ==
+          rows(VectorOps.ivfCellDrift(
+            VectorOps.ivfAssignments(annBase, cs),
+            VectorOps.ivfAssignments(annBatch, cs))))
+        assert(rows(s2.sql("SELECT * FROM sem_decon('emb_tvf')")) ==
+          rows(VectorOps.semDecon(emb)))
+        // benchMax and tau pass-through
+        assert(rows(s2.sql("SELECT * FROM sem_decon('emb_tvf', 5, 0.3)")) ==
+          rows(VectorOps.semDecon(emb, benchMax = 5, tau = 0.3)))
+      }
       assert(rows(s2.sql("SELECT * FROM rproj('emb_tvf')")) ==
         rows(graft.pipeline.VectorOps.rprojReport(emb)))
       // component-count pass-through
