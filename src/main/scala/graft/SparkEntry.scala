@@ -912,6 +912,10 @@ object SparkEntry {
     "pipe_sql_sem_decon" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM sem_decon('emb_sql')")
         .orderBy("vec_id")),
+    "pipe_sql_hybrid" -> ((s, d) =>
+      sqlSession(s, d)
+        .sql("SELECT * FROM hybrid('docs_sql', 'emb_sql')")
+        .orderBy("query_id", "rnk")),
     // ONLINE retrieval over the APPEND-MAINTAINED index: the query
     // stream probes the grown lake (base postings + one appended
     // ingest batch, frozen centroids) — proves appended postings serve
@@ -1895,5 +1899,6 @@ object SparkEntry {
     "pipe_bm25" -> Oracles.pipeBm25,
     "pipe_hard_negatives" -> Oracles.pipeHardNegatives(),
     "pipe_hybrid_search" -> Oracles.pipeHybridSearch(),
+    "pipe_sql_hybrid" -> Oracles.pipeHybridSearch(),
   )
 }

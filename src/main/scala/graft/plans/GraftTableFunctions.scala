@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -40,12 +40,41 @@ case class UnresolvedGraftCall(child: LogicalPlan, kind: String,
       newChild: LogicalPlan): LogicalPlan = copy(child = newChild)
 }
 
+/** Two-relation variant of [[UnresolvedGraftCall]] for TVFs whose
+  * operator joins DISTINCT tables (hybrid retrieval reads documents
+  * AND embeddings). */
+case class UnresolvedGraftCall2(left: LogicalPlan, right: LogicalPlan,
+    kind: String, longArgs: Seq[Long]) extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Analyzer rule (injected via `GraftExtensions.injectResolutionRule`):
   * expands a [[UnresolvedGraftCall]] to the corresponding `GraftApi`
   * plan once its level3 relation is resolved. */
 object GraftCallResolution extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case u: UnresolvedGraftCall2 if u.childrenResolved =>
+        val spark = SparkSession.active
+        val docs = PlanBridge.ofRows(spark, u.left)
+        val emb = PlanBridge.ofRows(spark, u.right)
+        val df = u.kind match {
+          case "hybrid" =>
+            // in-query recompute route (the TVF idiom — training is
+            // the session memo); the API row (`pipe_hybrid_search`)
+            // is the stored-index serving shape
+            graft.pipeline.Search.hybridSearch(docs, emb,
+              k = if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(emb)))
+          case other => throw new IllegalStateException(
+            s"unknown two-relation graft table function: $other")
+        }
+        PlanBridge.plan(df)
       case u: UnresolvedGraftCall if u.childrenResolved =>
         val spark = SparkSession.active
         val l3 = PlanBridge.ofRows(spark, u.child)
@@ -850,6 +879,17 @@ object GraftTableFunctions {
     require(exprs.length == 1, "incr_ann takes (emb_table)")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "incr_ann")),
       "incr_ann", Nil)
+  }
+
+  /** `hybrid('docs', 'emb'[, k])` — reciprocal-rank-fused hybrid
+    * retrieval over the lexical (BM25) and semantic (kNN) lists
+    * ([[graft.pipeline.Search.hybridSearch]]). */
+  def hybridTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 2 && exprs.length <= 3,
+      "hybrid takes (docs_table, emb_table[, k])")
+    UnresolvedGraftCall2(rel(strLit(exprs, 0, "hybrid")),
+      rel(strLit(exprs, 1, "hybrid")), "hybrid",
+      if (exprs.length > 2) Seq(longLit(exprs, 2, "hybrid")) else Nil)
   }
 
   /** `sem_decon('emb'[, benchMax[, tau]])` — semantic decontamination

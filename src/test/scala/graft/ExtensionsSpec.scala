@@ -407,6 +407,11 @@ class ExtensionsSpec extends AnyFunSuite {
         // benchMax and tau pass-through
         assert(rows(s2.sql("SELECT * FROM sem_decon('emb_tvf', 5, 0.3)")) ==
           rows(VectorOps.semDecon(emb, benchMax = 5, tau = 0.3)))
+        // the TWO-RELATION call node: hybrid('docs','emb') resolves
+        // both children and equals the API recompute route
+        assert(rows(s2.sql("SELECT * FROM hybrid('docs_tvf', 'emb_tvf')")) ==
+          rows(graft.pipeline.Search.hybridSearch(docs, emb,
+            trainedCents = Some(VectorOps.ivfTrainCached(emb)))))
       }
       assert(rows(s2.sql("SELECT * FROM rproj('emb_tvf')")) ==
         rows(graft.pipeline.VectorOps.rprojReport(emb)))
