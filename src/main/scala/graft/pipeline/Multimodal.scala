@@ -305,30 +305,40 @@ object Multimodal {
 
   /** Image NEAR-dup by perceptual-hash Hamming distance — the SimHash
     * pigeonhole discipline applied to the multimodal tier: two 16-bit
-    * aHashes within Hamming ≤ 2 must agree EXACTLY on at least one of
-    * three disjoint bit bands (6/5/5 bits — 2 differing bits can
-    * touch at most 2 bands), so candidates come from a band equi-join
-    * on content-derived keys (uniform, skew-free) and only candidates
-    * pay the exact `bit_count(xor)` residual — never an all-pairs
-    * image comparison. Per image: minimal near neighbor, distinct
-    * neighbor count, and the keeper verdict (`near_min_id < doc_id`,
-    * the incremental-dedup rule). The ORACLE is the opposite
-    * formulation — exact all-pairs Hamming in SQL — so a band-split
-    * bug that loses a candidate breaks hash equality. */
+    * aHashes within Hamming ≤ τ must agree EXACTLY on at least one of
+    * τ+1 disjoint bit bands (τ differing bits can touch at most τ
+    * bands — the band count is DERIVED from τ, so the pigeonhole is
+    * complete for every legal τ, not just the default; at τ = 2 the
+    * split is the historical 6/5/5). Candidates come from a band
+    * equi-join on content-derived keys (uniform, skew-free) and only
+    * candidates pay the exact `bit_count(xor)` residual — never an
+    * all-pairs image comparison. Per image: minimal near neighbor,
+    * distinct neighbor count, and the keeper verdict
+    * (`near_min_id < doc_id`, the incremental-dedup rule). The ORACLE
+    * is the opposite formulation — exact all-pairs Hamming in SQL — so
+    * a band-split bug that loses a candidate breaks hash equality. */
   def ppmHashNearDup(docs: DataFrame, spark: SparkSession,
       tau: Int = 2): DataFrame = {
     import spark.implicits._
+    // τ+1 bands over 16 bits needs every band non-empty; τ ≥ 16 would
+    // admit all pairs anyway (16-bit hashes are always within 16)
+    require(tau >= 0 && tau < 16, s"tau must be in [0, 15], got $tau")
+    val nBands = tau + 1
+    // near-equal widths, wider bands first (τ=2 ⇒ 6/5/5, low bits first)
+    val widths = Array.tabulate(nBands)(i =>
+      16 / nBands + (if (i < 16 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = docs.select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, ppmPayload(id)))
       .mapPartitions(decodePpmHash).toDF()
       .select(col("doc_id"), col("ahash"))
       .localCheckpoint(false) // sig pass runs once, feeds both sides
+    val bandCols = (0 until nBands).map { i =>
+      shiftright(col("ahash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1L))
+    }
     val banded = sigs.select(col("doc_id"), col("ahash"),
-      posexplode(array(
-        col("ahash").bitwiseAND(lit(0x3fL)),
-        shiftright(col("ahash"), 6).bitwiseAND(lit(0x1fL)),
-        shiftright(col("ahash"), 11).bitwiseAND(lit(0x1fL))))
-        .as(Seq("band", "key")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))

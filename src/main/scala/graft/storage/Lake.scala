@@ -272,15 +272,50 @@ object Lake {
     * compaction, and a cheap gauge because both histograms are
     * nCells-row aggregates. */
   def appendIvfIndex(newEmb: DataFrame, cents: Array[Array[Long]],
-      path: String): Unit =
+      path: String): Unit = {
+    requireNotCompacting(newEmb.sparkSession, path, "appendIvfIndex")
     graft.pipeline.VectorOps.ivfAssignments(newEmb, cents)
       .repartition(col("cent_id"))
       .sortWithinPartitions("cent_id", "vb")
       .write.mode("append").parquet(path)
+  }
 
   /** Read the IVF assignment lake back. */
   def readIvfIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The single-writer guard shared by [[compactIvfIndex]] (which
+    * holds it) and the index appenders (which refuse while it exists):
+    * a compaction's snapshot-rewrite-swap would silently DROP any
+    * postings appended between its read and the directory swap, so
+    * appends and compaction must never overlap. The lock is an atomic
+    * `createNewFile` beside the index. A lock left behind by a crashed
+    * compaction is deliberate — the index needs manual recovery anyway
+    * (see [[compactIvfIndex]]'s crash note) — and is cleared by
+    * deleting `<path>.compact_lock`. */
+  private def compactLock(spark: SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val lock = new org.apache.hadoop.fs.Path(path + ".compact_lock")
+    (lock.getFileSystem(spark.sparkContext.hadoopConfiguration), lock)
+  }
+
+  /** Refuse `op` while a [[compactIvfIndex]] maintenance window is
+    * open on `path` (or a crashed one awaits recovery). */
+  private[graft] def requireNotCompacting(spark: SparkSession,
+      path: String, op: String): Unit = {
+    val (fs, lock) = compactLock(spark, path)
+    require(!fs.exists(lock),
+      s"$op($path) refused: compaction lock $lock exists — a " +
+        "compactIvfIndex run is in progress (or crashed and needs " +
+        "recovery); appends during the rewrite+swap would be dropped")
+    // a crashed swap leaves `.compact_old` as the only live copy; an
+    // append would otherwise silently mint a NEW index at the bare path
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    require(!fs.exists(old),
+      s"$op($path) refused: $old exists — a compaction crashed " +
+        "mid-swap; rename it back to the index path first")
+  }
 
   /** Compact an append-grown IVF index: every ingest appends its own
     * cell-clustered files, so after many batches a probe's `cent_id`
@@ -288,25 +323,50 @@ object Lake {
     * restores one-file-per-cell-cluster clustering (content
     * byte-identical; readers unchanged). Same crash-safe
     * move-aside/swap/rollback protocol as [[compactLevel3]], same
-    * maintenance cadence as the MinHash index compaction. */
+    * maintenance cadence as the MinHash index compaction.
+    *
+    * SINGLE-WRITER WINDOW: the whole run holds the `.compact_lock`
+    * file that [[appendIvfIndex]] and
+    * [[graft.streaming.StreamingOps.annIngestAppend]] check, because
+    * the rewrite+swap is a snapshot operation — postings appended
+    * after the `spark.read` would vanish in the swap. CRASH NOTE: the
+    * rename-failure rollback below covers `rename()` returning false,
+    * not process death; a crash between the two renames leaves no
+    * live data at `path` — recovery is the manual rename of
+    * `<path>.compact_old` (the untouched pre-compaction index) back to
+    * `path`, then deleting the stale `.compact_lock`. Both leftover
+    * files make the crashed state self-announcing: the `require`s here
+    * and in the appenders refuse to run until recovery. */
   def compactIvfIndex(spark: SparkSession, path: String): Unit = {
-    val tmp = path + ".compact_tmp"
-    spark.read.parquet(path)
-      .repartition(col("cent_id"))
-      .sortWithinPartitions("cent_id", "vb")
-      .write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    require(!fs.exists(old),
-      s"$old exists — a prior compaction crashed mid-swap; recover it first")
-    require(fs.rename(p, old), s"could not move $p aside to $old")
-    if (!fs.rename(tmpP, p)) {
-      fs.rename(old, p)
-      sys.error(s"could not move compacted data $tmp into place at $p")
+    val (lfs, lock) = compactLock(spark, path)
+    require(lfs.createNewFile(lock),
+      s"compaction lock $lock exists — another compactIvfIndex run is " +
+        "in progress (or crashed; recover and delete the lock first)")
+    try {
+      val tmp = path + ".compact_tmp"
+      spark.read.parquet(path)
+        .repartition(col("cent_id"))
+        .sortWithinPartitions("cent_id", "vb")
+        .write.mode("overwrite").parquet(tmp)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+      require(!fs.exists(old),
+        s"$old exists — a prior compaction crashed mid-swap; recover it first")
+      require(fs.rename(p, old), s"could not move $p aside to $old")
+      if (!fs.rename(tmpP, p)) {
+        fs.rename(old, p)
+        sys.error(s"could not move compacted data $tmp into place at $p")
+      }
+      fs.delete(old, true)
+      ()
+    } finally {
+      // released on every in-process exit (success or exception); only
+      // process death leaves it, intentionally fencing the appenders
+      // until the manual recovery documented above
+      lfs.delete(lock, false)
+      ()
     }
-    fs.delete(old, true)
-    ()
   }
 }

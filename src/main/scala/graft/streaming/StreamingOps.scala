@@ -1119,6 +1119,57 @@ object StreamingOps extends Serializable {
   }
 
   case class QueryVec(vec_id: Long, embedding: Seq[Float])
+
+  /** Per-row top-`nProbe` coarse cells by (ccos desc, cent_id asc) —
+    * the streaming tier's ONE imperative hop, shared by
+    * [[annProbeStream]] (nProbe cells per query) and
+    * [[annIngestStream]] (nProbe = 1, the assignment): the same
+    * broadcast-constants argmax as `VectorOps.ivfTrain`'s kernel, here
+    * generalized to a fixed-size insertion top-n. `Double.compare`
+    * places NaN above every value, so a degenerate all-zero centroid
+    * (ccos = NaN) ranks identically to the batch `max(struct)` /
+    * window rules — the expression form this replaced sorted NaN last
+    * instead (a divergence only reachable from an all-zero training
+    * slice, which `ivfTrain` cannot emit from non-zero data; now the
+    * paths agree even there). Input rows (id, q, nq); output one row
+    * (id, q, nq, cent_id) per probed cell, best cell first. */
+  private def topCellsKernel(bc: org.apache.spark.broadcast.Broadcast[
+      Array[Array[Long]]], nProbe: Int)
+      : Iterator[(Long, Seq[Long], Long)] =>
+        Iterator[(Long, Seq[Long], Long, Long)] = { it =>
+    val cs = bc.value
+    val cnqs = cs.map(c => c.map(x => x * x).sum)
+    val n = math.min(math.max(nProbe, 1), cs.length)
+    it.flatMap { case (id, qv, nq) =>
+      // kept cells sorted best→worst; a candidate displaces slot k only
+      // on strictly-greater score (ascending j ⇒ ties keep the lower
+      // cent_id, the batch tiebreak)
+      val bestJ = new Array[Int](n)
+      val bestC = new Array[Double](n)
+      var filled = 0
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var dot = 0L; var i = 0
+        while (i < c.length) { dot += qv(i) * c(i); i += 1 }
+        val ccos = dot.toDouble /
+          (math.sqrt(nq.toDouble) * math.sqrt(cnqs(j).toDouble))
+        var k = filled
+        while (k > 0 && java.lang.Double.compare(ccos, bestC(k - 1)) > 0)
+          k -= 1
+        if (k < n) {
+          val last = math.min(filled, n - 1)
+          var m = last
+          while (m > k) { bestJ(m) = bestJ(m - 1); bestC(m) = bestC(m - 1); m -= 1 }
+          bestJ(k) = j; bestC(k) = ccos
+          if (filled < n) filled += 1
+        }
+        j += 1
+      }
+      (0 until filled).iterator.map(k => (id, qv, nq, bestJ(k).toLong))
+    }
+  }
+
   private[graft] case class AnnCand(query_id: Long, vb: Long, cos: Double)
   private[graft] case class AnnOut(query_id: Long, rnk: Long, vec_id: Long,
       cos: Double)
@@ -1130,10 +1181,14 @@ object StreamingOps extends Serializable {
     * artifact) and each query's exact-cosine top-k inside its probed
     * cells is emitted.
     *
-    * Plan shape: the centroids are driver literals, so probe-cell
-    * selection is a PER-ROW expression — nCells integer dots against
-    * constant arrays, sorted by (cos desc, cent asc) via one
-    * `array_sort` — no streaming aggregation before the join; then ONE
+    * Plan shape: probe-cell selection is the batch tier's broadcast
+    * `mapPartitions` kernel ([[topCellsKernel]] — the
+    * `VectorOps.ivfTrain` argmax hop generalized to top-nProbe): per
+    * row, O(nCells·d) integer dots against the broadcast centroid
+    * matrix, compile-free at ANY nCells (the driver-literal expression
+    * form this replaced paid ~34 s of one-time Janino codegen at 179
+    * cells·64 dims and grows with nCells — a real index is 10³–10⁴
+    * cells). No streaming aggregation before the join; then ONE
     * stateless stream-static join on `cent_id` fans each query out to
     * its probed cells' posting lists (the static side is the stored
     * index, cached once, re-joined per micro-batch), and the top-k
@@ -1153,20 +1208,11 @@ object StreamingOps extends Serializable {
     val q = queries.toDF()
       .withColumn("qa", floatArrayMilli(col("embedding")))
       .withColumn("na", longArrayDot(col("qa"), col("qa")))
-    // negated cosine first in the struct → array_sort's ascending
-    // struct order IS (ccos desc, cent_id asc), the batch probe rule
-    val cellScores = cents.zipWithIndex.map { case (c, j) =>
-      val cq = array(c.map(lit): _*)
-      val cnq = c.map(x => x * x).sum
-      val ccos = longArrayDot(col("qa"), cq).cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(lit(cnq.toDouble)))
-      struct((-ccos).as("negc"), lit(j.toLong).as("cent_id"))
-    }
-    val probes = q
-      .withColumn("probe",
-        explode(slice(array_sort(array(cellScores: _*)), 1, nProbe)))
-      .select(col("vec_id").as("query_id"), col("qa"), col("na"),
-        col("probe.cent_id").as("cent_id"))
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = q.select(col("vec_id"), col("qa"), col("na"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions(topCellsKernel(bc, nProbe))
+      .toDF("query_id", "qa", "na", "cent_id")
     val scored = probes.join(posting, Seq("cent_id"))
       .filter(col("query_id") =!= col("vb"))
       .withColumn("cos",
@@ -1218,10 +1264,11 @@ object StreamingOps extends Serializable {
   /** ONLINE index maintenance — the streaming half of the incremental
     * ANN story ([[graft.storage.Lake.appendIvfIndex]] is the nightly
     * batch form; this is the as-they-arrive form): each arriving
-    * vector is quantized and assigned to its coarse cell by a pure
-    * per-row expression against the DRIVER-LITERAL frozen centroids
+    * vector is quantized and assigned to its coarse cell by the
+    * broadcast [[topCellsKernel]] argmax against the frozen centroids
     * (the [[annProbeStream]] discipline — no shuffle, no streaming
-    * state), and `foreachBatch` appends the new postings to the
+    * state, compile-free at any nCells), and `foreachBatch` appends
+    * the new postings to the
     * stored assignment lake in the exact [[graft.pipeline.VectorOps
     * .ivfAssignments]] layout, so every reader (`annProbeStream`,
     * `knnGraphFromIndex`) serves the grown index unchanged.
@@ -1238,41 +1285,40 @@ object StreamingOps extends Serializable {
   def annIngestStream(vecs: Dataset[QueryVec], spark: SparkSession,
       cents: Array[Array[Long]], indexPath: String)
       : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     import graft.functions.GraftFunctions.{floatArrayMilli, longArrayDot}
-    // negated cosine first in the struct → ascending struct order IS
-    // (ccos desc, cent_id asc); element 1 is the assignment — the
-    // batch rule for every real centroid. (Degenerate caveat shared
-    // with annProbeStream's probe pick: an ALL-ZERO centroid scores
-    // ccos = NaN, and negation keeps NaN sorting last here while the
-    // batch argmax treats NaN as greatest — only reachable from an
-    // all-zero training slice, which ivfTrain cannot emit from
-    // non-zero data.)
-    val cellScores = cents.zipWithIndex.map { case (c, j) =>
-      val cq = array(c.map(lit): _*)
-      val cnq = c.map(x => x * x).sum
-      val ccos = longArrayDot(col("qb"), cq).cast("double") /
-        (sqrt(col("nb").cast("double")) * sqrt(lit(cnq.toDouble)))
-      struct((-ccos).as("negc"), lit(j.toLong).as("cent_id"))
-    }
+    val bc = spark.sparkContext.broadcast(cents)
     vecs.toDF()
       .withColumn("qb", floatArrayMilli(col("embedding")))
       .withColumn("nb", longArrayDot(col("qb"), col("qb")))
-      .withColumn("cent_id",
-        element_at(array_sort(array(cellScores: _*)), 1)("cent_id"))
-      .select(col("vec_id").as("vb"), col("cent_id"), col("qb"),
-        col("nb"))
+      .select(col("vec_id"), col("qb"), col("nb"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions(topCellsKernel(bc, nProbe = 1))
+      .toDF("vb", "qb", "nb", "cent_id")
+      .select(col("vb"), col("cent_id"), col("qb"), col("nb"))
   }
 
   /** The `foreachBatch` sink body for [[annIngestStream]]: screen the
     * batch's ids against the stored index, append survivors clustered
     * by cell. Exposed separately so the spec can also call it directly
-    * to simulate a REDELIVERED batch. */
+    * to simulate a REDELIVERED batch. Two dedup layers make the append
+    * effectively-once: `dropDuplicates("vb")` collapses duplicate ids
+    * WITHIN the micro-batch (a source that coalesces two retries into
+    * one batch would otherwise pass both rows through the index
+    * screen), then the left-anti join screens against ids already in
+    * the stored index (across-batch redelivery). Refuses to run inside
+    * a [[graft.storage.Lake.compactIvfIndex]] maintenance window (the
+    * lock file) — an append racing the compaction's rewrite+swap would
+    * be silently dropped. */
   def annIngestAppend(batch: org.apache.spark.sql.DataFrame,
       indexPath: String): Unit = {
+    graft.storage.Lake.requireNotCompacting(
+      batch.sparkSession, indexPath, "annIngestAppend")
     val spark = batch.sparkSession
     val seen = spark.read.parquet(indexPath)
       .select(col("vb").as("seen_vb"))
-    batch.join(seen, batch("vb") === col("seen_vb"), "left_anti")
+    val b = batch.dropDuplicates("vb")
+    b.join(seen, b("vb") === col("seen_vb"), "left_anti")
       .select("vb", "cent_id", "qb", "nb")
       .repartition(col("cent_id"))
       .sortWithinPartitions("cent_id", "vb")

@@ -468,4 +468,75 @@ class LakeSpec extends AnyFunSuite {
         s"near_min_id mismatch for doc $id")
     }
   }
+
+  test("duplicate ids WITHIN one ingest micro-batch append once") {
+    import graft.pipeline.VectorOps
+    import graft.streaming.StreamingOps
+    // a source that coalesces two retries into a single micro-batch
+    // delivers the same vec_ids twice in ONE foreachBatch call — the
+    // stored-index anti-join alone cannot see them (they are not in
+    // the index yet), so the in-batch dropDuplicates must
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(false)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val cents = VectorOps.ivfTrain(base)
+    val ix = java.nio.file.Files
+      .createTempDirectory("graft-ivf-dupbatch").toString + "/ix"
+    Lake.writeIvfIndex(base, cents, ix)
+    val assigned = VectorOps.ivfAssignments(batch, cents)
+      .localCheckpoint(false)
+    StreamingOps.annIngestAppend(assigned.unionByName(assigned), ix)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivf-dupbatch-fresh").toString
+    Lake.writeIvfIndex(emb, cents, fresh)
+    def rowsOf(p: String) = Lake.readIvfIndex(spark, p)
+      .select("vb", "cent_id", "qb", "nb")
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(rowsOf(ix).nonEmpty && rowsOf(ix) === rowsOf(fresh))
+  }
+
+  test("compaction lock fences the appenders for the whole window") {
+    import graft.pipeline.VectorOps
+    import graft.streaming.StreamingOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(false)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val cents = VectorOps.ivfTrain(base)
+    val ix = java.nio.file.Files
+      .createTempDirectory("graft-ivf-lock").toString + "/ix"
+    Lake.writeIvfIndex(base, cents, ix)
+    // simulate an open (or crashed) maintenance window
+    val lock = new java.io.File(ix + ".compact_lock")
+    assert(lock.createNewFile())
+    val assigned = VectorOps.ivfAssignments(batch, cents)
+      .localCheckpoint(false)
+    intercept[IllegalArgumentException](
+      Lake.appendIvfIndex(batch, cents, ix))
+    intercept[IllegalArgumentException](
+      StreamingOps.annIngestAppend(assigned, ix))
+    assert(lock.delete())
+    // a crashed swap (only `.compact_old` left) fences appends too —
+    // they would otherwise mint a NEW index at the bare path
+    val old = new java.io.File(ix + ".compact_old")
+    assert(old.mkdir())
+    intercept[IllegalArgumentException](
+      Lake.appendIvfIndex(batch, cents, ix))
+    assert(old.delete())
+    // window closed: append goes through, and a full compaction run
+    // takes and RELEASES the lock around its rewrite+swap
+    Lake.appendIvfIndex(batch, cents, ix)
+    Lake.compactIvfIndex(spark, ix)
+    assert(!lock.exists())
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivf-lock-fresh").toString
+    Lake.writeIvfIndex(emb, cents, fresh)
+    def rowsOf(p: String) = Lake.readIvfIndex(spark, p)
+      .select("vb", "cent_id", "qb", "nb")
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(rowsOf(ix) === rowsOf(fresh))
+  }
 }

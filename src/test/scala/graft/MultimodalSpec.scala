@@ -7,11 +7,49 @@ import graft.pipeline.Multimodal.MediaRow
 
 /** The media decoders must parse real container bytes — including
   * containers this codebase did not produce — and reject payloads that
-  * are not what they claim to be. (No Spark needed: the codecs are
-  * plain iterator functions, the cluster plumbing is oracle-checked by
-  * pipe_media_wav / pipe_media_ppm.)
+  * are not what they claim to be. (Mostly no Spark needed: the codecs
+  * are plain iterator functions, the cluster plumbing is
+  * oracle-checked by pipe_media_wav / pipe_media_ppm; only the banded
+  * near-dup completeness sweep spins a session.)
   */
 class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-multimodal")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("near-dup banding derived from tau stays complete past the default") {
+    // pigeonhole completeness for EVERY legal tau, not just the
+    // pinned tau=2 oracle row: tau+1 disjoint bands guarantee that
+    // tau differing bits leave at least one band untouched — compare
+    // the banded candidate formulation against exact all-pairs
+    // Hamming computed from the same signatures in-process
+    val sqlc = spark
+    import sqlc.implicits._
+    val ids = (0L until 80L).toVector
+    val docs = ids.toDF("doc_id")
+    val sigs = ids.map(id => id -> Multimodal.decodePpmHash(
+      Iterator(MediaRow(id, Multimodal.ppmPayload(id)))).next().ahash).toMap
+    Seq(0, 1, 3, 5).foreach { tau =>
+      val got = Multimodal.ppmHashNearDup(docs, spark, tau)
+        .select("doc_id", "near_min_id", "n_near").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2)))
+        .toMap
+      ids.foreach { d =>
+        val near = ids.filter(o => o != d &&
+          java.lang.Long.bitCount(sigs(o) ^ sigs(d)) <= tau)
+        assert(got(d)._2 == near.size.toLong, s"tau=$tau doc=$d count")
+        assert(got(d)._1 == near.minOption, s"tau=$tau doc=$d min id")
+      }
+    }
+    // 16-bit hashes: tau past 15 is meaningless (every pair matches)
+    intercept[IllegalArgumentException](
+      Multimodal.ppmHashNearDup(docs, spark, 16))
+  }
 
   test("wav decoder reads a foreign-built PCM16 container") {
     // hand-build a WAV that the encoder code path never produced:
