@@ -948,6 +948,91 @@ object Oracles {
       |WHERE c.next_microtimestamp = 4102444800000000
       |ORDER BY pair_id, order_id, event_no, microtimestamp""".stripMargin
 
+  /** qty_level3_show_invalid_chains over a log with broken chains (the
+    * mktDqFixEternals corruption): the full level3 history of every
+    * order holding an orphan event — the row-listing twin of the
+    * dqReport broken-chain count. */
+  def mktDqInvalidChains: String = Level3Cte +
+    s""", corrupted AS (
+      |  SELECT microtimestamp, order_id, event_no, side, price, amount,
+      |    fill,
+      |    CASE WHEN order_id % 13 = 0 AND max_eno >= 2
+      |      AND event_no = max_eno - 1 THEN 4102444800000000
+      |      ELSE next_microtimestamp END AS next_microtimestamp,
+      |    is_deleted, price_microtimestamp, price_event_no, pair_id,
+      |    exchange_id, event_id
+      |  FROM (SELECT *, MAX(event_no) OVER (PARTITION BY order_id)
+      |    AS max_eno FROM level3) t
+      |), orphans AS (
+      |  SELECT DISTINCT o.order_id AS o_oid
+      |  FROM corrupted o
+      |  WHERE o.event_no > 1 AND NOT EXISTS (
+      |    SELECT 1 FROM corrupted p WHERE p.order_id = o.order_id
+      |      AND p.event_no = o.event_no - 1
+      |      AND p.next_microtimestamp = o.microtimestamp)
+      |)
+      |SELECT microtimestamp, order_id, CAST(event_no AS BIGINT) AS event_no,
+      |  side, price, amount, fill, next_microtimestamp, is_deleted,
+      |  pair_id, event_id
+      |FROM corrupted
+      |WHERE order_id IN (SELECT o_oid FROM orphans)
+      |ORDER BY order_id, event_no, microtimestamp""".stripMargin
+
+  /** bitstamp.find_and_repair_missing_fill over a log whose anchor
+    * events (greatest fill-bearing event of orders ≡ 0 mod 7) lost
+    * their fills: restore the fill from the matched trade, walk the
+    * amount ladder backward (window cumulative sum — the recursive
+    * CTE's closed form), emit only changed rows. */
+  def mktDqFixFill: String = Level3Cte +
+    s""", anc AS (
+      |  SELECT order_id, MAX(event_no) AS a_eno
+      |  FROM level3 WHERE order_id % 7 = 0 AND fill IS NOT NULL
+      |  GROUP BY order_id
+      |), trades AS (
+      |  SELECT l.order_id, l.event_no, l.fill AS t_fill
+      |  FROM level3 l JOIN anc a ON a.order_id = l.order_id
+      |    AND l.event_no = a.a_eno
+      |), corrupted AS (
+      |  SELECT l.microtimestamp, l.order_id, l.event_no, l.amount,
+      |    CASE WHEN a.a_eno = l.event_no THEN NULL ELSE l.fill END AS fill,
+      |    l.pair_id
+      |  FROM level3 l LEFT JOIN anc a ON a.order_id = l.order_id
+      |), fm AS (
+      |  SELECT c.order_id AS a_oid, c.event_no AS a_eno,
+      |    c.amount AS a_amt, t.t_fill AS a_fill,
+      |    ROW_NUMBER() OVER (PARTITION BY c.order_id
+      |      ORDER BY c.event_no DESC) AS rn
+      |  FROM corrupted c JOIN trades t ON t.order_id = c.order_id
+      |    AND t.event_no = c.event_no
+      |  WHERE c.fill IS NULL AND c.event_no > 1
+      |), scope AS (
+      |  SELECT c.microtimestamp, c.order_id, c.event_no, c.amount,
+      |    c.fill, c.pair_id, f.a_eno, f.a_amt, f.a_fill,
+      |    CASE WHEN c.event_no = f.a_eno THEN f.a_fill
+      |         ELSE COALESCE(c.fill, 0) END AS eff
+      |  FROM corrupted c JOIN fm f ON f.a_oid = c.order_id AND f.rn = 1
+      |    AND c.event_no <= f.a_eno
+      |), walked AS (
+      |  SELECT *, a_amt + COALESCE(SUM(eff) OVER (PARTITION BY order_id
+      |      ORDER BY event_no DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS new_amount
+      |  FROM scope
+      |), rep AS (
+      |  SELECT pair_id, order_id, CAST(event_no AS BIGINT) AS event_no,
+      |    microtimestamp, new_amount,
+      |    CASE WHEN event_no = a_eno THEN a_fill
+      |         WHEN event_no = 1 THEN -new_amount
+      |         ELSE fill END AS new_fill,
+      |    amount AS old_amount, fill AS old_fill
+      |  FROM walked
+      |)
+      |SELECT pair_id, order_id, event_no, microtimestamp,
+      |  new_amount AS amount, new_fill AS fill
+      |FROM rep
+      |WHERE new_amount <> old_amount OR new_fill IS DISTINCT FROM old_fill
+      |ORDER BY pair_id, order_id, event_no""".stripMargin
+
   /** qty_level3_fix_premature_deletes over a log with engine-generated
     * deletes (negative event_id) contradicted by later real events. */
   def mktDqFixPremature: String = Level3Cte +
@@ -3336,7 +3421,7 @@ object Oracles {
       |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
       |    FIRST(b_id ORDER BY cos DESC, b_id) AS top_bench_id,
       |    MAX(cos) AS top_cos
-      |  FROM sdc WHERE cos >= $tau GROUP BY vec_id
+      |  FROM sdc WHERE NOT isnan(cos) AND cos >= $tau GROUP BY vec_id
       |)
       |SELECT n.vec_id,
       |  COALESCE(h.n_hits, 0) AS n_hits,

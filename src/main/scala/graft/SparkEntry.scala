@@ -511,6 +511,25 @@ object SparkEntry {
           col("action"), col("new_next"))
         .orderBy("pair_id", "order_id", "event_no", "microtimestamp",
           "action")),
+    "mkt_dq_invalid_chains" -> ((s, d) =>
+      market.DqFixOps.invalidChains(
+          market.DqFixOps.withBrokenChains(level3(s, d)))
+        .select(col("microtimestamp"), col("order_id"),
+          col("event_no").cast("long").as("event_no"), col("side"),
+          col("price"), col("amount"), col("fill"),
+          col("next_microtimestamp"), col("is_deleted"),
+          col("pair_id").cast("long").as("pair_id"), col("event_id"))
+        .orderBy("order_id", "event_no", "microtimestamp")),
+    "mkt_dq_fix_fill" -> ((s, d) => {
+      val l3 = level3(s, d).localCheckpoint(false)
+      market.DqFixOps.findAndRepairMissingFill(
+          market.DqFixOps.withMissingFill(l3),
+          market.DqFixOps.missingFillTrades(l3))
+        .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
+          col("event_no").cast("long").as("event_no"),
+          col("microtimestamp"), col("amount"), col("fill"))
+        .orderBy("pair_id", "order_id", "event_no")
+    }),
     "mkt_overview" -> ((s, d) =>
       Analytics.dataOverview(level3(s, d))
         .select(col("pair_id").cast("long").as("pair_id"),
@@ -1712,6 +1731,8 @@ object SparkEntry {
     "mkt_crossed" -> Oracles.mktCrossed,
     "mkt_fix_crossed" -> Oracles.mktFixCrossed,
     "mkt_dq" -> Oracles.mktDq,
+    "mkt_dq_invalid_chains" -> Oracles.mktDqInvalidChains,
+    "mkt_dq_fix_fill" -> Oracles.mktDqFixFill,
     "mkt_merge_crossed" -> Oracles.mktMergeCrossed,
     "mkt_dq_fix_dups" -> Oracles.mktDqFixDups,
     "mkt_dq_fix_eternals" -> Oracles.mktDqFixEternals,

@@ -90,14 +90,15 @@ object DqFixOps {
         lit(null).cast("long").as("new_next"))
   }
 
-  /** `qty_level3_fix_eternals`: an eternal event whose order has an
-    * orphan successor (no predecessor's forward pointer reaches it)
-    * reconnects to that orphan. Returns the re-pointed rows. */
-  def fixEternals(level3: DataFrame): DataFrame = {
+  /** Orphan events: `event_no > 1` rows no predecessor's forward
+    * pointer reaches — the chain-invariant violation shared by
+    * [[fixEternals]] (which repairs it) and [[invalidChains]] (which
+    * lists it). Output: (o_oid, o_eno, o_ts). */
+  private def orphanEvents(level3: DataFrame): DataFrame = {
     val preds = level3.select(col("order_id").as("p_oid"),
       (col("event_no") + 1).as("p_eno"),
       col("next_microtimestamp").as("p_next"))
-    val orphans = level3.filter(col("event_no") > 1)
+    level3.filter(col("event_no") > 1)
       .join(preds,
         col("order_id") === col("p_oid") &&
           col("event_no") === col("p_eno") &&
@@ -105,13 +106,34 @@ object DqFixOps {
         "left_anti")
       .select(col("order_id").as("o_oid"), col("event_no").as("o_eno"),
         col("microtimestamp").as("o_ts"))
+  }
+
+  /** `qty_level3_fix_eternals`: an eternal event whose order has an
+    * orphan successor (no predecessor's forward pointer reaches it)
+    * reconnects to that orphan. Returns the re-pointed rows. */
+  def fixEternals(level3: DataFrame): DataFrame = {
     level3.filter(col("next_microtimestamp") === Alive)
-      .join(orphans,
+      .join(orphanEvents(level3),
         col("order_id") === col("o_oid") &&
           col("event_no") === col("o_eno") - 1)
       .select(col("pair_id"), col("order_id"), col("event_no"),
         col("microtimestamp"), lit("reconnect").as("action"),
         col("o_ts").as("new_next"))
+  }
+
+  /** `qty_level3_show_invalid_chains`
+    * (`db/obanalytics_schema.sql:2386-2430`): the row-LISTING twin of
+    * the broken-chain count in [[GridOps.dqReport]] — every level3
+    * event of every order that holds at least one orphan event
+    * ([[orphanEvents]]; the reference's `NOT EXISTS` predecessor
+    * probe), for inspection before deciding which fix applies. Scale
+    * shape: one anti-join builds the orphan set, one semi-join keyed
+    * by order_id pulls the offending orders' full histories — both
+    * shuffle on order_id, no window. Returns full level3 rows. */
+  def invalidChains(level3: DataFrame): DataFrame = {
+    val bad = orphanEvents(level3)
+      .select(col("o_oid").as("order_id")).distinct()
+    level3.join(bad, Seq("order_id"), "left_semi")
   }
 
   /** `qty_level3_fix_premature_deletes`: engine-generated deletes
@@ -140,5 +162,94 @@ object DqFixOps {
         col("microtimestamp"), lit("reconnect").as("action"),
         col("next_real_ts").as("new_next"))
     drops.unionByName(reconnects)
+  }
+
+  // ---- missing-fill repair ---------------------------------------------
+
+  /** The anchor selection shared by the missing-fill corruption
+    * harness and its trades extract: for orders ≡ 0 (mod 7), the
+    * GREATEST fill-bearing event — the event whose fill the feed
+    * "lost". Output: (order_id, a_eno). */
+  private def fillAnchors(level3: DataFrame): DataFrame =
+    level3.filter(col("order_id") % 7 === 0 && col("fill").isNotNull)
+      .groupBy("order_id").agg(max("event_no").as("a_eno"))
+
+  /** The trades capture the feed DID deliver for the anchors — the
+    * stand-in for the reference's `live_trades` side (a trade row
+    * survives even when the matched order event lost its fill).
+    * Extracted from the PRISTINE log, before [[withMissingFill]]
+    * corrupts it. Output: (order_id, event_no, t_fill). */
+  def missingFillTrades(level3: DataFrame): DataFrame =
+    level3.join(fillAnchors(level3), Seq("order_id"))
+      .filter(col("event_no") === col("a_eno"))
+      .select(col("order_id"), col("event_no"),
+        col("fill").as("t_fill"))
+
+  /** Corruption harness: NULL the anchor events' fills — the Bitstamp
+    * feed glitch `find_and_repair_missing_fill` exists for. */
+  def withMissingFill(level3: DataFrame): DataFrame =
+    level3.join(fillAnchors(level3), Seq("order_id"), "left")
+      .withColumn("fill",
+        when(col("a_eno").isNotNull && col("event_no") === col("a_eno"),
+          lit(null).cast("double")).otherwise(col("fill")))
+      .drop("a_eno")
+      .select(level3.columns.map(col).toIndexedSeq: _*)
+
+  /** `bitstamp.find_and_repair_missing_fill`
+    * (`db/bitstamp_schema.sql:634-700`): reconstruct a lost fill from
+    * the matched trade, then walk the order's own amount ladder
+    * BACKWARD from the repaired event — each earlier event's amount
+    * becomes `amount(next) + fill(next)` (the reference's recursive
+    * CTE unrolled), and the creation event's fill becomes
+    * `-amount(1)` (the reference's sign convention for the quantity a
+    * creation adds). The reference's recursion over `event_no - 1` is
+    * a prefix structure, so here it is ONE window cumulative sum in
+    * descending event order — no iteration, no driver loop: with the
+    * anchor's repaired fill substituted in,
+    * `amount(k) = amount(anchor) + Σ_{j∈(k, anchor]} fill(j)`
+    * (NULL fills — amount-increase events in this log model —
+    * contribute 0 to the ladder). One anchor per order: when several
+    * events lost fills, the GREATEST event_no anchors the walk (the
+    * reference's UPDATE is single-anchor by construction). Emits only
+    * rows the repair CHANGED — the Spark analogue of the reference's
+    * `UPDATE … RETURNING`. Scale shape: anchor screen is one join on
+    * (order_id, event_no) against the trades side; the walk is one
+    * window over each repaired order's own events — work proportional
+    * to damaged orders, never the log. Output:
+    * (pair_id, order_id, event_no, microtimestamp, amount, fill). */
+  def findAndRepairMissingFill(level3: DataFrame,
+      trades: DataFrame): DataFrame = {
+    val anchors = level3
+      .filter(col("fill").isNull && col("event_no") > 1)
+      .join(trades.select(col("order_id").as("t_oid"),
+          col("event_no").as("t_eno"), col("t_fill")),
+        col("order_id") === col("t_oid") &&
+          col("event_no") === col("t_eno"))
+      .groupBy(col("order_id").as("a_oid"))
+      .agg(max(struct(col("event_no").as("a_eno"),
+        col("amount").as("a_amt"), col("t_fill").as("a_fill"))).as("a"))
+      .select(col("a_oid"), col("a.a_eno").as("a_eno"),
+        col("a.a_amt").as("a_amt"), col("a.a_fill").as("a_fill"))
+    val scope = level3.join(anchors,
+        col("order_id") === col("a_oid") &&
+          col("event_no") <= col("a_eno"))
+      .withColumn("eff",
+        when(col("event_no") === col("a_eno"), col("a_fill"))
+          .otherwise(coalesce(col("fill"), lit(0.0))))
+    val wDesc = Window.partitionBy("order_id")
+      .orderBy(col("event_no").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scope
+      .withColumn("new_amount",
+        col("a_amt") + coalesce(sum("eff").over(wDesc), lit(0.0)))
+      .withColumn("new_fill",
+        when(col("event_no") === col("a_eno"), col("a_fill"))
+          .when(col("event_no") === 1, -col("new_amount"))
+          .otherwise(col("fill")))
+      .filter(col("new_amount") =!= col("amount") ||
+        !(col("new_fill") <=> col("fill")))
+      .select(col("pair_id"), col("order_id"), col("event_no"),
+        col("microtimestamp"), col("new_amount").as("amount"),
+        col("new_fill").as("fill"))
   }
 }

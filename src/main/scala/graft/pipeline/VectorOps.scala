@@ -775,46 +775,6 @@ object VectorOps {
     * pitch — and each cell's pairs are one shuffle partition's work;
     * the centroids are the same O(cells·d) broadcast artifact as
     * every IVF path. Output: (vec_id, cent_id, ccos, kept). */
-  /** SEMANTIC decontamination — the embedding-space complement of
-    * [[TextPipeline.decontaminate]]'s n-gram screen: a corpus vector
-    * is contaminated when its cosine against ANY benchmark vector
-    * (`vec_id < benchMax`, the held-out eval set) reaches `tau` — the
-    * leakage a paraphrase slips past exact n-gram matching. Per corpus
-    * vector: hit count, the argmax benchmark (ties to the lower id)
-    * and its cosine. Scale shape: benchmark sets are small by
-    * construction (an eval suite, not a corpus), so the screen is ONE
-    * broadcast of O(bench·d) ints against a single corpus pass —
-    * per-row O(bench·d) integer dots inside codegen
-    * ([[graft.functions.GraftFunctions.longArrayDot]]), no shuffle
-    * until the per-vector aggregate; a benchmark too large to
-    * broadcast routes through the IVF cells instead (the
-    * [[knnGraphFor]] restriction pattern). Output:
-    * (vec_id, n_hits, top_bench_id, top_cos, is_contaminated). */
-  def semDecon(emb: DataFrame, benchMax: Long = 10,
-      tau: Double = 0.4): DataFrame = {
-    val q = quantized(emb)
-    val bench = q.filter(col("vec_id") < benchMax)
-      .select(col("vec_id").as("b_id"), col("q").as("bq"),
-        col("nq").as("bnq"))
-    val corpus = q.filter(col("vec_id") >= benchMax)
-    val cos = (longArrayDot(col("q"), col("bq")).cast("double") /
-      (sqrt(col("nq").cast("double")) * sqrt(col("bnq").cast("double"))))
-      .as("cos")
-    val hits = corpus.join(broadcast(bench))
-      .withColumn("cos", cos)
-      .filter(col("cos") >= tau)
-      .groupBy("vec_id")
-      .agg(count(lit(1)).as("n_hits"),
-        max(struct(col("cos"), (-col("b_id")).as("nb"))).as("m"))
-      .select(col("vec_id"), col("n_hits"),
-        (-col("m.nb")).as("top_bench_id"), col("m.cos").as("top_cos"))
-    corpus.select("vec_id").join(hits, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        col("top_bench_id"), col("top_cos"),
-        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
-  }
-
   def semDedup(emb: DataFrame, threshold: Double = 0.45,
       nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None,
@@ -839,6 +799,50 @@ object VectorOps {
     assigned.join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cent_id"), col("ccos"),
         coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[TextPipeline.decontaminate]]'s n-gram screen: a corpus vector
+    * is contaminated when its cosine against ANY benchmark vector
+    * (`vec_id < benchMax`, the held-out eval set) reaches `tau` — the
+    * leakage a paraphrase slips past exact n-gram matching. Per corpus
+    * vector: hit count, the argmax benchmark (ties to the lower id)
+    * and its cosine. A zero-norm side makes the cosine NaN; NaN is
+    * excluded from hits EXPLICITLY on both engines (Spark's `>=` is
+    * false on NaN but DuckDB orders NaN above every value, so without
+    * the guard the oracle would count a hit the engine drops). Scale
+    * shape: benchmark sets are small by construction (an eval suite,
+    * not a corpus), so the screen is ONE broadcast of O(bench·d) ints
+    * against a single corpus pass — per-row O(bench·d) integer dots
+    * inside codegen
+    * ([[graft.functions.GraftFunctions.longArrayDot]]), no shuffle
+    * until the per-vector aggregate; a benchmark too large to
+    * broadcast routes through the IVF cells instead (the
+    * [[knnGraphFor]] restriction pattern). Output:
+    * (vec_id, n_hits, top_bench_id, top_cos, is_contaminated). */
+  def semDecon(emb: DataFrame, benchMax: Long = 10,
+      tau: Double = 0.4): DataFrame = {
+    val q = quantized(emb)
+    val bench = q.filter(col("vec_id") < benchMax)
+      .select(col("vec_id").as("b_id"), col("q").as("bq"),
+        col("nq").as("bnq"))
+    val corpus = q.filter(col("vec_id") >= benchMax)
+    val cos = (longArrayDot(col("q"), col("bq")).cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("bnq").cast("double"))))
+      .as("cos")
+    val hits = corpus.join(broadcast(bench))
+      .withColumn("cos", cos)
+      .filter(!isnan(col("cos")) && col("cos") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), col("n_hits"),
+        (-col("m.nb")).as("top_bench_id"), col("m.cos").as("top_cos"))
+    corpus.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("top_bench_id"), col("top_cos"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
   }
 
   /** kNN graph over the collection (the all-pairs analogue of

@@ -76,4 +76,40 @@ class BitstampSpec extends AnyFunSuite {
       recovered("buy_order_id") === orders("order_id"), "left_anti")
     assert(bad.count() == 0)
   }
+
+  test("missing-fill repair walks the amount ladder backward from the trade") {
+    import graft.market.DqFixOps
+    // reference find_and_repair_missing_fill semantics
+    // (db/bitstamp_schema.sql:634-700) on a hand ladder: order 700's
+    // e4 lost its fill (the matched trade says 3); e3 is an amount
+    // INCREASE (NULL fill, contributes 0 to the walk); order 701 is
+    // healthy and must not be touched
+    val l3 = Seq(
+      (1L, 700L, 1, 1000L, 10.0, Option.empty[Double]),
+      (1L, 700L, 2, 2000L, 6.0, Some(4.0)),
+      (1L, 700L, 3, 3000L, 8.0, Option.empty[Double]),
+      (1L, 700L, 4, 4000L, 5.0, Option.empty[Double]), // the lost fill
+      (1L, 700L, 5, 5000L, 2.0, Some(3.0)),            // after anchor
+      (1L, 701L, 1, 1000L, 9.0, Option.empty[Double]),
+      (1L, 701L, 2, 2000L, 7.0, Some(2.0)))
+      .toDF("pair_id", "order_id", "event_no", "microtimestamp",
+        "amount", "fill")
+    val trades = Seq((700L, 4, 3.0))
+      .toDF("order_id", "event_no", "t_fill")
+    val out = DqFixOps.findAndRepairMissingFill(l3, trades)
+      .orderBy("order_id", "event_no")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toList
+    // e4: fill restored from the trade, amount kept
+    // e3: new amount 5+3 = 8 equals the capture, NULL fill kept → no row
+    // e2: new amount 8+0 = 8 (the increase contributed nothing) ≠ 6
+    // e1: new amount 8+4 = 12, creation fill = −12 (reference sign)
+    // e5 (after the anchor) and order 701 untouched
+    assert(out == List(
+      (700L, 1, 12.0, Some(-12.0)),
+      (700L, 2, 8.0, Some(4.0)),
+      (700L, 4, 5.0, Some(3.0))))
+  }
 }
