@@ -3550,6 +3550,44 @@ object Oracles {
       |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Mirror of `VectorOps.semDeconIvf`: Lloyd-trained cells
+    * (IvfTrainCte), corpus vectors in their argmax cell, benchmark
+    * vectors fanned to their top-nProbe cells, exact cosine on
+    * same-cell pairs only, semDecon hit semantics (NaN excluded on
+    * both engines, ties to the lower benchmark id). */
+  def pipeSemDeconIvf(benchMax: Long = 10, tau: String = "0.4",
+      nCells: Int = 16, nProbe: Int = 2): String =
+    QuantEmbCte + IvfTrainCte(nCells.toString) +
+    IvfCoarseCte(nCells.toString, providedCents = true) +
+    s""", svb AS (
+      |  SELECT vb AS vec_id, cent_id FROM assign WHERE vb >= $benchMax
+      |), sbp AS (
+      |  SELECT vec_id AS b_id, cent_id FROM ranked_c
+      |  WHERE vec_id < $benchMax AND crn <= $nProbe
+      |), spr AS (
+      |  SELECT c.vec_id, b.b_id, SUM(ec.q * eb.q) AS dot
+      |  FROM svb c JOIN sbp b ON b.cent_id = c.cent_id
+      |  JOIN ev ec ON ec.vec_id = c.vec_id
+      |  JOIN ev eb ON eb.vec_id = b.b_id AND eb.i = ec.i
+      |  GROUP BY c.vec_id, b.b_id
+      |), scs AS (
+      |  SELECT p.vec_id, p.b_id, CAST(p.dot AS DOUBLE) /
+      |    (SQRT(CAST(nc.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
+      |    AS cos
+      |  FROM spr p JOIN nrm nc ON nc.vec_id = p.vec_id
+      |  JOIN nrm nb ON nb.vec_id = p.b_id
+      |), sh AS (
+      |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |    FIRST(b_id ORDER BY cos DESC, b_id) AS top_bench_id,
+      |    MAX(cos) AS top_cos
+      |  FROM scs WHERE NOT isnan(cos) AND cos >= $tau GROUP BY vec_id
+      |)
+      |SELECT c.vec_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  h.top_bench_id, h.top_cos,
+      |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+      |FROM svb c LEFT JOIN sh h ON h.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   /** The trained-cell self-search chain shared by [[pipeKnnGraph]]
     * and [[pipeKnnClusters]] — through `krr(va, vb, cos, rnk)`. The
     * `VectorOps.CellCap` sub-split mirrors the engine's hot-cell

@@ -658,6 +658,12 @@ object SparkEntry {
     "pipe_sem_decon" -> ((s, d) =>
       VectorOps.semDecon(Tables.load(s, d, "embeddings"))
         .orderBy("vec_id")),
+    // the IVF route for a benchmark too large to broadcast: both sides
+    // under one trained quantizer, same-cell pairs only
+    "pipe_sem_decon_ivf" -> ((s, d) =>
+      VectorOps.semDeconIvf(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)))
+        .orderBy("vec_id")),
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -930,6 +936,9 @@ object SparkEntry {
       sqlSession(s, d).sql("SELECT * FROM ann_drift('emb_sql')")),
     "pipe_sql_sem_decon" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM sem_decon('emb_sql')")
+        .orderBy("vec_id")),
+    "pipe_sql_sem_decon_ivf" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM sem_decon_ivf('emb_sql')")
         .orderBy("vec_id")),
     "pipe_sql_hybrid" -> ((s, d) =>
       sqlSession(s, d)
@@ -1759,6 +1768,8 @@ object SparkEntry {
     "mkt_ob_makers" -> Oracles.mktObFlagsWith(before = true, onlyMakers = true),
     "pipe_decontaminate" -> Oracles.pipeDecontaminate,
     "pipe_sem_decon" -> Oracles.pipeSemDecon(),
+    "pipe_sem_decon_ivf" -> Oracles.pipeSemDeconIvf(),
+    "pipe_sql_sem_decon_ivf" -> Oracles.pipeSemDeconIvf(),
     "pipe_sql_sem_decon" -> Oracles.pipeSemDecon(),
     // the Bloom pre-filter is exact — identical mirror
     "pipe_decon_bloom" -> Oracles.pipeDecontaminate,

@@ -161,6 +161,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "incr_ann" -> graft.plans.GraftTableFunctions.incrAnnTvf _,
       "ann_drift" -> graft.plans.GraftTableFunctions.annDriftTvf _,
       "sem_decon" -> graft.plans.GraftTableFunctions.semDeconTvf _,
+      "sem_decon_ivf" -> graft.plans.GraftTableFunctions.semDeconIvfTvf _,
       "hybrid" -> graft.plans.GraftTableFunctions.hybridTvf _,
       "source_distinct" ->
         graft.plans.GraftTableFunctions.sourceDistinctTvf _,

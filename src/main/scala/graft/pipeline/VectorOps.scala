@@ -817,8 +817,8 @@ object VectorOps {
     * inside codegen
     * ([[graft.functions.GraftFunctions.longArrayDot]]), no shuffle
     * until the per-vector aggregate; a benchmark too large to
-    * broadcast routes through the IVF cells instead (the
-    * [[knnGraphFor]] restriction pattern). Output:
+    * broadcast routes through the IVF cells instead —
+    * [[semDeconIvf]], the implemented fallback. Output:
     * (vec_id, n_hits, top_bench_id, top_cos, is_contaminated). */
   def semDecon(emb: DataFrame, benchMax: Long = 10,
       tau: Double = 0.4): DataFrame = {
@@ -839,6 +839,46 @@ object VectorOps {
       .select(col("vec_id"), col("n_hits"),
         (-col("m.nb")).as("top_bench_id"), col("m.cos").as("top_cos"))
     corpus.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("top_bench_id"), col("top_cos"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  /** [[semDecon]]'s IVF route — the fallback its scaladoc promises for
+    * a benchmark side TOO LARGE to broadcast (a mega-suite of eval +
+    * held-out sets, or decontaminating one corpus against another):
+    * both sides are placed under one trained coarse quantizer — every
+    * corpus vector in its argmax cell, every benchmark vector fanned
+    * to its `nProbe` best cells — and only same-cell pairs pay the
+    * exact cosine, the [[knnGraphFor]] restriction shape. Per-cell
+    * pair block is |bench ∩ cell|·|cell|, never corpus×bench; the
+    * accepted recall trade is the IVF boundary itself (a contaminated
+    * pair whose sides fall in disjoint probed cells is missed —
+    * widen `nProbe` to trade cost for recall). Hit semantics,
+    * NaN exclusion, tie rules and output schema are [[semDecon]]'s:
+    * (vec_id, n_hits, top_bench_id, top_cos, is_contaminated). */
+  def semDeconIvf(emb: DataFrame, benchMax: Long = 10,
+      tau: Double = 0.4, nCells: Int = 16, nProbe: Int = 2,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = trainedCents.getOrElse(ivfTrain(emb, nCells))
+    val (assign, probes) =
+      coarseCells(emb, benchMax.toInt, cents.length, nProbe, Some(cents))
+    val corpus = assign.filter(col("vb") >= benchMax)
+    // a corpus vector lives in exactly one cell, so a (bench, corpus)
+    // pair meets in at most one probed cell — no pair dedup needed
+    val cos = (longArrayDot(col("qa"), col("qb")).cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .as("cos")
+    val hits = probes.join(corpus, Seq("cent_id"))
+      .withColumn("cos", cos)
+      .filter(!isnan(col("cos")) && col("cos") >= tau)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), (-col("query_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), col("n_hits"),
+        (-col("m.nb")).as("top_bench_id"), col("m.cos").as("top_cos"))
+    corpus.select(col("vb").as("vec_id")).join(hits, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("top_bench_id"), col("top_cos"),

@@ -268,6 +268,12 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.pipeline.VectorOps.semDecon(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head else 10L,
               if (u.dblArgs.nonEmpty) u.dblArgs.head else 0.4)
+          case "sem_decon_ivf" =>
+            graft.pipeline.VectorOps.semDeconIvf(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head else 10L,
+              if (u.dblArgs.nonEmpty) u.dblArgs.head else 0.4,
+              trainedCents =
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
           case "ann_drift" =>
             // same base/batch split as incr_ann; the gauge compares
             // the batch's cell histogram to the base index's
@@ -903,6 +909,21 @@ object GraftTableFunctions {
       if (exprs.length > 1) Seq(longLit(exprs, 1, "sem_decon")) else Nil,
       Nil,
       if (exprs.length > 2) Seq(dblLit(exprs, 2, "sem_decon")) else Nil)
+  }
+
+  /** `sem_decon_ivf('emb'[, benchMax[, tau]])` — the IVF route of
+    * semantic decontamination for a benchmark too large to broadcast
+    * ([[graft.pipeline.VectorOps.semDeconIvf]]). */
+  def semDeconIvfTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "sem_decon_ivf takes (emb_table[, bench_max[, tau]])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "sem_decon_ivf")),
+      "sem_decon_ivf",
+      if (exprs.length > 1) Seq(longLit(exprs, 1, "sem_decon_ivf"))
+      else Nil,
+      Nil,
+      if (exprs.length > 2) Seq(dblLit(exprs, 2, "sem_decon_ivf"))
+      else Nil)
   }
 
   /** `ann_drift('emb')` — the append-index retrain gauge over the
