@@ -4688,6 +4688,50 @@ object Oracles {
       |  (CAST(length(text) AS BIGINT) * 10 + 37) // 38 AS n_bpe_est
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `TrainingData.epochPlan` (budget 7/4 of the corpus,
+    * maxEpochs=2): closed-form integer water-filling — capped set =
+    * the maximal prefix (caps ascending) where
+    * `cap_i·(S−i+1) + P_{i−1} ≤ B`, uncapped share =
+    * `(B − P_k) // (S − k)`. */
+  def pipeEpochPlan(budgetNum: Int = 7, budgetDen: Int = 4,
+      maxEpochs: Int = 2): String =
+    s"""WITH tk AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), ck AS (
+      |  SELECT *, tokens * $maxEpochs AS cap_tokens FROM tk
+      |), tt AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources
+      |  FROM ck
+      |), rk AS (
+      |  SELECT c.*, t.total_tokens, t.n_sources,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source)
+      |      AS BIGINT) AS i,
+      |    COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+      |    (t.total_tokens * $budgetNum) // $budgetDen AS budget
+      |  FROM ck c, tt t
+      |), kk AS (
+      |  SELECT COALESCE(MIN(CASE WHEN NOT (
+      |      cap_tokens * (n_sources - i + 1) + pfx <= budget)
+      |      THEN i END) - 1, MAX(i)) AS k
+      |  FROM rk
+      |), pk AS (
+      |  SELECT COALESCE(SUM(cap_tokens), 0) AS pkv
+      |  FROM rk, kk WHERE i <= k
+      |)
+      |SELECT source, n_docs, tokens, cap_tokens,
+      |  CASE WHEN i <= k THEN cap_tokens
+      |       ELSE (budget - pkv) // (n_sources - k) END AS alloc_tokens,
+      |  (1000 * CASE WHEN i <= k THEN cap_tokens
+      |       ELSE (budget - pkv) // (n_sources - k) END) // tokens
+      |    AS epochs_milli,
+      |  i <= k AS capped
+      |FROM rk, kk, pk
+      |ORDER BY source""".stripMargin
+
   def pipeFingerprint: String = DocShinglesCte +
     """, mins AS (
       |  SELECT doc_id, MIN(md5(shingle)) AS min_shingle_hash

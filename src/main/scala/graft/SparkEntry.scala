@@ -746,6 +746,12 @@ object SparkEntry {
     "pipe_mix_temperature" -> ((s, d) =>
       pipeline.TrainingData.mixTemperature(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // data-constrained epoch planning: closed-form integer
+    // water-filling of a token budget across sources under a
+    // max-epochs repetition cap
+    "pipe_epoch_plan" -> ((s, d) =>
+      pipeline.TrainingData.epochPlan(Tables.load(s, d, "documents"))
+        .orderBy("source")),
     "pipe_minhash" -> ((s, d) =>
       TextPipeline.minhashCandidates(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -1786,6 +1792,7 @@ object SparkEntry {
     "pipe_dedup_norm" -> Oracles.pipeDedupNormalized,
     "pipe_stratified_sample" -> Oracles.pipeStratifiedSample,
     "pipe_mix_temperature" -> Oracles.pipeMixTemperature,
+    "pipe_epoch_plan" -> Oracles.pipeEpochPlan(),
     "pipe_ann_topk_filtered" -> Oracles.pipeAnnTopKFiltered,
     "pipe_ann_ivf_filtered" -> Oracles.pipeAnnIvfFiltered,
     "pipe_ann_recall_filtered" -> Oracles.pipeAnnRecallIvfFiltered,

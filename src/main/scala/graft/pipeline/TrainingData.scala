@@ -220,6 +220,70 @@ object TrainingData {
       .select(col("doc_id"), col("w"), col("cum_w"), col("n_picks"))
   }
 
+  /** Data-constrained EPOCH PLANNING — the allocator a token-budgeted
+    * pretraining mix runs before any sampling op here executes it:
+    * split a total token budget across sources under an equal-share
+    * policy with a per-source repetition cap (a source can contribute
+    * at most `maxEpochs` passes over its own tokens — the
+    * data-constrained-scaling discipline of capping epochs rather than
+    * repeating a small source without bound). Budget is
+    * `total_tokens · budgetNum / budgetDen`, self-scaling with the
+    * corpus; the default 7/4 plans 1.75 corpus passes, so small
+    * sources hit the 2-epoch cap and large ones absorb the spill —
+    * both allocator branches live at every SF.
+    *
+    * The allocation is exact water-filling in CLOSED FORM — no
+    * iteration: with sources sorted by cap ascending, the capped set
+    * is a prefix, and source i is capped iff
+    * `cap_i·(S−i+1) + Σ_{j<i} cap_j ≤ B` (its cap fits even when every
+    * later source also draws cap_i); k = the last all-true prefix
+    * index, every uncapped source gets `(B − Σ_{j≤k} cap_j) div (S−k)`
+    * — one window cumulative sum plus two scalar aggregates, all
+    * integer arithmetic (token counts are the whitespace rule of
+    * [[TextPipeline.tokenCounts]]). Scale shape: ONE map-side-combined
+    * aggregate reduces the corpus to |sources| rows; everything after
+    * (the global-sort window included) runs on that tiny frame.
+    * Output: (source, n_docs, tokens, cap_tokens, alloc_tokens,
+    * epochs_milli, capped), epochs_milli = ⌊1000·alloc/tokens⌋. */
+  def epochPlan(docs: DataFrame, budgetNum: Int = 7, budgetDen: Int = 4,
+      maxEpochs: Int = 2): DataFrame = {
+    require(budgetNum >= 1 && budgetDen >= 1 && maxEpochs >= 1,
+      "positive budgetNum/budgetDen/maxEpochs")
+    val tok = docs
+      .withColumn("t", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+      .withColumn("cap_tokens", col("tokens") * maxEpochs)
+    val tot = tok.agg(sum("tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val ranked = tok.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", coalesce(sum("cap_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("budget",
+        expr(s"(total_tokens * $budgetNum) div $budgetDen"))
+      .withColumn("fits",
+        col("cap_tokens") * (col("n_sources") - col("i") + 1) +
+          col("pfx") <= col("budget"))
+      .localCheckpoint(false) // |sources| rows; feeds three consumers
+    val kRow = ranked.agg(
+      coalesce(min(when(!col("fits"), col("i"))) - 1, max(col("i")))
+        .as("k"))
+    val withK = ranked.crossJoin(broadcast(kRow))
+    val pk = withK.filter(col("i") <= col("k"))
+      .agg(coalesce(sum("cap_tokens"), lit(0L)).as("pkv"))
+    withK.crossJoin(broadcast(pk))
+      .withColumn("alloc_tokens",
+        when(col("i") <= col("k"), col("cap_tokens"))
+          .otherwise(expr("(budget - pkv) div (n_sources - k)")))
+      .withColumn("epochs_milli",
+        expr("(1000 * alloc_tokens) div tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("cap_tokens"), col("alloc_tokens"), col("epochs_milli"),
+        (col("i") <= col("k")).as("capped"))
+  }
+
   def sourceMix(docs: DataFrame, wMax: Int = 2): DataFrame = {
     val h = md5(concat(lit("mix#"), col("text")))
     val bucket = ((ascii(substring(h, 1, 1)) * 65536 +
