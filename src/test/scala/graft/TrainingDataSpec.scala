@@ -362,4 +362,29 @@ class TrainingDataSpec extends AnyFunSuite {
     // = totalW div stride ∈ [targetN, targetN + targetN)
     assert(got.map(_._4).sum == totalW / stride)
   }
+
+  test("epochPlan water-fills the budget with a capped prefix") {
+    // sources with 10/20/40/80 tokens, maxEpochs=2 → caps 20/40/80/160,
+    // budget = 150·1/1 = 150. Water-filling: s1 capped (20·4+0=80 ≤
+    // 150), s2 capped (40·3+20=140 ≤ 150), s3 not (80·2+60=220 > 150)
+    // → uncapped share = (150−60)/2 = 45 each
+    val d = docs(
+      (1L, (1 to 10).map(_ => "w").mkString(" ")),
+      (2L, (1 to 20).map(_ => "w").mkString(" ")),
+      (3L, (1 to 40).map(_ => "w").mkString(" ")),
+      (4L, (1 to 80).map(_ => "w").mkString(" ")))
+      .withColumn("source", concat(lit("s"), col("doc_id")))
+    val got = TrainingData.epochPlan(d, budgetNum = 1, budgetDen = 1,
+        maxEpochs = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5),
+        r.getBoolean(6))).toList
+    assert(got == List(
+      ("s1", 20L, 2000L, true),   // 2.0 epochs — capped
+      ("s2", 40L, 2000L, true),   // 2.0 epochs — capped
+      ("s3", 45L, 1125L, false),  // 45/40 = 1.125 epochs
+      ("s4", 45L, 562L, false)))  // 45/80 = 0.5625 epochs
+    // allocations exhaust the budget up to integer floor
+    assert(got.map(_._2).sum == 150L)
+  }
 }
