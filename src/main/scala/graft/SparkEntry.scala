@@ -752,6 +752,9 @@ object SparkEntry {
     "pipe_epoch_plan" -> ((s, d) =>
       pipeline.TrainingData.epochPlan(Tables.load(s, d, "documents"))
         .orderBy("source")),
+    "pipe_sql_epoch_plan" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM epoch_plan('docs_sql')")
+        .orderBy("source")),
     "pipe_minhash" -> ((s, d) =>
       TextPipeline.minhashCandidates(Tables.load(s, d, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -1793,6 +1796,7 @@ object SparkEntry {
     "pipe_stratified_sample" -> Oracles.pipeStratifiedSample,
     "pipe_mix_temperature" -> Oracles.pipeMixTemperature,
     "pipe_epoch_plan" -> Oracles.pipeEpochPlan(),
+    "pipe_sql_epoch_plan" -> Oracles.pipeEpochPlan(),
     "pipe_ann_topk_filtered" -> Oracles.pipeAnnTopKFiltered,
     "pipe_ann_ivf_filtered" -> Oracles.pipeAnnIvfFiltered,
     "pipe_ann_recall_filtered" -> Oracles.pipeAnnRecallIvfFiltered,

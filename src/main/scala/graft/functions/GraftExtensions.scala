@@ -143,6 +143,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "retention" -> graft.plans.GraftTableFunctions.retentionTvf _,
       "anomaly" -> graft.plans.GraftTableFunctions.anomalyTvf _,
       "source_cap" -> graft.plans.GraftTableFunctions.sourceCapTvf _,
+      "epoch_plan" -> graft.plans.GraftTableFunctions.epochPlanTvf _,
       "pagerank" -> graft.plans.GraftTableFunctions.pageRankTvf _,
       "label_prop" -> graft.plans.GraftTableFunctions.labelPropTvf _,
       "gram" -> graft.plans.GraftTableFunctions.gramTvf _,

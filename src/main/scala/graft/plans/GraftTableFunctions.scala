@@ -209,6 +209,8 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "source_cap" =>
             graft.pipeline.TextPipeline.sourceCap(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 10)
+          case "epoch_plan" =>
+            graft.pipeline.TrainingData.epochPlan(l3)
           case "pagerank" =>
             graft.pipeline.VectorOps.pageRank(l3,
               if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
@@ -740,6 +742,14 @@ object GraftTableFunctions {
       "source_cap takes (docs_table[, cap])")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "source_cap")), "source_cap",
       exprs.drop(1).map(_ => longLit(exprs, 1, "source_cap")))
+  }
+
+  /** `epoch_plan('docs')` — data-constrained token-budget allocation
+    * across sources ([[graft.pipeline.TrainingData.epochPlan]]). */
+  def epochPlanTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "epoch_plan takes (docs_table)")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "epoch_plan")),
+      "epoch_plan", Nil)
   }
 
   /** `pagerank('emb'[, k[, iters]])` — kNN-graph centrality
