@@ -1333,9 +1333,9 @@ object StreamingOps extends Serializable {
   }
 
   /** One embedding arrival on the ingest stream, already assigned to
-    * its coarse cell (assignment is a per-row expression against the
-    * driver-literal centroids — the [[annProbeStream]] discipline — so
-    * it needs no streaming aggregation). */
+    * its coarse cell (assignment is the stateless broadcast
+    * [[topCellsKernel]] argmax — the [[annProbeStream]] discipline —
+    * so it needs no streaming aggregation). */
   case class VecOcc(vec_id: Long, cent_id: Long, q: Seq[Long])
 
   /** A kept corpus vector inside one cell's dedup state. */
