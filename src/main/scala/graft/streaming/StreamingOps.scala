@@ -1133,8 +1133,8 @@ object StreamingOps extends Serializable {
     * slice, which `ivfTrain` cannot emit from non-zero data; now the
     * paths agree even there). Input rows (id, q, nq); output one row
     * (id, q, nq, cent_id) per probed cell, best cell first. */
-  private def topCellsKernel(bc: org.apache.spark.broadcast.Broadcast[
-      Array[Array[Long]]], nProbe: Int)
+  private[graft] def topCellsKernel(bc: org.apache.spark.broadcast
+      .Broadcast[Array[Array[Long]]], nProbe: Int)
       : Iterator[(Long, Seq[Long], Long)] =>
         Iterator[(Long, Seq[Long], Long, Long)] = { it =>
     val cs = bc.value
