@@ -292,7 +292,11 @@ object Lake {
     * `createNewFile` beside the index. A lock left behind by a crashed
     * compaction is deliberate — the index needs manual recovery anyway
     * (see [[compactIvfIndex]]'s crash note) — and is cleared by
-    * deleting `<path>.compact_lock`. */
+    * deleting `<path>.compact_lock`. `createNewFile` is atomic on
+    * local and HDFS-compatible filesystems; on an object store without
+    * atomic create (raw S3) the lock is advisory only and the
+    * deployment should serialize maintenance externally — the same
+    * caveat as every rename-based swap in this file. */
   private def compactLock(spark: SparkSession,
       path: String): (org.apache.hadoop.fs.FileSystem,
         org.apache.hadoop.fs.Path) = {
