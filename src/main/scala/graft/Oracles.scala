@@ -3588,6 +3588,58 @@ object Oracles {
       |FROM svb c LEFT JOIN sh h ON h.vec_id = c.vec_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** Mirror of `VectorOps.semDeconIvfRecall`: the IVF screen's found
+    * set vs the exact all-pairs screen's contaminated set, one row
+    * (n_exact, n_found, recall_milli). */
+  def pipeSemDeconRecall(benchMax: Long = 10, tau: String = "0.4",
+      nCells: Int = 16, nProbe: Int = 2): String =
+    QuantEmbCte + IvfTrainCte(nCells.toString) +
+    IvfCoarseCte(nCells.toString, providedCents = true) +
+    s""", svb AS (
+      |  SELECT vb AS vec_id, cent_id FROM assign WHERE vb >= $benchMax
+      |), sbp AS (
+      |  SELECT vec_id AS b_id, cent_id FROM ranked_c
+      |  WHERE vec_id < $benchMax AND crn <= $nProbe
+      |), spr AS (
+      |  SELECT c.vec_id, b.b_id, SUM(ec.q * eb.q) AS dot
+      |  FROM svb c JOIN sbp b ON b.cent_id = c.cent_id
+      |  JOIN ev ec ON ec.vec_id = c.vec_id
+      |  JOIN ev eb ON eb.vec_id = b.b_id AND eb.i = ec.i
+      |  GROUP BY c.vec_id, b.b_id
+      |), scs AS (
+      |  SELECT p.vec_id, CAST(p.dot AS DOUBLE) /
+      |    (SQRT(CAST(nc.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
+      |    AS cos
+      |  FROM spr p JOIN nrm nc ON nc.vec_id = p.vec_id
+      |  JOIN nrm nb ON nb.vec_id = p.b_id
+      |), afound AS (
+      |  SELECT DISTINCT vec_id FROM scs
+      |  WHERE NOT isnan(cos) AND cos >= $tau
+      |), xcs AS (
+      |  SELECT d.vec_id, CAST(d.dot AS DOUBLE) /
+      |    (SQRT(CAST(n.nq AS DOUBLE)) * SQRT(CAST(bn.nq AS DOUBLE)))
+      |    AS cos
+      |  FROM (
+      |    SELECT e.vec_id, b.vec_id AS b_id, SUM(e.q * b.q) AS dot
+      |    FROM ev e JOIN ev b ON b.i = e.i AND b.vec_id < $benchMax
+      |    WHERE e.vec_id >= $benchMax
+      |    GROUP BY e.vec_id, b.vec_id
+      |  ) d JOIN nrm n ON n.vec_id = d.vec_id
+      |  JOIN nrm bn ON bn.vec_id = d.b_id
+      |), xct AS (
+      |  SELECT DISTINCT vec_id FROM xcs
+      |  WHERE NOT isnan(cos) AND cos >= $tau
+      |)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM xct) AS n_exact,
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |     FROM xct JOIN afound USING (vec_id)) AS n_found,
+      |  CAST(CASE WHEN (SELECT COUNT(*) FROM xct) = 0 THEN 1000
+      |    ELSE (1000 * (SELECT COUNT(*) FROM xct
+      |      JOIN afound USING (vec_id)))
+      |      // (SELECT COUNT(*) FROM xct) END AS BIGINT)
+      |    AS recall_milli""".stripMargin
+
   /** The trained-cell self-search chain shared by [[pipeKnnGraph]]
     * and [[pipeKnnClusters]] — through `krr(va, vb, cos, rnk)`. The
     * `VectorOps.CellCap` sub-split mirrors the engine's hot-cell

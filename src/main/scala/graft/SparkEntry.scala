@@ -664,6 +664,10 @@ object SparkEntry {
       VectorOps.semDeconIvf(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("vec_id")),
+    // the IVF screen's measured trade vs the exact broadcast screen
+    "pipe_sem_decon_recall" -> ((s, d) =>
+      VectorOps.semDeconIvfRecall(Tables.load(s, d, "embeddings"),
+        trainedCents = Some(trainedIvf(s, d)))),
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1779,6 +1783,7 @@ object SparkEntry {
     "pipe_sem_decon" -> Oracles.pipeSemDecon(),
     "pipe_sem_decon_ivf" -> Oracles.pipeSemDeconIvf(),
     "pipe_sql_sem_decon_ivf" -> Oracles.pipeSemDeconIvf(),
+    "pipe_sem_decon_recall" -> Oracles.pipeSemDeconRecall(),
     "pipe_sql_sem_decon" -> Oracles.pipeSemDecon(),
     // the Bloom pre-filter is exact — identical mirror
     "pipe_decon_bloom" -> Oracles.pipeDecontaminate,

@@ -855,22 +855,39 @@ object VectorOps {
     * pair block is |bench ∩ cell|·|cell|, never corpus×bench; the
     * accepted recall trade is the IVF boundary itself (a contaminated
     * pair whose sides fall in disjoint probed cells is missed —
-    * widen `nProbe` to trade cost for recall). Hit semantics,
+    * widen `nProbe` to trade cost for recall; the measured trade is
+    * [[semDeconIvfRecall]]). A hot cell is sub-split at [[CellCap]]
+    * occupancy exactly like the pair-block family
+    * ([[semDedup]]/[[knnGraph]]): the corpus side splits by
+    * `vb % nsub` and each bench probe fans out to every sub — the
+    * PAIR SET is unchanged (sub only re-keys task granularity, so the
+    * oracle is identical), and one task's block is
+    * ≤ |bench ∩ cell|·cap. Hit semantics,
     * NaN exclusion, tie rules and output schema are [[semDecon]]'s:
     * (vec_id, n_hits, top_bench_id, top_cos, is_contaminated). */
   def semDeconIvf(emb: DataFrame, benchMax: Long = 10,
       tau: Double = 0.4, nCells: Int = 16, nProbe: Int = 2,
-      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+      trainedCents: Option[Array[Array[Long]]] = None,
+      cellCap: Int = CellCap): DataFrame = {
     val cents = trainedCents.getOrElse(ivfTrain(emb, nCells))
     val (assign, probes) =
       coarseCells(emb, benchMax.toInt, cents.length, nProbe, Some(cents))
     val corpus = assign.filter(col("vb") >= benchMax)
-    // a corpus vector lives in exactly one cell, so a (bench, corpus)
-    // pair meets in at most one probed cell — no pair dedup needed
+    val sizes = corpus.groupBy("cent_id")
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("nsub", expr(s"(cell_n + ${cellCap - 1}) div $cellCap"))
+      .select("cent_id", "nsub")
+    val corpusSub = corpus.join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("sub", col("vb") % col("nsub"))
+    val probesSub = probes.join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("sub", explode(sequence(lit(0L), col("nsub") - 1)))
+    // a corpus vector lives in exactly one (cell, sub) and each bench
+    // probe covers every sub of its cell once, so a (bench, corpus)
+    // pair meets in at most one join key — no pair dedup needed
     val cos = (longArrayDot(col("qa"), col("qb")).cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .as("cos")
-    val hits = probes.join(corpus, Seq("cent_id"))
+    val hits = probesSub.join(corpusSub, Seq("cent_id", "sub"))
       .withColumn("cos", cos)
       .filter(!isnan(col("cos")) && col("cos") >= tau)
       .groupBy(col("vb").as("vec_id"))
@@ -883,6 +900,32 @@ object VectorOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("top_bench_id"), col("top_cos"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  /** Recall of [[semDeconIvf]] against the exact [[semDecon]] screen —
+    * the family discipline: every approximate path ships with its
+    * measured trade. A missed contamination here is a LEAK (an eval
+    * document survives into training), so the gauge is what picks
+    * `nProbe`/`nCells` for a deployment: run it at eval SF, widen
+    * nProbe until recall_milli is acceptable, then run the IVF route
+    * at corpus scale. Exact side is the broadcast screen — eval-sized
+    * by the same argument as [[semDecon]] itself. Output: one row
+    * (n_exact, n_found, recall_milli), recall vacuously 1000 on a
+    * clean corpus. */
+  def semDeconIvfRecall(emb: DataFrame, benchMax: Long = 10,
+      tau: Double = 0.4, nCells: Int = 16, nProbe: Int = 2,
+      trainedCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val exact = semDecon(emb, benchMax, tau)
+      .filter(col("is_contaminated")).select(col("vec_id"))
+    val approx = semDeconIvf(emb, benchMax, tau, nCells, nProbe,
+        trainedCents)
+      .filter(col("is_contaminated")).select(col("vec_id").as("a_id"))
+    exact.join(approx, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_id")).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        when(col("n_exact") === 0, lit(1000L))
+          .otherwise(expr("(1000 * n_found) div n_exact"))
+          .as("recall_milli"))
   }
 
   /** kNN graph over the collection (the all-pairs analogue of
