@@ -668,6 +668,12 @@ object SparkEntry {
     "pipe_sem_decon_recall" -> ((s, d) =>
       VectorOps.semDeconIvfRecall(Tables.load(s, d, "embeddings"),
         trainedCents = Some(trainedIvf(s, d)))),
+    // online admission control: arriving vectors screened against the
+    // broadcast benchmark; emissions equal the batch screen
+    "pipe_sem_decon_stream" -> ((s, d) =>
+      streaming.StreamingOps.semDeconReplay(
+          Tables.load(s, d, "embeddings"), s)
+        .orderBy("vec_id")),
     "pipe_decontaminate" -> ((s, d) =>
       TextPipeline.decontaminate(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
@@ -1784,6 +1790,8 @@ object SparkEntry {
     "pipe_sem_decon_ivf" -> Oracles.pipeSemDeconIvf(),
     "pipe_sql_sem_decon_ivf" -> Oracles.pipeSemDeconIvf(),
     "pipe_sem_decon_recall" -> Oracles.pipeSemDeconRecall(),
+    // stream emissions ≡ the batch screen → identical mirror
+    "pipe_sem_decon_stream" -> Oracles.pipeSemDecon(),
     "pipe_sql_sem_decon" -> Oracles.pipeSemDecon(),
     // the Bloom pre-filter is exact — identical mirror
     "pipe_decon_bloom" -> Oracles.pipeDecontaminate,

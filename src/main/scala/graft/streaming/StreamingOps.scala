@@ -1305,6 +1305,95 @@ object StreamingOps extends Serializable {
       .select(col("vb"), col("cent_id"), col("qb"), col("nb"))
   }
 
+  /** ONLINE semantic decontamination — the ADMISSION-CONTROL twin of
+    * [[graft.pipeline.VectorOps.semDecon]]: each arriving vector is
+    * screened against the broadcast benchmark set (driver-sized by the
+    * same eval-suite argument as the batch screen) and emitted with
+    * its verdict, so an ingest pipeline drops contaminated documents
+    * BEFORE they land in the lake. Stateless — one broadcast
+    * `mapPartitions` kernel per row (the [[topCellsKernel]]
+    * discipline: primitive-array unboxing, hoisted norms, compile-free
+    * at any benchmark size), no shuffle, no streaming state, so
+    * emissions are exactly the batch rows for the same vectors and a
+    * kill+restart replays for free. NaN cosines (zero-norm side) are
+    * excluded like both batch engines; ties on top cosine go to the
+    * lower benchmark id (the batch `max(struct)` rule — the bench
+    * array is scanned in ascending id order with strict >). Output:
+    * (vec_id, n_hits, top_bench_id, top_cos, is_contaminated) — the
+    * [[graft.pipeline.VectorOps.semDecon]] schema. */
+  def semDeconStream(vecs: Dataset[QueryVec], spark: SparkSession,
+      bench: Array[(Long, Array[Long], Long)],
+      tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{floatArrayMilli, longArrayDot}
+    val bc = spark.sparkContext.broadcast(bench.sortBy(_._1))
+    vecs.toDF()
+      .withColumn("q", floatArrayMilli(col("embedding")))
+      .withColumn("nq", longArrayDot(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("nq"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions { it =>
+        val bs = bc.value
+        val bn = bs.map(b => math.sqrt(b._3.toDouble))
+        it.map { case (id, qv, nq) =>
+          val qa = new Array[Long](qv.length)
+          var x = 0
+          while (x < qa.length) { qa(x) = qv(x); x += 1 }
+          val sq = math.sqrt(nq.toDouble)
+          var n = 0L; var topB = -1L; var topC = 0.0
+          var j = 0
+          while (j < bs.length) {
+            val bq = bs(j)._2
+            var dot = 0L; var i = 0
+            while (i < bq.length) { dot += qa(i) * bq(i); i += 1 }
+            val cos = dot.toDouble / (sq * bn(j))
+            if (!java.lang.Double.isNaN(cos) && cos >= tau) {
+              n += 1
+              if (java.lang.Double.compare(cos, topC) > 0 || topB < 0) {
+                topB = bs(j)._1; topC = cos
+              }
+            }
+            j += 1
+          }
+          (id, n,
+            if (topB < 0) None else Some(topB),
+            if (topB < 0) None else Some(topC),
+            n > 0)
+        }
+      }
+      .toDF("vec_id", "n_hits", "top_bench_id", "top_cos",
+        "is_contaminated")
+  }
+
+  /** Bounded replay of [[semDeconStream]] — the VERIFY harness: the
+    * corpus vectors (`vec_id ≥ benchMax`) arrive in `nChunks`
+    * micro-batches, screened against the benchmark slice quantized
+    * through the SAME expressions as the batch path
+    * (`floatArrayMilli`/`longArrayDot`, so the driver-side bench
+    * carries bit-identical integers). Emissions equal
+    * `VectorOps.semDecon` row for row — the oracle row reuses the
+    * batch mirror unchanged. */
+  def semDeconReplay(emb: DataFrame, spark: SparkSession,
+      benchMax: Long = 10, tau: Double = 0.4,
+      nChunks: Int = 2): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{floatArrayMilli, longArrayDot}
+    val q = emb
+      .withColumn("q", floatArrayMilli(col("embedding")))
+      .withColumn("nq", longArrayDot(col("q"), col("q")))
+    val bench = q.filter(col("vec_id") < benchMax)
+      .select(col("vec_id"), col("q"), col("nq"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map { case (b, qv, nq) => (b, qv.toArray, nq) }
+    val rows = emb.filter(col("vec_id") >= benchMax)
+      .select(col("vec_id"), col("embedding"))
+      .as[QueryVec].collect().sortBy(_.vec_id)
+    replayChunked(spark, rows, (r: QueryVec) => r.vec_id, nChunks,
+      "graft_sem_decon_replay",
+      (ds: Dataset[QueryVec], sp: SparkSession) =>
+        semDeconStream(ds, sp, bench, tau))
+  }
+
   /** The `foreachBatch` sink body for [[annIngestStream]]: screen the
     * batch's ids against the stored index, append survivors clustered
     * by cell. Exposed separately so the spec can also call it directly
