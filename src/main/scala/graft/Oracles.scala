@@ -3644,7 +3644,7 @@ object Oracles {
     * and [[pipeKnnClusters]] — through `krr(va, vb, cos, rnk)`. The
     * `VectorOps.CellCap` sub-split mirrors the engine's hot-cell
     * occupancy guard (no-op at test SFs). */
-  private def KnnCte(nCells: Int): String = {
+  private def KnnCte(nCells: Int, nProbe: Int = 1): String = {
     val cap = graft.pipeline.VectorOps.CellCap
     QuantEmbCte + IvfTrainCte(nCells.toString) +
     IvfCoarseCte(nCells.toString, providedCents = true) +
@@ -3655,10 +3655,13 @@ object Oracles {
       |), kas AS (
       |  SELECT a.*, a.vb % n.nsub AS sub
       |  FROM assign a JOIN kan n USING (cent_id)
+      |), kqp AS (
+      |  SELECT vec_id AS va, cent_id FROM ranked_c WHERE crn <= $nProbe
       |), kpr AS (
-      |  SELECT a.vb AS va, b.vb AS vb FROM kas a
-      |  JOIN kas b ON b.cent_id = a.cent_id AND b.sub = a.sub
-      |    AND b.vb <> a.vb
+      |  SELECT q.va, b.vb FROM kqp q
+      |  JOIN kan n ON n.cent_id = q.cent_id
+      |  JOIN kas b ON b.cent_id = q.cent_id AND b.sub = q.va % n.nsub
+      |    AND b.vb <> q.va
       |), kdt AS (
       |  SELECT k.va, k.vb, SUM(ea.q * eb.q) AS dot
       |  FROM kpr k
@@ -3733,11 +3736,13 @@ object Oracles {
       |ORDER BY s.vec_id""".stripMargin)
     .replaceFirst("WITH ", "WITH RECURSIVE ")
 
-  /** Mirror of `VectorOps.knnGraph`: every vector searches its OWN
-    * trained cell (nProbe = 1 self-search) and keeps its k nearest
-    * cell-mates by exact cosine, vec_id tiebreak. */
-  def pipeKnnGraph(k: Int = 5, nCells: Int = 16): String =
-    KnnCte(nCells) +
+  /** Mirror of `VectorOps.knnGraph`: every vector searches its
+    * `nProbe` best trained cells (default 1 — its own assignment)
+    * and keeps its k nearest candidates by exact cosine, vec_id
+    * tiebreak. */
+  def pipeKnnGraph(k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 1): String =
+    KnnCte(nCells, nProbe) +
     s"""
       |SELECT va, rnk, vb, cos FROM krr WHERE rnk <= $k
       |ORDER BY va, rnk""".stripMargin
@@ -3829,8 +3834,9 @@ object Oracles {
 
   /** Mirror of `VectorOps.knnRecall`: exact all-pairs self-kNN vs the
     * trained-cell self-search (`krr`), recall per vector. */
-  def pipeKnnRecall(k: Int = 5, nCells: Int = 16): String =
-    KnnCte(nCells) +
+  def pipeKnnRecall(k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 1): String =
+    KnnCte(nCells, nProbe) +
     s""", xqd AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
       |    SUM(q.q * c.q) AS dot
@@ -4713,12 +4719,12 @@ object Oracles {
       |  FROM documents
       |), b AS (
       |  SELECT doc_id, n_tokens,
-      |    CASE WHEN n_tokens <= 16 THEN 16
+      |    CAST(CASE WHEN n_tokens <= 16 THEN 16
       |         WHEN n_tokens <= 32 THEN 32
       |         WHEN n_tokens <= 64 THEN 64
       |         WHEN n_tokens <= 128 THEN 128
       |         WHEN n_tokens <= 256 THEN 256
-      |         ELSE -1 END AS bound
+      |         ELSE -1 END AS BIGINT) AS bound
       |  FROM t
       |), agg AS (
       |  SELECT bound, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4761,9 +4767,11 @@ object Oracles {
       |  SELECT c.*, t.total_tokens, t.n_sources,
       |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source)
       |      AS BIGINT) AS i,
-      |    COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
-      |    (t.total_tokens * $budgetNum) // $budgetDen AS budget
+      |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pfx,
+      |    CAST((t.total_tokens * $budgetNum) // $budgetDen
+      |      AS BIGINT) AS budget
       |  FROM ck c, tt t
       |), kk AS (
       |  SELECT COALESCE(MIN(CASE WHEN NOT (
@@ -4771,15 +4779,16 @@ object Oracles {
       |      THEN i END) - 1, MAX(i)) AS k
       |  FROM rk
       |), pk AS (
-      |  SELECT COALESCE(SUM(cap_tokens), 0) AS pkv
+      |  SELECT CAST(COALESCE(SUM(cap_tokens), 0) AS BIGINT) AS pkv
       |  FROM rk, kk WHERE i <= k
       |)
       |SELECT source, n_docs, tokens, cap_tokens,
-      |  CASE WHEN i <= k THEN cap_tokens
-      |       ELSE (budget - pkv) // (n_sources - k) END AS alloc_tokens,
-      |  (1000 * CASE WHEN i <= k THEN cap_tokens
+      |  CAST(CASE WHEN i <= k THEN cap_tokens
+      |       ELSE (budget - pkv) // (n_sources - k) END
+      |    AS BIGINT) AS alloc_tokens,
+      |  CAST((1000 * CASE WHEN i <= k THEN cap_tokens
       |       ELSE (budget - pkv) // (n_sources - k) END) // tokens
-      |    AS epochs_milli,
+      |    AS BIGINT) AS epochs_milli,
       |  i <= k AS capped
       |FROM rk, kk, pk
       |ORDER BY source""".stripMargin

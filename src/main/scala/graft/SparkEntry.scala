@@ -877,6 +877,20 @@ object SparkEntry {
       VectorOps.knnGraph(Tables.load(s, d, "embeddings"),
           trainedCents = Some(trainedIvf(s, d)))
         .orderBy("va", "rnk")),
+    // the 2-probe variant: each vector also searches its SECOND
+    // nearest cell — cell-boundary neighbors recovered at ~2x pair
+    // cost, candidate sets disjoint by construction
+    "pipe_knn_graph_p2" -> ((s, d) =>
+      VectorOps.knnGraph(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)), nProbe = 2)
+        .orderBy("va", "rnk")),
+    // measured recall gain of the 2nd probe vs the same exact
+    // ground-truth artifact pipe_knn_recall grades against
+    "pipe_knn_recall_p2" -> ((s, d) =>
+      VectorOps.knnRecall(Tables.load(s, d, "embeddings"),
+          trainedCents = Some(trainedIvf(s, d)),
+          exactBaseline = Some(exactKnnIndex(s, d)), nProbe = 2)
+        .orderBy("query_id")),
     // centrality over the same kNN edges: all-integer damped PageRank,
     // one edge shuffle per fixed iteration
     "pipe_pagerank" -> ((s, d) =>
@@ -1829,6 +1843,8 @@ object SparkEntry {
     "pipe_semdedup" -> Oracles.pipeSemDedup(),
     "pipe_semdedup_stream" -> Oracles.pipeSemDedupStream(),
     "pipe_knn_graph" -> Oracles.pipeKnnGraph(),
+    "pipe_knn_graph_p2" -> Oracles.pipeKnnGraph(nProbe = 2),
+    "pipe_knn_recall_p2" -> Oracles.pipeKnnRecall(nProbe = 2),
     "pipe_triangles" -> Oracles.pipeTriangles(),
     "pipe_pagerank" -> Oracles.pipePageRank(),
     "pipe_label_prop" -> Oracles.pipeLabelProp(),

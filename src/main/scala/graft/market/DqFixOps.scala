@@ -208,7 +208,13 @@ object DqFixOps {
     * anchor's repaired fill substituted in,
     * `amount(k) = amount(anchor) + Σ_{j∈(k, anchor]} fill(j)`
     * (NULL fills — amount-increase events in this log model —
-    * contribute 0 to the ladder). One anchor per order: when several
+    * contribute 0 to the ladder). DELIBERATE DIVERGENCE from the
+    * reference's recursion: its `base.amount + base.fill` step
+    * NULL-propagates, so an intermediate NULL fill would write NULL
+    * amounts up the rest of the chain; here (and in the DuckDB
+    * oracle, which agrees) NULL fill coalesces to 0 and the walk
+    * continues with real amounts — the recursion is unrolled, not
+    * replicated bit-for-bit on NULL inputs. One anchor per order: when several
     * events lost fills, the GREATEST event_no anchors the walk (the
     * reference's UPDATE is single-anchor by construction). Emits only
     * rows the repair CHANGED — the Spark analogue of the reference's

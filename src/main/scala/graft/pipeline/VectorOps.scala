@@ -931,19 +931,23 @@ object VectorOps {
   /** kNN graph over the collection (the all-pairs analogue of
     * [[annTopK]] a curation run feeds into clustering, label
     * propagation, or graph-based sampling): every vector queries its
-    * OWN coarse cell (nProbe = 1 self-search over the trained IVF
-    * layout) and keeps its k nearest cell-mates by exact cosine.
-    * Approximation is the IVF boundary effect only — a neighbor in an
-    * adjacent cell is missed, exactly the recall trade every IVF row
-    * here measures. Scale shape: the self-join is keyed by cent_id so
-    * each cell is one shuffle partition's pair block (Σ|cell|² ≈
-    * n^1.5 at √n cells, never n²), and the per-vector truncation is
-    * the shared salted two-stage [[topKPerQuery]]. Output:
-    * (va, rnk, vb, cos). */
+    * `nProbe` nearest coarse cells (default 1 — its OWN cell) over
+    * the trained IVF layout and keeps its k nearest candidates by
+    * exact cosine. Approximation is the IVF boundary effect only — a
+    * neighbor outside the probed cells is missed, exactly the recall
+    * trade every IVF row here measures; widening `nProbe` buys the
+    * boundary back at proportional pair cost (candidate sets of
+    * distinct probed cells are disjoint, since assignment is
+    * one-cell-per-vector, so cost is ~nProbe× and no dedup is
+    * needed). Scale shape: the pair join is keyed by (cent_id, sub)
+    * so each cell is one shuffle partition's pair block (Σ|cell|² ≈
+    * n^1.5 at √n cells, never n²; nProbe·n^1.5 multi-probe), and the
+    * per-vector truncation is the shared salted two-stage
+    * [[topKPerQuery]]. Output: (va, rnk, vb, cos). */
   def knnGraph(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None,
-      cellCap: Int = CellCap): DataFrame =
-    knnGraphFor(emb, None, k, nCells, trainedCents, cellCap)
+      cellCap: Int = CellCap, nProbe: Int = 1): DataFrame =
+    knnGraphFor(emb, None, k, nCells, trainedCents, cellCap, nProbe)
 
   /** [[knnGraph]] with the QUERY side optionally restricted to a
     * given id set (a small broadcastable frame with one `va` column):
@@ -957,7 +961,7 @@ object VectorOps {
   private[pipeline] def knnGraphFor(emb: DataFrame,
       vaIds: Option[DataFrame], k: Int = 5, nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None,
-      cellCap: Int = CellCap): DataFrame = {
+      cellCap: Int = CellCap, nProbe: Int = 1): DataFrame = {
     // both self-join sides read the assignment — one lazy checkpoint
     // evaluates the scoring join + argmax once (the assignedWithCos
     // discipline). The checkpoint sits BELOW the guard: withCellSub's
@@ -966,10 +970,56 @@ object VectorOps {
     // pipeline once for the sizes and again for the pair join
     // (measured ~1.2× on the knn family when the guard landed);
     // the guard's broadcast join itself is cheap to re-evaluate
-    val raw = ivfAssignments(emb,
-        trainedCents.getOrElse(ivfTrain(emb, nCells)))
-      .localCheckpoint(false)
-    knnGraphFromIndex(raw, vaIds, k, cellCap)
+    val cents = trainedCents.getOrElse(ivfTrain(emb, nCells))
+    val raw = ivfAssignments(emb, cents).localCheckpoint(false)
+    if (nProbe <= 1) knnGraphFromIndex(raw, vaIds, k, cellCap)
+    else knnGraphMultiProbe(raw, cents, vaIds, k, cellCap, nProbe)
+  }
+
+  /** Multi-probe pair-and-rank over an already-built assignment: the
+    * query side re-derives its top-`nProbe` cells from the stored
+    * centroids with the shared compile-free
+    * [[graft.streaming.StreamingOps.topCellsKernel]] (the ingest /
+    * probe streams' assignment hop — same (ccos desc, cent_id asc)
+    * rule as the batch argmax, pinned by KernelPropertySpec, so the
+    * first probed cell IS the vector's own assignment and nProbe = 1
+    * through this path reproduces [[knnGraphFromIndex]] exactly).
+    * Inside a probed cell the query lands in sub-bucket
+    * `query_id % nsub(cell)` — the members' own id-modulo rule of
+    * [[withCellSub]], so the hot-cell pair-block bound survives
+    * multi-probe unchanged. Candidates of distinct probed cells are
+    * disjoint (assignment is one cell per vector): no dedup, cost is
+    * ~nProbe× the 1-probe graph. */
+  private def knnGraphMultiProbe(raw: DataFrame,
+      cents: Array[Array[Long]], vaIds: Option[DataFrame], k: Int,
+      cellCap: Int, nProbe: Int): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val assign = withCellSub(raw, "vb", cellCap)
+    val sizes = raw.groupBy("cent_id")
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("nsub", expr(s"(cell_n + ${cellCap - 1}) div $cellCap"))
+      .select("cent_id", "nsub")
+    val bc = spark.sparkContext.broadcast(cents)
+    val qSide = vaIds.fold(raw)(ids =>
+      raw.join(broadcast(ids.select(col("va").as("vb"))), Seq("vb")))
+    val probes = qSide.select(col("vb"), col("qb"), col("nb"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions(
+        graft.streaming.StreamingOps.topCellsKernel(bc, nProbe))
+      .toDF("query_id", "qa", "na", "cent_id")
+      .join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("sub", col("query_id") % col("nsub"))
+      .drop("nsub")
+    // prune the vector arrays BEFORE the ranking windows — the
+    // knnGraphFromIndex discipline
+    val scored = probes.join(assign, Seq("cent_id", "sub"))
+      .filter(col("query_id") =!= col("vb"))
+      .withColumn("cos", cosine)
+      .select("query_id", "vb", "cos")
+    topKPerQuery(scored, k, col("cos").desc, col("vb"))
+      .select(col("query_id").as("va"), col("rnk").cast("long").as("rnk"),
+        col("vb"), col("cos"))
   }
 
   /** The pair-and-rank half of [[knnGraphFor]] over an ALREADY-BUILT
@@ -1122,19 +1172,21 @@ object VectorOps {
   }
 
   /** Recall@k of [[knnGraph]] against the EXACT self-kNN graph — the
-    * measured cost of the nProbe=1 cell boundary, per vector (a low
-    * row marks a vector near a cell wall whose true neighbors sit in
-    * the adjacent cell). The exact side is the all-pairs scan: an
-    * O(n²) eval baseline in the [[nearDupPairsExact]] class — run it
-    * at eval SF to CHOOSE nCells, never in the production path; the
-    * ranking itself reuses the salted two-stage top-k. Output:
+    * measured cost of the IVF cell boundary at the given `nProbe`,
+    * per vector (a low row marks a vector near a cell wall whose true
+    * neighbors sit in an unprobed cell). The exact side is the
+    * all-pairs scan: an O(n²) eval baseline in the
+    * [[nearDupPairsExact]] class — run it at eval SF to CHOOSE
+    * nCells/nProbe, never in the production path; the ranking itself
+    * reuses the salted two-stage top-k. Output:
     * (query_id, n_exact, n_hit, recall). */
   def knnRecall(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       trainedCents: Option[Array[Array[Long]]] = None,
       cellCap: Int = CellCap,
-      exactBaseline: Option[DataFrame] = None): DataFrame = {
+      exactBaseline: Option[DataFrame] = None,
+      nProbe: Int = 1): DataFrame = {
     val exact = exactBaseline.getOrElse(exactSelfKnn(emb, k))
-    val approx = knnGraph(emb, k, nCells, trainedCents, cellCap)
+    val approx = knnGraph(emb, k, nCells, trainedCents, cellCap, nProbe)
       .select(col("va").as("query_id"), col("vb").as("vec_id"))
     recallAgainst(exact, approx)
   }

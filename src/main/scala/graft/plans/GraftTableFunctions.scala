@@ -210,7 +210,10 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.pipeline.TextPipeline.sourceCap(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 10)
           case "epoch_plan" =>
-            graft.pipeline.TrainingData.epochPlan(l3)
+            graft.pipeline.TrainingData.epochPlan(l3,
+              if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 7,
+              if (u.longArgs.length > 1) u.longArgs(1).toInt else 4,
+              if (u.longArgs.length > 2) u.longArgs(2).toInt else 2)
           case "pagerank" =>
             graft.pipeline.VectorOps.pageRank(l3,
               if (u.longArgs.nonEmpty) u.longArgs(0).toInt else 5,
@@ -744,12 +747,16 @@ object GraftTableFunctions {
       exprs.drop(1).map(_ => longLit(exprs, 1, "source_cap")))
   }
 
-  /** `epoch_plan('docs')` — data-constrained token-budget allocation
-    * across sources ([[graft.pipeline.TrainingData.epochPlan]]). */
+  /** `epoch_plan('docs'[, budget_num[, budget_den[, max_epochs]]])` —
+    * data-constrained token-budget allocation across sources
+    * ([[graft.pipeline.TrainingData.epochPlan]]). */
   def epochPlanTvf(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 1, "epoch_plan takes (docs_table)")
+    require(exprs.length >= 1 && exprs.length <= 4,
+      "epoch_plan takes (docs_table[, budget_num[, budget_den[, max_epochs]]])")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "epoch_plan")),
-      "epoch_plan", Nil)
+      "epoch_plan",
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "epoch_plan") })
   }
 
   /** `pagerank('emb'[, k[, iters]])` — kNN-graph centrality

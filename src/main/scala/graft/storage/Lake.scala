@@ -287,9 +287,15 @@ object Lake {
   /** The single-writer guard shared by [[compactIvfIndex]] (which
     * holds it) and the index appenders (which refuse while it exists):
     * a compaction's snapshot-rewrite-swap would silently DROP any
-    * postings appended between its read and the directory swap, so
-    * appends and compaction must never overlap. The lock is an atomic
-    * `createNewFile` beside the index. A lock left behind by a crashed
+    * postings appended between its read and the directory swap. The
+    * lock fences appends that BEGIN after it exists; an append already
+    * in flight when the lock is created is NOT detected (the
+    * appenders' [[requireNotCompacting]] is a check-then-act probe,
+    * not atomic with their write), so a long-running append that
+    * overlaps the compactor's snapshot read can still lose postings at
+    * the swap — serialize long-running appends against maintenance
+    * externally. The lock is an atomic `createNewFile` beside the
+    * index. A lock left behind by a crashed
     * compaction is deliberate — the index needs manual recovery anyway
     * (see [[compactIvfIndex]]'s crash note) — and is cleared by
     * deleting `<path>.compact_lock`. `createNewFile` is atomic on

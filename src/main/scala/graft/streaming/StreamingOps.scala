@@ -1398,10 +1398,14 @@ object StreamingOps extends Serializable {
     * batch's ids against the stored index, append survivors clustered
     * by cell. Exposed separately so the spec can also call it directly
     * to simulate a REDELIVERED batch. Two dedup layers make the append
-    * effectively-once: `dropDuplicates("vb")` collapses duplicate ids
-    * WITHIN the micro-batch (a source that coalesces two retries into
-    * one batch would otherwise pass both rows through the index
-    * screen), then the left-anti join screens against ids already in
+    * effectively-once: a per-id `min(struct(payload))` collapses
+    * duplicate ids WITHIN the micro-batch (a source that coalesces two
+    * retries into one batch would otherwise pass both rows through the
+    * index screen) — min-by-payload rather than `dropDuplicates` so
+    * that if a duplicate id ever arrives with a DIFFERENT embedding
+    * (a contract violation, retries are payload-identical) the winner
+    * is still deterministic across runs, not partition-order
+    * roulette — then the left-anti join screens against ids already in
     * the stored index (across-batch redelivery). Refuses to run inside
     * a [[graft.storage.Lake.compactIvfIndex]] maintenance window (the
     * lock file) — an append racing the compaction's rewrite+swap would
@@ -1413,7 +1417,10 @@ object StreamingOps extends Serializable {
     val spark = batch.sparkSession
     val seen = spark.read.parquet(indexPath)
       .select(col("vb").as("seen_vb"))
-    val b = batch.dropDuplicates("vb")
+    val b = batch.groupBy("vb")
+      .agg(min(struct(col("cent_id"), col("qb"), col("nb"))).as("p"))
+      .select(col("vb"), col("p.cent_id").as("cent_id"),
+        col("p.qb").as("qb"), col("p.nb").as("nb"))
     b.join(seen, b("vb") === col("seen_vb"), "left_anti")
       .select("vb", "cent_id", "qb", "nb")
       .repartition(col("cent_id"))

@@ -450,6 +450,16 @@ class ExtensionsSpec extends AnyFunSuite {
       // cap pass-through
       assert(rows(s2.sql("SELECT * FROM source_cap('docs_tvf', 3)")) ==
         rows(TextPipeline.sourceCap(docs, cap = 3)))
+      assert(rows(s2.sql("SELECT * FROM epoch_plan('docs_tvf')")) ==
+        rows(graft.pipeline.TrainingData.epochPlan(docs)))
+      // budget-num / budget-den / max-epochs pass-through: 3/2 budget
+      // under a 3-epoch cap is a different allocation than the 7/4, 2
+      // default on the same corpus
+      assert(rows(s2.sql("SELECT * FROM epoch_plan('docs_tvf', 3, 2, 3)")) ==
+        rows(graft.pipeline.TrainingData.epochPlan(docs,
+          budgetNum = 3, budgetDen = 2, maxEpochs = 3)))
+      assert(rows(s2.sql("SELECT * FROM epoch_plan('docs_tvf', 3, 2, 3)")) !=
+        rows(graft.pipeline.TrainingData.epochPlan(docs)))
       assert(rows(s2.sql("SELECT * FROM pagerank('emb_tvf')")) ==
         rows(graft.pipeline.VectorOps.pageRank(emb)))
       // k and iteration pass-through

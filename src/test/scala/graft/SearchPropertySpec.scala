@@ -205,6 +205,58 @@ class SearchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph probing every cell equals the brute-force kNN model") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    // nProbe = nCells ⇒ every query sees every candidate (cells
+    // partition the collection), so the graph must equal exact kNN
+    // regardless of where the cell walls fall
+    val cases = (41 to 50).map(i =>
+      genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    cases.foreach { vs =>
+      val q = vs.map { case (id, v) => id -> milli(v) }
+      val want = q.flatMap { case (va, qa) =>
+        q.filter(_._1 != va)
+          .map { case (vb, qb) => (vb, cosModel(qa, qb)) }
+          .sortBy { case (vb, c) => (-c, vb) }
+          .take(3).zipWithIndex
+          .map { case ((vb, _), i) => (va, i + 1L, vb) }
+      }.toSet
+      val got = VectorOps.knnGraph(vs.toDF("vec_id", "embedding"),
+          k = 3, nCells = 2, nProbe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vb"))).toSet
+      assert(got == want, s"p=all knn mismatch for ${vs.map(_._2.toSeq)}")
+    }
+  }
+
+  test("knnRecall per-query hits are monotone in nProbe") {
+    import graft.pipeline.VectorOps
+    import spark.implicits._
+    // candidates(p1) ⊆ candidates(p2) and the rank order is total
+    // (cos desc, vb), so each query's exact-top-k intersection can
+    // only grow with the probe count
+    val cases = (51 to 62).map(i =>
+        genVecs.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+      .filter(_.length >= 4) // ivfTrain needs ≥ nCells seed vectors
+    assert(cases.nonEmpty)
+    cases.foreach { vs =>
+      val emb = vs.toDF("vec_id", "embedding")
+      def hits(nProbe: Int): Map[Long, Long] =
+        VectorOps.knnRecall(emb, k = 3, nCells = 4, nProbe = nProbe)
+          .collect()
+          .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hit"))
+          .toMap
+      val h1 = hits(1); val h2 = hits(2)
+      h1.foreach { case (qid, n) =>
+        assert(h2(qid) >= n,
+          s"recall dropped for $qid: p1=$n p2=${h2(qid)} " +
+            s"on ${vs.map(_._2.toSeq)}")
+      }
+    }
+  }
+
   test("pageRank at one cell equals the driver integer fixpoint") {
     import graft.pipeline.VectorOps
     import spark.implicits._

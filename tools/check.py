@@ -9,6 +9,14 @@ Registers each testdata parquet as a DuckDB view, runs every oracle SQL,
 and compares against the Spark result: columns sorted by name, rows
 sorted by all columns, exact cell equality (floats compared exactly
 first, then with 1e-9 rel tolerance reported separately).
+
+Dtype-strict: both sides reach pandas through the same DuckDB
+conversion, so any pandas-dtype difference is a genuine type
+difference in the underlying data (e.g. an uncast DuckDB HUGEINT
+rendering as float64 against Spark's int64, or an int32/int64 width
+skew). The driver's hash is dtype-sensitive; loose `==` cell compare
+(2387.0 == 2387) cannot see this class, so dtype mismatch is a FAIL
+here even when every cell compares equal.
 """
 import json
 import math
@@ -66,6 +74,16 @@ def main(out_dir, sf_dir):
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns
+                  if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch (driver hash is "
+                  "dtype-sensitive): "
+                  + "; ".join(f"{c}: spark={a} oracle={b}"
+                              for c, a, b in dt_bad))
             n_fail += 1
             continue
         bad = []
