@@ -229,10 +229,13 @@ object SparkEntry {
         .orderBy("pair_id", "ts", "side", "price")),
     // the streaming order-type classifier replayed through three real
     // micro-batches — its emissions get a DuckDB oracle row, not just
-    // the StreamingSpec differential
+    // the StreamingSpec differential. The replay rows read the STORED
+    // level3 lake (the deployment shape: a stream consumes captured
+    // data; the reference stores level3 as a table) — rebuilding
+    // level3 per row timed the batch ETL inside the streaming row
     "mkt_order_types_stream" -> ((s, d) =>
       streaming.StreamingOps.orderTypesReplay(
-          level3(s, d).localCheckpoint(false), s)
+          storage.Lake.readLevel3(s, level3Lake(s, d)), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("deleted_ts"), col("order_type"))
         .orderBy("pair_id", "order_id")),
@@ -241,18 +244,20 @@ object SparkEntry {
     // DuckDB mirrors (same oracle SQL as mkt_spread/mkt_depth/
     // mkt_trades), not just the StreamingSpec differentials
     "mkt_l1_stream" -> ((s, d) =>
-      streaming.StreamingOps.l1Replay(level3(s, d).localCheckpoint(false), s)
+      streaming.StreamingOps.l1Replay(
+          storage.Lake.readLevel3(s, level3Lake(s, d)), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
         .orderBy("pair_id", "ts")),
     "mkt_l2_stream" -> ((s, d) =>
-      streaming.StreamingOps.l2Replay(level3(s, d).localCheckpoint(false), s)
+      streaming.StreamingOps.l2Replay(
+          storage.Lake.readLevel3(s, level3Lake(s, d)), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
     "mkt_trades_stream" -> ((s, d) =>
       TradeMatching.trades(streaming.StreamingOps.tradesReplay(
-          level3(s, d).localCheckpoint(false), s))
+          storage.Lake.readLevel3(s, level3Lake(s, d)), s))
         .select(col("ts"), col("price"), col("volume"), col("direction"),
           col("maker_event_id"), col("taker_event_id"), col("maker"),
           col("taker"), col("pair_id").cast("long").as("pair_id"))

@@ -74,18 +74,30 @@ object StreamingOps extends Serializable {
       // microtimestamp form one episode (an atomic book transition, see
       // ReplayKernel.episodesFrom): the quote is evaluated once per
       // episode, after all its events are applied — never mid-episode.
-      batch.toArray.sortBy(e => (e.ts, e.orderId))
-        .groupBy(_.ts).toSeq.sortBy(_._1).foreach { case (ts, episode) =>
-          episode.foreach(book.apply)
-          val t = (ts, book.bestBid.map(_._1), book.bestBid.map(_._2),
-            book.bestAsk.map(_._1), book.bestAsk.map(_._2))
-          val changed = last.forall(l =>
-            l._2 != t._2 || l._3 != t._3 || l._4 != t._4 || l._5 != t._5)
-          if (changed) {
-            out += L1Tick(pairId, t._1, t._2, t._3, t._4, t._5)
-            last = Some(t)
-          }
+      // Episodes are scanned as RUNS of equal ts in the sorted array —
+      // a groupBy(_.ts) here re-hashed and re-sorted ~20k episode keys
+      // per trigger on top of the sort (~30% of the fold, measured)
+      val arr = batch.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: BookEvent, b: BookEvent) =>
+          a.ts < b.ts || (a.ts == b.ts && a.orderId < b.orderId))
+      var i = 0
+      while (i < arr.length) {
+        val ts = arr(i).ts
+        var j = i
+        while (j < arr.length && arr(j).ts == ts) {
+          book.apply(arr(j)); j += 1
         }
+        val t = (ts, book.bestBid.map(_._1), book.bestBid.map(_._2),
+          book.bestAsk.map(_._1), book.bestAsk.map(_._2))
+        val changed = last.forall(l =>
+          l._2 != t._2 || l._3 != t._3 || l._4 != t._4 || l._5 != t._5)
+        if (changed) {
+          out += L1Tick(pairId, t._1, t._2, t._3, t._4, t._5)
+          last = Some(t)
+        }
+        i = j
+      }
       // snapshot the live orders back into state
       val (ids, isBid, prices, amounts) = liveArrays(book)
       state.update(BookState(ids, isBid, prices, amounts, last))
@@ -121,19 +133,29 @@ object StreamingOps extends Serializable {
       Seq(true, false).foreach(isBid => book.depth(isBid).foreach {
         case (price, vol) => prev.update((isBid, price), vol) })
       val out = scala.collection.mutable.ListBuffer.empty[L2Change]
-      batch.toArray.sortBy(e => (e.ts, e.orderId))
-        .groupBy(_.ts).toSeq.sortBy(_._1).foreach { case (ts, episode) =>
-          var touched: List[(Boolean, Double)] = Nil
-          episode.foreach(e => touched = book.apply(e) ::: touched)
-          touched.distinct.foreach { case (isBid, price) =>
-            val now = book.volumeAt(isBid, price)
-            if (now != prev.getOrElse((isBid, price), 0.0)) {
-              if (now == 0.0) prev.remove((isBid, price))
-              else prev.update((isBid, price), now)
-              out += L2Change(pairId, ts, if (isBid) "b" else "s", price, now)
-            }
+      // run-scan episodes in the sorted array (see l1Stream)
+      val arr = batch.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: BookEvent, b: BookEvent) =>
+          a.ts < b.ts || (a.ts == b.ts && a.orderId < b.orderId))
+      var i = 0
+      while (i < arr.length) {
+        val ts = arr(i).ts
+        var touched: List[(Boolean, Double)] = Nil
+        var j = i
+        while (j < arr.length && arr(j).ts == ts) {
+          touched = book.apply(arr(j)) ::: touched; j += 1
+        }
+        touched.distinct.foreach { case (isBid, price) =>
+          val now = book.volumeAt(isBid, price)
+          if (now != prev.getOrElse((isBid, price), 0.0)) {
+            if (now == 0.0) prev.remove((isBid, price))
+            else prev.update((isBid, price), now)
+            out += L2Change(pairId, ts, if (isBid) "b" else "s", price, now)
           }
         }
+        i = j
+      }
       val (ids, isBid, prices, amounts) = liveArrays(book)
       state.update(BookState(ids, isBid, prices, amounts, None))
       out.iterator
@@ -455,6 +477,22 @@ object StreamingOps extends Serializable {
     replaySpark.conf.set(
       "spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
     replaySpark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // replay state lives and dies with this call: the default
+    // provider's per-partition serialize+compress+write delta cycle
+    // (~150-220ms per trigger at book-sized state, the largest single
+    // slice of the harness floor) buys durability the replay discards
+    // in the finally below. The heap-only provider keeps committed
+    // versions as cloned hash maps; the kill/restart specs keep the
+    // durable default — this conf lives ONLY on the cloned session
+    replaySpark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "GraftInMemoryStateStoreProvider")
+    // same argument for the offset WAL / commit log / metadata file:
+    // HDFS-API create+fsync+rename ceremony is ~75ms per trigger even
+    // on /dev/shm, all for files the finally below deletes
+    replaySpark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "GraftInMemoryCheckpointFileManager")
     // every processAllAvailable otherwise appends a NO-DATA trigger
     // (watermark-application batch) after each data batch — a full
     // state-store load/commit cycle that roughly doubles the trigger
@@ -502,6 +540,13 @@ object StreamingOps extends Serializable {
       }
     } finally {
       q.stop()
+      // free the heap-only state NOW: provider unload otherwise waits
+      // for the maintenance cycle deliberately pushed to 1h above,
+      // and a bench JVM runs dozens of replays
+      org.apache.spark.sql.execution.streaming.state
+        .GraftInMemoryStateStoreProvider.clearAll(ckBase.toString)
+      org.apache.spark.sql.execution.streaming.checkpointing
+        .GraftInMemoryCheckpointFileManager.clearAll(ckBase.toString)
       // reclaim the RAM-disk checkpoint immediately — /dev/shm is a
       // shared, memory-backed resource (close the directory stream:
       // a dozen replays per bench JVM would otherwise leak handles)
