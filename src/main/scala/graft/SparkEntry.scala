@@ -1062,6 +1062,12 @@ object SparkEntry {
     "pipe_substring_dedup" -> ((s, d) =>
       TextPipeline.substringDedup(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // char-level exact-substring dedup: duplicated >= L-char runs as
+    // merged char intervals — catches repeats at non-word boundaries
+    // the word-gram pass provably misses (L=16 for sf signal)
+    "pipe_char_span_dedup" -> ((s, d) =>
+      TextPipeline.charSpanDedup(Tables.load(s, d, "documents"), L = 16)
+        .orderBy("doc_id", "span_no")),
     // span-level decontamination: benchmark-overlapping runs removed
     // from corpus docs (L=4 on the synthetic corpus for signal)
     "pipe_decon_spans" -> ((s, d) =>
@@ -1937,6 +1943,7 @@ object SparkEntry {
     "pipe_distinct_est" -> Oracles.pipeDistinctEst,
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
+    "pipe_char_span_dedup" -> Oracles.pipeCharSpanDedup(16),
     "pipe_decon_spans" -> Oracles.pipeDeconSpans,
     "pipe_dedup_keep_best" -> Oracles.pipeDedupKeepBest,
     "pipe_curate_full" -> Oracles.pipeCurateFull,

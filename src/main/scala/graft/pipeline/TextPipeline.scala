@@ -1400,6 +1400,53 @@ object TextPipeline {
     spanReport(docs, grams.join(dupHashes, Seq("h"), "left_semi"), L)
   }
 
+  /** CHARACTER-level exact-substring dedup (the boundary-free variant
+    * of [[substringDedup]], closing its one structural miss): the
+    * word-gram pass can only see duplication that aligns with word
+    * boundaries — a repeated byte span that starts or ends MID-WORD
+    * changes the boundary tokens, so two docs sharing a long span
+    * embedded in different surrounding words share NO equal word and
+    * the L-word pass provably reports nothing (fixture in SearchSpec).
+    * Here the gram universe is every character position: a duplicated
+    * run of ≥ `L` characters anywhere in the corpus is a maximal run
+    * of duplicated L-char grams, merged by the same gaps-and-islands
+    * pass on CHARACTER offsets. Output is the span inventory a removal
+    * pass consumes — (doc_id, span_no, s, e), 1-based inclusive char
+    * intervals — rather than re-synthesized text (the word variant
+    * already proves the surgical rebuild; at char level the intervals
+    * ARE the deliverable a trainer's slicing step wants). Scale shape:
+    * gram count = corpus BYTES (≈5× the word-gram pass, same
+    * content-hash-keyed uniform shuffle, no pair space); at the
+    * 100 TB tier run it strided (hash every s-th position, L−s+1 of
+    * every true span still covered) or scoped to documents the word
+    * pass already flagged. Positions are code points (Spark `length`/
+    * `substring` semantics; the synthetic corpus is ASCII so DuckDB's
+    * byte-1-based substr mirrors exactly). */
+  def charSpanDedup(docs: DataFrame, L: Int = 24): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(when(length(col("text")) >= L,
+          expr(s"transform(sequence(1, length(text) - ${L - 1}), " +
+            s"i -> struct(i AS pos, md5(substring(text, i, $L)) AS h))"))
+          .otherwise(array())).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val flagged = grams.join(dupHashes, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(L - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("sp"), (max(col("pos")) + lit(L - 1)).as("ep"))
+      .withColumn("span_no", row_number().over(
+        Window.partitionBy("doc_id").orderBy("sp")).cast("long"))
+      .select(col("doc_id"), col("span_no"),
+        col("sp").cast("long").as("s"), col("ep").cast("long").as("e"))
+  }
+
   /** Span-level decontamination (the removal complement of
     * [[decontaminate]]'s document flags, and the decontamination
     * variant of [[substringDedup]]): every run of ≥ `L` corpus words

@@ -542,6 +542,46 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[String]("clean_md5") === md5Hex("mid"))
   }
 
+  test("charSpanDedup catches a mid-word repeat substringDedup provably misses") {
+    // the shared 26-char span THEQUICKBROWNFOXJUMPSOVERX is embedded
+    // MID-WORD with different flanking characters in each doc: the two
+    // docs share NO equal word token at all (every word containing the
+    // span differs at its edges), so the word-gram variant — at ANY L
+    // — reports nothing, while the char-gram pass flags the span at
+    // its exact (offset-shifted) positions in both docs
+    val span = "THEQUICKBROWNFOXJUMPSOVERX"
+    val d = docs(
+      (1L, s"aa${span}bb cc dd"),
+      (2L, s"e1 e2 zzz${span}qq ff"))
+    // substringDedup reports one row per doc; zero flagged spans
+    // anywhere proves the word-gram pass is blind to the repeat
+    assert(TextPipeline.substringDedup(d, L = 1)
+      .agg(sum("dup_spans")).collect().head.getLong(0) === 0L,
+      "word grams must NOT see the mid-word span (no equal word)")
+    val rows = TextPipeline.charSpanDedup(d, L = 26)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_no"),
+        r.getAs[Long]("s"), r.getAs[Long]("e")))
+    // doc 1: span chars 3..28 (1-based, after "aa"); doc 2: after
+    // "e1 e2 zzz" = 9 chars + 1 -> 10..35
+    assert(rows.toSeq === Seq((1L, 1L, 3L, 28L), (2L, 1L, 10L, 35L)))
+  }
+
+  test("charSpanDedup merges same-doc repeats and ignores short overlap") {
+    // one doc repeats its own 30-char run at positions 1 and 42
+    // (30 chars + " padpadpad " = 11): two disjoint spans; the
+    // 20-char partial echo in doc 2 stays below L=26 and must not flag
+    val run = "ABCDEFGHIJKLMNOPQRSTUVWXYZ1234"
+    val d = docs(
+      (1L, s"$run padpadpad $run"),
+      (2L, run.take(20) + " tail tail tail"))
+    val rows = TextPipeline.charSpanDedup(d, L = 26)
+      .orderBy("doc_id", "span_no").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_no"),
+        r.getAs[Long]("s"), r.getAs[Long]("e")))
+    assert(rows.toSeq === Seq((1L, 1L, 1L, 30L), (1L, 2L, 42L, 71L)))
+  }
+
   test("substringDedup catches a chunk-misaligned 60-word span chunkDedup misses") {
     // the Lee-et-al ExactSubstr property at ARBITRARY boundaries: a
     // repeated 60-word span placed at word offset 4 in one doc and
