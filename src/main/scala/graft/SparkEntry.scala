@@ -1102,6 +1102,10 @@ object SparkEntry {
     "pipe_sql_dedup" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM dedup_exact('docs_sql')")
         .orderBy("doc_id")),
+    "pipe_sql_char_span_dedup" -> ((s, d) =>
+      sqlSession(s, d)
+        .sql("SELECT * FROM char_span_dedup('docs_sql', 16)")
+        .orderBy("doc_id", "span_no")),
     "pipe_sql_substring_dedup" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM substring_dedup('docs_sql')")
         .orderBy("doc_id")),
@@ -1155,6 +1159,9 @@ object SparkEntry {
         .orderBy("source", "q")),
     "pipe_sql_knn_graph" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM knn_graph('emb_sql')")
+        .orderBy("va", "rnk")),
+    "pipe_sql_knn_graph_p2" -> ((s, d) =>
+      sqlSession(s, d).sql("SELECT * FROM knn_graph('emb_sql', 5, 2)")
         .orderBy("va", "rnk")),
     "pipe_sql_knn_clusters" -> ((s, d) =>
       sqlSession(s, d).sql("SELECT * FROM knn_clusters('emb_sql')")
@@ -1955,6 +1962,7 @@ object SparkEntry {
     "pipe_sql_bm25" -> Oracles.pipeBm25,
     "pipe_sql_dedup" -> Oracles.pipeDedupExact,
     "pipe_sql_substring_dedup" -> Oracles.pipeSubstringDedup,
+    "pipe_sql_char_span_dedup" -> Oracles.pipeCharSpanDedup(16),
     "pipe_sql_tfidf_terms" -> Oracles.pipeTfidfTerms,
     // the Bloom pre-filter is exact-verified — identical mirror
     "pipe_sql_decon_bloom" -> Oracles.pipeDecontaminate,
@@ -1977,6 +1985,7 @@ object SparkEntry {
     "pipe_sql_cluster_sample" -> Oracles.pipeClusterSample(),
     "pipe_sql_quantiles" -> Oracles.pipeQuantiles,
     "pipe_sql_knn_graph" -> Oracles.pipeKnnGraph(),
+    "pipe_sql_knn_graph_p2" -> Oracles.pipeKnnGraph(nProbe = 2),
     "pipe_sql_knn_clusters" -> Oracles.pipeKnnClusters(),
     "pipe_sql_semdedup" -> Oracles.pipeSemDedup(),
     "pipe_sql_triangles" -> Oracles.pipeTriangles(),

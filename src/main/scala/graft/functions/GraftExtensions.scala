@@ -155,6 +155,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.GraftTableFunctions.clusterSampleTvf _,
       "quantiles" -> graft.plans.GraftTableFunctions.quantilesTvf _,
       "knn_graph" -> graft.plans.GraftTableFunctions.knnGraphTvf _,
+      "char_span_dedup" ->
+        graft.plans.GraftTableFunctions.charSpanDedupTvf _,
       "knn_clusters" ->
         graft.plans.GraftTableFunctions.knnClustersTvf _,
       "semdedup" -> graft.plans.GraftTableFunctions.semDedupTvf _,

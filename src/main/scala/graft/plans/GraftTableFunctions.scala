@@ -157,6 +157,9 @@ object GraftCallResolution extends Rule[LogicalPlan] {
           case "substring_dedup" =>
             graft.pipeline.TextPipeline.substringDedup(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 8)
+          case "char_span_dedup" =>
+            graft.pipeline.TextPipeline.charSpanDedup(l3,
+              if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 24)
           case "dsir" =>
             graft.pipeline.TextPipeline.dsirWeights(l3,
               targetLang = u.strArgs.headOption.getOrElse("en"))
@@ -253,7 +256,9 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.pipeline.VectorOps.knnGraph(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
               trainedCents =
-                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)))
+                Some(graft.pipeline.VectorOps.ivfTrainCached(l3)),
+              nProbe =
+                if (u.longArgs.length > 1) u.longArgs(1).toInt else 1)
           case "knn_clusters" =>
             graft.pipeline.VectorOps.knnClusters(l3,
               if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
@@ -863,14 +868,26 @@ object GraftTableFunctions {
       "quantiles", Nil)
   }
 
-  /** `knn_graph('emb'[, k])` — IVF-bounded kNN edges
+  /** `knn_graph('emb'[, k[, n_probe]])` — IVF-bounded kNN edges
     * ([[graft.pipeline.VectorOps.knnGraph]]). */
   def knnGraphTvf(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length >= 1 && exprs.length <= 2,
-      "knn_graph takes (emb_table[, k])")
+    require(exprs.length >= 1 && exprs.length <= 3,
+      "knn_graph takes (emb_table[, k[, n_probe]])")
     UnresolvedGraftCall(rel(strLit(exprs, 0, "knn_graph")),
       "knn_graph",
-      exprs.drop(1).map(_ => longLit(exprs, 1, "knn_graph")))
+      exprs.drop(1).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, i + 1, "knn_graph") })
+  }
+
+  /** `char_span_dedup('docs'[, l])` — duplicated ≥ l-char runs as
+    * merged char intervals
+    * ([[graft.pipeline.TextPipeline.charSpanDedup]]). */
+  def charSpanDedupTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "char_span_dedup takes (docs_table[, l])")
+    UnresolvedGraftCall(rel(strLit(exprs, 0, "char_span_dedup")),
+      "char_span_dedup",
+      exprs.drop(1).map(_ => longLit(exprs, 1, "char_span_dedup")))
   }
 
   /** `knn_clusters('emb'[, k])` — mutual-kNN connected components

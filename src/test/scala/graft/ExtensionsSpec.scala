@@ -507,6 +507,11 @@ class ExtensionsSpec extends AnyFunSuite {
       // k pass-through
       assert(rows(s2.sql("SELECT * FROM knn_graph('emb_tvf', 3)")) ==
         rows(VectorOps.knnGraph(emb, k = 3)))
+      // n_probe pass-through (and a 2nd probe actually changes edges)
+      assert(rows(s2.sql("SELECT * FROM knn_graph('emb_tvf', 3, 2)")) ==
+        rows(VectorOps.knnGraph(emb, k = 3, nProbe = 2)))
+      assert(rows(s2.sql("SELECT * FROM char_span_dedup('docs_tvf', 16)")) ==
+        rows(TextPipeline.charSpanDedup(docs, L = 16)))
       assert(rows(s2.sql("SELECT * FROM knn_clusters('emb_tvf')")) ==
         rows(VectorOps.knnClusters(emb)))
       assert(rows(s2.sql("SELECT * FROM semdedup('emb_tvf')")) ==
