@@ -89,6 +89,24 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
       extends StateStore {
     private var committed = false
 
+    // prefix → full keys, built once per store when the operator's key
+    // layout prefix-scans (session windows probe once PER INPUT KEY —
+    // filtering the whole map per probe made q14's replay quadratic in
+    // the session count); maintained by put/remove below
+    private val prefixIdx:
+        java.util.HashMap[UnsafeRow, java.util.HashSet[UnsafeRow]] =
+      prefixProj match {
+        case None => null
+        case Some(proj) =>
+          val m = new java.util.HashMap[UnsafeRow,
+            java.util.HashSet[UnsafeRow]]()
+          map.keySet().iterator().asScala.foreach { k =>
+            m.computeIfAbsent(proj(k).copy(),
+              _ => new java.util.HashSet[UnsafeRow]()).add(k)
+          }
+          m
+      }
+
     override def id: StateStoreId = storeId
 
     override def get(key: UnsafeRow, colFamilyName: String): UnsafeRow =
@@ -107,21 +125,35 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
 
     override def prefixScan(prefixKey: UnsafeRow,
         colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
-      val proj = prefixProj.getOrElse(throw new IllegalStateException(
-        "prefixScan on a store initialized without a prefix spec"))
+      if (prefixIdx == null) throw new IllegalStateException(
+        "prefixScan on a store initialized without a prefix spec")
+      val keys = prefixIdx.get(prefixKey)
       val pair = new UnsafeRowPair()
-      new StateStoreIterator(map.entrySet().iterator().asScala
-        .filter(e => proj(e.getKey) == prefixKey)
-        .map(e => pair.withRows(e.getKey, e.getValue)), () => ())
+      // snapshot: the caller may put/remove while consuming the scan
+      val snap = if (keys == null) Array.empty[UnsafeRow]
+        else keys.toArray(new Array[UnsafeRow](keys.size()))
+      new StateStoreIterator(snap.iterator
+        .flatMap(k => Option(map.get(k)).map(v => pair.withRows(k, v))),
+        () => ())
     }
 
     override def put(key: UnsafeRow, value: UnsafeRow,
         colFamilyName: String): Unit = {
-      map.put(key.copy(), value.copy()); ()
+      val k = key.copy()
+      map.put(k, value.copy())
+      if (prefixIdx != null)
+        prefixIdx.computeIfAbsent(prefixProj.get(k).copy(),
+          _ => new java.util.HashSet[UnsafeRow]()).add(k)
+      ()
     }
 
     override def remove(key: UnsafeRow, colFamilyName: String): Unit = {
-      map.remove(key); ()
+      map.remove(key)
+      if (prefixIdx != null) {
+        val set = prefixIdx.get(prefixProj.get(key))
+        if (set != null) set.remove(key)
+      }
+      ()
     }
 
     override def putList(key: UnsafeRow, values: Array[UnsafeRow],
