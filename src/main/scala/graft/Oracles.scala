@@ -4317,6 +4317,44 @@ object Oracles {
       |FROM spans
       |ORDER BY doc_id, span_no""".stripMargin
 
+  /** Mirror of `TextPipeline.charDeconSpans`: corpus runs of ≥ L chars
+    * shared with the benchmark slice (doc_id < benchMax) as merged
+    * 1-based inclusive char intervals. */
+  def pipeCharDeconSpans(benchMax: Long = 10, l: Int = 16): String =
+    s"""WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, GREATEST(length(text) - ${l - 1}, 0) + 1)) AS pos,
+      |    unnest(list_transform(
+      |      range(1, GREATEST(length(text) - ${l - 1}, 0) + 1),
+      |      i -> md5(substr(text, CAST(i AS INT), $l)))) AS h
+      |  FROM documents
+      |), bk AS (
+      |  SELECT DISTINCT h FROM g WHERE doc_id < $benchMax
+      |), dp AS (
+      |  SELECT doc_id, pos FROM g
+      |  WHERE doc_id >= $benchMax AND h IN (SELECT h FROM bk)
+      |), ni AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + ${l - 1}) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM dp
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM ni
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + ${l - 1} AS e
+      |  FROM isl GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+      |    AS BIGINT) AS span_no,
+      |  CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+      |FROM spans
+      |ORDER BY doc_id, span_no""".stripMargin
+
   /** The BM25 scoring chain (`w` … `brnk`), shared by pipeBm25 and
     * pipeHardNegatives: identical Lucene-idf BM25 with per-term scores
     * rounded to nano-units BEFORE the sum (order-independent integer

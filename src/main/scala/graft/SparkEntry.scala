@@ -1068,6 +1068,11 @@ object SparkEntry {
     "pipe_char_span_dedup" -> ((s, d) =>
       TextPipeline.charSpanDedup(Tables.load(s, d, "documents"), L = 16)
         .orderBy("doc_id", "span_no")),
+    // char-level span decontamination: benchmark passages quoted at
+    // non-word boundaries reported as removal intervals
+    "pipe_char_decon_spans" -> ((s, d) =>
+      TextPipeline.charDeconSpans(Tables.load(s, d, "documents"), L = 16)
+        .orderBy("doc_id", "span_no")),
     // span-level decontamination: benchmark-overlapping runs removed
     // from corpus docs (L=4 on the synthetic corpus for signal)
     "pipe_decon_spans" -> ((s, d) =>
@@ -1951,6 +1956,7 @@ object SparkEntry {
     "pipe_dup_ngrams" -> Oracles.pipeDupNgrams,
     "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
     "pipe_char_span_dedup" -> Oracles.pipeCharSpanDedup(16),
+    "pipe_char_decon_spans" -> Oracles.pipeCharDeconSpans(10, 16),
     "pipe_decon_spans" -> Oracles.pipeDeconSpans,
     "pipe_dedup_keep_best" -> Oracles.pipeDedupKeepBest,
     "pipe_curate_full" -> Oracles.pipeCurateFull,

@@ -1439,7 +1439,38 @@ object TextPipeline {
     // checkpointed: the gram frame is corpus-bytes-sized and its
     // recompute is nearly free (0.1 s of the 4.4 s row), the exact
     // recompute-over-materialize call a 100 TB run needs.
-    def grams = docs.select(col("doc_id"), col("text"),
+    val grams = charGrams(docs, L)
+    val dupHashes = grams.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h1", "h2")
+    charSpans(grams.join(dupHashes, Seq("h1", "h2"), "left_semi"), L)
+  }
+
+  /** CHARACTER-level span decontamination (the char-offset sibling of
+    * [[decontaminateSpans]], as [[charSpanDedup]] is of
+    * [[substringDedup]]): every run of ≥ `L` CHARACTERS a corpus
+    * document shares with the benchmark slice (doc_id < `benchMax`)
+    * is reported as a removal interval — catching a benchmark passage
+    * quoted with altered punctuation/prefixes whose word tokens no
+    * longer align (the word-gram decon is blind to a quote whose
+    * every boundary word was touched). The benchmark gram-key set is
+    * eval-sized, so the semi join broadcasts; corpus grams never
+    * shuffle. Output rows cover CORPUS documents only:
+    * (doc_id, span_no, s, e), 1-based inclusive char intervals. */
+  def charDeconSpans(docs: DataFrame, benchMax: Long = 10,
+      L: Int = 24): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+    val benchKeys = charGrams(docs.filter(col("doc_id") < benchMax), L)
+      .select("h1", "h2").distinct()
+    charSpans(charGrams(corpus, L)
+      .join(broadcast(benchKeys), Seq("h1", "h2"), "left_semi"), L)
+  }
+
+  /** `(doc_id, pos, h1, h2)` for every L-char window start — the
+    * 128-bit-keyed char-gram pass shared by [[charSpanDedup]] and
+    * [[charDeconSpans]]. */
+  private def charGrams(docs: DataFrame, L: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= L,
           sequence(lit(1), length(col("text")) - lit(L - 1)))
           .otherwise(array())).as("pos"))
@@ -1447,10 +1478,10 @@ object TextPipeline {
         xxhash64(expr(s"substring(text, pos, $L)")).as("h1"),
         xxhash64(lit("csd#2"), expr(s"substring(text, pos, $L)"))
           .as("h2"))
-    val dupHashes = grams.groupBy("h1", "h2")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("h1", "h2")
-    val flagged = grams.join(dupHashes, Seq("h1", "h2"), "left_semi")
+
+  /** Merge flagged char positions into maximal (doc_id, span_no, s, e)
+    * intervals — the char-offset [[spanReport]] half. */
+  private def charSpans(flagged: DataFrame, L: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(L - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))

@@ -567,6 +567,27 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 1L, 3L, 28L), (2L, 1L, 10L, 35L)))
   }
 
+  test("charDeconSpans catches a mid-word benchmark quote decontaminateSpans misses") {
+    // doc 0 is the benchmark; corpus doc 11 quotes its 26-char span
+    // with prefix/suffix glued on (every word containing the quote
+    // differs), so the word-level decon reports zero flagged spans
+    // while the char pass flags the quote at its exact offset
+    val quote = "THEQUICKBROWNFOXJUMPSOVERX"
+    val d = docs(
+      (0L, s"bench says $quote end"),
+      (11L, s"prefix zz${quote}yy suffix"))
+    assert(TextPipeline.decontaminateSpans(d, benchMax = 10, L = 1)
+      .agg(sum("dup_spans")).collect().head.getLong(0) === 0L,
+      "word-level decon must NOT see the mid-word quote")
+    val rows = TextPipeline.charDeconSpans(d, benchMax = 10, L = 26)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_no"),
+        r.getAs[Long]("s"), r.getAs[Long]("e")))
+    // "prefix zz" = 9 chars -> quote at 10..35; only the CORPUS doc
+    // reports (bench docs are never span targets)
+    assert(rows.toSeq === Seq((11L, 1L, 10L, 35L)))
+  }
+
   test("charSpanDedup merges same-doc repeats and ignores short overlap") {
     // one doc repeats its own 30-char run at positions 1 and 42
     // (30 chars + " padpadpad " = 11): two disjoint spans; the
