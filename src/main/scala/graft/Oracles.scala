@@ -4355,6 +4355,72 @@ object Oracles {
       |FROM spans
       |ORDER BY doc_id, span_no""".stripMargin
 
+  /** Shared char-gram + winnowing CTE chain (`g` … `sel`) for the
+    * winnowed-screen mirrors: rightmost-min per trailing w-window via
+    * the same `h ∥ zero-padded (10⁷ − pos)` string-min trick as the
+    * engine. */
+  private def CharWinnowCte(l: Int, w: Int): String =
+    s"""WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, GREATEST(length(text) - ${l - 1}, 0) + 1)) AS pos,
+      |    unnest(list_transform(
+      |      range(1, GREATEST(length(text) - ${l - 1}, 0) + 1),
+      |      i -> md5(substr(text, CAST(i AS INT), $l)))) AS h
+      |  FROM documents
+      |), sw AS (
+      |  SELECT doc_id,
+      |    MIN(h || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0')) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS m
+      |  FROM g
+      |), sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    10000000 - CAST(substr(m, 33, 8) AS BIGINT) AS pos,
+      |    substr(m, 1, 32) AS h
+      |  FROM sw
+      |)""".stripMargin
+
+  /** Mirror of `TextPipeline.charDupDocsWinnowed`. */
+  def pipeCharWinnow(l: Int = 16, w: Int = 8): String =
+    CharWinnowCte(l, w) +
+    s""", dh AS (
+      |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) >= 2
+      |), hits AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_selected
+      |  FROM sel WHERE h IN (SELECT h FROM dh) GROUP BY doc_id
+      |), ns AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected
+      |  FROM sel GROUP BY doc_id
+      |)
+      |SELECT ns.doc_id, ns.n_selected,
+      |  CAST(COALESCE(hits.n_dup_selected, 0) AS BIGINT)
+      |    AS n_dup_selected,
+      |  COALESCE(hits.n_dup_selected, 0) > 0 AS is_flagged
+      |FROM ns LEFT JOIN hits USING (doc_id)
+      |ORDER BY ns.doc_id""".stripMargin
+
+  /** Mirror of `TextPipeline.charWinnowRecall`: winnowed flagged-doc
+    * set vs the exact all-grams duplicated-doc set. */
+  def pipeCharWinnowRecall(l: Int = 16, w: Int = 8): String =
+    CharWinnowCte(l, w) +
+    s""", dh AS (
+      |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) >= 2
+      |), windocs AS (
+      |  SELECT DISTINCT doc_id FROM sel
+      |  WHERE h IN (SELECT h FROM dh)
+      |), xdh AS (
+      |  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+      |), xdocs AS (
+      |  SELECT DISTINCT doc_id FROM g
+      |  WHERE h IN (SELECT h FROM xdh)
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(w.doc_id) AS BIGINT) AS n_hit,
+      |  CASE WHEN COUNT(*) = 0 THEN CAST(1000 AS BIGINT)
+      |    ELSE CAST((1000 * COUNT(w.doc_id)) // COUNT(*) AS BIGINT)
+      |  END AS recall_milli
+      |FROM xdocs x LEFT JOIN windocs w ON w.doc_id = x.doc_id""".stripMargin
+
   /** The BM25 scoring chain (`w` … `brnk`), shared by pipeBm25 and
     * pipeHardNegatives: identical Lucene-idf BM25 with per-term scores
     * rounded to nano-units BEFORE the sum (order-independent integer

@@ -100,6 +100,14 @@ object PipeScaleProbe {
     val (nSsd, tSsd) = timed(
       TextPipeline.substringDedup(docs).rdd.count())
 
+    // char-level span dedup over the same perturbed corpus: the gram
+    // universe is corpus BYTES (~5x the word-gram table), keyed by the
+    // 128-bit xxhash64 pair — the duplicate-count aggregate and the
+    // semi join must stay content-hash-uniform, so docs/sec holds
+    // ~flat as k grows
+    val (nCsd, tCsd) = timed(
+      TextPipeline.charSpanDedup(docs, L = 16).rdd.count())
+
     // incremental dedup: index the base three quarters of the corpus
     // once, probe with the last quarter — probe cost (the recurring
     // nightly cost; the index build is one-off) is what's timed
@@ -129,7 +137,7 @@ object PipeScaleProbe {
     val (nCms, tCms) = timed(TextPipeline.cmsHeavyHitters(docs).rdd.count())
 
     def rate(t: Double) = (nDocs / t).toLong
-    println(f"""{"docs":$nDocs,"k":$k,"cms_heavy":{"rows":$nCms,"seconds":$tCms%.1f,"docs_per_sec":${rate(tCms)}},"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"decon_bloom_viral":{"rows":$nDecB,"seconds":$tDecB%.1f,"docs_per_sec":${rate(tDecB)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}},"substring_dedup":{"rows":$nSsd,"seconds":$tSsd%.1f,"docs_per_sec":${rate(tSsd)}},"incr_dedup":{"rows":$nIncr,"probe_seconds":$tIncr%.1f,"index_build_seconds":$tIdx%.1f,"batch_docs_per_sec":${(nIncr / tIncr).toLong}}}""")
+    println(f"""{"docs":$nDocs,"k":$k,"cms_heavy":{"rows":$nCms,"seconds":$tCms%.1f,"docs_per_sec":${rate(tCms)}},"exact_dedup":{"rows":$nExact,"seconds":$tExact%.1f,"docs_per_sec":${rate(tExact)}},"minhash_candidates":{"pairs":$nCand,"seconds":$tMinhash%.1f,"docs_per_sec":${rate(tMinhash)}},"dedup_clusters":{"clustered_docs":$nClust,"seconds":$tClust%.1f,"docs_per_sec":${rate(tClust)}},"simhash_pairs":{"pairs":$nSim,"seconds":$tSim%.1f,"docs_per_sec":${rate(tSim)}},"curate_e2e":{"survivors":$nCur,"seconds":$tCur%.1f,"docs_per_sec":${rate(tCur)}},"decontaminate_viral":{"rows":$nDecon,"seconds":$tDecon%.1f,"docs_per_sec":${rate(tDecon)}},"decon_bloom_viral":{"rows":$nDecB,"seconds":$tDecB%.1f,"docs_per_sec":${rate(tDecB)}},"dup_ngrams":{"rows":$nDng,"seconds":$tDng%.1f,"docs_per_sec":${rate(tDng)}},"bm25_topk":{"rows":$nBm,"seconds":$tBm%.1f,"docs_per_sec":${rate(tBm)}},"dsir":{"rows":$nDsir,"seconds":$tDsir%.1f,"docs_per_sec":${rate(tDsir)}},"lm_score":{"rows":$nLm,"seconds":$tLm%.1f,"docs_per_sec":${rate(tLm)}},"nb_lang":{"rows":$nNb,"seconds":$tNb%.1f,"docs_per_sec":${rate(tNb)}},"substring_dedup":{"rows":$nSsd,"seconds":$tSsd%.1f,"docs_per_sec":${rate(tSsd)}},"char_span_dedup":{"rows":$nCsd,"seconds":$tCsd%.1f,"docs_per_sec":${rate(tCsd)}},"incr_dedup":{"rows":$nIncr,"probe_seconds":$tIncr%.1f,"index_build_seconds":$tIdx%.1f,"batch_docs_per_sec":${(nIncr / tIncr).toLong}}}""")
     spark.stop()
   }
 }

@@ -1068,6 +1068,19 @@ object SparkEntry {
     "pipe_char_span_dedup" -> ((s, d) =>
       TextPipeline.charSpanDedup(Tables.load(s, d, "documents"), L = 16)
         .orderBy("doc_id", "span_no")),
+    // winnowed duplicate-document screen: content-determined sparse
+    // fingerprints (MOSS winnowing) scope the exact char pass — ~2/(w+2)
+    // of grams enter the duplicate-count shuffle
+    "pipe_char_winnow" -> ((s, d) =>
+      TextPipeline.charDupDocsWinnowed(Tables.load(s, d, "documents"),
+          L = 16)
+        .orderBy("doc_id")),
+    // the screen's measured trade: winnowed flagged docs vs the exact
+    // all-grams duplicated-doc set
+    "pipe_char_winnow_recall" -> ((s, d) =>
+      TextPipeline.charWinnowRecall(Tables.load(s, d, "documents"),
+          L = 16)
+        .orderBy("n_exact")),
     // char-level span decontamination: benchmark passages quoted at
     // non-word boundaries reported as removal intervals
     "pipe_char_decon_spans" -> ((s, d) =>
@@ -1957,6 +1970,8 @@ object SparkEntry {
     "pipe_substring_dedup" -> Oracles.pipeSubstringDedup,
     "pipe_char_span_dedup" -> Oracles.pipeCharSpanDedup(16),
     "pipe_char_decon_spans" -> Oracles.pipeCharDeconSpans(10, 16),
+    "pipe_char_winnow" -> Oracles.pipeCharWinnow(16),
+    "pipe_char_winnow_recall" -> Oracles.pipeCharWinnowRecall(16),
     "pipe_decon_spans" -> Oracles.pipeDeconSpans,
     "pipe_dedup_keep_best" -> Oracles.pipeDedupKeepBest,
     "pipe_curate_full" -> Oracles.pipeCurateFull,

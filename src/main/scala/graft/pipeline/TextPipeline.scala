@@ -1417,9 +1417,10 @@ object TextPipeline {
     * ARE the deliverable a trainer's slicing step wants). Scale shape:
     * gram count = corpus BYTES (≈5× the word-gram pass, same
     * content-hash-keyed uniform shuffle, no pair space); at the
-    * 100 TB tier run it strided (hash every s-th position, L−s+1 of
-    * every true span still covered) or scoped to documents the word
-    * pass already flagged. Positions are code points (Spark `length`/
+    * 100 TB tier scope it to documents [[charDupDocsWinnowed]] (the
+    * winnowed screen — NOT naive positional striding, which is
+    * alignment-broken exactly like chunk hashing) or the word pass
+    * already flagged. Positions are code points (Spark `length`/
     * `substring` semantics; the synthetic corpus is ASCII so DuckDB's
     * byte-1-based substr mirrors exactly). */
   def charSpanDedup(docs: DataFrame, L: Int = 24): DataFrame = {
@@ -1464,6 +1465,77 @@ object TextPipeline {
       .select("h1", "h2").distinct()
     charSpans(charGrams(corpus, L)
       .join(broadcast(benchKeys), Seq("h1", "h2"), "left_semi"), L)
+  }
+
+  /** Winnowed duplicate-DOCUMENT screen (Schleimer, Wilkerson &
+    * Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS fingerprinter): instead of entering
+    * EVERY char-gram into the duplicate-count shuffle, each trailing
+    * window of `w` gram positions selects its rightmost-minimum hash —
+    * a CONTENT-determined choice, so two occurrences of the same run
+    * select the same gram regardless of their byte offsets (the
+    * guarantee naive positional striding does NOT have: occurrences at
+    * different offsets mod s sample different windows and never match,
+    * the chunk-grid failure mode all over again). Any shared run of
+    * ≥ `L + w − 1` chars contains a gram window fully inside it, whose
+    * selection is identical in both occurrences ⇒ both documents flag;
+    * shorter duplication can slip through — [[charWinnowRecall]] is
+    * the shipped measure of that trade. Expected density 2/(w+2), so
+    * the duplicate-count aggregate and semi join see ~¼ of the grams
+    * at w=8 while the one hashing pass stays corpus-bytes (this screen
+    * SCOPES [[charSpanDedup]], whose exact pass then runs on the
+    * flagged slice only). The rightmost-min is taken as the string
+    * min of `h ∥ zero-padded (10⁷ − pos)` — one expression, identical
+    * bytes on both engines, no nested-window argmin. Output:
+    * (doc_id, n_selected, n_dup_selected, is_flagged) per document. */
+  def charDupDocsWinnowed(docs: DataFrame, L: Int = 24,
+      w: Int = 8): DataFrame = {
+    val g = docs.select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= L,
+          sequence(lit(1), length(col("text")) - lit(L - 1)))
+          .otherwise(array())).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $L)")).as("h"))
+    val trail = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    val sel = g
+      .withColumn("m", min(concat(col("h"),
+        lpad((lit(10000000) - col("pos")).cast("string"), 8, "0")))
+        .over(trail))
+      .select(col("doc_id"),
+        (lit(10000000) - expr("substring(m, 33, 8)").cast("long"))
+          .as("pos"),
+        expr("substring(m, 1, 32)").as("h"))
+      .distinct()
+    val dup = sel.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val hits = sel.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_selected"))
+    sel.groupBy("doc_id").agg(count(lit(1)).as("n_selected"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_selected"),
+        coalesce(col("n_dup_selected"), lit(0L)).as("n_dup_selected"),
+        (coalesce(col("n_dup_selected"), lit(0L)) > 0).as("is_flagged"))
+  }
+
+  /** Recall of the winnowed screen against the exact
+    * [[charSpanDedup]] flagged-document set — the family discipline:
+    * the sparse path ships with its measured trade. 1000 milli iff
+    * every duplicated run in the corpus is ≥ L + w − 1 chars; what
+    * shorter duplication costs is exactly what this row reports, and
+    * what picks `w` before a corpus-scale run. Output: one row
+    * (n_exact, n_hit, recall_milli). */
+  def charWinnowRecall(docs: DataFrame, L: Int = 24,
+      w: Int = 8): DataFrame = {
+    val exact = charSpanDedup(docs, L).select(col("doc_id")).distinct()
+    val win = charDupDocsWinnowed(docs, L, w)
+      .filter(col("is_flagged")).select(col("doc_id").as("w_id"))
+    exact.join(win, col("doc_id") === col("w_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("w_id")).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        when(col("n_exact") === 0, lit(1000L))
+          .otherwise(expr("(1000 * n_hit) div n_exact"))
+          .as("recall_milli"))
   }
 
   /** `(doc_id, pos, h1, h2)` for every L-char window start — the

@@ -588,6 +588,28 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((11L, 1L, 10L, 35L)))
   }
 
+  test("winnowed screen flags a >= L+w-1 shared run at EVERY offset pair") {
+    // the winnowing guarantee is alignment-free: a shared run of
+    // L+w-1 = 33 chars contains a full gram window whose
+    // rightmost-min selection is content-determined, so both docs
+    // flag REGARDLESS of where the run sits — swept over offset
+    // pairs incl. all residues mod w (a positional-stride sampler
+    // fails whenever the offsets differ mod s; this sweep is why
+    // winnowing, not striding, is the shipped sparse screen)
+    val run = "WINNOWGUARANTEESPANABCDEFGHIJ123" + "X" // 33 chars
+    for (off <- 0 to 8) {
+      val d = docs(
+        (1L, "a" * 3 + run + "tail one"),
+        (2L, "b" * (3 + off) + run + "other tail"),
+        (3L, "unrelated filler text with no repeats at all"))
+      val flagged = TextPipeline
+        .charDupDocsWinnowed(d, L = 26, w = 8)
+        .filter(col("is_flagged")).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(flagged === Set(1L, 2L), s"offset delta $off")
+    }
+  }
+
   test("charSpanDedup merges same-doc repeats and ignores short overlap") {
     // one doc repeats its own 30-char run at positions 1 and 42
     // (30 chars + " padpadpad " = 11): two disjoint spans; the
