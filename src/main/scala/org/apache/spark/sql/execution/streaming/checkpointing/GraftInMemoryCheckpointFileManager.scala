@@ -39,8 +39,14 @@ class GraftInMemoryCheckpointFileManager(root: Path, conf: Configuration)
       override def close(): Unit = if (!done) {
         done = true
         super.close()
+        // hadoop's FileAlreadyExistsException, not java.nio's: the
+        // CheckpointFileManager atomic-create contract (HDFSMetadataLog
+        // and the rename-based manager) handles only the hadoop class —
+        // the two are unrelated below IOException, so the nio one would
+        // crash the concurrent-writer/duplicate-batch edge instead of
+        // taking the handled path
         if (!overwriteIfPossible && files.containsKey(key))
-          throw new java.nio.file.FileAlreadyExistsException(key)
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(key)
         files.put(key, (buf.toByteArray, System.currentTimeMillis()))
         ()
       }

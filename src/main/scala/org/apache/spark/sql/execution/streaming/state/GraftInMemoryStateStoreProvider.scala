@@ -88,6 +88,16 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
       map: java.util.concurrent.ConcurrentHashMap[UnsafeRow, UnsafeRow])
       extends StateStore {
     private var committed = false
+    private var aborted = false
+
+    // fail fast like the HDFS-backed store's state machine: committed
+    // maps are published into `versions` and must stay frozen — a
+    // post-commit put would silently corrupt the published version
+    private def verifyUpdating(op: String): Unit = {
+      if (committed || aborted) throw new IllegalStateException(
+        s"$op on a ${if (committed) "COMMITTED" else "ABORTED"} " +
+          s"state store (version $version, $storeId)")
+    }
 
     // prefix → full keys, built once per store when the operator's key
     // layout prefix-scans (session windows probe once PER INPUT KEY —
@@ -139,6 +149,7 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
 
     override def put(key: UnsafeRow, value: UnsafeRow,
         colFamilyName: String): Unit = {
+      verifyUpdating("put")
       val k = key.copy()
       map.put(k, value.copy())
       if (prefixIdx != null)
@@ -148,6 +159,7 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
     }
 
     override def remove(key: UnsafeRow, colFamilyName: String): Unit = {
+      verifyUpdating("remove")
       map.remove(key)
       if (prefixIdx != null) {
         val set = prefixIdx.get(prefixProj.get(key))
@@ -179,6 +191,7 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
       throw new UnsupportedOperationException("column families")
 
     override def commit(): Long = {
+      verifyUpdating("commit")
       // overwrite is the retry contract: a re-executed task re-clones
       // version v and re-publishes v+1
       versions.put(version + 1, map)
@@ -187,7 +200,7 @@ class GraftInMemoryStateStoreProvider extends StateStoreProvider {
       version + 1
     }
 
-    override def abort(): Unit = ()
+    override def abort(): Unit = { if (!committed) aborted = true }
 
     override def metrics: StateStoreMetrics = {
       var bytes = 0L
@@ -214,13 +227,22 @@ object GraftInMemoryStateStoreProvider {
     GraftInMemoryStateStoreProvider, java.lang.Boolean]()
 
   /** Drop every retained version of every provider rooted at the
-    * given (discarded) checkpoint location. */
-  def clearAll(checkpointRoot: String): Unit =
+    * given (discarded) checkpoint location. Boundary-aware like the
+    * sibling file manager's clearAll: the stored location is
+    * scheme-stripped and must equal the root or live under root + "/"
+    * — a plain contains() would close a DIFFERENT live replay whose
+    * temp path merely shares a string prefix (ck_123 vs ck_1234). */
+  def clearAll(checkpointRoot: String): Unit = {
+    val k = new org.apache.hadoop.fs.Path(checkpointRoot)
+      .toUri.getPath.stripSuffix("/")
+    val prefix = k + "/"
     registry.keySet().asScala.toSeq.foreach { p =>
       val id = p.stateStoreId
-      // contains, not startsWith: the stored root may carry a
-      // file:/ scheme prefix the caller's java.nio path does not
-      if (id != null && id.checkpointRootLocation.contains(
-          checkpointRoot)) p.close()
+      if (id != null) {
+        val loc = new org.apache.hadoop.fs.Path(id.checkpointRootLocation)
+          .toUri.getPath
+        if (loc == k || loc.startsWith(prefix)) p.close()
+      }
     }
+  }
 }
