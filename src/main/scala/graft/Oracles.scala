@@ -4399,6 +4399,87 @@ object Oracles {
       |FROM ns LEFT JOIN hits USING (doc_id)
       |ORDER BY ns.doc_id""".stripMargin
 
+  /** The scoped-slice gram chain shared by [[pipeCharSpanScoped]] and
+    * [[pipeCharScopedParity]]: winnow-flagged docs (`fdocs`), their
+    * grams (`sg`), and the gaps-and-islands spans over duplicates
+    * WITHIN the slice (`sspans`). */
+  private def CharScopedCtes(l: Int, w: Int): String =
+    CharWinnowCte(l, w) +
+    s""", dh0 AS (
+      |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) >= 2
+      |), fdocs AS (
+      |  SELECT DISTINCT doc_id FROM sel WHERE h IN (SELECT h FROM dh0)
+      |), sg AS (
+      |  SELECT g.doc_id, g.pos, g.h FROM g JOIN fdocs USING (doc_id)
+      |), sdh AS (
+      |  SELECT h FROM sg GROUP BY h HAVING COUNT(*) >= 2
+      |), sdp AS (
+      |  SELECT doc_id, pos FROM sg WHERE h IN (SELECT h FROM sdh)
+      |), sni AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + ${l - 1}) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM sdp
+      |), sisl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM sni
+      |), sspans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + ${l - 1} AS e
+      |  FROM sisl GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Mirror of `TextPipeline.charSpanDedupScoped`: the exact char-span
+    * pass restricted to the winnow-flagged document slice (duplicate
+    * counts taken WITHIN the slice — the scoped semantics). */
+  def pipeCharSpanScoped(l: Int = 16, w: Int = 8): String =
+    CharScopedCtes(l, w) +
+    """
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+      |    AS BIGINT) AS span_no,
+      |  CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+      |FROM sspans
+      |ORDER BY doc_id, span_no""".stripMargin
+
+  /** Mirror of `TextPipeline.charScopedParity`: exact-identical span
+    * intervals of the scoped vs unscoped pass, plus removed-char
+    * totals on both sides. */
+  def pipeCharScopedParity(l: Int = 16, w: Int = 8): String =
+    CharScopedCtes(l, w) +
+    s""", xdh AS (
+      |  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+      |), xdp AS (
+      |  SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM xdh)
+      |), xni AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + ${l - 1}) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM xdp
+      |), xisl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM xni
+      |), xspans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + ${l - 1} AS e
+      |  FROM xisl GROUP BY 1, 2
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_spans_exact,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sspans) AS n_spans_scoped,
+      |  CAST(COUNT(sp.doc_id) AS BIGINT) AS n_span_hits,
+      |  CASE WHEN COUNT(*) = 0 THEN CAST(1000 AS BIGINT)
+      |    ELSE CAST((1000 * COUNT(sp.doc_id)) // COUNT(*) AS BIGINT)
+      |  END AS span_recall_milli,
+      |  CAST(COALESCE(SUM(x.e - x.s + 1), 0) AS BIGINT) AS chars_exact,
+      |  (SELECT CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) FROM sspans)
+      |    AS chars_scoped
+      |FROM xspans x LEFT JOIN sspans sp
+      |  ON sp.doc_id = x.doc_id AND sp.s = x.s AND sp.e = x.e""".stripMargin
+
   /** Mirror of `TextPipeline.charWinnowRecall`: winnowed flagged-doc
     * set vs the exact all-grams duplicated-doc set. */
   def pipeCharWinnowRecall(l: Int = 16, w: Int = 8): String =
@@ -4520,9 +4601,9 @@ object Oracles {
     * integer reciprocal ranks — `⌊1e9 / (60 + rnk)⌋` per list, full
     * outer on (query, doc), ROW_NUMBER re-rank. */
   def pipeHybridSearch(kEach: Int = 10, k: Int = 5,
-      rrfK: Int = 60): String =
+      rrfK: Int = 60, nProbe: Int = 1): String =
     Bm25Ctes +
-      ", " + KnnCte(16).stripPrefix("WITH ") +
+      ", " + KnnCte(16, nProbe).stripPrefix("WITH ") +
     s""", ypos AS (
       |  SELECT query_id, doc_id AS pos_id FROM brnk WHERE rnk = 1
       |), ylex AS (

@@ -164,7 +164,12 @@ object Search {
     * idiom, zero passes over the raw embedding table per query batch,
     * the 100 TB serving shape; without it the assignment is computed
     * from `emb` in-query (one corpus pass — the self-contained oracle
-    * shape). Both routes are row-identical under the same centroids.
+    * shape). Both routes are row-identical under the same centroids
+    * and the same `nProbe`: at nProbe > 1 the stored route needs the
+    * centroid matrix persisted beside the index (`storedCents` —
+    * [[graft.storage.Lake.readIvfCentroids]]) to re-derive each
+    * positive's top-nProbe cells, buying the measured cell-boundary
+    * recall back at ~nProbe× the semantic-side pair cost.
     * Integer reciprocal ranks make the fusion bit-stable on any
     * engine — no float score normalization to diverge on. Output:
     * (query_id, rnk, doc_id, rrf_nano, n_lists), n_lists = how many
@@ -173,7 +178,9 @@ object Search {
       queries: Seq[(Long, String)] = Bm25Queries,
       kEach: Int = 10, k: Int = 5, rrfK: Int = 60,
       trainedCents: Option[Array[Array[Long]]] = None,
-      storedIndex: Option[DataFrame] = None): DataFrame = {
+      storedIndex: Option[DataFrame] = None,
+      storedCents: Option[Array[Array[Long]]] = None,
+      nProbe: Int = 1): DataFrame = {
     val lex = bm25TopK(docs, queries, kEach)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_lex"))
       .localCheckpoint(false) // feeds the positive AND the lex side
@@ -185,9 +192,10 @@ object Search {
     // at O(positives · cell) pair cost instead of Σ|cell|²
     val posIds = Some(pos.select(col("pos_id").as("va")))
     val sem = storedIndex
-      .map(ix => VectorOps.knnGraphFromIndex(ix, posIds, kEach))
+      .map(ix => VectorOps.knnGraphFromIndex(ix, posIds, kEach,
+        cents = storedCents, nProbe = nProbe))
       .getOrElse(VectorOps.knnGraphFor(emb, posIds, kEach,
-        trainedCents = trainedCents))
+        trainedCents = trainedCents, nProbe = nProbe))
       .join(broadcast(pos), col("va") === col("pos_id"))
       .select(col("query_id"), col("vb").as("doc_id"),
         col("rnk").as("rnk_sem"))

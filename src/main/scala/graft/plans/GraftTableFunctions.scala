@@ -70,7 +70,9 @@ object GraftCallResolution extends Rule[LogicalPlan] {
             graft.pipeline.Search.hybridSearch(docs, emb,
               k = if (u.longArgs.nonEmpty) u.longArgs.head.toInt else 5,
               trainedCents =
-                Some(graft.pipeline.VectorOps.ivfTrainCached(emb)))
+                Some(graft.pipeline.VectorOps.ivfTrainCached(emb)),
+              nProbe =
+                if (u.longArgs.length > 1) u.longArgs(1).toInt else 1)
           case other => throw new IllegalStateException(
             s"unknown two-relation graft table function: $other")
         }
@@ -921,15 +923,18 @@ object GraftTableFunctions {
       "incr_ann", Nil)
   }
 
-  /** `hybrid('docs', 'emb'[, k])` — reciprocal-rank-fused hybrid
-    * retrieval over the lexical (BM25) and semantic (kNN) lists
-    * ([[graft.pipeline.Search.hybridSearch]]). */
+  /** `hybrid('docs', 'emb'[, k[, n_probe]])` — reciprocal-rank-fused
+    * hybrid retrieval over the lexical (BM25) and semantic (kNN)
+    * lists ([[graft.pipeline.Search.hybridSearch]]); `n_probe`
+    * widens the semantic side's IVF probe (cell-boundary recall at
+    * ~n_probe× the kNN pair cost). */
   def hybridTvf(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length >= 2 && exprs.length <= 3,
-      "hybrid takes (docs_table, emb_table[, k])")
+    require(exprs.length >= 2 && exprs.length <= 4,
+      "hybrid takes (docs_table, emb_table[, k[, n_probe]])")
     UnresolvedGraftCall2(rel(strLit(exprs, 0, "hybrid")),
       rel(strLit(exprs, 1, "hybrid")), "hybrid",
-      if (exprs.length > 2) Seq(longLit(exprs, 2, "hybrid")) else Nil)
+      exprs.drop(2).zipWithIndex.map { case (_, i) =>
+        longLit(exprs, 2 + i, "hybrid") })
   }
 
   /** `sem_decon('emb'[, benchMax[, tau]])` — semantic decontamination

@@ -1451,27 +1451,30 @@ object StreamingOps extends Serializable {
     * (a contract violation, retries are payload-identical) the winner
     * is still deterministic across runs, not partition-order
     * roulette — then the left-anti join screens against ids already in
-    * the stored index (across-batch redelivery). Refuses to run inside
-    * a [[graft.storage.Lake.compactIvfIndex]] maintenance window (the
-    * lock file) — an append racing the compaction's rewrite+swap would
-    * be silently dropped. */
+    * the stored index (across-batch redelivery). Runs under
+    * [[graft.storage.Lake.withAppendFence]]: refuses inside a
+    * [[graft.storage.Lake.compactIvfIndex]] maintenance window, and
+    * its in-flight marker makes a compaction that starts mid-append
+    * wait for the write to land before snapshotting — the whole
+    * screen-and-append (the anti-join read included) sits inside the
+    * fence so the index cannot move under it. */
   def annIngestAppend(batch: org.apache.spark.sql.DataFrame,
-      indexPath: String): Unit = {
-    graft.storage.Lake.requireNotCompacting(
-      batch.sparkSession, indexPath, "annIngestAppend")
-    val spark = batch.sparkSession
-    val seen = spark.read.parquet(indexPath)
-      .select(col("vb").as("seen_vb"))
-    val b = batch.groupBy("vb")
-      .agg(min(struct(col("cent_id"), col("qb"), col("nb"))).as("p"))
-      .select(col("vb"), col("p.cent_id").as("cent_id"),
-        col("p.qb").as("qb"), col("p.nb").as("nb"))
-    b.join(seen, b("vb") === col("seen_vb"), "left_anti")
-      .select("vb", "cent_id", "qb", "nb")
-      .repartition(col("cent_id"))
-      .sortWithinPartitions("cent_id", "vb")
-      .write.mode("append").parquet(indexPath)
-  }
+      indexPath: String): Unit =
+    graft.storage.Lake.withAppendFence(
+        batch.sparkSession, indexPath, "annIngestAppend") {
+      val spark = batch.sparkSession
+      val seen = spark.read.parquet(indexPath)
+        .select(col("vb").as("seen_vb"))
+      val b = batch.groupBy("vb")
+        .agg(min(struct(col("cent_id"), col("qb"), col("nb"))).as("p"))
+        .select(col("vb"), col("p.cent_id").as("cent_id"),
+          col("p.qb").as("qb"), col("p.nb").as("nb"))
+      b.join(seen, b("vb") === col("seen_vb"), "left_anti")
+        .select("vb", "cent_id", "qb", "nb")
+        .repartition(col("cent_id"))
+        .sortWithinPartitions("cent_id", "vb")
+        .write.mode("append").parquet(indexPath)
+    }
 
   /** One embedding arrival on the ingest stream, already assigned to
     * its coarse cell (assignment is the stateless broadcast
