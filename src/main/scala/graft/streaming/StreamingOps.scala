@@ -574,11 +574,18 @@ object StreamingOps extends Serializable {
   /** Bounded replay of [[l1Stream]] over a level3 frame — the VERIFY
     * harness that gives the streaming L1 twin a driver-checkable
     * oracle row (its emissions equal `MarketOps.spread`, so the row is
-    * checked against the batch twin's DuckDB mirror). */
+    * checked against the batch twin's DuckDB mirror). `preOrdered`
+    * takes the [[bookEventsOrdered]] array pre-collected as a shared
+    * harness artifact (the `prepareArtifacts` discipline: the
+    * ordered driver-side collect is replay scaffolding a deployment's
+    * real stream source never pays, and the L1/L2 replays feed the
+    * identical array — collect it once, report its build time). */
   def l1Replay(level3: DataFrame, spark: SparkSession,
-      nChunks: Int = 3): DataFrame = {
+      nChunks: Int = 3,
+      preOrdered: Option[Array[BookEvent]] = None): DataFrame = {
     import spark.implicits._
-    replayChunked(spark, bookEventsOrdered(level3, spark),
+    replayChunked(spark,
+      preOrdered.getOrElse(bookEventsOrdered(level3, spark)),
       (e: BookEvent) => e.ts, nChunks, "graft_l1_replay",
       (ds: Dataset[BookEvent], sp: SparkSession) => l1Stream(ds, sp))
   }
@@ -590,7 +597,7 @@ object StreamingOps extends Serializable {
     * it, so the replay is deterministic even when an order has
     * several events in one episode (a raw collect order would be
     * file-layout-dependent there). */
-  private def bookEventsOrdered(level3: DataFrame,
+  private[graft] def bookEventsOrdered(level3: DataFrame,
       spark: SparkSession): Array[BookEvent] = {
     import spark.implicits._
     level3.orderBy("microtimestamp", "order_id", "event_no")
@@ -602,11 +609,22 @@ object StreamingOps extends Serializable {
   }
 
   /** Bounded replay of [[l2Stream]] — emissions equal
-    * `MarketOps.depthChanges`, checked against its DuckDB mirror. */
+    * `MarketOps.depthChanges`, checked against its DuckDB mirror.
+    * Default nChunks = 2 (the rest of the family replays at 3-4):
+    * the L2 replay emits ~1.6 output rows per input event — the
+    * heaviest per-trigger encode volume of the family — so each
+    * extra trigger pays the most here (measured at sf0.1: 3 chunks
+    * ≈ 2.1-2.5 s, 2 chunks ≈ 1.9 s), while TWO data batches already
+    * exercise everything the chunked replay exists to prove: state
+    * handoff across a micro-batch boundary with same-ts episodes
+    * never split. One chunk would not (no cross-batch state), so 2
+    * is the floor, not a dial toward batch mode. */
   def l2Replay(level3: DataFrame, spark: SparkSession,
-      nChunks: Int = 3): DataFrame = {
+      nChunks: Int = 2,
+      preOrdered: Option[Array[BookEvent]] = None): DataFrame = {
     import spark.implicits._
-    replayChunked(spark, bookEventsOrdered(level3, spark),
+    replayChunked(spark,
+      preOrdered.getOrElse(bookEventsOrdered(level3, spark)),
       (e: BookEvent) => e.ts, nChunks, "graft_l2_replay",
       (ds: Dataset[BookEvent], sp: SparkSession) => l2Stream(ds, sp))
   }
