@@ -1567,8 +1567,16 @@ object TextPipeline {
     * [[charSpanDedup]]. */
   def charSpanDedupScoped(docs: DataFrame, L: Int = 24,
       w: Int = 8): DataFrame = {
+    // checkpoint the flagged ID LIST (one long per flagged doc), not
+    // the screen's plan: the exact pass downstream deliberately
+    // recomputes its gram input for the dup-count build and the semi
+    // probe (recompute-over-materialize — the gram frame is
+    // corpus-bytes), and an un-checkpointed screen would re-run its
+    // full md5+window pass once per recompute (measured 9.2 s vs
+    // ~4.6 s at sf0.1)
     val flagged = charDupDocsWinnowed(docs, L, w)
       .filter(col("is_flagged")).select("doc_id")
+      .localCheckpoint(false)
     charSpanDedup(docs.join(flagged, Seq("doc_id"), "left_semi"), L)
   }
 
