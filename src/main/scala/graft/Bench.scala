@@ -135,13 +135,20 @@ object Bench {
       "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
-    val flagged = results.filter { case (name, (_, v)) =>
-      v > 0 && refVals.get(name).exists(r => r > 0 && v > 1.5 * r)
-    }.map(_._1).toSet
+    // flagged rows ranked by inflation (worst first) so the cap can
+    // never drop the very outlier the pass exists for; rows with no
+    // usable reference (absent OR recorded as a -1 failure when the
+    // ref was minted) fall into the unknown pool, ranked by cost
+    val flagged = results.collect {
+      case (name, (_, v))
+          if v > 0 && refVals.get(name).exists(r => r > 0 && v > 1.5 * r) =>
+        name -> v / refVals(name)
+    }.sortBy(-_._2).map(_._1)
     val unknownTop = results
-      .filter { case (name, (_, v)) => v > 0 && !refVals.contains(name) }
-      .sortBy(-_._2._2).take(5).map(_._1).toSet
-    val rerunNames = (flagged ++ unknownTop).toSeq.sorted.take(12).toSet
+      .filter { case (name, (_, v)) =>
+        v > 0 && !refVals.get(name).exists(_ > 0) }
+      .sortBy(-_._2._2).take(5).map(_._1)
+    val rerunNames = (flagged ++ unknownTop).distinct.take(12).toSet
     val results2 = results.map { case (name, (once, v)) =>
       if (v > 0 && rerunNames(name))
         name -> math.min(v, once().getOrElse(v))

@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   * (1 − flag rate) of the whole cost. Min-of-two after warmup. */
 object ScopedProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.TextPipeline
-    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val docs = Tables.load(spark, sfDir, "documents")
       .localCheckpoint(false)
     docs.count()
     // splice a doc-unique salt every 12 chars into 80% of docs: no
@@ -52,6 +55,27 @@ object ScopedProbe {
         .filter(col("is_flagged")).count()
 
     println(s"""{"probe":"scoped_flag_rate","saturated":${flagRate(docs)},"selective":${flagRate(salted)},"docs":${docs.count()}}""")
+
+    // interleaved A/B on the saturated corpus: the host drifts WITHIN
+    // a probe run, so sequential blocks are not comparable — alternate
+    // the two shapes with a calib lap before each pair
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 64)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach { i =>
+      val c = calib()
+      val tu = { val t0 = System.nanoTime()
+        graft.pipeline.TextPipeline.charSpanDedup(docs, 16).count()
+        (System.nanoTime() - t0) / 1e9 }
+      val ts = { val t0 = System.nanoTime()
+        graft.pipeline.TextPipeline.charSpanDedupScoped(docs, 16).count()
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"""{"probe":"scoped_ab","round":$i,"calib_s":$c%.3f,"unscoped_s":$tu%.3f,"scoped_s":$ts%.3f}""")
+    }
     val (tU1, nU1) = minOf2(() => TextPipeline.charSpanDedup(docs, 16).count())
     val (tS1, nS1) = minOf2(() => TextPipeline.charSpanDedupScoped(docs, 16).count())
     val (tU2, nU2) = minOf2(() => TextPipeline.charSpanDedup(salted, 16).count())

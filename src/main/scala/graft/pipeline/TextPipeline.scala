@@ -1571,9 +1571,11 @@ object TextPipeline {
     // the screen's plan: the exact pass downstream deliberately
     // recomputes its gram input for the dup-count build and the semi
     // probe (recompute-over-materialize — the gram frame is
-    // corpus-bytes), and an un-checkpointed screen would re-run its
-    // full md5+window pass once per recompute (measured 9.2 s vs
-    // ~4.6 s at sf0.1)
+    // corpus-bytes), and an un-checkpointed screen subtree would ride
+    // into both recomputes. LAZY, not eager: an eager checkpoint
+    // serializes the screen ahead of the whole DAG, and an interleaved
+    // A/B (ScopedProbe) measured that ~15% slower end-to-end than
+    // letting the first action materialize the cached ID blocks
     val flagged = charDupDocsWinnowed(docs, L, w)
       .filter(col("is_flagged")).select("doc_id")
       .localCheckpoint(false)
@@ -1593,6 +1595,13 @@ object TextPipeline {
       w: Int = 8): DataFrame = {
     val exact = charSpanDedup(docs, L)
       .select(col("doc_id"), col("s"), col("e"))
+    // the scoped frame feeds two sinks (the hit join and the totals
+    // row) and is deliberately NOT checkpointed: the two consumers are
+    // independent stages the scheduler overlaps, so on an unsaturated
+    // executor pool the redundant evaluation is nearly wall-free,
+    // while a checkpoint SERIALIZES the scoped pipeline ahead of both
+    // (measured +40% wall on this row); at full-cluster saturation
+    // the trade reverses — revisit with a saturated profile
     val scoped = charSpanDedupScoped(docs, L, w)
       .select(col("doc_id").as("sc_doc"), col("s").as("sc_s"),
         col("e").as("sc_e"))

@@ -245,16 +245,34 @@ object Lake {
     * must never reshape the frame the probe joins). */
   def writeIvfIndex(emb: DataFrame, cents: Array[Array[Long]],
       path: String): Unit = {
+    // both index halves are staged into ONE directory — the centroid
+    // matrix lives at `<path>/_centroids`, which parquet readers of
+    // the postings skip (underscore-prefixed paths are hidden) — and
+    // published by a single rename, so no failure can pair new
+    // postings with a previous build's centroids (a silent mismatch
+    // that would route multi-probe queries to wrong cells). A crash
+    // mid-build leaves `.build_tmp` and/or a MISSING index at `path`
+    // — loud states whose recovery is re-running this (idempotent
+    // full-rebuild) writer.
+    val spark = emb.sparkSession
+    val tmp = path + ".build_tmp"
     graft.pipeline.VectorOps.ivfAssignments(emb, cents)
       .repartition(col("cent_id"))
       .sortWithinPartitions("cent_id", "vb")
-      .write.mode("overwrite").parquet(path)
-    writeIvfCentroids(emb.sparkSession, cents, path)
+      .write.mode("overwrite").parquet(tmp)
+    writeIvfCentroids(spark, cents, tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"could not publish the built index $tmp at $p")
+    ()
   }
 
-  /** Persist the trained centroid matrix BESIDE the posting lake
-    * (`<path>.centroids`, one row per cell) — the second half of the
-    * index a cold serving process needs: multi-probe readers
+  /** Persist the trained centroid matrix INSIDE the posting lake
+    * (`<path>/_centroids`, one row per cell; the underscore prefix
+    * hides it from the postings' parquet readers) — the second half
+    * of the index a cold serving process needs: multi-probe readers
     * ([[graft.pipeline.VectorOps.knnGraphFromIndex]] at nProbe > 1,
     * [[graft.streaming.StreamingOps.annProbeStream]]) re-derive each
     * query's top-nProbe cells from these centroids, so without them
@@ -267,14 +285,14 @@ object Lake {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cent_id", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(path + ".centroids")
+      .write.mode("overwrite").parquet(path + "/_centroids")
   }
 
   /** Read the persisted centroid matrix back (ordered by cent_id —
     * cell ids index into this array everywhere). */
   def readIvfCentroids(spark: SparkSession,
       path: String): Array[Array[Long]] =
-    spark.read.parquet(path + ".centroids")
+    spark.read.parquet(path + "/_centroids")
       .orderBy("cent_id")
       .collect()
       .map(r => r.getAs[Seq[Long]]("centroid").toArray)
@@ -455,6 +473,17 @@ object Lake {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      // the rewrite above reads POSTINGS only (parquet skips the
+      // underscore-hidden `_centroids` half) — carry the centroid
+      // matrix into the compacted directory before the swap, or the
+      // multi-probe serving path would lose it
+      val cenSrc = new org.apache.hadoop.fs.Path(path + "/_centroids")
+      if (fs.exists(cenSrc)) {
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, cenSrc, fs,
+          new org.apache.hadoop.fs.Path(tmp + "/_centroids"), false,
+          spark.sparkContext.hadoopConfiguration),
+          s"could not carry $cenSrc into the compacted index $tmp")
+      }
       val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
       require(!fs.exists(old),
         s"$old exists — a prior compaction crashed mid-swap; recover it first")

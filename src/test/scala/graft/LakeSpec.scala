@@ -623,5 +623,12 @@ class LakeSpec extends AnyFunSuite {
     val recomputed = rows(VectorOps.knnGraph(emb,
       trainedCents = Some(cents), nProbe = 2))
     assert(served.nonEmpty && served === recomputed)
+    // compaction rewrites postings only (parquet skips the hidden
+    // _centroids dir) — it must CARRY the centroid half into the
+    // swapped directory or multi-probe serving dies at the next read
+    Lake.compactIvfIndex(spark, ix)
+    val after = Lake.readIvfCentroids(spark, ix)
+    assert(after.length == cents.length &&
+      after.zip(cents).forall { case (a, b) => a.sameElements(b) })
   }
 }
