@@ -127,6 +127,11 @@ object Bench {
     // stay visible.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "docs/bench/bench_ref.json")
+    // a silent read/parse failure must not silently change WHICH rows
+    // get the adjudication run (ADVICE r16): surface the load outcome
+    // (ref_loaded + n_ref) and the adjudicated row NAMES in the JSON
+    // line so an artifact consumer can tell re-run rows from
+    // single-pass ones
     val refVals: Map[String, Double] = scala.util.Try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), "UTF-8")
@@ -135,6 +140,7 @@ object Bench {
       "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
+    val refLoaded = refVals.nonEmpty
     // flagged rows ranked by inflation (worst first) so the cap can
     // never drop the very outlier the pass exists for; rows with no
     // usable reference (absent OR recorded as a -1 failure when the
@@ -159,8 +165,10 @@ object Bench {
     val total = results2.map(_._2).sum
     val builds = buildTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(",")
+    val rerunJson = rerunNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,$builds,"n_rerun":${rerunNames.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,$builds,"n_rerun":${rerunNames.size},"ref_loaded":$refLoaded,"n_ref":${refVals.size},"rerun_rows":$rerunJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the full line above outgrew the driver's captured stdout tail in
     // r11 (parsed: null); a short summary AFTER it guarantees the tail
@@ -171,7 +179,7 @@ object Bench {
     // metric rows must not double-count or mis-schema (ADVICE r12)
     val nFail = results2.count(_._2 < 0)
     val summary =
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,"n_queries":${results2.size},"n_failed":$nFail,"n_rerun":${rerunNames.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","calib_s":$calibS,"calib_sort_s":$calibSortS,"n_queries":${results2.size},"n_failed":$nFail,"n_rerun":${rerunNames.size},"ref_loaded":$refLoaded,"n_ref":${refVals.size},"sf":"$sfDir"}"""
     println(summary)
     // the driver's stdout capture has failed to parse twice (r11 tail
     // truncation, r12 [info] prefix) — ALWAYS persist both lines to a

@@ -4356,9 +4356,12 @@ object Oracles {
       |ORDER BY doc_id, span_no""".stripMargin
 
   /** Shared char-gram + winnowing CTE chain (`g` … `sel`) for the
-    * winnowed-screen mirrors: rightmost-min per trailing w-window via
-    * the same `h ∥ zero-padded (10⁷ − pos)` string-min trick as the
-    * engine. */
+    * winnowed-screen mirrors: rightmost-min per trailing w-window as
+    * a struct-min over (h ASC, −pos ASC) — the engine's own
+    * `min(struct(h, −pos))` selection, mirrored directly (ADVICE r16:
+    * the previous `h ∥ lpad(10⁷ − pos)` string packing silently broke
+    * past 10M-char documents, the exact bound the engine side removed
+    * in r16). */
   private def CharWinnowCte(l: Int, w: Int): String =
     s"""WITH g AS (
       |  SELECT doc_id,
@@ -4369,14 +4372,14 @@ object Oracles {
       |  FROM documents
       |), sw AS (
       |  SELECT doc_id,
-      |    MIN(h || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0')) OVER (
+      |    MIN({'h': h, 'np': -pos}) OVER (
       |      PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS m
       |  FROM g
       |), sel AS (
       |  SELECT DISTINCT doc_id,
-      |    10000000 - CAST(substr(m, 33, 8) AS BIGINT) AS pos,
-      |    substr(m, 1, 32) AS h
+      |    CAST(-(m.np) AS BIGINT) AS pos,
+      |    m.h AS h
       |  FROM sw
       |)""".stripMargin
 

@@ -250,9 +250,12 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("bid_price"), col("bid_qty"), col("ask_price"), col("ask_qty"))
         .orderBy("pair_id", "ts")),
+    // nChunks = 2 passed HERE, not baked into l2Replay's default
+    // (ADVICE r16): 2 is the measured bench floor that still proves
+    // cross-batch state handoff; other callers keep the family's 3
     "mkt_l2_stream" -> ((s, d) =>
       streaming.StreamingOps.l2Replay(
-          storage.Lake.readLevel3(s, level3Lake(s, d)), s,
+          storage.Lake.readLevel3(s, level3Lake(s, d)), s, nChunks = 2,
           preOrdered = Some(orderedBookEvents(s, d)))
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
@@ -281,8 +284,10 @@ object SparkEntry {
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("volume"))
         .orderBy("pair_id", "ts", "side", "price")),
+    // level3 feeds the delta union (2 scans) AND the spread ticks —
+    // checkpoint once like the other multi-consumer mkt rows (r17)
     "mkt_depth_chains" -> ((s, d) =>
-      MarketOps.depthChangeChains(level3(s, d), s)
+      MarketOps.depthChangeChains(level3(s, d).localCheckpoint(false), s)
         .select(col("pair_id").cast("long").as("pair_id"), col("ts"),
           col("side"), col("price"), col("delta"), col("chain_id"),
           col("bid_price"), col("ask_price"))
@@ -310,8 +315,11 @@ object SparkEntry {
           frequencyMicros = Some(Oracles.EventsFreqMicros))
         .orderBy("ts_us", "id", "event_no")
     }),
+    // the band join reads the fills frame once per side — checkpoint
+    // level3 so the builder's window passes run once, not twice (r17)
     "mkt_trades" -> ((s, d) =>
-      TradeMatching.trades(TradeMatching.inferredMatches(level3(s, d)))
+      TradeMatching.trades(TradeMatching.inferredMatches(
+          level3(s, d).localCheckpoint(false)))
         .select(col("ts"), col("price"), col("volume"), col("direction"),
           col("maker_event_id"), col("taker_event_id"), col("maker"),
           col("taker"), col("pair_id").cast("long").as("pair_id"))
@@ -496,23 +504,30 @@ object SparkEntry {
           col("pair_id").cast("long").as("pair_id"), col("event_id"))
         .orderBy("microtimestamp", "order_id", "event_no", "event_id")
     }),
+    // the fix ops consume their corrupted input from several plan
+    // branches (real/premature/dup splits re-join each other) — one
+    // lazy checkpoint of the corruption harness output evaluates the
+    // level3 build + corruption pass once per row, not 3-5× (r17)
     "mkt_dq_fix_dups" -> ((s, d) =>
       market.DqFixOps.fixDuplicates(
-          market.DqFixOps.withDuplicates(level3(s, d)))
+          market.DqFixOps.withDuplicates(level3(s, d))
+            .localCheckpoint(false))
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("microtimestamp"),
           col("action"), col("new_next"))
         .orderBy("pair_id", "order_id", "event_no", "microtimestamp")),
     "mkt_dq_fix_eternals" -> ((s, d) =>
       market.DqFixOps.fixEternals(
-          market.DqFixOps.withBrokenChains(level3(s, d)))
+          market.DqFixOps.withBrokenChains(level3(s, d))
+            .localCheckpoint(false))
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("microtimestamp"),
           col("action"), col("new_next"))
         .orderBy("pair_id", "order_id", "event_no", "microtimestamp")),
     "mkt_dq_fix_premature" -> ((s, d) =>
       market.DqFixOps.fixPrematureDeletes(
-          market.DqFixOps.withPrematureDeletes(level3(s, d)))
+          market.DqFixOps.withPrematureDeletes(level3(s, d))
+            .localCheckpoint(false))
         .select(col("pair_id").cast("long").as("pair_id"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("microtimestamp"),
           col("action"), col("new_next"))
@@ -520,7 +535,8 @@ object SparkEntry {
           "action")),
     "mkt_dq_invalid_chains" -> ((s, d) =>
       market.DqFixOps.invalidChains(
-          market.DqFixOps.withBrokenChains(level3(s, d)))
+          market.DqFixOps.withBrokenChains(level3(s, d))
+            .localCheckpoint(false))
         .select(col("microtimestamp"), col("order_id"),
           col("event_no").cast("long").as("event_no"), col("side"),
           col("price"), col("amount"), col("fill"),

@@ -47,7 +47,33 @@ object Level3Source {
     * microtimestamp(Long µs), order_id, event_no, side, price, amount,
     * fill, next_microtimestamp(Long µs), is_deleted, price_microtimestamp,
     * price_event_no, pair_id, exchange_id, event_id.
-    */
+    *
+    * SINGLE-EXCHANGE build (r17, guide §2.4): the builder used to pay
+    * three shuffles — user_id (incarnation counter), order_id
+    * (event_no/lag/lead), (order_id, price_group) (chain anchors) —
+    * but every per-ORDER quantity is derivable inside the USER
+    * partition, because an order's rows are a contiguous run of its
+    * user's (ts, event_id)-ordered stream (order_id = user·1000 +
+    * #deletes-before, and the delete counter is nondecreasing along
+    * exactly that ordering):
+    *   - a row opens a new incarnation iff the PREVIOUS user row was a
+    *     delete (or there is none) — so `lag(del_flag)` replaces the
+    *     order-key repartition;
+    *   - `event_no` = user row_number − row_number at the incarnation
+    *     start + 1, with the start carried by a running
+    *     `last(_, ignoreNulls)`;
+    *   - lag/lead within the order = user-window lag/lead masked at
+    *     incarnation boundaries (a non-delete row's successor is
+    *     always same-order, a delete row never needs its lead);
+    *   - the price-chain anchor (min ts / min event_no over the chain)
+    *     = the running carry of the last chain-start row — a chain
+    *     never crosses an incarnation, so the carries stay exact.
+    * Two chained WindowExecs over the SAME (user_id; ts, event_id)
+    * spec — Catalyst plans ONE Exchange + ONE Sort for both (plan
+    * audit in plans/r17/mkt_level3_*.txt; rows proven identical to
+    * the three-shuffle build by the full oracle gate and
+    * Level3ShapeProbe's exceptAll parity). At 100 TB the build
+    * shuffles the log once instead of three times. */
   def level3(events: DataFrame): DataFrame = {
     val base = events.select(
       col("event_id"),
@@ -64,41 +90,57 @@ object Level3Source {
 
     val wUser = Window.partitionBy("user_id")
       .orderBy("microtimestamp", "event_id")
-    val withOrder = base.withColumn(
-      "order_id",
-      col("user_id") * 1000 + coalesce(
-        sum("del_flag").over(wUser.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-
-    val wOrd = Window.partitionBy("order_id")
-      .orderBy("microtimestamp", "event_id")
-    val evt = withOrder
-      .withColumn("event_no", row_number().over(wOrd))
-      .withColumn("prev_amount", lag("amount", 1).over(wOrd))
-      .withColumn("lead_ts", lead("microtimestamp", 1).over(wOrd))
-      .withColumn("prev_price", lag("price", 1).over(wOrd))
+    val run = wUser.rowsBetween(Window.unboundedPreceding, 0)
+    // pass 1 over the user partition: incarnation counter, row number,
+    // neighbor values (masked into per-order semantics below)
+    val u = base
+      .withColumn("order_id",
+        col("user_id") * 1000 + coalesce(
+          sum("del_flag").over(
+            wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rn_u", row_number().over(wUser))
+      .withColumn("lag_del", lag("del_flag", 1).over(wUser))
+      .withColumn("prev_amount_u", lag("amount", 1).over(wUser))
+      .withColumn("prev_price_u", lag("price", 1).over(wUser))
+      .withColumn("lead_ts_u", lead("microtimestamp", 1).over(wUser))
+      // new incarnation starts where the previous user row deleted (or
+      // at the user's first row); a price chain starts there too, or
+      // wherever the price moved within the incarnation
+      .withColumn("inc_start",
+        col("lag_del").isNull || col("lag_del") === 1)
       .withColumn("price_chg",
-        when(col("prev_price").isNull || col("price") =!= col("prev_price"), 1)
-          .otherwise(0))
-      .withColumn("price_group",
-        sum("price_chg").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-
-    val wChain = Window.partitionBy("order_id", "price_group")
+        when(col("inc_start") ||
+          col("price") =!= col("prev_price_u"), 1).otherwise(0))
+    // pass 2, same partitioning and ordering (no new Exchange/Sort):
+    // carry the incarnation-start and chain-start row numbers/ts
+    val evt = u
+      .withColumn("inc_start_rn",
+        last(when(col("inc_start"), col("rn_u")), ignoreNulls = true)
+          .over(run))
+      .withColumn("chain_rn",
+        last(when(col("price_chg") === 1, col("rn_u")), ignoreNulls = true)
+          .over(run))
+      .withColumn("chain_ts",
+        last(when(col("price_chg") === 1, col("microtimestamp")),
+          ignoreNulls = true).over(run))
     evt.select(
       col("microtimestamp"),
       col("order_id"),
-      col("event_no"),
+      (col("rn_u") - col("inc_start_rn") + 1).as("event_no"),
       col("side"),
       col("price"),
       col("amount"),
-      when(col("prev_amount") > col("amount"),
-        col("prev_amount") - col("amount")).as("fill"),
+      when(!col("inc_start") && col("prev_amount_u") > col("amount"),
+        col("prev_amount_u") - col("amount")).as("fill"),
+      // a non-delete row's next user row is always the same order's
+      // next event (the incarnation can only change after a delete),
+      // so the user-window lead IS the order-window lead here
       when(col("del_flag") === 1, col("microtimestamp"))
-        .otherwise(coalesce(col("lead_ts"), lit(AliveMicros)))
+        .otherwise(coalesce(col("lead_ts_u"), lit(AliveMicros)))
         .as("next_microtimestamp"),
       (col("del_flag") === 1).as("is_deleted"),
-      min("microtimestamp").over(wChain).as("price_microtimestamp"),
-      min("event_no").over(wChain).as("price_event_no"),
+      col("chain_ts").as("price_microtimestamp"),
+      (col("chain_rn") - col("inc_start_rn") + 1).as("price_event_no"),
       col("pair_id"),
       Dimensions.exchangeOfPair(col("pair_id")).as("exchange_id"),
       col("event_id"))
@@ -202,6 +244,8 @@ object Level3Source {
       .withColumn("carried_chain",
         max(when(col("carry"), 1).otherwise(0)).over(wChain) === 1)
       .filter(!col("carry"))
+      // feeds newRows AND the pointer corrections — one evaluation (r17)
+      .localCheckpoint(false)
     val newRows = built.select(
       col("microtimestamp"),
       col("order_id"),
@@ -237,10 +281,14 @@ object Level3Source {
   def incrementalLevel3(events: DataFrame, cutMicros: Long): DataFrame = {
     val first = events.filter(tsMicros(col("ts")) <= cutMicros)
     val rest = events.filter(tsMicros(col("ts")) > cutMicros)
+    // batch1 feeds openState (delete counts + open-order window) AND
+    // the correction join — lazy-checkpoint so the first month's build
+    // runs once, not three times (r17 single-evaluation rule)
     val batch1 = level3(first)
       .join(first.select(col("event_id").as("u_eid"), col("user_id")),
         col("event_id") === col("u_eid"))
       .drop("u_eid")
+      .localCheckpoint(false)
     val (newRows, corrections) = continueBuild(rest, openState(batch1))
     val corrected = batch1
       .join(corrections.select(col("order_id").as("c_oid"),
@@ -283,20 +331,28 @@ object Level3Source {
       .select("pair_id", "era_no", "era", "level3")
   }
 
-  /** level3 rows annotated with the era they fall into (adds era_no, era). */
+  /** level3 rows annotated with the era they fall into (adds era_no,
+    * era). ONE window pass (r17, guide §2.4): the lag previously
+    * ordered by bare `microtimestamp` (a second Sort under the same
+    * exchange — gap flags are ts-difference-only, so the (ts,
+    * event_id) tiebreak changes nothing), and the era start came from
+    * `min(ts) over (pair_id, era_no)` — a second Exchange — when it
+    * is simply the flag row's own ts carried forward (rows are
+    * ts-ascending, so the era's first row IS its minimum). */
   def level3WithEras(level3Df: DataFrame): DataFrame = {
-    val wPair = Window.partitionBy("pair_id").orderBy("microtimestamp", "event_id")
+    val wPair = Window.partitionBy("pair_id")
+      .orderBy("microtimestamp", "event_id")
+    val run = wPair.rowsBetween(Window.unboundedPreceding, 0)
     level3Df
-      .withColumn("prev_ts", lag("microtimestamp", 1)
-        .over(Window.partitionBy("pair_id").orderBy("microtimestamp")))
+      .withColumn("prev_ts", lag("microtimestamp", 1).over(wPair))
       .withColumn("new_era",
         when(col("prev_ts").isNull ||
           col("microtimestamp") - col("prev_ts") > EraGapMicros, 1)
           .otherwise(0))
-      .withColumn("era_no",
-        sum("new_era").over(wPair.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("era", min("microtimestamp")
-        .over(Window.partitionBy("pair_id", "era_no")))
+      .withColumn("era_no", sum("new_era").over(run))
+      .withColumn("era",
+        last(when(col("new_era") === 1, col("microtimestamp")),
+          ignoreNulls = true).over(run))
       .drop("prev_ts", "new_era")
   }
 }

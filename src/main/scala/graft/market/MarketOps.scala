@@ -350,6 +350,11 @@ object MarketOps {
       .groupBy("pair_id", "side", "price", "ts")
       .agg(sum("delta").as("delta"))
       .filter(col("delta") =!= 0)
+      // feeds the chain-id window AND the attach join (r17): without
+      // the lazy checkpoint both branches re-evaluated the union of
+      // two level3 scans + the aggregate — the single-evaluation rule
+      // of docs/PLANS.md
+      .localCheckpoint(false)
     val wKey = Window.partitionBy(col("pair_id"), col("side"),
       abs(col("delta")))
       .orderBy("ts", "side", "price")

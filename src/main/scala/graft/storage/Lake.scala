@@ -248,25 +248,46 @@ object Lake {
     // both index halves are staged into ONE directory — the centroid
     // matrix lives at `<path>/_centroids`, which parquet readers of
     // the postings skip (underscore-prefixed paths are hidden) — and
-    // published by a single rename, so no failure can pair new
-    // postings with a previous build's centroids (a silent mismatch
-    // that would route multi-probe queries to wrong cells). A crash
-    // mid-build leaves `.build_tmp` and/or a MISSING index at `path`
-    // — loud states whose recovery is re-running this (idempotent
-    // full-rebuild) writer.
+    // published by the compactIvfIndex swap discipline (ADVICE r16:
+    // the previous delete-then-rename opened a window where a
+    // concurrent reader saw NO index at `path`): rename the current
+    // index aside, rename the staged build in, roll back on failure,
+    // delete the old copy only once the new one is in place. The
+    // whole rebuild runs under [[withAppendFence]], so it serializes
+    // against compaction (refuses while the compact lock or a crashed
+    // swap's `.compact_old` exists) and the compactor's marker drain
+    // waits for an in-flight rebuild — a rebuild can no longer rename
+    // onto a directory an appender or compactor is mid-flight on. A
+    // crash mid-build leaves `.build_tmp` (and possibly
+    // `.rebuild_old`) beside an intact published index — loud states
+    // whose recovery is re-running this (idempotent full-rebuild)
+    // writer after removing the leftovers.
     val spark = emb.sparkSession
-    val tmp = path + ".build_tmp"
-    graft.pipeline.VectorOps.ivfAssignments(emb, cents)
-      .repartition(col("cent_id"))
-      .sortWithinPartitions("cent_id", "vb")
-      .write.mode("overwrite").parquet(tmp)
-    writeIvfCentroids(spark, cents, tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"could not publish the built index $tmp at $p")
-    ()
+    withAppendFence(spark, path, "writeIvfIndex") {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = new org.apache.hadoop.fs.Path(path + ".rebuild_old")
+      // fail BEFORE the (expensive) staging write, not after it
+      require(!fs.exists(old),
+        s"$old exists — a prior rebuild crashed mid-swap; recover it first")
+      val tmp = path + ".build_tmp"
+      graft.pipeline.VectorOps.ivfAssignments(emb, cents)
+        .repartition(col("cent_id"))
+        .sortWithinPartitions("cent_id", "vb")
+        .write.mode("overwrite").parquet(tmp)
+      writeIvfCentroids(spark, cents, tmp)
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val hadPrev = fs.exists(p)
+      if (hadPrev) require(fs.rename(p, old),
+        s"could not move the live index $p aside to $old")
+      if (!fs.rename(tmpP, p)) {
+        // roll back: put the original index back before failing
+        if (hadPrev) fs.rename(old, p)
+        sys.error(s"could not publish the built index $tmp at $p")
+      }
+      if (hadPrev) fs.delete(old, true)
+      ()
+    }
   }
 
   /** Persist the trained centroid matrix INSIDE the posting lake
@@ -386,7 +407,18 @@ object Lake {
     * compaction at its bounded wait — delete the stale file under
     * `<path>.append_inflight/` after confirming the writer is dead,
     * the same manual-recovery discipline as a crashed compaction's
-    * lock. */
+    * lock.
+    *
+    * FILESYSTEM CONTRACT (ADVICE r16): the fence needs BOTH atomic
+    * `createNewFile` AND immediately-consistent directory LISTING —
+    * the compactor's drain reads `listStatus` of the marker
+    * directory, so on an object store whose listings lag creates
+    * (S3A without a consistency layer) the drain can miss a
+    * just-created marker and silently reopen the lost-postings race.
+    * Local FS and HDFS give both guarantees; on raw object stores the
+    * fence is advisory only and maintenance must be serialized
+    * externally — the same caveat as every rename-based swap in this
+    * file, now covering the listing half, not just the create half. */
   private[graft] def withAppendFence[T](spark: SparkSession,
       path: String, op: String)(body: => T): T = {
     val dir = new org.apache.hadoop.fs.Path(path + ".append_inflight")

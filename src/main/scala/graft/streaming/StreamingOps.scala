@@ -610,17 +610,20 @@ object StreamingOps extends Serializable {
 
   /** Bounded replay of [[l2Stream]] — emissions equal
     * `MarketOps.depthChanges`, checked against its DuckDB mirror.
-    * Default nChunks = 2 (the rest of the family replays at 3-4):
-    * the L2 replay emits ~1.6 output rows per input event — the
-    * heaviest per-trigger encode volume of the family — so each
-    * extra trigger pays the most here (measured at sf0.1: 3 chunks
-    * ≈ 2.1-2.5 s, 2 chunks ≈ 1.9 s), while TWO data batches already
-    * exercise everything the chunked replay exists to prove: state
+    * Default nChunks = 3 like the rest of the family (ADVICE r16: the
+    * r16 bench-motivated 3→2 cut had leaked into the API default,
+    * silently lowering every caller's cross-batch coverage to the
+    * documented floor). The BENCH/VERIFY call site passes nChunks = 2
+    * explicitly — the L2 replay emits ~1.6 output rows per input
+    * event, the heaviest per-trigger encode volume of the family, so
+    * each extra trigger pays the most here (measured at sf0.1:
+    * 3 chunks ≈ 2.1-2.5 s, 2 chunks ≈ 1.9 s), while TWO data batches
+    * already exercise what the chunked replay exists to prove: state
     * handoff across a micro-batch boundary with same-ts episodes
-    * never split. One chunk would not (no cross-batch state), so 2
-    * is the floor, not a dial toward batch mode. */
+    * never split. One chunk would not (no cross-batch state), so 2 is
+    * the floor, not a dial toward batch mode. */
   def l2Replay(level3: DataFrame, spark: SparkSession,
-      nChunks: Int = 2,
+      nChunks: Int = 3,
       preOrdered: Option[Array[BookEvent]] = None): DataFrame = {
     import spark.implicits._
     replayChunked(spark,

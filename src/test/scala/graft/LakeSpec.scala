@@ -631,4 +631,56 @@ class LakeSpec extends AnyFunSuite {
     assert(after.length == cents.length &&
       after.zip(cents).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("index rebuild publishes by swap: no lost-data window, fenced") {
+    import graft.pipeline.VectorOps
+    // ADVICE r16: writeIvfIndex used delete-then-rename (a reader
+    // between the two saw NO index) and ran un-fenced (a rebuild
+    // racing compaction could interleave with the swap). Now it uses
+    // the compactIvfIndex swap discipline under withAppendFence.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(false)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val cents = VectorOps.ivfTrain(base)
+    val ix = java.nio.file.Files
+      .createTempDirectory("graft-ivf-swap").toString + "/ix"
+    Lake.writeIvfIndex(base, cents, ix)
+    val p = new java.io.File(ix)
+    val old = new java.io.File(ix + ".rebuild_old")
+    // a concurrent observer samples the directory while rebuilds
+    // publish over the live index: the index data must NEVER be
+    // unreachable — at every instant the published path exists, or
+    // (inside the two-rename swap itself) the renamed-aside copy does
+    @volatile var stop = false
+    @volatile var lost = 0L
+    val watcher = new Thread(() => {
+      while (!stop) { if (!p.exists() && !old.exists()) lost += 1 }
+    })
+    watcher.start()
+    try (1 to 3).foreach(_ => Lake.writeIvfIndex(emb, cents, ix))
+    finally { stop = true; watcher.join() }
+    assert(lost == 0L, s"index unreachable at $lost samples")
+    // the swap leaves no staging leftovers behind
+    assert(!old.exists() && !new java.io.File(ix + ".build_tmp").exists())
+    // and the rebuilt index serves exactly like a fresh one
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivf-swap-fresh").toString
+    Lake.writeIvfIndex(emb, cents, fresh)
+    def rowsOf(path: String) = Lake.readIvfIndex(spark, path)
+      .select("vb", "cent_id", "qb", "nb")
+      .collect().map(_.toSeq).toList
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(rowsOf(ix) === rowsOf(fresh))
+    // fenced: a rebuild refuses while a maintenance window is open …
+    val lock = new java.io.File(ix + ".compact_lock")
+    assert(lock.createNewFile())
+    intercept[IllegalArgumentException](Lake.writeIvfIndex(emb, cents, ix))
+    assert(lock.delete())
+    // … or while a crashed swap's aside copy awaits recovery
+    assert(old.mkdir())
+    intercept[IllegalArgumentException](Lake.writeIvfIndex(emb, cents, ix))
+    assert(old.delete())
+    Lake.writeIvfIndex(emb, cents, ix) // recovered: rebuild goes through
+    assert(rowsOf(ix) === rowsOf(fresh))
+  }
 }
