@@ -1718,16 +1718,23 @@ object TextPipeline {
   }
 
   /** `(doc_id, pos, h)` for every L-gram start position of a bound
-    * `words` column; sequence(1, 0) DESCENDS, so short docs
-    * short-circuit to an empty gram array. */
+    * `words` column. Positions explode FIRST and the hash is a plain
+    * projection AFTER (r17, guide §4 — the charGrams discipline): the
+    * previous `transform(..., i -> md5(...))` computed every gram's
+    * md5 inside a higher-order-function lambda, which runs on the
+    * interpreted eval path outside whole-stage codegen AND
+    * materialized the whole per-doc gram-struct array before the
+    * explode; the post-explode projection is codegen'd and
+    * row-streamed. Same (pos, h) rows (`ShapeParitySpec`). The
+    * `when(size >= L)` guard short-circuits short docs to an empty
+    * position array exactly as before. */
   private def gramPositions(w: DataFrame, L: Int): DataFrame =
-    w.select(col("doc_id"),
+    w.select(col("doc_id"), col("words"),
         explode(when(size(col("words")) >= L,
-          expr(s"transform(sequence(1, size(words) - ${L - 1}), " +
-            s"i -> struct(i AS pos, " +
-            s"md5(concat_ws(' ', slice(words, i, $L))) AS h))"))
-          .otherwise(array())).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+          sequence(lit(1), size(col("words")) - lit(L - 1)))
+          .otherwise(array())).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("words"), col("pos"), lit(L)))).as("h"))
 
   /** Merge flagged positions into maximal spans and report per doc:
     * gaps-and-islands over each document's sorted position stream (a

@@ -156,6 +156,51 @@ class ShapeParitySpec extends AnyFunSuite {
     assertSameRows(reference, TextPipeline.charDupDocsWinnowed(docs, L, w))
   }
 
+  test("word-gram pass (post-explode codegen hash) equals the HOF r16 shape") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint(false)
+    val L = 8
+    // r16 reference gram pass: md5 inside a transform(...) lambda,
+    // driven through the same dup-agg + semi + span report the
+    // operator used (substringDedup's public output pins the whole
+    // chain, so any (pos, h) drift in the rewritten gramPositions
+    // surfaces as span/clean_md5 drift here)
+    val w = docs.withColumn("words", split(col("text"), " "))
+    val grams = w.select(col("doc_id"),
+        explode(when(size(col("words")) >= L,
+          expr(s"transform(sequence(1, size(words) - ${L - 1}), " +
+            s"i -> struct(i AS pos, " +
+            s"md5(concat_ws(' ', slice(words, i, $L))) AS h))"))
+          .otherwise(array())).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val flagged = grams.join(dupHashes, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(L - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = flagged
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(L - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_words"),
+        collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val reference = w.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        md5(when(col("ivs").isNull, concat_ws(" ", col("words")))
+          .otherwise(expr("concat_ws(' ', filter(words, (wd, i) -> " +
+            "NOT exists(ivs, iv -> i + 1 BETWEEN iv.s AND iv.e)))")))
+          .as("clean_md5"))
+    assertSameRows(reference, TextPipeline.substringDedup(docs, L))
+  }
+
   test("charScopedParity full-outer gauge equals the left-join + totals r16 shape") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .localCheckpoint(false)
