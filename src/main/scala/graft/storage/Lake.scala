@@ -262,8 +262,34 @@ object Lake {
     // `.rebuild_old`) beside an intact published index — loud states
     // whose recovery is re-running this (idempotent full-rebuild)
     // writer after removing the leftovers.
+    //
+    // READER CONTRACT (ADVICE r17): the two-rename swap still has a
+    // reader-visible instant where `path` does not exist — between
+    // rename(p, old) and rename(tmp, p). A rename-based publish on a
+    // path cannot close that window without an indirection layer, so
+    // it is the documented contract instead: a reader that finds
+    // `path` missing while `.rebuild_old` or `.compact_old` exists
+    // must retry (the swap completes in two metadata ops — no data is
+    // copied); deployments that cannot tolerate the retry should
+    // publish via an atomic pointer (symlink / versioned directory +
+    // manifest) outside this file's scope.
+    //
+    // MUTUAL EXCLUSION (ADVICE r17): two concurrent rebuilds are NOT
+    // excluded by the append fence (markers don't exclude each other),
+    // and interleaved swaps could double-rename — so a rebuild takes
+    // its own exclusive `.rebuild_lock` (atomic createNewFile, the
+    // compact_lock discipline): a second rebuild refuses loudly. A
+    // lock left by a KILLED rebuild is cleared by deleting
+    // `<path>.rebuild_lock` — same manual recovery as compact_lock,
+    // same object-store caveat (createNewFile atomicity).
     val spark = emb.sparkSession
-    withAppendFence(spark, path, "writeIvfIndex") {
+    val lockP = new org.apache.hadoop.fs.Path(path + ".rebuild_lock")
+    val lockFs = lockP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(lockFs.createNewFile(lockP),
+      s"writeIvfIndex($path) refused: $lockP exists — another rebuild " +
+        "is in progress (or crashed; delete the lock after confirming " +
+        "the writer is dead)")
+    try withAppendFence(spark, path, "writeIvfIndex") {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val old = new org.apache.hadoop.fs.Path(path + ".rebuild_old")
@@ -286,6 +312,9 @@ object Lake {
         sys.error(s"could not publish the built index $tmp at $p")
       }
       if (hadPrev) fs.delete(old, true)
+      ()
+    } finally {
+      lockFs.delete(lockP, false)
       ()
     }
   }

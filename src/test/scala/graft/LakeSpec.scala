@@ -680,6 +680,13 @@ class LakeSpec extends AnyFunSuite {
     assert(old.mkdir())
     intercept[IllegalArgumentException](Lake.writeIvfIndex(emb, cents, ix))
     assert(old.delete())
+    // … or while ANOTHER rebuild holds the exclusive rebuild lock
+    // (ADVICE r17: append-fence markers don't exclude each other, so
+    // two interleaved swaps could double-rename without this)
+    val rlock = new java.io.File(ix + ".rebuild_lock")
+    assert(rlock.createNewFile())
+    intercept[IllegalArgumentException](Lake.writeIvfIndex(emb, cents, ix))
+    assert(rlock.delete())
     Lake.writeIvfIndex(emb, cents, ix) // recovered: rebuild goes through
     assert(rowsOf(ix) === rowsOf(fresh))
   }
